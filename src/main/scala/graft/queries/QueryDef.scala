@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: the Spark implementation and (when the operator is
+  * SQL-expressible) the equivalent ANSI SQL the driver runs in DuckDB.
+  *
+  * Hash-compare contract (see the builder brief): the driver sorts result
+  * columns by name and hashes values, so
+  *  - every output column is explicitly aliased identically on both sides,
+  *  - every query ends in a deterministic ORDER BY (unique key or full
+  *    column list),
+  *  - floating aggregates are rounded (sums of 2-dec money to 2; avgs to 4)
+  *    so IEEE summation-order noise cannot flip the hash,
+  *  - integer-ish aggregates are CAST to the same width on both sides
+  *    (DuckDB sum(int) is HUGEINT; Spark's is BIGINT).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sqlChecked(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

@@ -1,0 +1,647 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.AsOfJoin
+import graft.functions.TypeStatsAgg
+
+/** The declared Layer-B relational surface (SURVEY.md §2.b, FIXTURES.md B.1).
+  *
+  * Every query is written DataFrame-first so Catalyst handles pushdown,
+  * pruning and join strategy selection; `broadcast()` hints are applied
+  * only where the build side is a dimension table that stays small at any
+  * scale factor (part filtered by brand, nation, region).
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  // ---------------------------------------------------------------- Q1
+  // Filter + hash aggregate + money math (TPC-H Q1 shape). Partial
+  // aggregation (map-side combine) is automatic for sum/avg/count; at
+  // 100 TB this reduces the shuffle to |groups| x |partitions| rows.
+  val q1_agg = QueryDef.sqlChecked(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- Q2
+  // Pushdown-eligible predicates: IN, BETWEEN, LIKE + when/otherwise,
+  // nullif/coalesce projection.
+  val q2_predicates = QueryDef.sqlChecked(
+    "q2_predicates",
+    """SELECT o_orderkey,
+      | CASE WHEN o_orderpriority LIKE '1%' THEN 'hot'
+      |      WHEN o_orderpriority LIKE '2%' THEN 'warm'
+      |      ELSE 'cold' END AS p_class,
+      | coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS p_norm,
+      | round(o_totalprice, 2) AS total
+      |FROM orders
+      |WHERE o_orderstatus IN ('O','F')
+      |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+      |  AND o_orderpriority LIKE '%N%'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F")
+        && col("o_orderdate").between(ts("1996-01-01"), ts("1998-12-31"))
+        && col("o_orderpriority").like("%N%"))
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderpriority").like("1%"), "hot")
+          .when(col("o_orderpriority").like("2%"), "warm")
+          .otherwise("cold").as("p_class"),
+        coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("unspecified")).as("p_norm"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q3
+  // Broadcast-hash equi join: `part` filtered by brand is a few thousand
+  // rows at any SF -> explicit broadcast hint keeps it shuffle-free for
+  // the fact side at 100 TB.
+  val q3_broadcast_join = QueryDef.sqlChecked(
+    "q3_broadcast_join",
+    """SELECT p_brand, p_type,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#12'
+      |GROUP BY p_brand, p_type
+      |ORDER BY p_brand, p_type""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d).filter(col("p_brand") === "Brand#12")
+      .select("p_partkey", "p_brand", "p_type")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand", "p_type")
+  }
+
+  // ---------------------------------------------------------------- Q4
+  // Large-large equi join: explicit merge hint documents the sort-merge
+  // path (both sides shuffle-partition on orderkey; with bucketing both
+  // sides could be pre-partitioned and the shuffle elided).
+  val q4_sortmerge_join = QueryDef.sqlChecked(
+    "q4_sortmerge_join",
+    """SELECT o_orderpriority,
+      | count(DISTINCT o_orderkey) AS n_orders,
+      | count(*) AS n_lines
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority").hint("merge")
+      .join(Tables.lineitem(s, d).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_orderkey").as("n_orders"), count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- Q5
+  // Left-outer join preserving customers with zero orders (TPC-H Q13).
+  val q5_outer_join = QueryDef.sqlChecked(
+    "q5_outer_join",
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY c_count""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy("c_count")
+  }
+
+  // ---------------------------------------------------------------- Q5b
+  // Full-outer join over two aggregated slices; coalesce fills each side.
+  val q5b_full_outer = QueryDef.sqlChecked(
+    "q5b_full_outer",
+    """SELECT coalesce(c.nk, s.nk) AS nationkey,
+      | coalesce(c.n_cust, 0) AS n_cust,
+      | coalesce(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier WHERE s_acctbal < 500 GROUP BY s_nationkey) s
+      |ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_cust"))
+    val sp = Tables.supplier(s, d).filter(col("s_acctbal") < 500)
+      .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(sp, col("c_nk") === col("s_nk"), "full_outer")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  // ---------------------------------------------------------------- Q6
+  // Semi + anti join (EXISTS / NOT EXISTS), tagged union.
+  val q6_semi_anti = QueryDef.sqlChecked(
+    "q6_semi_anti",
+    """SELECT 'with' AS tag, c_custkey FROM customer
+      | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'without' AS tag, c_custkey FROM customer
+      | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d).select("o_custkey")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("with").as("tag"), col("c_custkey"))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("without").as("tag"), col("c_custkey"))
+    withO.unionByName(withoutO).orderBy("tag", "c_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q7
+  // Equi join with a range (non-equi) residual condition.
+  val q7_range_join = QueryDef.sqlChecked(
+    "q7_range_join",
+    """SELECT o_orderpriority, count(*) AS n_in_window
+      |FROM orders JOIN lineitem
+      |  ON o_orderkey = l_orderkey
+      | AND l_shipdate > o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate")
+          && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL '90' DAY"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- Q7b
+  // Pure theta join (inequality only) -> broadcast nested-loop; both
+  // sides are bounded dimensions so BNLJ is the right plan at any SF.
+  val q7b_theta_join = QueryDef.sqlChecked(
+    "q7b_theta_join",
+    """SELECT n_name, count(*) AS n_other_regions
+      |FROM nation JOIN region ON n_regionkey <> r_regionkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.nation(s, d).select("n_name", "n_regionkey")
+      .join(broadcast(Tables.region(s, d).select("r_regionkey")),
+        col("n_regionkey") =!= col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_other_regions"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- Q8
+  // As-of join: latest click value at-or-before each purchase, per user.
+  // Spark has no native as-of join; AsOfJoin implements the union-tag +
+  // running last(ignoreNulls) pattern (single shuffle on the key).
+  val q8_asof_join = QueryDef.sqlChecked(
+    "q8_asof_join",
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      | round(c.value, 2) AS last_click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    AsOfJoin.lastAtOrBefore(
+      left = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      right = ev.filter(col("event_type") === "click").select("user_id", "ts", "value"),
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      valueCol = "value", out = "last_click_value")
+      .select(col("event_id"), col("user_id"),
+        round(col("last_click_value"), 2).as("last_click_value"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- Q9
+  // Multi-join + agg + top-k (TPC-H Q3 shape). Customer filter first so
+  // the probe side shrinks before both joins; top-10 via
+  // TakeOrderedAndProject (no global sort materialization).
+  val q9_topk_revenue = QueryDef.sqlChecked(
+    "q9_topk_revenue",
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      | AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- Q10
+  // Exact distinct (hash-checked) — the HLL variant is q10b (rows-only).
+  val q10_distinct = QueryDef.sqlChecked(
+    "q10_distinct",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  // HLL sketch distinct: no DuckDB oracle (different sketch) -> rows-only;
+  // the ScalaTest spec asserts the 2% default rsd against the exact count.
+  val q10b_approx_distinct = QueryDef.rowsOnly("q10b_approx_distinct") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct("o_custkey").as("approx_cust"),
+        countDistinct("o_custkey").as("n_cust"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- Q11
+  // Rollup with grouping_id; NULL group keys are coalesced so the hash
+  // compare never depends on engine NULL-ordering defaults.
+  val q11_rollup = QueryDef.sqlChecked(
+    "q11_rollup",
+    """SELECT coalesce(n_name, 'ALL') AS n_name, coalesce(yr, -1) AS yr,
+      | CAST(GROUPING(n_name, yr) AS BIGINT) AS gid,
+      | round(sum(o_totalprice),2) AS revenue, count(*) AS n
+      |FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr, o_totalprice
+      |      FROM nation JOIN customer ON n_nationkey = c_nationkey
+      |      JOIN orders ON c_custkey = o_custkey)
+      |GROUP BY ROLLUP(n_name, yr)
+      |ORDER BY gid, n_name, yr""".stripMargin) { (s, d) =>
+    Tables.nation(s, d).select("n_nationkey", "n_name")
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, d).select("o_custkey", "o_orderdate", "o_totalprice"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+      .rollup(col("n_name"), col("yr"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        col("gid"), col("revenue"), col("n"))
+      .orderBy("gid", "n_name", "yr")
+  }
+
+  // ---------------------------------------------------------------- Q11b
+  val q11b_cube = QueryDef.sqlChecked(
+    "q11b_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- Q12
+  // Ranking window + per-group top-k. custkey tiebreak keeps dense_rank
+  // deterministic under equal revenue.
+  val q12_rank_topk = QueryDef.sqlChecked(
+    "q12_rank_topk",
+    """SELECT n_name, rnk, c_custkey, revenue FROM (
+      | SELECT n_name, c_custkey, revenue,
+      |  CAST(dense_rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rnk
+      | FROM (SELECT n_name, c_custkey, round(sum(o_totalprice),2) AS revenue
+      |       FROM nation JOIN customer ON n_nationkey = c_nationkey
+      |       JOIN orders ON c_custkey = o_custkey
+      |       GROUP BY n_name, c_custkey))
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin) { (s, d) =>
+    val rev = Tables.nation(s, d).select("n_nationkey", "n_name")
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy("n_name").orderBy(col("revenue").desc, col("c_custkey"))
+    rev.withColumn("rnk", dense_rank().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select("n_name", "rnk", "c_custkey", "revenue")
+      .orderBy("n_name", "rnk")
+  }
+
+  // ---------------------------------------------------------------- Q13
+  // Analytic windows with explicit frames: running sum + lag delta.
+  val q13_window_frames = QueryDef.sqlChecked(
+    "q13_window_frames",
+    """WITH m AS (
+      | SELECT o_custkey, strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      |        round(sum(o_totalprice),2) AS rev
+      | FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, month, rev,
+      | round(sum(rev) OVER (PARTITION BY o_custkey ORDER BY month
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_rev,
+      | round(rev - lag(rev, 1) OVER (PARTITION BY o_custkey ORDER BY month),2) AS delta
+      |FROM m ORDER BY o_custkey, month""".stripMargin) { (s, d) =>
+    val m = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"),
+        col("o_totalprice"))
+      .groupBy("o_custkey", "month")
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.partitionBy("o_custkey").orderBy("month")
+    m.withColumn("running_rev",
+        round(sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("delta", round(col("rev") - lag("rev", 1).over(w), 2))
+      .orderBy("o_custkey", "month")
+  }
+
+  // ---------------------------------------------------------------- Q14
+  // Global top-k -> TakeOrderedAndProject (per-partition top-k + driver
+  // merge; never a full global sort).
+  val q14_sort_limit = QueryDef.sqlChecked(
+    "q14_sort_limit",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- Q15
+  // Set ops with DISTINCT semantics (intersect/except) + union-all tag.
+  val q15_set_ops = QueryDef.sqlChecked(
+    "q15_set_ops",
+    """WITH k96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |     k97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM k96 INTERSECT SELECT o_custkey FROM k97)
+      |UNION ALL
+      |SELECT 'only96' AS tag, o_custkey FROM (SELECT o_custkey FROM k96 EXCEPT SELECT o_custkey FROM k97)
+      |UNION ALL
+      |SELECT 'only97' AS tag, o_custkey FROM (SELECT o_custkey FROM k97 EXCEPT SELECT o_custkey FROM k96)
+      |ORDER BY tag, o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def keysOf(y: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    val k96 = keysOf(1996)
+    val k97 = keysOf(1997)
+    k96.intersect(k97).select(lit("both").as("tag"), col("o_custkey"))
+      .unionByName(k96.except(k97).select(lit("only96").as("tag"), col("o_custkey")))
+      .unionByName(k97.except(k96).select(lit("only97").as("tag"), col("o_custkey")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q16
+  val q16_strings = QueryDef.sqlChecked(
+    "q16_strings",
+    """SELECT p_partkey,
+      | upper(p_name) AS up_name,
+      | lower(p_type) AS lo_type,
+      | CAST(length(p_name) AS INTEGER) AS name_len,
+      | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      | concat_ws('/', p_brand, p_type) AS brand_type,
+      | trim(p_name) AS trimmed,
+      | substr(p_type, 1, 5) AS type_pfx
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      lower(col("p_type")).as("lo_type"),
+      length(col("p_name")).cast("int").as("name_len"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      trim(col("p_name")).as("trimmed"),
+      substring(col("p_type"), 1, 5).as("type_pfx"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- Q17
+  // Date functions: trunc series, day diffs, integer month lag.
+  // (months_between is avoided on purpose: Spark's fractional semantics
+  // have no DuckDB equivalent; integer month arithmetic is exact in both.)
+  val q17_dates = QueryDef.sqlChecked(
+    "q17_dates",
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      | count(*) AS n,
+      | round(avg(delay),4) AS avg_delay_days,
+      | CAST(max(delay) AS INTEGER) AS max_delay,
+      | round(avg(mdiff),4) AS avg_month_lag
+      |FROM (SELECT o_orderdate,
+      |       CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS delay,
+      |       CAST((year(l_shipdate) - year(o_orderdate)) * 12
+      |            + (month(l_shipdate) - month(o_orderdate)) AS INTEGER) AS mdiff
+      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |GROUP BY 1 ORDER BY month""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderdate"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay"),
+        ((year(col("l_shipdate")) - year(col("o_orderdate"))) * 12
+          + (month(col("l_shipdate")) - month(col("o_orderdate")))).as("mdiff"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("delay"), 4).as("avg_delay_days"),
+        max("delay").cast("int").as("max_delay"),
+        round(avg("mdiff"), 4).as("avg_month_lag"))
+      .orderBy("month")
+  }
+
+  // ---------------------------------------------------------------- Q18
+  // Array construction + higher-order functions. collect_list is wrapped
+  // in sort_array: collection order is partition-dependent, sorting makes
+  // the result deterministic (DuckDB mirrors with list_sort(list(..))).
+  val q18_arrays = QueryDef.sqlChecked(
+    "q18_arrays",
+    """SELECT l_orderkey,
+      | CAST(len(parts) AS INTEGER) AS n_items,
+      | CAST(list_sum(parts) AS BIGINT) AS sum_parts,
+      | CAST(len(list_filter(parts, x -> x > 1000)) AS INTEGER) AS n_big,
+      | parts[1] AS first_part,
+      | list_contains(parts, 42) AS has_42,
+      | round(list_sum(qtys), 2) AS qty_sum,
+      | CAST(len(list_filter(list_transform(parts, x -> x % 7), x -> x = 0)) AS INTEGER) AS n_mod0
+      |FROM (SELECT l_orderkey,
+      |       list_sort(list(l_partkey)) AS parts,
+      |       list_sort(list(l_quantity)) AS qtys
+      |      FROM lineitem GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(
+        sort_array(collect_list(col("l_partkey"))).as("parts"),
+        sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("parts")).as("n_items"),
+        aggregate(col("parts"), lit(0L), (a, x) => a + x).as("sum_parts"),
+        size(filter(col("parts"), x => x > lit(1000L))).cast("int").as("n_big"),
+        element_at(col("parts"), 1).as("first_part"),
+        array_contains(col("parts"), lit(42L)).as("has_42"),
+        round(aggregate(col("qtys"), lit(0.0), (a, x) => a + x), 2).as("qty_sum"),
+        size(filter(transform(col("parts"), x => x % lit(7L)), x => x === lit(0L)))
+          .cast("int").as("n_mod0"))
+      .orderBy("l_orderkey")
+  }
+
+  // Generator / explode: rebuild per-part counts by exploding the
+  // collected arrays (exercises Generate exec); oracle is the direct
+  // per-part count, which is semantically identical.
+  val q18b_explode = QueryDef.sqlChecked(
+    "q18b_explode",
+    """SELECT l_partkey AS partkey, count(*) AS n
+      |FROM lineitem GROUP BY l_partkey ORDER BY partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("partkey"))
+      .groupBy("partkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("partkey")
+  }
+
+  // ---------------------------------------------------------------- Q19
+  // JSON extraction over events.props.
+  val q19_json = QueryDef.sqlChecked(
+    "q19_json",
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(k) AS BIGINT) AS sum_k,
+      | round(avg(k),4) AS avg_k,
+      | CAST(max(k) AS INTEGER) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").cast("long").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").cast("int").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- Q20
+  // Scalar UDF (zipf-style magnitude bucket, integer-only so both engines
+  // agree exactly) + custom typed Aggregator (per-key event-type stats —
+  // the batch replay of the reference's keyed stateful operator, SURVEY
+  // O8 /root/reference/stateflow/dataflow/stateful_operator.py:88-121).
+  val q20_udf_aggregator = QueryDef.sqlChecked(
+    "q20_udf_aggregator",
+    """SELECT user_id,
+      | CASE WHEN user_id + 1 < 10 THEN 0 WHEN user_id + 1 < 100 THEN 1
+      |      WHEN user_id + 1 < 1000 THEN 2 WHEN user_id + 1 < 10000 THEN 3
+      |      WHEN user_id + 1 < 100000 THEN 4 ELSE 5 END AS bucket,
+      | CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+      | round(sum(value),2) AS sum_value,
+      | count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val zipfBucket = udf { (id: Long) =>
+      var v = id + 1; var b = 0
+      while (v >= 10 && b < 5) { v /= 10; b += 1 }
+      b
+    }
+    val stats = udaf(TypeStatsAgg)
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(stats(col("event_type"), col("value")).as("st"))
+      .select(
+        col("user_id"),
+        zipfBucket(col("user_id")).as("bucket"),
+        col("st.n_types").as("n_types"),
+        round(col("st.sum_value"), 2).as("sum_value"),
+        col("st.n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // Event-type transition count per key: windowed lag replay of the
+  // reference's per-key state machine semantics in batch.
+  val q20b_transitions = QueryDef.sqlChecked(
+    "q20b_transitions",
+    """SELECT user_id,
+      | CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+      | count(*) AS n_events
+      |FROM (SELECT user_id, event_type,
+      |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("prev").isNotNull && col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L)).as("n_transitions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1_agg, q2_predicates, q3_broadcast_join, q4_sortmerge_join,
+    q5_outer_join, q5b_full_outer, q6_semi_anti, q7_range_join,
+    q7b_theta_join, q8_asof_join, q9_topk_revenue, q10_distinct,
+    q10b_approx_distinct, q11_rollup, q11b_cube, q12_rank_topk,
+    q13_window_frames, q14_sort_limit, q15_set_ops, q16_strings,
+    q17_dates, q18_arrays, q18b_explode, q19_json, q20_udf_aggregator,
+    q20b_transitions)
+}
