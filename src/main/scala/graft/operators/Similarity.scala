@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *     query set against the corpus; one narrow pass over the corpus plus
+  *     a per-query top-k window, no corpus self-shuffle. The oracle
+  *     baseline.
+  *   - [[lshTopK]]: random-hyperplane LSH — per-row signature, candidates
+  *     restricted to the query's bucket (and its 1-bit neighbors for
+  *     recall), so corpus work scales with bucket size, not corpus size.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * Ranking is on the 4-decimal-rounded similarity with the id as
+    * tiebreak, so result order is deterministic and engine-independent.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val q = e.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col(idCol), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v . h_i), with hyperplanes
+    * drawn from a fixed-seed Gaussian so plans are deterministic across
+    * runs and executors.
+    */
+  private def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket or any
+    * bucket at Hamming distance 1 (multi-probe), then exact cosine +
+    * top-k within candidates. At corpus scale the bucket join replaces
+    * the cross join; recall is tunable via nBits/probes.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nBits: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, nBits)
+    val planeCols = planes.map(p => array(p.map(lit): _*))
+    val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    def signature = planeCols.zipWithIndex
+      .map { case (p, i) => when(dot(col("v"), p) >= 0, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    val sig = e.withColumn("bucket", signature)
+
+    // Multi-probe: each corpus row is also registered under every bucket
+    // at Hamming distance <= 2 (1 + nBits + C(nBits,2) entries/row) —
+    // bounded replication for recall, still no cross join. Near-orthogonal
+    // corpora (the worst case for sign-LSH) need the wider probe ring.
+    val flips: Seq[Int] = 0 +:
+      (0 until nBits).map(1 << _) ++:
+      (for { i <- 0 until nBits; j <- i + 1 until nBits } yield (1 << i) | (1 << j))
+    val probed = sig.select(col(idCol), col("v"),
+      explode(array(flips.map(lit): _*)).as("flip"),
+      col("bucket"))
+      .select(col(idCol), col("v"),
+        expr("bucket ^ flip").as("probe_bucket"))
+
+    val q = sig.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+    val candidates = probed.join(broadcast(q),
+        col("probe_bucket") === col("qbucket") && col(idCol) =!= col("qid"))
+      .select(col("qid"), col("qv"), col(idCol), col("v")).distinct()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    candidates
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col(idCol), col("sim"))
+      .orderBy("qid", "rnk")
+  }
+}

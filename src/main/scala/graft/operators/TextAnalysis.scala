@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup.tokens
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting, document fingerprinting, language identification.
+  * All are row-local (narrow) transformations — they scale embarrassingly
+  * and keep the parquet scan as the only I/O.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Quality signals: length ratios, stopword ratio, a bounded composite
+    * score. Pure integer/rational arithmetic so an SQL oracle matches
+    * exactly.
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val words = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(words).as("n_words"),
+      round(col("n_chars").cast("double") / size(words), 4).as("chars_per_word"),
+      round(aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(words), 4)
+        .as("avg_word_len"),
+      size(filter(words, w => w.isin(Stopwords: _*))).as("n_stop"),
+      round(size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words), 4)
+        .as("stop_ratio"),
+      round(
+        size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words) * 0.5
+          + least(size(words), lit(100)).cast("double") / 100 * 0.5, 4)
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars).
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("int").as("bpe_tokens"),
+      round(col("n_chars").cast("double")
+        / regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")), 4)
+        .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprint (Rabin-Karp style fold over the
+    * word stream, mod 1e9+7). Word atoms use only length+first-char so
+    * the identical fold is expressible in ANSI SQL for the oracle; the
+    * modulus keeps every intermediate < 2^40 (ANSI-overflow-safe).
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      aggregate(tokens(col("text")), lit(0L),
+        (acc, w) => pmod(acc * 131L + length(w) * 31L + ascii(w), lit(1000000007L)))
+        .as("fp"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: score each candidate language by its
+    * function-word hit rate in the token stream and take the argmax
+    * (deterministic tiebreak by profile order). A real profile set would
+    * be much larger; the operator shape — N profile scores as columns,
+    * `greatest` + `when` argmax, all codegen'd — is what matters at scale.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "a"),
+      "de" -> Seq("der", "und", "die", "ist", "das", "ein"),
+      "es" -> Seq("el", "la", "de", "que", "es", "un"),
+      "fr" -> Seq("le", "la", "et", "est", "un", "une"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3"))
+    val words = tokens(col("text"))
+    def score(ws: Seq[String]): Column =
+      size(filter(words, w => w.isin(ws: _*))).cast("double") / size(words)
+    val scored = profiles.foldLeft(documents) { case (df, (lang, ws)) =>
+      df.withColumn(s"score_$lang", round(score(ws), 4))
+    }
+    val best = profiles.map { case (lang, _) => (lang, col(s"score_$lang")) }
+    val maxScore = greatest(best.map(_._2): _*)
+    val pred = best.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(c === maxScore && maxScore > 0, lang).otherwise(acc)
+    }
+    scored.select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +: pred.as("predicted_lang") +:
+        profiles.map { case (l, _) => col(s"score_$l") }): _*)
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class RelationalSpec extends SparkSpec {
+
+  test("every declared query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct within default rsd of exact") {
+    val rows = SparkEntry.queries("q10b_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("as-of join picks latest at-or-before value, null when none") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L),
+      (1L, t("2024-01-01 12:00:00"), 101L),
+      (2L, t("2024-01-01 09:00:00"), 200L))
+      .toDF("user_id", "ts", "event_id")
+      .select("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:30:00"), 1.0),
+      (1L, t("2024-01-01 11:00:00"), 2.0),
+      (1L, t("2024-01-01 12:00:00"), 3.0), // equal ts -> inclusive
+      (2L, t("2024-01-01 09:30:00"), 9.0)) // after left -> no match
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.lastAtOrBefore(left, right, "user_id", "ts", "ts", "value", "v")
+      .orderBy("event_id").collect()
+    assert(out.map(r => Option(r.get(3)).map(_.asInstanceOf[Double])).toSeq
+      === Seq(Some(1.0), Some(3.0), None))
+  }
+
+  test("oracle SQL map covers exactly the SQL-expressible queries") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+    val rowsOnly = qs -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q10b_approx_distinct", "dd2_minhash_lsh",
+      "dd4_simhash", "ann_lsh_topk", "txt_langid"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+  private val qids = Seq(0L, 1L, 2L, 3L, 4L)
+
+  private def neighborSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val bf = Similarity.bruteForceTopK(emb, qids)
+    val byQ = bf.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet === qids.toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 10)
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // descending
+    }
+  }
+
+  test("LSH top-k achieves useful recall against brute force") {
+    val bf = neighborSet(Similarity.bruteForceTopK(emb, qids))
+    val lsh = neighborSet(Similarity.lshTopK(emb, qids))
+    val recalls = qids.map { q =>
+      val found = lsh.getOrElse(q, Set.empty)
+      (bf(q) intersect found).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // Candidate set is ~15% of the corpus (37/256 probe buckets); recall
+    // must clearly beat that baseline even on near-orthogonal data.
+    assert(mean >= 0.3, s"mean recall@10 too low: $mean (per-query $recalls)")
+  }
+}
