@@ -1,0 +1,136 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import graft.model._
+import graft.flow.FlowRegistry
+import graft.runtime.Client
+import graft.streaming.StreamingEntityRuntime
+
+/** YCSB-style parity benchmark reproducing the reference harness
+  * (/root/reference/demo_runtime_universalis_ycsb.py:17-100): 100
+  * entities, 1000 ops, zipf(0.99) keys, workloads
+  *   A = 50% read / 50% update, B = 95% read / 5% update,
+  *   T = 100% transfer (two-key split flow).
+  * Latency capture follows the reference's CSV method (send-ts,
+  * reply-ts per request id;
+  * /root/reference/stateflow/client/kafka_client.py:78-91,144-145):
+  * requests are pipelined into the stream, replies matched by event id.
+  *
+  * Prints one JSON line per workload with throughput and p50/p99.
+  */
+object YcsbBench {
+
+  /** YCSB-style zipfian key chooser, θ=0.99, deterministic seed
+    * (/root/reference/zipfian_generator.py:1-100; standard Gray et al.
+    * algorithm, public).
+    */
+  final class Zipf(n: Int, theta: Double = 0.99, seed: Long = 42L) {
+    private val rnd = new scala.util.Random(seed)
+    private val zetan = (1 to n).map(i => 1.0 / math.pow(i, theta)).sum
+    private val alpha = 1.0 / (1.0 - theta)
+    private val zeta2 = (1 to 2).map(i => 1.0 / math.pow(i, theta)).sum
+    private val eta = (1 - math.pow(2.0 / n, 1 - theta)) / (1 - zeta2 / zetan)
+    def next(): Int = {
+      val u = rnd.nextDouble()
+      val uz = u * zetan
+      if (uz < 1.0) 0
+      else if (uz < 1.0 + math.pow(0.5, theta)) 1
+      else (n * math.pow(eta * u - eta + 1, alpha)).toInt.min(n - 1)
+    }
+  }
+
+  private val N_ENTITIES = 100
+  private val N_TASKS = 1000
+  private val STARTING_AMOUNT = 100
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.metricsEnabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    TestEntities.registerFlows()
+
+    Seq("A" -> (0.5, 0.5, 0.0), "B" -> (0.95, 0.05, 0.0), "T" -> (0.0, 0.0, 1.0))
+      .foreach { case (name, mix) => runWorkload(spark, name, mix) }
+    spark.stop()
+  }
+
+  private def runWorkload(spark: SparkSession, name: String,
+      mix: (Double, Double, Double)): Unit = {
+    val rt = new StreamingEntityRuntime(TestEntities.registry, spark)
+    val client = new Client(TestEntities.registry, rt)
+    try {
+      val keys = (0 until N_ENTITIES).map(i => s"k$i")
+      keys.foreach(k => client.create("YCSBEntity", Map("key" -> k, "value" -> STARTING_AMOUNT)))
+
+      val zipf = new Zipf(N_ENTITIES)
+      val rnd = new scala.util.Random(7)
+      val (pRead, pUpdate, _) = mix
+
+      // Build all request events up front (pipelined client), stamping
+      // send time per id; replies matched by event id afterwards.
+      var i = 0
+      val reqs = Vector.newBuilder[(String, Event)]
+      while (i < N_TASKS) {
+        val key = keys(zipf.next())
+        val ref = EntityRef("YCSBEntity", key)
+        val id = s"op$i"
+        val r = rnd.nextDouble()
+        val ev =
+          if (r < pRead)
+            Event(id, ref.entity, ref.key, EventType.InvokeStateful,
+              Payload.MethodCall("read", Map.empty))
+          else if (r < pRead + pUpdate)
+            Event(id, ref.entity, ref.key, EventType.InvokeStateful,
+              Payload.MethodCall("update", Map("new_value" -> rnd.nextInt(1000))))
+          else {
+            var other = keys(zipf.next())
+            while (other == key) other = keys(zipf.next())
+            Event(id, ref.entity, ref.key, EventType.EventFlow,
+              Payload.FlowPayload(FlowRegistry.instantiate("YCSBEntity.transfer", ref,
+                Map("transfer_amount" -> (rnd.nextInt(5) + 1),
+                  "other_entity" -> EntityRef("YCSBEntity", other)))))
+          }
+        reqs += ((id, ev))
+        i += 1
+      }
+      val requests = reqs.result()
+
+      val sendTs = new java.util.HashMap[String, Long]()
+      val t0 = System.nanoTime()
+      // pipeline in chunks: one addData per chunk = one micro-batch of work
+      requests.grouped(100).foreach { chunk =>
+        val now = System.nanoTime()
+        chunk.foreach { case (id, _) => sendTs.put(id, now) }
+        rt.sendAsync(chunk.map(_._2))
+      }
+      // drain everything incl. transfer-hop loopbacks
+      var done = 0
+      val lat = Array.newBuilder[Double]
+      val replyTs = new java.util.HashMap[String, Long]()
+      var spins = 0
+      while (done < N_TASKS && spins < 1000) {
+        rt.drain()
+        requests.foreach { case (id, _) =>
+          if (!replyTs.containsKey(id)) rt.takeReply(id).foreach { _ =>
+            replyTs.put(id, System.nanoTime()); done += 1
+          }
+        }
+        spins += 1
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      requests.foreach { case (id, _) =>
+        if (replyTs.containsKey(id))
+          lat += (replyTs.get(id) - sendTs.get(id)) / 1e6
+      }
+      val ls = lat.result().sorted
+      def pct(p: Double): Double =
+        if (ls.isEmpty) -1 else ls(((ls.length - 1) * p).toInt)
+      println(f"""{"workload":"$name","ops":$done,"wall_sec":$wall%.3f,"throughput_ops_sec":${done / wall}%.1f,"p50_ms":${pct(0.5)}%.2f,"p99_ms":${pct(0.99)}%.2f}""")
+    } finally rt.close()
+  }
+}

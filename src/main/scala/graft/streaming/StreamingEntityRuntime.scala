@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model._
+import graft.model.Types._
+import graft.runtime.{EventTransport, StatefulOperator}
+
+/** Structured Streaming lowering of the entity runtime (the one lowering
+  * we implement, vs the reference's five; SURVEY O37):
+  *
+  *   events --groupByKey((entity,key))--> flatMapGroupsWithState(handle)
+  *     --> replies  -> driver reply table (the "client_reply topic")
+  *     --> continuations -> re-injected into the input stream
+  *                          (the "internal topic" loopback,
+  *                          /root/reference/stateflow/client/kafka_client.py:38-39)
+  *
+  * A flow with H inter-key hops completes in H micro-batches — exactly
+  * the reference's one-broker-round-trip-per-hop cost profile
+  * (/root/reference/stateflow/dataflow/dataflow.py:96-106).
+  *
+  * The stateful function is THE SAME `StatefulOperator.handle` the
+  * LocalRuntime uses, so scenario semantics are pinned once. State lives
+  * in the Spark state store (checkpointed, partitioned by the group key)
+  * — at cluster scale this is per-key state sharded over executors with
+  * exactly-once micro-batch semantics.
+  */
+final class StreamingEntityRuntime(registry: EntityRegistry, spark: SparkSession)
+    extends EventTransport with AutoCloseable {
+
+  import spark.implicits._
+  private implicit val eventEnc: Encoder[Event] = Encoders.kryo[Event]
+  private implicit val stateEnc: Encoder[State] = Encoders.kryo[State]
+  private implicit val keyEnc: Encoder[(String, String)] =
+    Encoders.tuple(Encoders.STRING, Encoders.STRING)
+
+  private val input = MemoryStream[Event](spark, numPartitions = 1)
+  private val replies = new ConcurrentHashMap[String, Event]()
+  // continuation count per batch, to know when the loopback has drained
+  @volatile private var pendingContinuations = false
+
+  private val query: StreamingQuery = {
+    // hoist to a local so the stateful closure captures the registry
+    // VALUE, not `this` (the runtime holds non-serializable members)
+    val reg = registry
+    val fn: ((String, String), Iterator[Event], GroupState[State]) => Iterator[Event] =
+      (k, es, st) => StreamingEntityRuntime.statefulFn(reg)(k, es, st)
+    input.toDS()
+      .groupByKey(ev => (ev.entity, ev.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream
+    .outputMode("append")
+    .queryName("graft-entity-runtime")
+    .trigger(Trigger.ProcessingTime(0))
+    .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
+      // Egress routing (EgressRouter analog, dataflow.py:52-128):
+      // replies to the client table, continuations back into the stream.
+      val evs = batch.collect()
+      val (reps, conts) = evs.partition(_.eventType.isInstanceOf[EventType.Reply])
+      reps.foreach(r => replies.put(r.eventId, r))
+      if (conts.nonEmpty) {
+        input.addData(conts.toSeq)
+        pendingContinuations = true
+      } else pendingContinuations = false
+      ()
+    }
+    .start()
+  }
+
+  /** Synchronous request/reply for tests and the YCSB driver: feed the
+    * event, drain micro-batches (including loopback hops) until the
+    * reply for this event id lands.
+    */
+  override def send(ev: Event): Event = {
+    input.addData(ev)
+    var spins = 0
+    while (!replies.containsKey(ev.eventId) && spins < 300) {
+      query.processAllAvailable()
+      spins += 1
+    }
+    val r = replies.remove(ev.eventId)
+    require(r != null, s"no reply for ${ev.eventId} after $spins batches")
+    r
+  }
+
+  /** Pipelined fire-and-forget send; replies are collected asynchronously
+    * (the shape the YCSB throughput driver uses).
+    */
+  def sendAsync(evs: Seq[Event]): Unit = input.addData(evs)
+
+  def drain(): Unit = {
+    query.processAllAvailable()
+    while (pendingContinuations) query.processAllAvailable()
+  }
+
+  def takeReply(eventId: String): Option[Event] = Option(replies.remove(eventId))
+
+  override def close(): Unit = query.stop()
+}
+
+object StreamingEntityRuntime {
+  /** The per-group stateful function: a free-standing serializable
+    * closure (captures only the registry) applying
+    * [[StatefulOperator.handle]] to each event of the group in batch
+    * arrival order.
+    */
+  def statefulFn(registry: EntityRegistry)(
+      key: (String, String),
+      events: Iterator[Event],
+      state: GroupState[State]): Iterator[Event] = {
+    val handle = StatefulOperator.handle(registry) _
+    var cur: Option[State] = if (state.exists) Some(state.get) else None
+    val out = Seq.newBuilder[Event]
+    events.foreach { ev =>
+      val (emitted, newState) = handle(ev, cur)
+      out ++= emitted
+      cur = newState
+    }
+    cur match {
+      case Some(s) => state.update(s)
+      case None => if (state.exists) state.remove()
+    }
+    out.result().iterator
+  }
+}

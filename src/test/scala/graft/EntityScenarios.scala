@@ -2,17 +2,21 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model._
-import graft.runtime.local.{LocalClient, LocalRuntime}
+import graft.runtime.{Client, EventTransport}
+import graft.runtime.local.LocalRuntime
 
-/** Scenario gate S1-S6 (FIXTURES.md A.4) on the synchronous LocalRuntime.
+/** Scenario gate S1-S6 (FIXTURES.md A.4), shared across runtimes.
   * Every expected value is the reference's own E2E assert
   * (/root/reference/tests/stateflow_test.py:74-269).
   */
-class EntityRuntimeSpec extends AnyFunSuite {
+trait EntityScenarios extends AnyFunSuite {
 
-  private def fresh(): (LocalRuntime, LocalClient) = {
-    val rt = new LocalRuntime(TestEntities.registry)
-    (rt, new LocalClient(TestEntities.registry, rt))
+  /** Provide a fresh transport (isolated state) per test. */
+  def freshTransport(): EventTransport
+
+  protected def fresh(): (EventTransport, Client) = {
+    val rt = freshTransport()
+    (rt, new Client(TestEntities.registry, rt))
   }
 
   test("S1: create, duplicate create fails, find hits and misses") {
@@ -164,8 +168,15 @@ class EntityRuntimeSpec extends AnyFunSuite {
     assert(c.getAttr(e1, "value") === 70)
   }
 
+}
+
+/** S1-S6 on the synchronous in-memory oracle. */
+class LocalEntitySpec extends EntityScenarios {
+  override def freshTransport() = new LocalRuntime(TestEntities.registry)
+
   test("read-only methods do not write state") {
-    val (rt, c) = fresh()
+    val rt = new LocalRuntime(TestEntities.registry)
+    val c = new Client(TestEntities.registry, rt)
     val Right(b) = c.create("ExperimentalB", Map("name" -> "b"))
     c.setAttr(b, "balance", 7)
     val before = rt.store(("ExperimentalB", "b"))
