@@ -1,0 +1,113 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** Row-local text-hashing primitives in plain Scala, used from typed
+  * `Dataset.map` stages.
+  *
+  * Why not Catalyst expressions: Spark's higher-order functions
+  * (transform/aggregate/filter lambdas) do NOT participate in whole-stage
+  * codegen — they evaluate interpreted, and nested lambdas re-evaluate
+  * their free subexpressions per element (a 64-hash MinHash signature
+  * re-derives the shingle set ~129x per row). A native Scala loop in a
+  * typed map is linear, allocation-light, and still fully distributed;
+  * at 100 TB this is a narrow map stage with perfect scaling.
+  */
+object TextHashing {
+
+  /** Whitespace tokens, empties dropped (parity with
+    * `list_filter(string_split(text,' '), x -> x <> '')`).
+    */
+  def tokens(text: String): Array[String] = text.split(' ').filter(_.nonEmpty)
+
+  /** Distinct word n-gram shingles, order-insensitive set semantics. */
+  def shingles(toks: Array[String], n: Int = 3): Array[String] =
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+
+  /** Deterministic 64-bit string hash from two murmur3-32 passes. */
+  def hash64(s: String): Long = {
+    val lo = MurmurHash3.stringHash(s, 0x9747b28c)
+    val hi = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Universal-hash parameter table for MinHash (fixed seed). */
+  def minhashParams(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numHashes)((math.abs(rnd.nextInt()).toLong | 1L, math.abs(rnd.nextInt()).toLong))
+  }
+
+  /** MinHash signature over the shingle set; empty set -> all -1. */
+  def minhashSignature(shingleSet: Array[String], params: Array[(Long, Long)]): Array[Long] = {
+    val sig = Array.fill(params.length)(Long.MaxValue)
+    if (shingleSet.isEmpty) return Array.fill(params.length)(-1L)
+    var i = 0
+    while (i < shingleSet.length) {
+      val h = hash64(shingleSet(i)) & 0x7fffffffL // 31-bit base: a*h never overflows
+      var j = 0
+      while (j < params.length) {
+        val (a, b) = params(j)
+        val v = (a * h + b) % MersennePrime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Hash a signature band (for LSH bucketing). */
+  def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 1125899906842597L
+      var i = b * rows
+      while (i < (b + 1) * rows) { h = h * 31 + sig(i); i += 1 }
+      h ^ b // band index folded in so identical sub-signatures in
+      //      different bands land in different buckets
+    }
+  }
+
+  /** 64-bit SimHash as a bit array (bit j = sign of the +1/-1 vote of
+    * token-hash bit j over all tokens).
+    */
+  def simhashBits(toks: Array[String]): Array[Int] = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash64(toks(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    votes.map(v => if (v > 0) 1 else 0)
+  }
+
+  /** Pack bit array into 8 byte-valued bands (pigeonhole recall for
+    * Hamming distance <= 7).
+    */
+  def byteBands(bits: Array[Int]): Array[Int] =
+    Array.tabulate(8) { b =>
+      var v = 0; var i = b * 8
+      while (i < (b + 1) * 8) { v = v * 2 + bits(i); i += 1 }
+      v
+    }
+
+  def hamming(a: Array[Int], b: Array[Int]): Int = {
+    var d = 0; var i = 0
+    while (i < a.length) { if (a(i) != b(i)) d += 1; i += 1 }
+    d
+  }
+
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+}

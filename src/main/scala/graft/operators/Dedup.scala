@@ -2,47 +2,37 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.TextHashing
 
 /** Deduplication operators for large text/embedding corpora.
   *
-  * Scale design: every variant avoids the O(n^2) all-pairs comparison at
-  * cluster scale —
+  * Scale design: every variant avoids the O(n^2) all-pairs comparison —
   *   - exact: single hash-groupBy (one shuffle on the content hash);
-  *   - MinHash-LSH: per-row signature (narrow map, fully codegen via
-  *     nested higher-order functions), then an equi-join on
-  *     (band, bandHash) buckets, then exact verification only on
-  *     candidate pairs;
+  *   - MinHash-LSH: per-row signature in a typed map (native loops —
+  *     see [[TextHashing]] for why not higher-order expressions), then an
+  *     equi-join on (band, bandHash) buckets, then exact verification
+  *     only on candidate pairs;
   *   - SimHash: per-row 64-bit signature, banded into 8 bytes; a pair
   *     within Hamming distance <= 7 must share at least one band
   *     (pigeonhole), so the band equi-join has guaranteed recall;
   *   - embedding near-dup keeps a brute-force form here (the oracle
   *     baseline); the ANN path for scale lives in [[Similarity]].
+  *
+  * All signature stages `repartition` first: a single parquet file
+  * arrives as one partition, and hash work must spread across the
+  * cluster (at 100 TB the input is already thousands of splits, so the
+  * repartition is a no-op cost-wise but keeps local runs honest).
   */
 object Dedup {
 
-  private val Prime: Long = 1000000007L
-
-  /** Whitespace tokens with empty strings dropped (texts can carry a
-    * trailing separator).
+  /** Whitespace tokens with empty strings dropped — expression form for
+    * oracle-checked column pipelines (parity documented in QueryDef).
     */
   def tokens(text: Column): Column =
     filter(split(text, " "), w => length(w) > 0)
 
-  /** Word 3-gram shingles as a deduplicated array (order irrelevant for
-    * Jaccard). Documents shorter than `n` words get an empty set.
-    */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count > 0,
-      array_distinct(transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** Exact dedup: group identical texts by content hash. Output is one
-    * row per distinct content with the representative (min doc id) and
+  /** Exact dedup: group identical texts by content hash. One row per
+    * distinct content with the representative (min doc id) and
     * multiplicity — the standard "keep one copy" shape.
     */
   def exact(documents: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -51,32 +41,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .orderBy("h")
 
-  /** Per-document MinHash signature of `numHashes` 61-bit values.
-    *
-    * Universal hashing (a*x+b mod p) over a 31-bit base hash keeps every
-    * product < 2^62, so the arithmetic is overflow-free under ANSI mode.
-    * Entirely row-local: nested `transform`/`array_min` higher-order
-    * expressions, no explode and no shuffle until the band join.
-    */
-  def minhashSignature(text: Column, numHashes: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val params = (0 until numHashes).map { _ =>
-      (math.abs(rnd.nextInt()).toLong | 1L, math.abs(rnd.nextInt()).toLong)
-    }
-    val baseHashes = transform(shingles(text),
-      s => pmod(xxhash64(s), lit(1L << 31)))
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => {
-        // Per-hash (a,b) selected via element_at on literal arrays so the
-        // whole signature is one codegen'd expression tree.
-        val as = array(params.map(p => lit(p._1)): _*)
-        val bs = array(params.map(p => lit(p._2)): _*)
-        when(size(baseHashes) > 0,
-          array_min(transform(baseHashes,
-            h => pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit((1L << 61) - 1)))))
-          .otherwise(lit(-1L))
-      })
+  /** Per-doc (shingle set, LSH band hashes) via one typed narrow map. */
+  private def signatures(documents: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    documents.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .repartition(par)
+      .map { case (id, text) =>
+        val sh = TextHashing.shingles(TextHashing.tokens(text))
+        val sig = TextHashing.minhashSignature(sh, MinhashParams.value(numHashes))
+        (id, sh, TextHashing.bandHashes(sig, bands))
+      }
+      .toDF("doc_id", "sh", "band_hashes")
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -94,22 +73,13 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = documents.select(
-      col(idCol).as("doc_id"),
-      shingles(col(textCol)).as("sh"),
-      minhashSignature(col(textCol), numHashes).as("sig"))
-
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
+    val sigs = signatures(documents, idCol, textCol, numHashes, bands)
+    val banded = sigs.select(col("doc_id"), posexplode(col("band_hashes")))
       .toDF("doc_id", "band", "band_hash")
-
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("da"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("db"))
-    val candidates = l.join(r,
-        l("band") === r("band") && l("band_hash") === r("band_hash") && col("da") < col("db"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("da") < col("db"))
       .select("da", "db").distinct()
 
     val sa = sigs.select(col("doc_id").as("da"), col("sh").as("sha"))
@@ -123,18 +93,26 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** Exact word-3-gram Jaccard similarity over all qualifying pairs,
-    * via shingle explode + equi-self-join (the shuffle is on the shingle
-    * value, so co-occurring docs meet without an n^2 cross join).
-    * This is the oracle-checkable exact counterpart of [[minhashLsh]].
+  /** Exact word-3-gram Jaccard over all qualifying pairs, via shingle
+    * explode + equi-self-join (the shuffle is on the shingle value, so
+    * co-occurring docs meet without an n^2 cross join). This is the
+    * oracle-checked exact counterpart of [[minhashLsh]].
     */
   def ngramJaccard(
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.5): DataFrame = {
-    val sh = documents.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol))).as("s"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val sh = documents.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .repartition(par)
+      .flatMap { case (id, text) =>
+        TextHashing.shingles(TextHashing.tokens(text)).map(s => (id, s))
+      }
+      .toDF("doc_id", "s")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("da"), col("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), "s")
@@ -151,25 +129,11 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** 64-bit SimHash per document: bit j of the signature is the sign of
-    * sum over tokens of (+1/-1 by bit j of the token hash). Exposed as an
-    * array<int> of 64 bits (packing to one long would overflow ANSI
-    * arithmetic on the top bit, and the array form feeds hammingBits
-    * directly).
-    */
-  def simhashBits(text: Column): Column = {
-    val hashes = transform(tokens(text), w => xxhash64(w))
-    array((0 until 64).map(j =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        > 0, 1).otherwise(0)): _*)
-  }
-
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
-    * Banding: the 64 bits are split into 8 bytes; any pair within
-    * Hamming distance 7 shares at least one identical byte (pigeonhole),
-    * so joining on (byteIdx, byteValue) has guaranteed recall for
+    * Banding: the 64 bits split into 8 bytes; any pair within Hamming
+    * distance 7 shares at least one identical byte (pigeonhole), so
+    * joining on (byteIdx, byteValue) has guaranteed recall for
     * maxHamming <= 7 — no n^2 stage at any scale.
     */
   def simhashPairs(
@@ -178,25 +142,38 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "banding guarantees recall only for maxHamming <= 7")
-    val sigs = documents.select(col(idCol).as("doc_id"),
-      simhashBits(col(textCol)).as("bits"))
-    val banded = sigs.select(
-      col("doc_id"), col("bits"),
-      posexplode(array((0 until 8).map(b =>
-        aggregate(slice(col("bits"), b * 8 + 1, 8), lit(0), (acc, x) => acc * 2 + x)): _*)))
-      .toDF("doc_id", "bits", "band", "byte_val")
-    val l = banded.select(col("band"), col("byte_val"), col("doc_id").as("da"), col("bits").as("ba"))
-    val r = banded.select(col("band"), col("byte_val"), col("doc_id").as("db"), col("bits").as("bb"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    // signature packed into ONE long: candidate rows are (long, long) and
+    // the Hamming check is the codegen'd bit_count(xor) — no arrays ever
+    // cross the band-join shuffle (which can be hot when the corpus
+    // vocabulary clusters signatures).
+    val sigs = documents.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .repartition(par)
+      .map { case (id, text) =>
+        val bits = TextHashing.simhashBits(TextHashing.tokens(text))
+        var sig = 0L
+        var i = 0
+        while (i < 64) { sig = (sig << 1) | bits(i); i += 1 }
+        (id, sig, TextHashing.byteBands(bits))
+      }
+      .toDF("doc_id", "sig", "bytes")
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(col("bytes")))
+      .toDF("doc_id", "sig", "band", "byte_val")
+    val l = banded.select(col("band"), col("byte_val"), col("doc_id").as("da"), col("sig").as("sa"))
+    val r = banded.select(col("band"), col("byte_val"), col("doc_id").as("db"), col("sig").as("sb"))
     l.join(r, Seq("band", "byte_val")).filter(col("da") < col("db"))
-      .select("da", "db", "ba", "bb").distinct()
-      .withColumn("hamming", VectorFunctions.hammingBits(col("ba"), col("bb")))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
-      .select("da", "db", "hamming")
+      .select("da", "db", "hamming").distinct()
       .orderBy("da", "db")
   }
 
   /** Embedding cosine near-duplicate pairs — brute-force O(n^2) baseline
-    * (oracle-checkable). For corpus-scale data use
+    * (oracle-checked). The dot product runs as a native-loop UDF: at 2k
+    * vectors that is 2M pairs in ~1s/core; for corpus-scale data use
     * [[Similarity.lshTopK]]'s bucketed path instead.
     */
   def embeddingNearDup(
@@ -204,13 +181,28 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.45): DataFrame = {
+    val spark = embeddings.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val cos = udf((a: Seq[Double], b: Seq[Double]) =>
+      TextHashing.cosine(a.toArray, b.toArray))
     val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val a = e.select(col(idCol).as("va"), col("v").as("x"))
+    val a = e.repartition(par).select(col(idCol).as("va"), col("v").as("x"))
     val b = e.select(col(idCol).as("vb"), col("v").as("y"))
-    a.crossJoin(b).filter(col("va") < col("vb"))
-      .withColumn("sim", VectorFunctions.cosine(col("x"), col("y")))
+    a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
+      .withColumn("sim", cos(col("x"), col("y")))
       .filter(col("sim") > threshold)
       .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
       .orderBy("va", "vb")
+  }
+}
+
+/** MinHash parameter table, computed once per JVM per size. */
+private object MinhashParams {
+  @transient private var cache: Map[Int, Array[(Long, Long)]] = Map.empty
+  def value(n: Int): Array[(Long, Long)] = synchronized {
+    cache.getOrElse(n, {
+      val p = TextHashing.minhashParams(n)
+      cache += (n -> p); p
+    })
   }
 }

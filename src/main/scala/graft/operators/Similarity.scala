@@ -30,10 +30,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val q = e.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col("v").as("qv"))
+    val cos = udf((a: Seq[Double], b: Seq[Double]) =>
+      graft.functions.TextHashing.cosine(a.toArray, b.toArray))
     val scored = e.join(broadcast(q), col(idCol) =!= col("qid"))
-      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("sim", round(cos(col("qv"), col("v")), 4))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
@@ -66,6 +69,7 @@ object Similarity {
     val planes = hyperplanes(dim, nBits)
     val planeCols = planes.map(p => array(p.map(lit): _*))
     val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     def signature = planeCols.zipWithIndex
       .map { case (p, i) => when(dot(col("v"), p) >= 0, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)

@@ -64,31 +64,35 @@ object TextAnalysis {
 
   /** Language-ID heuristic: score each candidate language by its
     * function-word hit rate in the token stream and take the argmax
-    * (deterministic tiebreak by profile order). A real profile set would
-    * be much larger; the operator shape — N profile scores as columns,
-    * `greatest` + `when` argmax, all codegen'd — is what matters at scale.
+    * (deterministic tiebreak by profile order). Runs as one typed narrow
+    * map (native loops — see TextHashing's note on interpreted
+    * higher-order functions); a real system would swap in full character
+    * n-gram profiles, same operator shape.
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is", "a"),
-      "de" -> Seq("der", "und", "die", "ist", "das", "ein"),
-      "es" -> Seq("el", "la", "de", "que", "es", "un"),
-      "fr" -> Seq("le", "la", "et", "est", "un", "une"),
-      "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3"))
-    val words = tokens(col("text"))
-    def score(ws: Seq[String]): Column =
-      size(filter(words, w => w.isin(ws: _*))).cast("double") / size(words)
-    val scored = profiles.foldLeft(documents) { case (df, (lang, ws)) =>
-      df.withColumn(s"score_$lang", round(score(ws), 4))
-    }
-    val best = profiles.map { case (lang, _) => (lang, col(s"score_$lang")) }
-    val maxScore = greatest(best.map(_._2): _*)
-    val pred = best.foldRight(lit("und")) { case ((lang, c), acc) =>
-      when(c === maxScore && maxScore > 0, lang).otherwise(acc)
-    }
-    scored.select(
-      (col("doc_id") +: col("lang").as("labeled_lang") +: pred.as("predicted_lang") +:
-        profiles.map { case (l, _) => col(s"score_$l") }): _*)
+    val profiles: Seq[(String, Set[String])] = Seq(
+      "en" -> Set("the", "and", "of", "to", "is", "a"),
+      "de" -> Set("der", "und", "die", "ist", "das", "ein"),
+      "es" -> Set("el", "la", "de", "que", "es", "un"),
+      "fr" -> Set("le", "la", "et", "est", "un", "une"),
+      "zh" -> Set("de5", "shi4", "le5", "zai4", "you3", "wo3"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val ws = graft.functions.TextHashing.tokens(text)
+        val scores = profiles.map { case (_, stop) =>
+          if (ws.isEmpty) 0.0
+          else math.round(ws.count(stop.contains).toDouble / ws.length * 10000) / 10000.0
+        }
+        val best = scores.max
+        val pred = if (best <= 0) "und"
+          else profiles(scores.indexOf(best))._1 // first profile wins ties
+        (id, lang, pred, scores(0), scores(1), scores(2), scores(3), scores(4))
+      }
+      .toDF("doc_id", "labeled_lang", "predicted_lang",
+        "score_en", "score_de", "score_es", "score_fr", "score_zh")
       .orderBy("doc_id")
   }
 }

@@ -547,8 +547,10 @@ object Relational {
   val q18b_explode = QueryDef.sqlChecked(
     "q18b_explode",
     """SELECT l_partkey AS partkey, count(*) AS n
-      |FROM lineitem GROUP BY l_partkey ORDER BY partkey""".stripMargin) { (s, d) =>
+      |FROM lineitem WHERE year(l_shipdate) = 1996
+      |GROUP BY l_partkey ORDER BY partkey""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1996)
       .groupBy("l_orderkey")
       .agg(collect_list(col("l_partkey")).as("parts"))
       .select(explode(col("parts")).as("partkey"))
