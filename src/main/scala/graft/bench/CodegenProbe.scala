@@ -1,0 +1,18 @@
+package graft.bench
+import org.apache.spark.sql.SparkSession
+object CodegenProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(3).selectExpr("array(cast(id as double), 1.0d) as a", "array(1.0d, 2.0d) as b")
+      .createOrReplaceTempView("v")
+    val df = spark.sql("SELECT cosine_similarity(a, b) AS s FROM v")
+    df.show()
+    val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    println("HAS_NATIVE_LOOP=" + gen.contains(".getDouble("))
+    println("FALLBACK=" + gen.contains("CosineSimilarity.nullSafeEval"))
+    spark.stop()
+  }
+}

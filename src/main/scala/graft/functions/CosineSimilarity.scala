@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<double>` columns, WITH whole-stage codegen (`doGenCode` emits
+  * a primitive double loop) — the (b)-tier extension point: faster than
+  * a Scala UDF (no boxing, no serialization boundary) and usable from
+  * SQL once registered (see [[GraftFunctions.register]]).
+  *
+  * Null semantics: null if either side is null (`nullIntolerant`);
+  * mismatched lengths compare the common prefix; zero vectors yield NaN
+  * (same as dividing by a zero norm anywhere else).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = $a.getDouble($i);
+         |  double yv = $b.getDouble($i);
+         |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column wrappers + SQL registration for graft's native expressions.
+  *
+  * Spark 4 made the Column-from-Expression constructors private[sql], so
+  * the public path is FunctionRegistry + `call_function` — which also
+  * makes the expression SQL-callable for free
+  * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`).
+  */
+object GraftFunctions {
+
+  /** Register SQL-callable names on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Native codegen cosine similarity as a Column function; registers on
+    * the active session on first use.
+    */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
+    org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
+  }
+}

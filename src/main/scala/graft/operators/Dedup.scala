@@ -183,13 +183,11 @@ object Dedup {
       threshold: Double = 0.45): DataFrame = {
     val spark = embeddings.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val cos = udf((a: Seq[Double], b: Seq[Double]) =>
-      TextHashing.cosine(a.toArray, b.toArray))
     val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val a = e.repartition(par).select(col(idCol).as("va"), col("v").as("x"))
     val b = e.select(col(idCol).as("vb"), col("v").as("y"))
     a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
-      .withColumn("sim", cos(col("x"), col("y")))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")))
       .filter(col("sim") > threshold)
       .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
       .orderBy("va", "vb")

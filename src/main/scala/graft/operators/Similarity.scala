@@ -33,10 +33,9 @@ object Similarity {
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val q = e.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col("v").as("qv"))
-    val cos = udf((a: Seq[Double], b: Seq[Double]) =>
-      graft.functions.TextHashing.cosine(a.toArray, b.toArray))
     val scored = e.join(broadcast(q), col(idCol) =!= col("qid"))
-      .withColumn("sim", round(cos(col("qv"), col("v")), 4))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("v")), 4))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
@@ -95,7 +94,8 @@ object Similarity {
       .select(col("qid"), col("qv"), col(idCol), col("v")).distinct()
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     candidates
-      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("v")), 4))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))

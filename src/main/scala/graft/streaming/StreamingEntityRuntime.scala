@@ -27,7 +27,10 @@ import graft.runtime.{EventTransport, StatefulOperator}
   * — at cluster scale this is per-key state sharded over executors with
   * exactly-once micro-batch semantics.
   */
-final class StreamingEntityRuntime(registry: EntityRegistry, spark: SparkSession)
+final class StreamingEntityRuntime(
+    registry: EntityRegistry,
+    spark: SparkSession,
+    checkpointDir: Option[String] = None)
     extends EventTransport with AutoCloseable {
 
   import spark.implicits._
@@ -53,6 +56,10 @@ final class StreamingEntityRuntime(registry: EntityRegistry, spark: SparkSession
       .writeStream
     .outputMode("append")
     .queryName("graft-entity-runtime")
+    // state store checkpointing: exactly-once per-key state across
+    // micro-batches (and across restarts when a durable dir is given)
+    .option("checkpointLocation", checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
     .trigger(Trigger.ProcessingTime(0))
     .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
       // Egress routing (EgressRouter analog, dataflow.py:52-128):
