@@ -33,9 +33,16 @@ object EventType {
   case object InitClass extends Request
   case object FindClass extends Request
   case object GetState extends Request
+  /** Replace the whole state blob (reference SetState, event.py:24). */
+  case object SetState extends Request
+  /** Point-write one attribute (reference UpdateState, event.py:25). */
   case object UpdateState extends Request
   case object DeleteState extends Request
   case object InvokeStateful extends Request
+  /** Invoke a registered stateless function (reference InvokeStateless,
+    * event.py:16; no key routing).
+    */
+  case object InvokeStateless extends Request
   case object EventFlow extends Request
   case object Ping extends Request
 
@@ -57,6 +64,7 @@ object Payload {
   final case class CreateArgs(args: Args) extends Payload
   final case class AttrGet(attr: String) extends Payload
   final case class AttrSet(attr: String, value: Any) extends Payload
+  final case class StateSet(state: Types.State) extends Payload
   final case class MethodCall(method: String, args: Args) extends Payload
   final case class FlowPayload(flow: graft.flow.FlowState) extends Payload
   final case class Result(value: Any) extends Payload
@@ -97,7 +105,9 @@ final case class EntityType(
   * reference's class analysis (SURVEY O1-O3), available on every JVM
   * (executors included) like the reference's re-exec'd generated module.
   */
-final class EntityRegistry(types: Seq[EntityType]) extends Serializable {
+final class EntityRegistry(
+    types: Seq[EntityType],
+    val stateless: Map[String, Args => Any] = Map.empty) extends Serializable {
   val byName: Map[String, EntityType] = types.map(t => t.name -> t).toMap
   def apply(name: String): EntityType = byName(name)
 }

@@ -79,7 +79,19 @@ object TestEntities {
     init = a => Map("key" -> a("key"), "value" -> I(a("value"))),
     methods = Map("read" -> ycsbRead, "update" -> ycsbUpdate, "add_funds" -> ycsbAddFunds))
 
-  val registry = new EntityRegistry(Seq(item, user, expB, expA, otherNest, nest, ycsb))
+  /** Stateless functions (reference InvokeStateless surface): pure
+    * key-independent helpers callable without routing.
+    */
+  val statelessFns: Map[String, Args => Any] = Map(
+    "magnitude_bucket" -> { a =>
+      var v = a("n").asInstanceOf[Number].longValue() + 1; var b = 0
+      while (v >= 10 && b < 5) { v /= 10; b += 1 }
+      b
+    },
+    "echo" -> (a => a.getOrElse("msg", null)))
+
+  val registry = new EntityRegistry(Seq(item, user, expB, expA, otherNest, nest, ycsb),
+    statelessFns)
 
   // ================= flows (split methods) ==========================
   // Registration order: callees before callers (inlining).

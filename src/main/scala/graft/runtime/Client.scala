@@ -47,6 +47,20 @@ final class Client(registry: EntityRegistry, transport: EventTransport) {
     transport.send(Event(eid(), ref.entity, ref.key, EventType.UpdateState,
       Payload.AttrSet(attr, value)))
 
+  def setState(ref: EntityRef, state: Types.State): Unit =
+    transport.send(Event(eid(), ref.entity, ref.key, EventType.SetState,
+      Payload.StateSet(state)))
+
+  def deleteState(ref: EntityRef): Unit =
+    transport.send(Event(eid(), ref.entity, ref.key, EventType.DeleteState, Payload.Empty))
+
+  def callStateless(name: String, args: Args): Any =
+    transport.send(Event(eid(), "_stateless", name, EventType.InvokeStateless,
+      Payload.MethodCall(name, args))) match {
+      case Event(_, _, _, EventType.SuccessfulInvocation, Payload.Result(v)) => v
+      case Event(_, _, _, t, p) => throw new RuntimeException(s"stateless $name failed: $t $p")
+    }
+
   /** Method call: split methods (registered flows) travel as EventFlow
     * state machines; plain methods as InvokeStateful.
     */

@@ -20,7 +20,7 @@ object StatefulOperator {
 
   def handle(registry: EntityRegistry)(
       ev: Event, state: Option[State]): (Seq[Event], Option[State]) = {
-    val et = registry(ev.entity)
+    lazy val et = registry(ev.entity)
 
     def reply(t: EventType, p: Payload): Event =
       Event(ev.eventId, ev.entity, ev.key, t, p)
@@ -45,6 +45,17 @@ object StatefulOperator {
           case None => (Seq(reply(EventType.KeyNotFound, Payload.Empty)), state)
         }
 
+      // Stateless invocation: no key, no state (reference InvokeStateless).
+      case EventType.InvokeStateless =>
+        val p = ev.payload.asInstanceOf[Payload.MethodCall]
+        registry.stateless.get(p.method) match {
+          case Some(fn) =>
+            (Seq(reply(EventType.SuccessfulInvocation, Payload.Result(fn(p.args)))), state)
+          case None =>
+            (Seq(reply(EventType.FailedInvocation,
+              Payload.ErrorMsg(s"no stateless function ${p.method}"))), state)
+        }
+
       // Everything below requires existing state (stateful_operator.py:102-111).
       case _ if state.isEmpty =>
         (Seq(reply(EventType.KeyNotFound,
@@ -58,6 +69,10 @@ object StatefulOperator {
         val p = ev.payload.asInstanceOf[Payload.AttrSet]
         (Seq(reply(EventType.SuccessfulStateRequest, Payload.Empty)),
           Some(state.get + (p.attr -> p.value)))
+
+      case EventType.SetState =>
+        val p = ev.payload.asInstanceOf[Payload.StateSet]
+        (Seq(reply(EventType.SuccessfulStateRequest, Payload.Empty)), Some(p.state))
 
       case EventType.DeleteState =>
         (Seq(reply(EventType.SuccessfulStateRequest, Payload.Empty)), None)
