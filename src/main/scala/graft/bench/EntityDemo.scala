@@ -37,6 +37,12 @@ object EntityDemo {
         Map("amount" -> 3, "item" -> EntityRef("Item", "i1"))))
       timed("balance after buy")(c.getAttr(EntityRef("User", "u1"), "balance"))
       timed("stock after buy")(c.getAttr(EntityRef("Item", "i1"), "stock"))
+      timed("set_state (blob replace)")(c.setState(EntityRef("User", "u1"),
+        Map("username" -> "u1", "balance" -> 99, "items" -> Seq.empty[EntityRef])))
+      timed("balance after set_state")(c.getAttr(EntityRef("User", "u1"), "balance"))
+      timed("delete_state(i1)")(c.deleteState(EntityRef("Item", "i1")))
+      timed("find(i1) after delete")(c.find(EntityRef("Item", "i1")))
+      timed("stateless magnitude_bucket")(c.callStateless("magnitude_bucket", Map("n" -> 4321L)))
       timed("find(missing)")(c.find(EntityRef("User", "ghost")))
       timed("getAttr on missing key")(
         try c.getAttr(EntityRef("User", "ghost"), "balance")
