@@ -13,6 +13,14 @@ object CodegenProbe {
     val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
     println("HAS_NATIVE_LOOP=" + gen.contains(".getDouble("))
     println("FALLBACK=" + gen.contains("CosineSimilarity.nullSafeEval"))
+
+    // salted skew join: hot key spread over salt sub-keys, same result
+    import spark.implicits._
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "p")
+    val right = (1L to 2000L).map(k => (k, s"d$k")).toDF("rk", "d")
+    val salted = graft.operators.SkewJoin.saltedInner(left, right, "k", "rk", 8)
+    println("SALTED_COUNT=" + salted.count() +
+      " PLAIN_COUNT=" + left.join(right, $"k" === $"rk").count())
     spark.stop()
   }
 }
