@@ -638,7 +638,75 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- Q21
+  // Correlated scalar subquery, via the SQL entry point so Catalyst's
+  // decorrelation (subquery -> aggregate + join) is exercised; DuckDB
+  // runs the identical statement.
+  val q21_scalar_subquery = QueryDef.sqlChecked(
+    "q21_scalar_subquery",
+    """SELECT p_partkey, round(p_retailprice, 2) AS price,
+      | round((SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand), 4) AS brand_avg
+      |FROM part p
+      |WHERE p_retailprice > (SELECT avg(p3.p_retailprice) FROM part p3 WHERE p3.p_brand = p.p_brand)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey, round(p_retailprice, 2) AS price,
+        | round((SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand), 4) AS brand_avg
+        |FROM part p
+        |WHERE p_retailprice > (SELECT avg(p3.p_retailprice) FROM part p3 WHERE p3.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q22
+  // Pivot with an explicit value list (deterministic columns); DuckDB
+  // mirrors with FILTERed aggregates.
+  val q22_pivot = QueryDef.sqlChecked(
+    "q22_pivot",
+    """SELECT user_id,
+      | round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 2) AS click,
+      | round(coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0), 2) AS error,
+      | round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase,
+      | round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'), 0), 2) AS signup,
+      | round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0), 2) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(sum("value"))
+    types.foldLeft(p) { (df, t) =>
+      df.withColumn(t, round(coalesce(col(t), lit(0.0)), 2))
+    }.orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- Q12b
+  // Distribution window functions: ntile buckets, percent_rank,
+  // cume_dist — identical formulas in both engines; orderkey tiebreak
+  // keeps frames deterministic. NOTE: an unpartitioned window is a
+  // single-task total order — fine for a ranked-distribution report,
+  // but at 100 TB this becomes a two-pass computation (per-partition
+  // counts + prefix sums) or gets a partition key; flagged on purpose.
+  val q12b_distribution = QueryDef.sqlChecked(
+    "q12b_distribution",
+    """SELECT o_orderkey,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      | round(percent_rank() OVER w, 6) AS pr,
+      | round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      ntile(4).over(w).cast("int").as("quartile"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q21_scalar_subquery, q22_pivot, q12b_distribution,
     q1_agg, q2_predicates, q3_broadcast_join, q4_sortmerge_join,
     q5_outer_join, q5b_full_outer, q6_semi_anti, q7_range_join,
     q7b_theta_join, q8_asof_join, q9_topk_revenue, q10_distinct,
