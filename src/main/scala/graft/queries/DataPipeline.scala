@@ -75,6 +75,11 @@ object DataPipeline {
     Similarity.lshTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  val ann_ivf_topk = QueryDef.rowsOnly("ann_ivf_topk") { (s, d) =>
+    graft.operators.IvfSearch.ivfTopK(Tables.embeddings(s, d),
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   // ------------------------------------------------------ text analysis
   private val StopList = "['the','a','of','and','in','to','is']"
 
@@ -138,6 +143,6 @@ object DataPipeline {
 
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
-    dd5_embedding_neardup, ann_brute_topk, ann_lsh_topk,
+    dd5_embedding_neardup, ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, mm_features)
 }

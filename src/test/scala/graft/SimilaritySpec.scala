@@ -35,4 +35,15 @@ class SimilaritySpec extends SparkSpec {
     // must clearly beat that baseline even on near-orthogonal data.
     assert(mean >= 0.3, s"mean recall@10 too low: $mean (per-query $recalls)")
   }
+
+  test("IVF top-k achieves useful recall against brute force") {
+    val bf = neighborSet(Similarity.bruteForceTopK(emb, qids))
+    val ivf = neighborSet(graft.operators.IvfSearch.ivfTopK(emb, qids))
+    val recalls = qids.map { q =>
+      (bf(q) intersect ivf.getOrElse(q, Set.empty)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // probes 4/16 cells (~25% of corpus); recall should beat that baseline
+    assert(mean >= 0.3, s"mean IVF recall@10 too low: $mean (per-query $recalls)")
+  }
 }
