@@ -119,4 +119,74 @@ class FlowPropertySpec extends AnyFunSuite {
       assert(c.getAttr(b1, "balance") === wantBal(1), s"b1 state for $prog")
     }
   }
+
+  test("random NESTED flows: compile-time inlining == direct interpretation") {
+    // Caller shape: run a random prefix, call a random CALLEE FLOW on
+    // self (sub-env inlining, callee sees the same others), bind its
+    // result into "x", run a random suffix. Oracle = direct eval of
+    // prefix ++ [callee-as-inline] ++ suffix with the same binding rule.
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(7L)
+    for (n <- 1 to 100) {
+      def draw(): List[P] = {
+        val p = genProgram.pureApply(params, seed); seed = seed.next; p
+      }
+      val calleeProg = draw()
+      val prefix = draw()
+      val suffix = draw()
+      val calleeId = s"ExperimentalA.callee_$n"
+      FlowRegistry.register(FlowDef(calleeId, Seq("others"), toSteps(calleeProg)))
+      val callerSteps = toSteps(prefix) ++
+        Seq(CallFlowS(env => env("self_ref").asInstanceOf[EntityRef], calleeId,
+          env => Map("others" -> env("others")),
+          (env, r) => env + ("x" -> (if (r == null) 0 else r)))) ++
+        toSteps(suffix)
+      FlowRegistry.register(FlowDef(s"ExperimentalA.caller_$n",
+        Seq("others", "self_ref"), callerSteps))
+
+      val rt = new LocalRuntime(TestEntities.registry)
+      val c = new Client(TestEntities.registry, rt)
+      val Right(a) = c.create("ExperimentalA", Map("name" -> "a"))
+      val Right(b0) = c.create("ExperimentalB", Map("name" -> "b0"))
+      val Right(b1) = c.create("ExperimentalB", Map("name" -> "b1"))
+      val got = c.call(a, s"caller_$n", Map("others" -> Seq(b0, b1), "self_ref" -> a))
+
+      // direct oracle with the same env-binding semantics
+      val bal = Array(0, 0)
+      var env = Map.empty[String, Int]
+      def directInto(prog: List[P], e: Map[String, Int]): (Option[Any], Map[String, Int]) = {
+        var env2 = e
+        def run(ps: List[P]): Option[Any] = ps match {
+          case Nil => None
+          case p :: rest =>
+            val early: Option[Any] = p match {
+              case PSet(v, cst, av) =>
+                env2 += (v -> (cst + av.map(env2.getOrElse(_, 0)).getOrElse(0))); None
+              case PInvokeAdd(r, amt) => bal(r) += amt; None
+              case PReadBal(r, into) => env2 += (into -> bal(r)); None
+              case PBranch(v, gt, t, f) =>
+                if (env2.getOrElse(v, 0) > gt) run(t) else run(f)
+              case PLoopAdd(amt, into) =>
+                bal.indices.foreach { i => bal(i) += amt; env2 += (into -> bal(i)) }
+                None
+              case PRet(v) => Some(env2.getOrElse(v, 0))
+            }
+            early.orElse(run(rest))
+        }
+        (run(prog), env2)
+      }
+      val (preRet, envAfterPre) = directInto(prefix, env)
+      val want: Any = preRet.getOrElse {
+        // callee runs in a FRESH env (sub-env semantics)
+        val (calleeRet, _) = directInto(calleeProg, Map.empty)
+        val x = calleeRet.getOrElse(null)
+        env = envAfterPre + ("x" -> (if (x == null) 0 else x.asInstanceOf[Int]))
+        val (sufRet, _) = directInto(suffix, env)
+        sufRet.orNull
+      }
+      assert(got === want, s"nested mismatch n=$n pre=$prefix callee=$calleeProg suf=$suffix")
+      assert(c.getAttr(b0, "balance") === bal(0), s"b0 n=$n")
+      assert(c.getAttr(b1, "balance") === bal(1), s"b1 n=$n")
+    }
+  }
 }
