@@ -105,6 +105,29 @@ object TextHashing {
     d
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03, public
+    * algorithm): rolling k-gram hashes, then the minimum hash of each
+    * sliding window of `w` hashes (rightmost on ties). Guarantees every
+    * shared substring of length >= k + w - 1 yields at least one shared
+    * fingerprint — fragment-level dedup, robust to reordering around the
+    * fragment.
+    */
+  def winnow(toks: Array[String], k: Int = 4, w: Int = 4): Array[Long] = {
+    if (toks.length < k) return Array.empty
+    val grams = toks.sliding(k).map(g => hash64(g.mkString(" "))).toArray
+    if (grams.length <= w) return Array(grams.min)
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    var i = 0
+    while (i + w <= grams.length) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) { if (grams(j) <= grams(minIdx)) minIdx = j; j += 1 }
+      out += grams(minIdx)
+      i += 1
+    }
+    out.toArray
+  }
+
   def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

@@ -171,6 +171,41 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Fragment-level overlap via winnowing fingerprints: documents that
+    * share any sufficiently long passage (>= k+w-1 tokens) share at
+    * least one fingerprint, so the fingerprint equi-join finds
+    * copied/moved fragments that whole-document similarity misses.
+    * Same scale shape as [[ngramJaccard]]: explode + equi-join, no n^2.
+    */
+  def fragmentOverlap(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minShared: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val fp = documents.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .repartition(par)
+      .flatMap { case (id, text) =>
+        TextHashing.winnow(TextHashing.tokens(text)).map(f => (id, f))
+      }
+      .toDF("doc_id", "fp")
+    val counts = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    fp.select(col("doc_id").as("da"), col("fp"))
+      .join(fp.select(col("doc_id").as("db"), col("fp")), "fp")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("shared"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 4)
+          .as("containment"))
+      .orderBy("da", "db")
+  }
+
   /** Embedding cosine near-duplicate pairs — brute-force O(n^2) baseline
     * (oracle-checked). The dot product runs as a native-loop UDF: at 2k
     * vectors that is 2M pairs in ~1s/core; for corpus-scale data use

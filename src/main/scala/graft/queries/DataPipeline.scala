@@ -47,6 +47,10 @@ object DataPipeline {
     Dedup.simhashPairs(Tables.documents(s, d))
   }
 
+  val dd6_winnow_fragments = QueryDef.rowsOnly("dd6_winnow_fragments") { (s, d) =>
+    Dedup.fragmentOverlap(Tables.documents(s, d))
+  }
+
   val dd5_embedding_neardup = QueryDef.sqlChecked(
     "dd5_embedding_neardup",
     """SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -143,6 +147,6 @@ object DataPipeline {
 
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
-    dd5_embedding_neardup, ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
+    dd5_embedding_neardup, dd6_winnow_fragments, ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, mm_features)
 }

@@ -49,6 +49,18 @@ class DedupSpec extends SparkSpec {
     assert(!found.contains((1L, 3L)))
   }
 
+  test("winnowing finds a planted shared fragment, skips disjoint docs") {
+    import spark.implicits._
+    val fragment = (1 to 12).map(i => s"frag$i").mkString(" ")
+    val docA = s"${(1 to 30).map(i => s"a$i").mkString(" ")} $fragment"
+    val docB = s"$fragment ${(1 to 30).map(i => s"b$i").mkString(" ")}"
+    val docC = (1 to 40).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val found = pairs(Dedup.fragmentOverlap(df))
+    assert(found.contains((1L, 2L))) // the 12-token fragment is shared
+    assert(!found.contains((1L, 3L)) && !found.contains((2L, 3L)))
+  }
+
   test("embedding near-dup pairs agree with a local computation") {
     val nd = Dedup.embeddingNearDup(Tables.embeddings(spark, sf))
     val rows = nd.collect()

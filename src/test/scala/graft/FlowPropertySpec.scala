@@ -19,7 +19,7 @@ import graft.runtime.local.LocalRuntime
   * final entity states must agree, and every traversal must terminate
   * (the invariant behind event_flow.py:176-180).
   */
-class FlowPropertySpec extends AnyFunSuite {
+trait FlowProgramGen {
 
   // ------------------------- tiny program AST -------------------------
   sealed trait P
@@ -30,8 +30,8 @@ class FlowPropertySpec extends AnyFunSuite {
   case class PLoopAdd(amount: Int, into: String) extends P // for each other: add, track last
   case class PRet(v: String) extends P
 
-  private val vars = Seq("x", "y", "z")
-  private def genP(depth: Int): Gen[P] = {
+  protected val vars = Seq("x", "y", "z")
+  protected def genP(depth: Int): Gen[P] = {
     val leaf = Gen.oneOf(
       for { v <- Gen.oneOf(vars); c <- Gen.choose(-5, 10)
             av <- Gen.option(Gen.oneOf(vars)) } yield PSet(v, c, av),
@@ -47,8 +47,36 @@ class FlowPropertySpec extends AnyFunSuite {
         t <- Gen.listOfN(2, genP(depth - 1)); f <- Gen.listOfN(2, genP(depth - 1))
       } yield PBranch(v, c, t, f)))
   }
-  private val genProgram: Gen[List[P]] =
+  protected val genProgram: Gen[List[P]] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genP(2)))
+
+  // --------------- translation to the real Step DSL -------------------
+  protected def toSteps(prog: List[P]): Seq[Step] = prog.map {
+    case PSet(v, c, av) =>
+      setVars(env => env + (v ->
+        (c + av.map(x => env.getOrElse(x, 0).asInstanceOf[Int]).getOrElse(0))))
+    case PInvokeAdd(r, a) =>
+      invokeF(env => env("others").asInstanceOf[Seq[EntityRef]](r),
+        TestEntities.addBalance, _ => Map("balance" -> a), "_r")
+    case PReadBal(r, into) =>
+      // snapshot + extract: the RequestState pattern incl. invalidation
+      SnapshotS(env => env("others").asInstanceOf[Seq[EntityRef]](r),
+        (env, st) => env + (into -> st("balance")))
+    case PBranch(v, gt, t, f) =>
+      BranchS(SelfE, (_, env) => env.getOrElse(v, 0).asInstanceOf[Int] > gt,
+        toSteps(t), toSteps(f))
+    case PLoopAdd(a, into) =>
+      loop("others", "_it")(
+        invokeF(env => env("_it").asInstanceOf[EntityRef],
+          TestEntities.addBalance, _ => Map("balance" -> a), "_r"),
+        SnapshotS(env => env("_it").asInstanceOf[EntityRef],
+          (env, st) => env + (into -> st("balance"))))
+    case PRet(v) => ret((_, env) => env.getOrElse(v, 0))
+  }
+
+}
+
+class FlowPropertySpec extends AnyFunSuite with FlowProgramGen {
 
   // --------------- independent direct interpreter (oracle) ------------
   private def direct(prog: List[P], bal: Array[Int], env0: Map[String, Int]): (Any, Array[Int]) = {
@@ -73,29 +101,6 @@ class FlowPropertySpec extends AnyFunSuite {
     (run(prog).orNull, bal)
   }
 
-  // --------------- translation to the real Step DSL -------------------
-  private def toSteps(prog: List[P]): Seq[Step] = prog.map {
-    case PSet(v, c, av) =>
-      setVars(env => env + (v ->
-        (c + av.map(x => env.getOrElse(x, 0).asInstanceOf[Int]).getOrElse(0))))
-    case PInvokeAdd(r, a) =>
-      invokeF(env => env("others").asInstanceOf[Seq[EntityRef]](r),
-        TestEntities.addBalance, _ => Map("balance" -> a), "_r")
-    case PReadBal(r, into) =>
-      // snapshot + extract: the RequestState pattern incl. invalidation
-      SnapshotS(env => env("others").asInstanceOf[Seq[EntityRef]](r),
-        (env, st) => env + (into -> st("balance")))
-    case PBranch(v, gt, t, f) =>
-      BranchS(SelfE, (_, env) => env.getOrElse(v, 0).asInstanceOf[Int] > gt,
-        toSteps(t), toSteps(f))
-    case PLoopAdd(a, into) =>
-      loop("others", "_it")(
-        invokeF(env => env("_it").asInstanceOf[EntityRef],
-          TestEntities.addBalance, _ => Map("balance" -> a), "_r"),
-        SnapshotS(env => env("_it").asInstanceOf[EntityRef],
-          (env, st) => env + (into -> st("balance"))))
-    case PRet(v) => ret((_, env) => env.getOrElse(v, 0))
-  }
 
   test("random flows: full runtime == direct interpreter, always terminates") {
     val params = Gen.Parameters.default

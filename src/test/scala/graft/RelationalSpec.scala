@@ -53,6 +53,7 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
     val rowsOnly = qs -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("q10b_approx_distinct", "dd2_minhash_lsh",
-      "dd4_simhash", "ann_lsh_topk", "ann_ivf_topk", "txt_langid"))
+      "dd4_simhash", "dd6_winnow_fragments", "ann_lsh_topk", "ann_ivf_topk",
+      "txt_langid"))
   }
 }
