@@ -59,6 +59,6 @@ object AsOfJoin {
     unioned
       .withColumn(out, last(col(ValCol), ignoreNulls = true).over(w))
       .filter(col(SideCol) === 1)
-      .select(leftCols.map(col) :+ col(out): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(out): _*)
   }
 }

@@ -40,7 +40,7 @@ object KafkaEventBridge {
   def writer(events: DataFrame, bootstrap: String, topic: String) =
     events
       .select(col("event_id").as("key"),
-        to_json(struct(events.columns.map(col): _*)).as("value"))
+        to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
