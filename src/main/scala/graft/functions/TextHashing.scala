@@ -71,17 +71,46 @@ object TextHashing {
     }
   }
 
-  /** 64-bit SimHash as a bit array (bit j = sign of the +1/-1 vote of
-    * token-hash bit j over all tokens).
+  /** 32-bit char-level polynomial hash: fold (h*131 + charCode) mod 2^32,
+    * then one xorshift-multiply-xorshift avalanche round (raw polynomial
+    * low bits correlate across similar tokens, which would inflate
+    * SimHash collision rates ~7x). Every intermediate stays < 2^48, so
+    * the IDENTICAL steps are expressible in ANSI SQL over BIGINT without
+    * overflow — this is what lets the SimHash and winnowing operators
+    * carry a DuckDB oracle (the same reason txt_fingerprint's fold is
+    * mod-bounded).
+    */
+  def poly32(s: String, seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < s.length) { h = (h * 131 + s.charAt(i)) & 0xffffffffL; i += 1 }
+    h ^= h >>> 16
+    h = (h * 40503L) & 0xffffffffL
+    h ^ (h >>> 13)
+  }
+
+  /** 63-bit combined hash from two independent poly32 folds (seeds 7/13):
+    * high 31 bits from seed 7, low 32 from seed 13. Non-negative, so Long
+    * ordering == BIGINT ordering in the SQL mirror.
+    */
+  def poly63(s: String): Long =
+    ((poly32(s, 7) & 0x7fffffffL) << 32) | poly32(s, 13)
+
+  /** 64-bit SimHash as a bit array: bits 0..31 vote on poly32(w, 17) bits,
+    * bits 32..63 on poly32(w, 31) bits (two independent 32-bit hashes
+    * instead of one murmur64 so the signature is SQL-mirrorable; see
+    * [[poly32]]).
     */
   def simhashBits(toks: Array[String]): Array[Int] = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = hash64(toks(i))
+      val ha = poly32(toks(i), 17)
+      val hb = poly32(toks(i), 31)
       var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      while (j < 32) {
+        if (((ha >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((hb >>> j) & 1L) == 1L) votes(32 + j) += 1 else votes(32 + j) -= 1
         j += 1
       }
       i += 1
@@ -114,7 +143,7 @@ object TextHashing {
     */
   def winnow(toks: Array[String], k: Int = 4, w: Int = 4): Array[Long] = {
     if (toks.length < k) return Array.empty
-    val grams = toks.sliding(k).map(g => hash64(g.mkString(" "))).toArray
+    val grams = toks.sliding(k).map(g => poly63(g.mkString(" "))).toArray
     if (grams.length <= w) return Array(grams.min)
     val out = scala.collection.mutable.LinkedHashSet[Long]()
     var i = 0

@@ -45,17 +45,32 @@ object Similarity {
 
   /** Random-hyperplane signature: bit i = sign(v . h_i), with hyperplanes
     * drawn from a fixed-seed Gaussian so plans are deterministic across
-    * runs and executors.
+    * runs and executors. Public so the DuckDB oracle SQL is generated
+    * from the SAME constants (no drift between engine and check).
     */
-  private def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
+  def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Probe ring: every bucket XOR mask at Hamming distance <= 2
+    * (1 + nBits + C(nBits,2) masks). Near-orthogonal corpora (the worst
+    * case for sign-LSH) need the wider ring for recall.
+    */
+  def probeFlips(nBits: Int): Seq[Int] = 0 +:
+    (0 until nBits).map(1 << _) ++:
+    (for { i <- 0 until nBits; j <- i + 1 until nBits } yield (1 << i) | (1 << j))
+
   /** Approximate top-k: candidates share the query's LSH bucket or any
-    * bucket at Hamming distance 1 (multi-probe), then exact cosine +
-    * top-k within candidates. At corpus scale the bucket join replaces
-    * the cross join; recall is tunable via nBits/probes.
+    * bucket in its Hamming<=2 probe ring, then exact cosine + top-k
+    * within candidates.
+    *
+    * Scale shape: the probe ring is expanded on the QUERY side (|Q| rows
+    * -> |Q| x 37), never on the corpus — the corpus is scanned exactly
+    * once, signed, and equi-joined against the broadcast probe list. A
+    * corpus row can match a query through at most one mask (distinct
+    * masks give distinct probe buckets), so no dedup shuffle is needed
+    * after the join.
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -74,26 +89,16 @@ object Similarity {
       .reduce(_ + _)
     val sig = e.withColumn("bucket", signature)
 
-    // Multi-probe: each corpus row is also registered under every bucket
-    // at Hamming distance <= 2 (1 + nBits + C(nBits,2) entries/row) —
-    // bounded replication for recall, still no cross join. Near-orthogonal
-    // corpora (the worst case for sign-LSH) need the wider probe ring.
-    val flips: Seq[Int] = 0 +:
-      (0 until nBits).map(1 << _) ++:
-      (for { i <- 0 until nBits; j <- i + 1 until nBits } yield (1 << i) | (1 << j))
-    val probed = sig.select(col(idCol), col("v"),
-      explode(array(flips.map(lit): _*)).as("flip"),
-      col("bucket"))
-      .select(col(idCol), col("v"),
-        expr("bucket ^ flip").as("probe_bucket"))
-
     val q = sig.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
-    val candidates = probed.join(broadcast(q),
-        col("probe_bucket") === col("qbucket") && col(idCol) =!= col("qid"))
-      .select(col("qid"), col("qv"), col(idCol), col("v")).distinct()
+    val probes = q
+      .select(col("qid"), col("qv"),
+        explode(array(probeFlips(nBits).map(lit): _*)).as("flip"), col("qbucket"))
+      .select(col("qid"), col("qv"), expr("qbucket ^ flip").as("probe_bucket"))
+
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
-    candidates
+    sig.join(broadcast(probes),
+        col("bucket") === col("probe_bucket") && col(idCol) =!= col("qid"))
       .withColumn("sim",
         round(graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("v")), 4))
       .withColumn("rnk", row_number().over(w).cast("int"))

@@ -62,37 +62,38 @@ object TextAnalysis {
         .as("fp"))
       .orderBy("doc_id")
 
+  /** Function-word profiles for [[languageId]] — public so the oracle SQL
+    * is generated from the same table (no drift between engine and check).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "und", "die", "ist", "das", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3"))
+
   /** Language-ID heuristic: score each candidate language by its
     * function-word hit rate in the token stream and take the argmax
-    * (deterministic tiebreak by profile order). Runs as one typed narrow
-    * map (native loops — see TextHashing's note on interpreted
-    * higher-order functions); a real system would swap in full character
-    * n-gram profiles, same operator shape.
+    * (deterministic tiebreak by profile order). Pure rational arithmetic
+    * over column expressions, so the identical computation is
+    * SQL-expressible for the oracle; a real system would swap in full
+    * character n-gram profiles, same operator shape.
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val profiles: Seq[(String, Set[String])] = Seq(
-      "en" -> Set("the", "and", "of", "to", "is", "a"),
-      "de" -> Set("der", "und", "die", "ist", "das", "ein"),
-      "es" -> Set("el", "la", "de", "que", "es", "un"),
-      "fr" -> Set("le", "la", "et", "est", "un", "une"),
-      "zh" -> Set("de5", "shi4", "le5", "zai4", "you3", "wo3"))
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(col("doc_id").cast("long"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .map { case (id, lang, text) =>
-        val ws = graft.functions.TextHashing.tokens(text)
-        val scores = profiles.map { case (_, stop) =>
-          if (ws.isEmpty) 0.0
-          else math.round(ws.count(stop.contains).toDouble / ws.length * 10000) / 10000.0
-        }
-        val best = scores.max
-        val pred = if (best <= 0) "und"
-          else profiles(scores.indexOf(best))._1 // first profile wins ties
-        (id, lang, pred, scores(0), scores(1), scores(2), scores(3), scores(4))
-      }
-      .toDF("doc_id", "labeled_lang", "predicted_lang",
-        "score_en", "score_de", "score_es", "score_fr", "score_zh")
+    val ws = tokens(col("text"))
+    def score(stop: Seq[String]): Column =
+      when(size(ws) === 0, lit(0.0))
+        .otherwise(round(size(filter(ws, w => w.isin(stop: _*))).cast("double") / size(ws), 4))
+    val scored = documents.select(
+      Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        LangProfiles.map { case (l, st) => score(st).as(s"score_$l") }: _*)
+    val scoreCols = LangProfiles.map { case (l, _) => col(s"score_$l") }
+    val best = greatest(scoreCols: _*)
+    val pred = LangProfiles.foldLeft(when(best <= 0, lit("und"))) {
+      case (acc, (l, _)) => acc.when(col(s"score_$l") === best, lit(l))
+    }
+    scored.select(
+      Seq(col("doc_id"), col("labeled_lang"), pred.as("predicted_lang")) ++ scoreCols: _*)
       .orderBy("doc_id")
   }
 }

@@ -20,12 +20,14 @@ object DataPipeline {
     Dedup.exact(Tables.documents(s, d))
   }
 
-  val dd2_minhash_lsh = QueryDef.rowsOnly("dd2_minhash_lsh") { (s, d) =>
-    Dedup.minhashLsh(Tables.documents(s, d))
-  }
-
-  val dd3_ngram_jaccard = QueryDef.sqlChecked(
-    "dd3_ngram_jaccard",
+  /** Exact word-3-gram Jaccard pairs at J >= 0.5 — the oracle for BOTH
+    * dd3 (which computes exactly this) and dd2 (whose LSH banding at
+    * 32 bands x 2 rows has ~1-1e-4 recall per pair at J = 0.5, and whose
+    * verification stage recomputes the same exact Jaccard — so its output
+    * equals the exact pair set; the fixed-seed MinHash makes any residual
+    * miss deterministic and locally reproducible, not flaky).
+    */
+  private val NgramJaccardSql =
     """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
       |            FROM documents),
       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
@@ -39,15 +41,101 @@ object DataPipeline {
       |SELECT da, db, round(i*1.0/(sa.n + sb.n - i), 4) AS jaccard
       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE 2*i >= (sa.n + sb.n - i)
-      |ORDER BY da, db""".stripMargin) { (s, d) =>
+      |ORDER BY da, db""".stripMargin
+
+  val dd2_minhash_lsh = QueryDef.sqlChecked("dd2_minhash_lsh", NgramJaccardSql) { (s, d) =>
+    Dedup.minhashLsh(Tables.documents(s, d))
+  }
+
+  val dd3_ngram_jaccard = QueryDef.sqlChecked("dd3_ngram_jaccard", NgramJaccardSql) { (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d))
   }
 
-  val dd4_simhash = QueryDef.rowsOnly("dd4_simhash") { (s, d) =>
+  /** DuckDB re-derivation of the char-level poly32 fold (TextHashing.poly32),
+    * WITHOUT the avalanche finalizer — mix steps are staged as CTE columns
+    * by the callers. Every intermediate < 2^48, so plain BIGINT arithmetic
+    * mirrors the Scala loop exactly.
+    */
+  private def polySql(expr: String, seed: Int): String =
+    s"""list_reduce(list_concat([CAST($seed AS BIGINT)],
+       |  list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a*131 + b) % 4294967296)""".stripMargin
+
+  /** The three avalanche stages of TextHashing.poly32, as chained CTEs
+    * rewriting columns `cols` in place; `keep` columns pass through.
+    */
+  private def mixCtes(prev: String, out: String, keep: Seq[String], cols: Seq[String]): String = {
+    def stage(from: String, to: String, f: String => String) =
+      s"$to AS (SELECT ${(keep ++ cols.map(c => s"${f(c)} AS $c")).mkString(", ")} FROM $from)"
+    Seq(
+      stage(prev, s"${out}_m1", c => s"xor($c, $c >> 16)"),
+      stage(s"${out}_m1", s"${out}_m2", c => s"($c * 40503) % 4294967296"),
+      stage(s"${out}_m2", out, c => s"xor($c, $c >> 13)")).mkString(",\n")
+  }
+
+  /** Full SimHash mirror: the oracle recomputes the two 32-bit token
+    * hashes, the per-bit votes, both signature halves, and brute-forces
+    * all pairs (fine at oracle scale) — the banded join in the engine is
+    * exactly the recall-guaranteed version of this.
+    */
+  private val SimhashSql =
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+       |h0 AS (SELECT doc_id, ${polySql("w", 17)} AS ha, ${polySql("w", 31)} AS hb FROM tok),
+       |${mixCtes("h0", "h", keep = Seq("doc_id"), cols = Seq("ha", "hb"))},
+       |bits AS (SELECT doc_id, j,
+       |         sum(CASE WHEN ((ha >> j) & 1) = 1 THEN 1 ELSE -1 END) AS va,
+       |         sum(CASE WHEN ((hb >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vb
+       |         FROM h, range(32) r(j) GROUP BY doc_id, j),
+       |sigagg AS (SELECT doc_id,
+       |        CAST(sum(CASE WHEN va > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sa,
+       |        CAST(sum(CASE WHEN vb > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sb
+       |       FROM bits GROUP BY doc_id),
+       |sig AS (SELECT d.doc_id, coalesce(s.sa, 0) AS sa, coalesce(s.sb, 0) AS sb
+       |        FROM documents d LEFT JOIN sigagg s ON s.doc_id = d.doc_id)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
+       |ORDER BY da, db""".stripMargin
+
+  val dd4_simhash = QueryDef.sqlChecked("dd4_simhash", SimhashSql) { (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d))
   }
 
-  val dd6_winnow_fragments = QueryDef.rowsOnly("dd6_winnow_fragments") { (s, d) =>
+  /** Winnowing mirror (k=4, w=4): 4-gram hashes = poly63 of the joined
+    * gram text; window minima over each w-gram run (tie direction is
+    * value-irrelevant: only the min VALUE survives, deduped); documents
+    * shorter than k+w-1 degenerate to the global min, same as the Scala
+    * early-return.
+    */
+  private val WinnowSql =
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |gram AS (SELECT a.doc_id, a.i, a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w AS g
+       |         FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |                    JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+       |                    JOIN tok d ON d.doc_id = a.doc_id AND d.i = a.i + 3),
+       |gh0 AS (SELECT doc_id, i, ${polySql("g", 7)} AS ga, ${polySql("g", 13)} AS gb FROM gram),
+       |${mixCtes("gh0", "ghm", keep = Seq("doc_id", "i"), cols = Seq("ga", "gb"))},
+       |gh AS (SELECT doc_id, i, (ga % 2147483648) * 4294967296 + gb AS h,
+       |        count(*) OVER (PARTITION BY doc_id) AS ng
+       |       FROM ghm),
+       |winm AS (SELECT doc_id, i, ng,
+       |          min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+       |         FROM gh),
+       |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM winm WHERE i <= greatest(1, ng - 3)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+       |pair AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS shared
+       |         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT da, db, shared, round(shared*1.0/least(ca.n, cb.n), 4) AS containment
+       |FROM pair JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       |WHERE shared >= 2 ORDER BY da, db""".stripMargin
+
+  val dd6_winnow_fragments = QueryDef.sqlChecked("dd6_winnow_fragments", WinnowSql) { (s, d) =>
     Dedup.fragmentOverlap(Tables.documents(s, d))
   }
 
@@ -75,7 +163,34 @@ object DataPipeline {
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
   }
 
-  val ann_lsh_topk = QueryDef.rowsOnly("ann_lsh_topk") { (s, d) =>
+  /** Full LSH mirror, generated from the SAME fixed-seed hyperplanes and
+    * probe ring the engine uses: DuckDB recomputes every signature bit
+    * (list_inner_product is the same left-to-right fold as our dot), the
+    * query-side probe expansion, the bucket equi-join, and the exact
+    * cosine top-k — so the oracle checks the candidate set AND the
+    * similarities, not just "rows came back".
+    */
+  private val AnnLshSql: String = {
+    val planes = Similarity.hyperplanes(dim = 64, nBits = 8)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(v, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val flips = Similarity.probeFlips(8).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v, $sigExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM sig WHERE vec_id < 5),
+       |probes AS (SELECT qid, qv, xor(qbucket, f.flip) AS probe_bucket
+       |           FROM q, (SELECT unnest($flips) AS flip) f),
+       |sc AS (SELECT p.qid, c.vec_id, round(list_cosine_similarity(p.qv, c.v), 4) AS sim
+       |       FROM sig c JOIN probes p ON c.bucket = p.probe_bucket AND c.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+       |      FROM sc)
+       |SELECT qid, rnk, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  val ann_lsh_topk = QueryDef.sqlChecked("ann_lsh_topk", AnnLshSql) { (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
   }
 
@@ -126,7 +241,32 @@ object DataPipeline {
     TextAnalysis.fingerprint(Tables.documents(s, d))
   }
 
-  val txt_langid = QueryDef.rowsOnly("txt_langid") { (s, d) =>
+  /** Oracle generated from the same [[TextAnalysis.LangProfiles]] table
+    * the operator uses, so profile edits can never drift the two apart.
+    */
+  private val LangIdSql: String = {
+    val scores = TextAnalysis.LangProfiles.map { case (l, st) =>
+      val lst = st.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""CASE WHEN len(ws)=0 THEN 0.0
+         | ELSE round(len(list_filter(ws, w -> list_contains($lst, w)))*1.0/len(ws), 4)
+         | END AS score_$l""".stripMargin
+    }.mkString(",\n ")
+    val names = TextAnalysis.LangProfiles.map { case (l, _) => s"score_$l" }
+    val pred = TextAnalysis.LangProfiles
+      .map { case (l, _) => s"WHEN score_$l = best THEN '$l'" }.mkString(" ")
+    s"""WITH wl AS (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |s AS (SELECT doc_id, lang AS labeled_lang,
+       | ${scores}
+       | FROM wl),
+       |m AS (SELECT *, greatest(${names.mkString(", ")}) AS best FROM s)
+       |SELECT doc_id, labeled_lang,
+       | CASE WHEN best <= 0 THEN 'und' $pred END AS predicted_lang,
+       | ${names.mkString(", ")}
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  val txt_langid = QueryDef.sqlChecked("txt_langid", LangIdSql) { (s, d) =>
     TextAnalysis.languageId(Tables.documents(s, d))
   }
 

@@ -289,14 +289,24 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  // HLL sketch distinct: no DuckDB oracle (different sketch) -> rows-only;
-  // the ScalaTest spec asserts the 2% default rsd against the exact count.
-  val q10b_approx_distinct = QueryDef.rowsOnly("q10b_approx_distinct") { (s, d) =>
+  // HLL sketch distinct. DuckDB's sketch differs, so the raw HLL value
+  // can't be hash-compared; instead the oracle checks the group keys +
+  // exact counts, and the HLL estimate is reduced to a pinned accuracy
+  // predicate (|approx-exact| <= 15% — ~3x the default 5% rsd; the
+  // ScalaTest spec asserts the tighter 10% bound on the raw estimate).
+  val q10b_approx_distinct = QueryDef.sqlChecked(
+    "q10b_approx_distinct",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+      | CAST(1 AS INTEGER) AS hll_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
         approx_count_distinct("o_custkey").as("approx_cust"),
         countDistinct("o_custkey").as("n_cust"))
+      .select(col("o_orderstatus"), col("n_cust"),
+        when(abs(col("approx_cust") - col("n_cust")) <= col("n_cust") * 0.15, 1)
+          .otherwise(0).cast("int").as("hll_ok"))
       .orderBy("o_orderstatus")
   }
 

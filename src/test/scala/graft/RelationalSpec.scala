@@ -18,13 +18,21 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within default rsd of exact") {
-    val rows = SparkEntry.queries("q10b_approx_distinct")(spark, sf).collect()
+    // raw HLL estimate vs exact (the query itself now folds this into the
+    // oracle-checked hll_ok predicate at a looser 15%; pin 10% here)
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct("o_custkey").as("approx"),
+        countDistinct("o_custkey").as("exact"))
+      .collect()
     rows.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.1,
         s"approx $approx vs exact $exact")
     }
+    val out = SparkEntry.queries("q10b_approx_distinct")(spark, sf).collect()
+    assert(out.forall(_.getInt(2) == 1), "hll_ok must hold on testdata")
   }
 
   test("as-of join picks latest at-or-before value, null when none") {
@@ -52,8 +60,6 @@ class RelationalSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
     val rowsOnly = qs -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q10b_approx_distinct", "dd2_minhash_lsh",
-      "dd4_simhash", "dd6_winnow_fragments", "ann_lsh_topk", "ann_ivf_topk",
-      "txt_langid"))
+    assert(rowsOnly === Set("ann_ivf_topk"))
   }
 }
