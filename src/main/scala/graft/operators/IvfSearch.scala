@@ -25,19 +25,32 @@ object IvfSearch {
       k: Int = 10,
       nClusters: Int = 16,
       nProbe: Int = 4,
+      fitSampleRows: Int = 4096,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import org.apache.spark.ml.functions.array_to_vector
 
+    // NOT cached: the result plan is lazy, so a cache here could never be
+    // safely unpersisted (it would pin the whole corpus in executor
+    // memory). The corpus appears twice in the final plan (query lookup +
+    // probe scan); cell assignment is 16 centroid distances per row —
+    // cheaper to recompute than to pin. At corpus scale you'd materialize
+    // the assignment once as a bucketed table instead.
     val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("features", array_to_vector(col("v")))
-      .cache()
 
+    // Fit the coarse quantizer on a bounded deterministic sample: cell
+    // quality needs ~1000x nClusters points, not the corpus — at 100 TB
+    // the 5 Lloyd iterations would otherwise be 5 full corpus passes.
+    // (orderBy the id keeps the sample stable across partitionings; the
+    // limit collapses to a TakeOrdered, not a full sort.)
+    val fitSet = e.orderBy(col(idCol)).limit(fitSampleRows).cache()
     val km = new KMeans().setK(nClusters).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(e)
+    val model = km.fit(fitSet)
+    fitSet.unpersist()
     val assigned = model.transform(e).select(col(idCol), col("v"), col("cell"))
 
     // centroid table (tiny by construction) for query->cell ranking

@@ -692,11 +692,18 @@ object Relational {
 
   // ---------------------------------------------------------------- Q12b
   // Distribution window functions: ntile buckets, percent_rank,
-  // cume_dist — identical formulas in both engines; orderkey tiebreak
-  // keeps frames deterministic. NOTE: an unpartitioned window is a
-  // single-task total order — fine for a ranked-distribution report,
-  // but at 100 TB this becomes a two-pass computation (per-partition
-  // counts + prefix sums) or gets a partition key; flagged on purpose.
+  // cume_dist over a global order — computed as the classic TWO-PASS
+  // form instead of an unpartitioned Window (which would serialize the
+  // whole table through one task):
+  //   1. range-repartition on the sort key; per-PARTITION row_number
+  //      (distributed windows);
+  //   2. per-partition counts -> prefix-sum offsets (a tiny P-row
+  //      triangular self-join, no driver collect, no global window);
+  //   3. global rank = local rank + offset; the distribution functions
+  //      are closed-form in (rank, n) because the orderkey tiebreak makes
+  //      the order strict: percent_rank = (r-1)/(n-1), cume_dist = r/n,
+  //      ntile = first (n mod b) buckets get ceil(n/b) rows.
+  // Every stage is a shuffle on data-proportional keys — survives 100x.
   val q12b_distribution = QueryDef.sqlChecked(
     "q12b_distribution",
     """SELECT o_orderkey,
@@ -706,12 +713,32 @@ object Relational {
       |FROM orders
       |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d).select(
-      col("o_orderkey"),
-      ntile(4).over(w).cast("int").as("quartile"),
-      round(percent_rank().over(w), 6).as("pr"),
-      round(cume_dist().over(w), 6).as("cd"))
+    val par = s.sparkContext.defaultParallelism
+    val ranked = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .repartitionByRange(par, col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")))
+    val counts = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val total = counts.agg(sum("cnt").as("n"))
+    val buckets = 4
+    val r = col("lr") + col("off")
+    val q = floor(col("n") / buckets) // per-bucket floor size
+    val rem = col("n") % buckets      // first `rem` buckets get q+1 rows
+    ranked
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(total))
+      .select(
+        col("o_orderkey"),
+        when(r <= rem * (q + 1), floor((r - 1) / (q + 1)) + 1)
+          .otherwise(rem + floor((r - rem * (q + 1) - 1) / q) + 1)
+          .cast("int").as("quartile"),
+        round(when(col("n") === 1, 0.0).otherwise((r - 1) / (col("n") - 1)), 6).as("pr"),
+        round(r / col("n"), 6).as("cd"))
       .orderBy("o_orderkey")
   }
 
