@@ -98,21 +98,36 @@ object Dedup {
     * co-occurring docs meet without an n^2 cross join). This is the
     * oracle-checked exact counterpart of [[minhashLsh]].
     */
+  /** Drop join keys whose document frequency exceeds `cap`: one
+    * ubiquitous key (a stop-phrase shingle, a boilerplate fingerprint)
+    * otherwise yields a df^2 hot candidate block in the self-join — the
+    * classic quadratic skew bomb at corpus scale. Ubiquitous keys carry
+    * no discriminative signal, so capping also improves precision. The
+    * hot set is tiny by construction (keys in > cap docs), so the
+    * anti-join broadcasts.
+    */
+  private def capDocFreq(keyed: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    val hot = keyed.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(keyCol)
+    keyed.join(broadcast(hot), Seq(keyCol), "left_anti")
+  }
+
   def ngramJaccard(
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 1000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
-    val sh = documents.select(col(idCol).cast("long"), col(textCol))
+    val sh = capDocFreq(documents.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .repartition(par)
       .flatMap { case (id, text) =>
         TextHashing.shingles(TextHashing.tokens(text)).map(s => (id, s))
       }
-      .toDF("doc_id", "s")
+      .toDF("doc_id", "s"), "s", maxDocFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("da"), col("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), "s")
@@ -181,17 +196,18 @@ object Dedup {
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
-    val fp = documents.select(col(idCol).cast("long"), col(textCol))
+    val fp = capDocFreq(documents.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .repartition(par)
       .flatMap { case (id, text) =>
         TextHashing.winnow(TextHashing.tokens(text)).map(f => (id, f))
       }
-      .toDF("doc_id", "fp")
+      .toDF("doc_id", "fp"), "fp", maxDocFreq)
     val counts = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
     fp.select(col("doc_id").as("da"), col("fp"))
       .join(fp.select(col("doc_id").as("db"), col("fp")), "fp")

@@ -62,6 +62,26 @@ object TextAnalysis {
         .as("fp"))
       .orderBy("doc_id")
 
+  /** tf-idf over whitespace tokens: one row per (doc, term) with the raw
+    * term frequency, document frequency, and tf * ln(N/df) (rounded for
+    * cross-engine float parity). Scale shape: one explode + two hash
+    * aggregations + an equi-join on the term — the df table is
+    * vocabulary-sized and shuffles by term (no hot key: a term's df row
+    * is one row however common the term); N is a broadcast scalar.
+    * Downstream vectorization is a per-doc collect_list over this table.
+    */
+  def tfIdf(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
   /** Function-word profiles for [[languageId]] — public so the oracle SQL
     * is generated from the same table (no drift between engine and check).
     */

@@ -270,6 +270,20 @@ object DataPipeline {
     TextAnalysis.languageId(Tables.documents(s, d))
   }
 
+  val txt_tfidf = QueryDef.sqlChecked(
+    "txt_tfidf",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM wl),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+      |SELECT doc_id, term, tf, df, round(tf * ln(n / df), 4) AS tfidf
+      |FROM tf JOIN df USING (term), n
+      |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+    TextAnalysis.tfIdf(Tables.documents(s, d))
+  }
+
   // --------------------------------------------------------- multimodal
   val mm_features = QueryDef.sqlChecked(
     "mm_features",
@@ -288,5 +302,5 @@ object DataPipeline {
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd6_winnow_fragments, ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
-    txt_quality, txt_tokens, txt_fingerprint, txt_langid, mm_features)
+    txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf, mm_features)
 }

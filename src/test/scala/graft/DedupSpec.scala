@@ -61,6 +61,39 @@ class DedupSpec extends SparkSpec {
     assert(!found.contains((1L, 3L)) && !found.contains((2L, 3L)))
   }
 
+  test("document-frequency cap bounds candidates from a ubiquitous shingle") {
+    import spark.implicits._
+    // 40 docs all opening with the same stop-phrase, each with a unique
+    // tail: uncapped, the shared shingles alone make every doc pair a
+    // candidate (and a few thousand such docs would make the shuffle
+    // quadratic); capped, the hot shingles drop out of the join and only
+    // the planted true near-dup pair survives.
+    // 12-token stop phrase: winnowing (k=4, w=4) then selects >= 2
+    // identical fingerprints from it in EVERY doc (two disjoint windows
+    // lie fully inside its 9 grams), so uncapped, all 41*40/2 pairs emerge
+    val stop = "it is a truth universally acknowledged that a single man in possession"
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"$stop t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f"))
+    val planted = (41L, s"$stop t1a t1b t1c t1d t1e t1x")
+    val df = (docs :+ planted).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(df, maxDocFreq = 10)
+    assert(pairs(capped) === Set((1L, 41L)))
+    // the 10 pure-stop-phrase shingles (df = 41 > cap) are out of the
+    // computation: the planted pair keeps 5 of its shared shingles over a
+    // 7-shingle union -> J = 5/7
+    val row = capped.filter(col("da") === 1L && col("db") === 41L).head
+    assert(math.abs(row.getDouble(2) - 5.0 / 7.0) < 1e-3)
+    // fragment overlap: uncapped, the guaranteed-shared stop fingerprints
+    // pair up EVERY doc combination (the quadratic blowup); under the cap
+    // those df=41 fingerprints drop out and the pair set collapses
+    // (dropping fingerprints is monotone — it can only remove pairs)
+    val funcapped = pairs(Dedup.fragmentOverlap(df))
+    val fcap = pairs(Dedup.fragmentOverlap(df, maxDocFreq = 10))
+    assert(funcapped.size === 41 * 40 / 2)
+    assert(fcap.subsetOf(funcapped))
+    assert(fcap.size < 100)
+  }
+
   test("embedding near-dup pairs agree with a local computation") {
     val nd = Dedup.embeddingNearDup(Tables.embeddings(spark, sf))
     val rows = nd.collect()

@@ -31,6 +31,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.filter(col("n_stop") > col("n_words")).count() === 0)
   }
 
+  test("tf-idf matches a hand-computed fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a"),   // tf(a)=2, tf(b)=1
+      (2L, "a c"),     // tf(a)=1, tf(c)=1
+      (3L, "c c d"))   // tf(c)=2, tf(d)=1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    def e(tf: Long, dfq: Long) = math.rint(tf * math.log(3.0 / dfq) * 1e4) / 1e4
+    assert(out((1L, "a")) === ((2L, 2L, e(2, 2))))
+    assert(out((1L, "b")) === ((1L, 1L, e(1, 1))))
+    assert(out((2L, "c")) === ((1L, 2L, e(1, 2))))
+    assert(out((3L, "c")) === ((2L, 2L, e(2, 2))))
+    assert(out((3L, "d")) === ((1L, 1L, e(1, 1))))
+    assert(out.size === 6)
+    // a term present in every doc has idf 0
+    assert(TextAnalysis.tfIdf(Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text"))
+      .filter(col("term") === "x").collect().forall(_.getDouble(4) === 0.0))
+  }
+
   test("multimodal stub pipeline: features derive from payload bytes") {
     implicit val s = spark
     import s.implicits._
