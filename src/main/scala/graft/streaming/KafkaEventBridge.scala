@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.model.Event
 
 /** Kafka wiring for the entity runtime — the production transport the
   * reference uses (`client_request`/`internal`/`client_reply` topics,
@@ -22,25 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object KafkaEventBridge {
 
-  /** Wire schema of the event envelope on Kafka (JSON, FIXTURES.md A.2). */
+  /** Wire schema of the event envelope on Kafka (JSON, FIXTURES.md A.2);
+    * [[EventJson]] is the codec producing/consuming it.
+    */
   val wireSchema: String =
     "event_id STRING, namespace STRING, name STRING, key STRING, event_type STRING, payload STRING"
 
-  def reader(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
+  /** Typed event stream off the broker: value bytes -> [[EventJson.decode]]
+    * on the executors (per-partition narrow map, no driver involvement).
+    */
+  def reader(spark: SparkSession, bootstrap: String, topics: String): Dataset[Event] =
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics)
       .option("startingOffsets", "latest")
       .load()
-      .select(from_json(col("value").cast("string"),
-        org.apache.spark.sql.types.StructType.fromDDL(wireSchema)).as("ev"))
-      .select("ev.*")
+      .select(col("value").cast("string"))
+      .as(Encoders.STRING)
+      .map(EventJson.decode(_))(Encoders.kryo[Event])
 
-  def writer(events: DataFrame, bootstrap: String, topic: String) =
+  def writer(events: Dataset[Event], bootstrap: String, topic: String) =
     events
-      .select(col("event_id").as("key"),
-        to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
+      .map(ev => (ev.eventId, EventJson.encode(ev)))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .toDF("key", "value")
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
