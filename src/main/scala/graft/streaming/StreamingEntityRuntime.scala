@@ -11,11 +11,22 @@ import graft.runtime.{EventTransport, StatefulOperator}
 /** Structured Streaming lowering of the entity runtime (the one lowering
   * we implement, vs the reference's five; SURVEY O37):
   *
-  *   events --groupByKey((entity,key))--> flatMapGroupsWithState(handle)
+  *   (client MemoryStream UNION loopback file stream)
+  *     --groupByKey((entity,key))--> flatMapGroupsWithState(handle)
   *     --> replies  -> driver reply table (the "client_reply topic")
-  *     --> continuations -> re-injected into the input stream
-  *                          (the "internal topic" loopback,
-  *                          /root/reference/stateflow/client/kafka_client.py:38-39)
+  *     --> continuations -> written EXECUTOR-SIDE to the loopback
+  *                          directory (the "internal topic",
+  *                          /root/reference/stateflow/client/kafka_client.py:38-39;
+  *                          a Kafka topic in production, see
+  *                          [[KafkaEventBridge]])
+  *
+  * Egress is distributed (EgressRouter analog, dataflow.py:52-128): hop
+  * traffic never crosses the driver — each executor serializes its own
+  * continuations ([[EventBinary]], the pickle-analog internal serde) and
+  * appends them to the loopback sink; only client-facing replies are
+  * collected. At cluster scale the loopback directory is replaced by a
+  * broker topic and the driver reply table by the client reply topic —
+  * the micro-batch topology is identical.
   *
   * A flow with H inter-key hops completes in H micro-batches — exactly
   * the reference's one-broker-round-trip-per-hop cost profile
@@ -41,8 +52,16 @@ final class StreamingEntityRuntime(
 
   private val input = MemoryStream[Event](spark, numPartitions = 1)
   private val replies = new ConcurrentHashMap[String, Event]()
+  // the "internal topic": continuations land here executor-side and the
+  // file stream below re-ingests them, partitioned like any other source
+  private val loopbackDir = java.nio.file.Files
+    .createTempDirectory("graft-loopback").toString
   // continuation count per batch, to know when the loopback has drained
   @volatile private var pendingContinuations = false
+  // observability for tests: events that crossed the driver vs hops that
+  // stayed distributed
+  @volatile private var driverCollected = 0L
+  @volatile private var loopbackWritten = 0L
 
   private val query: StreamingQuery = {
     // hoist to a local so the stateful closure captures the registry
@@ -50,7 +69,11 @@ final class StreamingEntityRuntime(
     val reg = registry
     val fn: ((String, String), Iterator[Event], GroupState[State]) => Iterator[Event] =
       (k, es, st) => StreamingEntityRuntime.statefulFn(reg)(k, es, st)
-    input.toDS()
+    val loopback = spark.readStream.text(loopbackDir)
+      .select("value").as[String]
+      .map(EventBinary.decode(_))
+    val dir = loopbackDir
+    input.toDS().union(loopback)
       .groupByKey(ev => (ev.entity, ev.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .writeStream
@@ -62,19 +85,32 @@ final class StreamingEntityRuntime(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
     .trigger(Trigger.ProcessingTime(0))
     .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
-      // Egress routing (EgressRouter analog, dataflow.py:52-128):
-      // replies to the client table, continuations back into the stream.
-      val evs = batch.collect()
-      val (reps, conts) = evs.partition(_.eventType.isInstanceOf[EventType.Reply])
+      // Replies: the only traffic that crosses to the driver.
+      val reps = batch
+        .filter((e: Event) => e.eventType.isInstanceOf[EventType.Reply])
+        .collect()
       reps.foreach(r => replies.put(r.eventId, r))
-      if (conts.nonEmpty) {
-        input.addData(conts.toSeq)
+      driverCollected += reps.length
+      // Continuations: serialized and appended to the loopback sink BY
+      // THE EXECUTORS; the driver only learns the count (a scalar).
+      val conts = batch
+        .filter((e: Event) => !e.eventType.isInstanceOf[EventType.Reply])
+      val n = conts.count()
+      if (n > 0) {
+        conts.map(EventBinary.encode(_)).write.mode("append").text(dir)
+        loopbackWritten += n
         pendingContinuations = true
       } else pendingContinuations = false
       ()
     }
     .start()
   }
+
+  /** Events collected at the driver (replies only, by construction). */
+  def driverCollectedCount: Long = driverCollected
+
+  /** Hop events that went through the distributed loopback instead. */
+  def loopbackWrittenCount: Long = loopbackWritten
 
   /** Synchronous request/reply for tests and the YCSB driver: feed the
     * event, drain micro-batches (including loopback hops) until the
