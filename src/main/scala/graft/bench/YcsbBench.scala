@@ -54,13 +54,18 @@ object YcsbBench {
     spark.sparkContext.setLogLevel("ERROR")
     TestEntities.registerFlows()
 
-    Seq("A" -> (0.5, 0.5, 0.0), "B" -> (0.95, 0.05, 0.0), "T" -> (0.0, 0.0, 1.0))
-      .foreach { case (name, mix) => runWorkload(spark, name, mix) }
+    val lines =
+      Seq("A" -> (0.5, 0.5, 0.0), "B" -> (0.95, 0.05, 0.0), "T" -> (0.0, 0.0, 1.0))
+        .map { case (name, mix) => runWorkload(spark, name, mix) }
+    // machine-readable per-round artifact (judge/driver diffable)
+    val out = sys.env.getOrElse("SPARK_GRAFT_YCSB_OUT", "YCSB.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      lines.mkString("[\n", ",\n", "\n]\n"))
     spark.stop()
   }
 
   private def runWorkload(spark: SparkSession, name: String,
-      mix: (Double, Double, Double)): Unit = {
+      mix: (Double, Double, Double)): String = {
     val rt = new StreamingEntityRuntime(TestEntities.registry, spark)
     val client = new Client(TestEntities.registry, rt)
     try {
@@ -130,7 +135,9 @@ object YcsbBench {
       val ls = lat.result().sorted
       def pct(p: Double): Double =
         if (ls.isEmpty) -1 else ls(((ls.length - 1) * p).toInt)
-      println(f"""{"workload":"$name","ops":$done,"wall_sec":$wall%.3f,"throughput_ops_sec":${done / wall}%.1f,"p50_ms":${pct(0.5)}%.2f,"p99_ms":${pct(0.99)}%.2f}""")
+      val line = f"""{"workload":"$name","ops":$done,"wall_sec":$wall%.3f,"throughput_ops_sec":${done / wall}%.1f,"p50_ms":${pct(0.5)}%.2f,"p99_ms":${pct(0.99)}%.2f}"""
+      println(line)
+      line
     } finally rt.close()
   }
 }

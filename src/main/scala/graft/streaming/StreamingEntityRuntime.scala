@@ -53,9 +53,15 @@ final class StreamingEntityRuntime(
   private val input = MemoryStream[Event](spark, numPartitions = 1)
   private val replies = new ConcurrentHashMap[String, Event]()
   // the "internal topic": continuations land here executor-side and the
-  // file stream below re-ingests them, partitioned like any other source
+  // file stream below re-ingests them, partitioned like any other source.
+  // Files are staged in a sibling dir and atomically renamed into the
+  // watched dir so the source never lists a half-written file.
+  private val loopbackBase = java.nio.file.Files.createTempDirectory("graft-loopback")
   private val loopbackDir = java.nio.file.Files
-    .createTempDirectory("graft-loopback").toString
+    .createDirectory(loopbackBase.resolve("topic")).toString
+  private val loopbackStage = java.nio.file.Files
+    .createDirectory(loopbackBase.resolve("stage")).toString
+  private val contAcc = spark.sparkContext.longAccumulator("graft-loopback-conts")
   // continuation count per batch, to know when the loopback has drained
   @volatile private var pendingContinuations = false
   // observability for tests: events that crossed the driver vs hops that
@@ -69,7 +75,12 @@ final class StreamingEntityRuntime(
     val reg = registry
     val fn: ((String, String), Iterator[Event], GroupState[State]) => Iterator[Event] =
       (k, es, st) => StreamingEntityRuntime.statefulFn(reg)(k, es, st)
-    val loopback = spark.readStream.text(loopbackDir)
+    // cleanSource=delete: processed loopback files are removed, so the
+    // per-trigger directory listing stays O(in-flight hops) instead of
+    // growing with the life of the runtime
+    val loopback = spark.readStream
+      .option("cleanSource", "delete")
+      .text(loopbackDir)
       .select("value").as[String]
       .map(EventBinary.decode(_))
     val dir = loopbackDir
@@ -85,22 +96,31 @@ final class StreamingEntityRuntime(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
     .trigger(Trigger.ProcessingTime(0))
     .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
+      // Two actions over the stateful output -> persist to run the
+      // stateful operator once, not per action.
+      val cached = batch.persist()
       // Replies: the only traffic that crosses to the driver.
-      val reps = batch
+      val reps = cached
         .filter((e: Event) => e.eventType.isInstanceOf[EventType.Reply])
         .collect()
       reps.foreach(r => replies.put(r.eventId, r))
       driverCollected += reps.length
       // Continuations: serialized and appended to the loopback sink BY
-      // THE EXECUTORS; the driver only learns the count (a scalar).
-      val conts = batch
+      // THE EXECUTORS; the driver only learns the count (an accumulator
+      // scalar). Empty partitions write nothing, so idle workloads add
+      // zero files for the source to list.
+      val before = contAcc.value
+      val stage = loopbackStage
+      val acc = contAcc
+      cached
         .filter((e: Event) => !e.eventType.isInstanceOf[EventType.Reply])
-      val n = conts.count()
-      if (n > 0) {
-        conts.map(EventBinary.encode(_)).write.mode("append").text(dir)
-        loopbackWritten += n
-        pendingContinuations = true
-      } else pendingContinuations = false
+        .foreachPartition { (it: Iterator[Event]) =>
+          StreamingEntityRuntime.writeLoopbackPartition(it, stage, dir, acc)
+        }
+      val n = contAcc.value - before
+      loopbackWritten += n
+      pendingContinuations = n > 0
+      cached.unpersist()
       ()
     }
     .start()
@@ -144,6 +164,31 @@ final class StreamingEntityRuntime(
 }
 
 object StreamingEntityRuntime {
+
+  /** Executor-side loopback append: stream the partition's continuations
+    * into a staged file, then atomically rename it into the watched
+    * topic dir (the file stream never sees a partial file). Runs on the
+    * executor that produced the events — this IS the distributed egress.
+    */
+  def writeLoopbackPartition(
+      events: Iterator[Event],
+      stageDir: String,
+      topicDir: String,
+      acc: org.apache.spark.util.LongAccumulator): Unit = {
+    if (events.hasNext) {
+      val name = java.util.UUID.randomUUID().toString + ".txt"
+      val staged = java.nio.file.Paths.get(stageDir, name)
+      val out = java.nio.file.Files.newBufferedWriter(staged)
+      var n = 0L
+      try events.foreach { ev =>
+        out.write(EventBinary.encode(ev)); out.newLine(); n += 1
+      } finally out.close()
+      java.nio.file.Files.move(staged, java.nio.file.Paths.get(topicDir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      acc.add(n)
+    }
+  }
+
   /** The per-group stateful function: a free-standing serializable
     * closure (captures only the registry) applying
     * [[StatefulOperator.handle]] to each event of the group in batch
