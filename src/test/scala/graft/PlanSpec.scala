@@ -65,4 +65,78 @@ class PlanSpec extends SparkSpec {
   test("q7b: pure theta join on dimensions is broadcast nested loop") {
     assert(plan("q7b_theta_join").contains("BroadcastNestedLoopJoin"))
   }
+
+  // ---- pipeline operators: the scale shape must not silently regress ---
+
+  /** The dedup/ANN operators bucket their candidates; none of them may
+    * ever plan a cartesian/corpus-sized nested loop. (dd5 and ann_brute
+    * are the declared brute-force oracle baselines and are exempt.)
+    */
+  test("dedup + ANN bucketed operators never go cartesian") {
+    Seq("dd2_minhash_lsh", "dd3_ngram_jaccard", "dd4_simhash",
+      "dd6_winnow_fragments", "ann_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian join")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop")
+    }
+  }
+
+  /** Unwrap AQE so node-level assertions see the final physical plan. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  test("ann_lsh: probe-ring explode runs on the query side, never the corpus") {
+    // (string assertions: AQE query-stage boundaries hide nodes from
+    // plan.collect, but the final plan string includes every stage)
+    val p = finalPlan(SparkEntry.queries("ann_lsh_topk")(spark, sf)).toString
+    val nGenerates = "Generate explode".r.findAllIn(p).length
+    assert(nGenerates === 1, s"exactly one explode expected in:\n$p")
+    // the explode's output carries qbucket -> it runs on the (5-row,
+    // id-filtered, broadcast) query branch; the corpus branch has no
+    // qbucket column and is scanned exactly once, unexploded
+    assert(p.linesIterator.exists(l =>
+      l.contains("Generate explode") && l.contains("qbucket")), p)
+    assert(p.contains("In(vec_id, [0,1,2,3,4])"), "query-id pushdown missing")
+  }
+
+  test("ann_lsh/ann_ivf: corpus joins against broadcast probes (one corpus pass)") {
+    Seq("ann_lsh_topk", "ann_ivf_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: probe join must broadcast")
+    }
+  }
+
+  test("dd2: band join is an equi-join keyed on the band hash") {
+    // strategy may legitimately flip between shuffle and broadcast with
+    // input size (AQE does this at runtime); what must hold at ANY size
+    // is the equi-join on (band, band_hash) — never a theta/cross join
+    val p = plan("dd2_minhash_lsh")
+    assert(p.contains("band_hash"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("txt_tfidf: term join keys are equi, N is broadcast") {
+    val p = plan("txt_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the single-row corpus count joins in as a broadcast nested loop
+    // (trivially sized) or literal; the term join must be an equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q12b: no unpartitioned window over the big input") {
+    val df = SparkEntry.queries("q12b_distribution")(spark, sf)
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q12b must not plan a global (single-task) window")
+  }
 }
