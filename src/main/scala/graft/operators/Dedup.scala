@@ -72,10 +72,20 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 64,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = signatures(documents, idCol, textCol, numHashes, bands)
-    val banded = sigs.select(col("doc_id"), posexplode(col("band_hashes")))
-      .toDF("doc_id", "band", "band_hash")
+    // Bucket-size cap: a boilerplate-heavy corpus (or a pile of empty
+    // docs, whose signatures are identical) lands thousands of docs in
+    // ONE (band, band_hash) bucket -> a bucket-sized^2 candidate block.
+    // Oversized buckets are dropped; members can still pair through any
+    // of the other 31 bands, so recall degrades only for docs that are
+    // near-dup along EVERY band with >cap companions — exactly the
+    // boilerplate mass-dup case where exact dedup (dd1) is the right tool.
+    val banded = capDocFreq(
+      sigs.select(col("doc_id"), posexplode(col("band_hashes")))
+        .toDF("doc_id", "band", "band_hash"),
+      Seq("band", "band_hash"), maxBucket)
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("da"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("db"))
     val candidates = l.join(r, Seq("band", "band_hash"))
@@ -106,10 +116,10 @@ object Dedup {
     * hot set is tiny by construction (keys in > cap docs), so the
     * anti-join broadcasts.
     */
-  private def capDocFreq(keyed: DataFrame, keyCol: String, cap: Int): DataFrame = {
-    val hot = keyed.groupBy(keyCol).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select(keyCol)
-    keyed.join(broadcast(hot), Seq(keyCol), "left_anti")
+  private def capDocFreq(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(keyCols.map(col): _*)
+    keyed.join(broadcast(hot), keyCols, "left_anti")
   }
 
   def ngramJaccard(
@@ -127,7 +137,7 @@ object Dedup {
       .flatMap { case (id, text) =>
         TextHashing.shingles(TextHashing.tokens(text)).map(s => (id, s))
       }
-      .toDF("doc_id", "s"), "s", maxDocFreq)
+      .toDF("doc_id", "s"), Seq("s"), maxDocFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("da"), col("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), "s")
@@ -207,7 +217,7 @@ object Dedup {
       .flatMap { case (id, text) =>
         TextHashing.winnow(TextHashing.tokens(text)).map(f => (id, f))
       }
-      .toDF("doc_id", "fp"), "fp", maxDocFreq)
+      .toDF("doc_id", "fp"), Seq("fp"), maxDocFreq)
     val counts = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
     fp.select(col("doc_id").as("da"), col("fp"))
       .join(fp.select(col("doc_id").as("db"), col("fp")), "fp")

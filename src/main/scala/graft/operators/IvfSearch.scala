@@ -46,8 +46,12 @@ object IvfSearch {
     // the 5 Lloyd iterations would otherwise be 5 full corpus passes.
     // (orderBy the id keeps the sample stable across partitionings; the
     // limit collapses to a TakeOrdered, not a full sort.)
+    // random init (seeded): kmeans|| would run ~2 extra distributed
+    // rounds per init step for a quantizer whose cells only need to be
+    // roughly balanced — Lloyd refinement does the real work
     val fitSet = e.orderBy(col(idCol)).limit(fitSampleRows).cache()
     val km = new KMeans().setK(nClusters).setSeed(42).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(fitSet)
     fitSet.unpersist()

@@ -94,6 +94,21 @@ class DedupSpec extends SparkSpec {
     assert(fcap.size < 100)
   }
 
+  test("LSH bucket cap drops mass-dup blocks, keeps ordinary near-dups") {
+    import spark.implicits._
+    // 30 byte-identical docs: every band bucket holds all 30 -> a 435-pair
+    // quadratic block that exact dedup (dd1) already handles; capped LSH
+    // skips it. An ordinary near-dup pair elsewhere must still surface.
+    val boiler = (1 to 30).map(i => (i.toLong, "copy of the same boilerplate text here"))
+    val a = (100L, (1 to 20).map(i => s"u$i").mkString(" "))
+    val b = (101L, ((1 to 19).map(i => s"u$i") :+ "tail").mkString(" "))
+    val df = (boiler :+ a :+ b).toDF("doc_id", "text")
+    val capped = pairs(Dedup.minhashLsh(df, maxBucket = 5))
+    assert(capped === Set((100L, 101L)))
+    val uncapped = pairs(Dedup.minhashLsh(df))
+    assert(uncapped.size === 30 * 29 / 2 + 1)
+  }
+
   test("embedding near-dup pairs agree with a local computation") {
     val nd = Dedup.embeddingNearDup(Tables.embeddings(spark, sf))
     val rows = nd.collect()
