@@ -92,9 +92,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann_lsh: probe-ring explode runs on the query side, never the corpus") {
+    // Hermetic input: sibling suites cache Tables.embeddings in the shared
+    // session, and Spark's CacheManager + AQE stage reuse then substitute
+    // plan fragments globally, hiding scans/exchanges from the plan
+    // string. A uniquely-pathed copy can never match a cached fragment.
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-plan").toString
+    graft.sources.Tables.embeddings(spark, sf).write.parquet(s"$tmp/emb")
+    val df = graft.operators.Similarity.lshTopK(
+      spark.read.parquet(s"$tmp/emb"), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
     // (string assertions: AQE query-stage boundaries hide nodes from
     // plan.collect, but the final plan string includes every stage)
-    val p = finalPlan(SparkEntry.queries("ann_lsh_topk")(spark, sf)).toString
+    val p = finalPlan(df).toString
     val nGenerates = "Generate explode".r.findAllIn(p).length
     assert(nGenerates === 1, s"exactly one explode expected in:\n$p")
     // the explode's output carries qbucket -> it runs on the (5-row,
