@@ -1,23 +1,102 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.GraftFunctions.cosine_similarity
 
 /** IVF (inverted-file) approximate nearest neighbor search: a coarse
   * k-means quantizer partitions the corpus into `nClusters` cells; a
   * query scans only its `nProbe` nearest cells.
   *
-  * Spark-first composition: the quantizer is MLlib KMeans (distributed,
-  * deterministic with a fixed seed), the cell assignment lives as a
-  * plain column, and the probe is an equi-join on the cell id — so
-  * corpus work per query scales with `nProbe/nClusters` of the data,
-  * not with corpus size. Centroids are O(nClusters * dim) — driver-safe
-  * by construction at any corpus scale.
+  * Spark-first composition with a fully DETERMINISTIC, engine-mirrorable
+  * quantizer, so the whole pipeline carries a DuckDB oracle (the
+  * reference point for IVF is Lloyd's algorithm itself, not a library):
+  *   - fit on a bounded deterministic sample (first `fitSampleRows` by
+  *     id) — cell quality needs ~1000x nClusters points, not the corpus;
+  *   - init = the first `nClusters` sample vectors; `lloydIter` Lloyd
+  *     steps, each a distributed assignment pass + per-cell/dim mean;
+  *     centroids are O(nClusters x dim) and are collected per step like
+  *     any k-means driver loop, ROUNDED to 6 dp so partition-order
+  *     summation noise in avg() can never flip a downstream comparison;
+  *   - every distance is squared euclidean, summed in ascending dim
+  *     order and rounded to 6 dp, argmin tiebroken by cell id — the
+  *     identical computation is expressible in SQL.
+  *
+  * Distance/argmin hot loops run as typed Dataset.map with native Scala
+  * loops (Spark's higher-order-function lambdas are interpreted — see
+  * TextHashing's note); the stage stays narrow and scales linearly.
+  *
+  * Scale shape: the corpus is scanned once for assignment (nClusters
+  * distances per row) and equi-joined on the cell id against the
+  * broadcast probe list, so per-query work scales with
+  * nProbe/nClusters of the data. Centroids are driver-safe by
+  * construction at any corpus scale.
   */
 object IvfSearch {
+
+  /** Round half away from zero at 6 dp (matches Spark SQL and DuckDB
+    * `round(x, 6)` on doubles — math.rint would be half-even).
+    */
+  def rnd6(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  /** Squared euclidean, ascending-dim fold (mirrors SQL list_sum order). */
+  def sqDist(v: Array[Double], c: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+    s
+  }
+
+  /** Nearest cell by (round-6 distance, cell id) — engine-independent. */
+  def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var i = 0
+    while (i < centroids.length) {
+      val d = rnd6(sqDist(v, centroids(i)))
+      if (d < bestD) { bestD = d; best = i } // ties keep the lower cell id
+      i += 1
+    }
+    best
+  }
+
+  /** The query's nProbe nearest cells by the same rounded metric. */
+  def probeCellsOf(v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Seq[Int] =
+    centroids.indices
+      .map(i => (rnd6(sqDist(v, centroids(i))), i))
+      .sorted.take(nProbe).map(_._2)
+
+  /** Deterministic sample-fit Lloyd quantizer; returns rounded centroids. */
+  def fitCentroids(
+      e: Dataset[(Long, Array[Double])],
+      nClusters: Int,
+      lloydIter: Int,
+      fitSampleRows: Int): Array[Array[Double]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sample = e.orderBy(col("id")).limit(fitSampleRows).cache()
+    var centroids: Array[Array[Double]] =
+      sample.orderBy(col("id")).limit(nClusters).collect()
+        .sortBy(_._1) // collect order after TakeOrdered is not contractual
+        .map(_._2.map(rnd6))
+    var it = 0
+    while (it < lloydIter) {
+      val cs = centroids
+      val means = sample
+        .map { case (_, v) => (nearestCell(v, cs), v) }
+        .toDF("cell", "v")
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(r => rnd6(r.getDouble(2)))
+        }
+      // empty cells keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      it += 1
+    }
+    sample.unpersist()
+    centroids
+  }
 
   def ivfTopK(
       embeddings: DataFrame,
@@ -25,59 +104,37 @@ object IvfSearch {
       k: Int = 10,
       nClusters: Int = 16,
       nProbe: Int = 4,
+      lloydIter: Int = 3,
       fitSampleRows: Int = 4096,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // NOT cached: the result plan is lazy, so a cache here could never be
-    // safely unpersisted (it would pin the whole corpus in executor
-    // memory). The corpus appears twice in the final plan (query lookup +
-    // probe scan); cell assignment is 16 centroid distances per row —
-    // cheaper to recompute than to pin. At corpus scale you'd materialize
-    // the assignment once as a bucketed table instead.
-    val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("features", array_to_vector(col("v")))
-
-    // Fit the coarse quantizer on a bounded deterministic sample: cell
-    // quality needs ~1000x nClusters points, not the corpus — at 100 TB
-    // the 5 Lloyd iterations would otherwise be 5 full corpus passes.
-    // (orderBy the id keeps the sample stable across partitionings; the
-    // limit collapses to a TakeOrdered, not a full sort.)
-    // random init (seeded): kmeans|| would run ~2 extra distributed
-    // rounds per init step for a quantizer whose cells only need to be
-    // roughly balanced — Lloyd refinement does the real work
-    val fitSet = e.orderBy(col(idCol)).limit(fitSampleRows).cache()
-    val km = new KMeans().setK(nClusters).setSeed(42).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(fitSet)
-    fitSet.unpersist()
-    val assigned = model.transform(e).select(col(idCol), col("v"), col("cell"))
-
-    // centroid table (tiny by construction) for query->cell ranking
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toSeq.toDF("cell", "centroid")
+    val e = embeddings
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .repartition(spark.sparkContext.defaultParallelism)
 
-    val q = assigned.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("qid"), col("v").as("qv"))
-    // rank each query's cells by centroid similarity, keep nProbe
-    val wCell = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
-    val probeCells = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine_similarity(col("qv"), col("centroid").cast("array<double>")))
-      .withColumn("crk", row_number().over(wCell))
-      .filter(col("crk") <= nProbe)
-      .select("qid", "qv", "cell")
+    val centroids = fitCentroids(e, nClusters, lloydIter, fitSampleRows)
+    val cs = centroids
+
+    // corpus assignment: one narrow pass, nClusters distances per row
+    val assigned = e.map { case (id, v) => (id, v, nearestCell(v, cs)) }
+      .toDF(idCol, "v", "cell")
+
+    // each query probes its nProbe nearest cells (broadcast, tiny)
+    val np = nProbe
+    val probes = e.filter(t => queryIds.contains(t._1))
+      .flatMap { case (id, v) => probeCellsOf(v, cs, np).map(c => (id, v, c)) }
+      .toDF("qid", "qv", "cell")
 
     // probe: equi-join on the cell id — scans nProbe/nClusters of corpus
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
-    probeCells.join(assigned, "cell")
+    assigned.join(broadcast(probes), "cell")
       .filter(col(idCol) =!= col("qid"))
-      .withColumn("sim", round(cosine_similarity(col("qv"), col("v")), 4))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("v")), 4))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))

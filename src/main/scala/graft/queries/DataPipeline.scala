@@ -194,7 +194,55 @@ object DataPipeline {
     Similarity.lshTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
   }
 
-  val ann_ivf_topk = QueryDef.rowsOnly("ann_ivf_topk") { (s, d) =>
+  /** Full IVF mirror: DuckDB re-runs the ENTIRE deterministic quantizer —
+    * the same init (first-16 sample vectors), the same `lloydIter` Lloyd
+    * steps unrolled as CTEs, the same round-6 distances with cell-id
+    * tiebreaks — then the probe join and exact cosine top-k. Rounding at
+    * every cross-engine comparison point absorbs summation-order FP
+    * noise (see IvfSearch scaladoc).
+    */
+  private val AnnIvfSql: String = {
+    val K = 16; val Iter = 3; val NProbe = 4; val Dim = 64; val Sample = 4096
+    def d2(v: String, c: String) =
+      s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    val iters = (1 to Iter).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, v, cell FROM (
+         |  SELECT s.vec_id, s.v, c.cell,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY ${d2("s.v", "c.c")}, c.cell) AS rn
+         |  FROM samp s CROSS JOIN $prev c) WHERE rn = 1),
+         |m$i AS (SELECT cell, dim, avg(x) AS m FROM (
+         |  SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$i)
+         |  GROUP BY cell, dim),
+         |c$i AS (SELECT p.cell, coalesce(n.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(round(m, 6) ORDER BY dim) AS c FROM m$i GROUP BY cell) n
+         |  ON n.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $Sample),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |        list_transform(v, x -> round(x, 6)) AS c
+       |       FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $K)),
+       |$iters,
+       |asg AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.v", "c.c")}, c.cell) AS rn
+       |  FROM e CROSS JOIN c$Iter c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |pc AS (SELECT qid, qv, cell FROM (
+       |  SELECT q.qid, q.qv, c.cell,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY ${d2("q.qv", "c.c")}, c.cell) AS rn
+       |  FROM q CROSS JOIN c$Iter c) WHERE rn <= $NProbe),
+       |sc AS (SELECT p.qid, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+       |       FROM asg a JOIN pc p ON a.cell = p.cell AND a.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+       |      FROM sc)
+       |SELECT qid, rnk, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  val ann_ivf_topk = QueryDef.sqlChecked("ann_ivf_topk", AnnIvfSql) { (s, d) =>
     graft.operators.IvfSearch.ivfTopK(Tables.embeddings(s, d),
       queryIds = Seq(0L, 1L, 2L, 3L, 4L))
   }

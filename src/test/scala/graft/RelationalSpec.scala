@@ -60,6 +60,6 @@ class RelationalSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
     val rowsOnly = qs -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("ann_ivf_topk"))
+    assert(rowsOnly === Set.empty[String])
   }
 }
