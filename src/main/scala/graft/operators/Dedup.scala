@@ -86,11 +86,15 @@ object Dedup {
       sigs.select(col("doc_id"), posexplode(col("band_hashes")))
         .toDF("doc_id", "band", "band_hash"),
       Seq("band", "band_hash"), maxBucket)
-    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("da"))
-    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("db"))
-    val candidates = l.join(r, Seq("band", "band_hash"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    // alias AFTER the join so both sides canonicalize to the SAME
+    // exchange and Spark's ReuseExchange computes the signature stage
+    // once (pre-exchange aliases would make the subtrees distinct)
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
 
     val sa = sigs.select(col("doc_id").as("da"), col("sh").as("sha"))
     val sb = sigs.select(col("doc_id").as("db"), col("sh").as("shb"))
@@ -139,9 +143,11 @@ object Dedup {
       }
       .toDF("doc_id", "s"), Seq("s"), maxDocFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
-      .filter(col("da") < col("db"))
+    // alias after the join -> identical canonical exchanges -> Spark's
+    // ReuseExchange computes the shingle stage once for both sides
+    val inter = sh.as("l")
+      .join(sh.as("r"), col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -219,9 +225,11 @@ object Dedup {
       }
       .toDF("doc_id", "fp"), Seq("fp"), maxDocFreq)
     val counts = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    fp.select(col("doc_id").as("da"), col("fp"))
-      .join(fp.select(col("doc_id").as("db"), col("fp")), "fp")
-      .filter(col("da") < col("db"))
+    // alias after the join -> identical canonical exchanges -> one
+    // fingerprint stage feeds both join sides (ReuseExchange)
+    fp.as("l")
+      .join(fp.as("r"), col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .join(counts.select(col("doc_id").as("da"), col("n").as("na")), "da")
