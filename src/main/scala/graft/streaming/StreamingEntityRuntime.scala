@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import graft.model._
 import graft.model.Types._
 import graft.runtime.{EventTransport, StatefulOperator}
@@ -38,10 +38,19 @@ import graft.runtime.{EventTransport, StatefulOperator}
   * — at cluster scale this is per-key state sharded over executors with
   * exactly-once micro-batch semantics.
   */
+/** @param useTransformWithState lower onto Spark 4's
+  *   `transformWithState` (StatefulProcessor + RocksDB state store;
+  *   the session must set
+  *   `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+  *   provider) instead of `flatMapGroupsWithState`. Both lowerings run
+  *   the SAME `StatefulOperator.handle`, and both pass the S1-S6
+  *   scenario gate — the operator semantics are lowering-independent.
+  */
 final class StreamingEntityRuntime(
     registry: EntityRegistry,
     spark: SparkSession,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    useTransformWithState: Boolean = false)
     extends EventTransport with AutoCloseable {
 
   import spark.implicits._
@@ -84,9 +93,16 @@ final class StreamingEntityRuntime(
       .select("value").as[String]
       .map(EventBinary.decode(_))
     val dir = loopbackDir
-    input.toDS().union(loopback)
+    val grouped = input.toDS().union(loopback)
       .groupByKey(ev => (ev.entity, ev.key))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    val stateful =
+      if (useTransformWithState)
+        grouped.transformWithState(
+          new StreamingEntityRuntime.EntityProcessor(reg),
+          TimeMode.None(), OutputMode.Append())(eventEnc)
+      else
+        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    stateful
       .writeStream
     .outputMode("append")
     .queryName("graft-entity-runtime")
@@ -164,6 +180,38 @@ final class StreamingEntityRuntime(
 }
 
 object StreamingEntityRuntime {
+
+  /** The `transformWithState` lowering of the entity operator (Spark 4
+    * StatefulProcessor API, RocksDB-backed ValueState): identical
+    * semantics to [[statefulFn]], expressed against the newer state API.
+    */
+  final class EntityProcessor(registry: EntityRegistry)
+      extends StatefulProcessor[(String, String), Event, Event] {
+    @transient private var state: ValueState[State] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[State](
+        "entityState", Encoders.kryo[State], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, String),
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Event] = {
+      val handle = StatefulOperator.handle(registry) _
+      var cur: Option[State] = if (state.exists()) Some(state.get()) else None
+      val out = Seq.newBuilder[Event]
+      rows.foreach { ev =>
+        val (emitted, newState) = handle(ev, cur)
+        out ++= emitted
+        cur = newState
+      }
+      cur match {
+        case Some(s) => state.update(s)
+        case None => if (state.exists()) state.clear()
+      }
+      out.result().iterator
+    }
+  }
 
   /** Executor-side loopback append: stream the partition's continuations
     * into a staged file, then atomically rename it into the watched
