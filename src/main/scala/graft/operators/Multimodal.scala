@@ -85,4 +85,67 @@ object Multimodal {
     import spark.implicits._
     asMediaTable(documents).mapPartitions(decodeStub)
   }
+
+  /** One sampled frame of a chunked media payload. */
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int, frame_md5: String)
+
+  /** One cell of a fixed-size "thumbnail" (byte-level downsample). */
+  final case class ThumbCell(doc_id: Long, seg: Int, value: Double)
+
+  private def rnd4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** Frame sampling: treat the payload as fixed-size frames and keep a
+    * uniform-stride sample (the video keyframe-sampling shape). A real
+    * codec would decode container frames; the chunking/stride/identity
+    * plumbing here is the real distributed shape and is oracle-checked
+    * on the byte level (frame md5s).
+    */
+  def frameSample(
+      documents: DataFrame,
+      frameBytes: Int = 256,
+      targetFrames: Int = 8)(implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    val fb = frameBytes; val tf = targetFrames
+    asMediaTable(documents).flatMap { r =>
+      val n = r.media.length
+      val nF = (n + fb - 1) / fb
+      val stride = math.max(1, (nF + tf - 1) / tf)
+      (0 until nF by stride).map { i =>
+        val off = i * fb
+        val len = math.min(fb, n - off)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.util.Arrays.copyOfRange(r.media, off, off + len))
+          .map(b => f"$b%02x").mkString
+        FrameSample(r.doc_id, i, off, len, md)
+      }
+    }
+  }
+
+  /** Byte-level resize: downsample the payload to `segments` cells, each
+    * the mean byte value of its contiguous slice — the deterministic
+    * stand-in for pixel-space resampling, with the same partitioning and
+    * output shape (one narrow pass, exploded cells so the oracle compares
+    * scalars, assembled back into a vector with collect_list downstream).
+    */
+  def resizeBytes(
+      documents: DataFrame,
+      segments: Int = 16)(implicit spark: SparkSession): Dataset[ThumbCell] = {
+    import spark.implicits._
+    val segs = segments
+    asMediaTable(documents).flatMap { r =>
+      val n = r.media.length
+      (0 until segs).map { s =>
+        val lo = (s * n) / segs
+        val hi = ((s + 1) * n) / segs
+        val v =
+          if (hi > lo) {
+            var sum = 0L; var j = lo
+            while (j < hi) { sum += (r.media(j) & 0xff); j += 1 }
+            rnd4(sum.toDouble / (hi - lo))
+          } else 0.0
+        ThumbCell(r.doc_id, s, v)
+      }
+    }
+  }
 }

@@ -347,8 +347,48 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over the byte payload (ASCII stand-in: byte slicing
+    * == char slicing, so DuckDB mirrors the frames with substr + md5).
+    */
+  val mm_frames = QueryDef.sqlChecked(
+    "mm_frames",
+    """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |s AS (SELECT doc_id, text, n, greatest(1, (((n + 255) // 256) + 7) // 8) AS stride,
+      |        (n + 255) // 256 AS nf FROM m),
+      |ex AS (SELECT doc_id, text, n, stride, unnest(range(nf)) AS i FROM s),
+      |fr AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |        CAST(i * 256 AS INTEGER) AS frame_off,
+      |        CAST(least(256, n - i * 256) AS INTEGER) AS frame_len,
+      |        md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS frame_md5
+      |       FROM ex WHERE i % stride = 0)
+      |SELECT doc_id, frame_idx, frame_off, frame_len, frame_md5
+      |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.frameSample(Tables.documents(s, d)).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Byte-level thumbnail resize, exploded to scalar cells. */
+  val mm_resize = QueryDef.sqlChecked(
+    "mm_resize",
+    """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |seg AS (SELECT doc_id, CAST(t.s AS INTEGER) AS seg,
+      |         (t.s * n) // 16 AS lo, ((t.s + 1) * n) // 16 AS hi, text
+      |        FROM m, range(16) t(s))
+      |SELECT doc_id, seg,
+      | CASE WHEN hi > lo THEN
+      |   round(list_sum(list_transform(range(lo, hi),
+      |     j -> ascii(substr(text, CAST(j + 1 AS INTEGER), 1)))) * 1.0 / (hi - lo), 4)
+      | ELSE 0.0 END AS value
+      |FROM seg ORDER BY doc_id, seg""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.resizeBytes(Tables.documents(s, d)).toDF()
+      .orderBy("doc_id", "seg")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd6_winnow_fragments, ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
-    txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf, mm_features)
+    txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
+    mm_features, mm_frames, mm_resize)
 }

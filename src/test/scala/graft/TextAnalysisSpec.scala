@@ -53,6 +53,36 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("term") === "x").collect().forall(_.getDouble(4) === 0.0))
   }
 
+  test("frame sampling: stride covers the payload, md5 identifies frames") {
+    implicit val s = spark
+    import s.implicits._
+    // 600 chars -> 3 frames of 256/256/88; nF=3 <= 8 target -> stride 1
+    val text = ("ab" * 300)
+    val df = Seq((5L, text)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(df).collect().sortBy(_.frame_idx)
+    assert(frames.length === 3)
+    assert(frames.map(_.frame_off).toSeq === Seq(0, 256, 512))
+    assert(frames.map(_.frame_len).toSeq === Seq(256, 256, 88))
+    val md5head = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.substring(0, 256).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(frames.head.frame_md5 === md5head)
+    // long payload: 40 frames -> stride 5 -> 8 sampled frames
+    val long = Seq((6L, "x" * (256 * 40))).toDF("doc_id", "text")
+    val sampled = Multimodal.frameSample(long).collect()
+    assert(sampled.length === 8)
+    assert(sampled.map(_.frame_idx).sorted.toSeq === Seq(0, 5, 10, 15, 20, 25, 30, 35))
+  }
+
+  test("byte resize: cells are mean byte values of contiguous slices") {
+    implicit val s = spark
+    import s.implicits._
+    // 32 chars over 16 segments -> 2 bytes each; 'a'=97, 'b'=98
+    val df = Seq((9L, "ab" * 16)).toDF("doc_id", "text")
+    val cells = Multimodal.resizeBytes(df).collect().sortBy(_.seg)
+    assert(cells.length === 16)
+    assert(cells.forall(_.value === 97.5))
+  }
+
   test("multimodal stub pipeline: features derive from payload bytes") {
     implicit val s = spark
     import s.implicits._
