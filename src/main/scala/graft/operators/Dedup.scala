@@ -171,7 +171,8 @@ object Dedup {
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7,
+      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 7, "banding guarantees recall only for maxHamming <= 7")
     val spark = documents.sparkSession
     import spark.implicits._
@@ -191,14 +192,23 @@ object Dedup {
         (id, sig, TextHashing.byteBands(bits))
       }
       .toDF("doc_id", "sig", "bytes")
-    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(col("bytes")))
-      .toDF("doc_id", "sig", "band", "byte_val")
-    val l = banded.select(col("band"), col("byte_val"), col("doc_id").as("da"), col("sig").as("sa"))
-    val r = banded.select(col("band"), col("byte_val"), col("doc_id").as("db"), col("sig").as("sb"))
-    l.join(r, Seq("band", "byte_val")).filter(col("da") < col("db"))
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+    // bucket-size cap: mass-duplicate signature clusters would make one
+    // (band, byte) bucket quadratic, same guard as minhashLsh's bands
+    // (default is a no-op on the oracle testdata)
+    val banded = capDocFreq(
+      sigs.select(col("doc_id"), col("sig"), posexplode(col("bytes")))
+        .toDF("doc_id", "sig", "band", "byte_val"),
+      Seq("band", "byte_val"), maxBucket)
+    // alias after the join -> one banded exchange feeds both sides
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.byte_val") === col("r.byte_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("da", "db", "hamming").distinct()
+      .distinct()
       .orderBy("da", "db")
   }
 
