@@ -45,12 +45,15 @@ object YcsbBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.metricsEnabled", "false")
-      .getOrCreate()
+    if (sys.env.get("SPARK_GRAFT_TWS").contains("1"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     TestEntities.registerFlows()
 
@@ -66,7 +69,11 @@ object YcsbBench {
 
   private def runWorkload(spark: SparkSession, name: String,
       mix: (Double, Double, Double)): String = {
-    val rt = new StreamingEntityRuntime(TestEntities.registry, spark)
+    // SPARK_GRAFT_TWS=1 -> measure the transformWithState lowering
+    // (caller session must carry the RocksDB provider conf; main sets it)
+    val useTws = sys.env.get("SPARK_GRAFT_TWS").contains("1")
+    val rt = new StreamingEntityRuntime(TestEntities.registry, spark,
+      useTransformWithState = useTws)
     val client = new Client(TestEntities.registry, rt)
     try {
       val keys = (0 until N_ENTITIES).map(i => s"k$i")
