@@ -1,6 +1,5 @@
 package graft.functions
 
-import scala.util.hashing.MurmurHash3
 
 /** Row-local text-hashing primitives in plain Scala, used from typed
   * `Dataset.map` stages.
@@ -25,13 +24,6 @@ object TextHashing {
     if (toks.length < n) Array.empty
     else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
 
-  /** Deterministic 64-bit string hash from two murmur3-32 passes. */
-  def hash64(s: String): Long = {
-    val lo = MurmurHash3.stringHash(s, 0x9747b28c)
-    val hi = MurmurHash3.stringHash(s, 0x85ebca6b)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
-  }
-
   private val MersennePrime = (1L << 61) - 1
 
   /** Universal-hash parameter table for MinHash (fixed seed). */
@@ -40,13 +32,17 @@ object TextHashing {
     Array.fill(numHashes)((math.abs(rnd.nextInt()).toLong | 1L, math.abs(rnd.nextInt()).toLong))
   }
 
-  /** MinHash signature over the shingle set; empty set -> all -1. */
+  /** MinHash signature over the shingle set; empty set -> all -1.
+    * Shingle base hash is the 31-bit poly32 (SQL-mirrorable, and a*h
+    * never overflows against the Mersenne modulus), so the ENTIRE
+    * signature pipeline replays in the DuckDB oracle.
+    */
   def minhashSignature(shingleSet: Array[String], params: Array[(Long, Long)]): Array[Long] = {
     val sig = Array.fill(params.length)(Long.MaxValue)
     if (shingleSet.isEmpty) return Array.fill(params.length)(-1L)
     var i = 0
     while (i < shingleSet.length) {
-      val h = hash64(shingleSet(i)) & 0x7fffffffL // 31-bit base: a*h never overflows
+      val h = poly32(shingleSet(i), 41) & 0x7fffffffL
       var j = 0
       while (j < params.length) {
         val (a, b) = params(j)
@@ -59,15 +55,19 @@ object TextHashing {
     sig
   }
 
-  /** Hash a signature band (for LSH bucketing). */
+  /** Hash a signature band (for LSH bucketing): fold the band's rows mod
+    * 2^32 — every intermediate < 2^72/131 < 2^63 after the row values are
+    * masked to 32 bits, so the identical fold is ANSI-SQL-expressible
+    * (wraparound Long arithmetic would not be). The band index is not
+    * folded in; bucket keys are the (band, band_hash) PAIR.
+    */
   def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
     val rows = sig.length / bands
     Array.tabulate(bands) { b =>
-      var h = 1125899906842597L
+      var h = 97L
       var i = b * rows
-      while (i < (b + 1) * rows) { h = h * 31 + sig(i); i += 1 }
-      h ^ b // band index folded in so identical sub-signatures in
-      //      different bands land in different buckets
+      while (i < (b + 1) * rows) { h = (h * 131 + (sig(i) & 0xffffffffL)) & 0xffffffffL; i += 1 }
+      h
     }
   }
 

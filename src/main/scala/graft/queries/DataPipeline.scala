@@ -43,7 +43,53 @@ object DataPipeline {
       |WHERE 2*i >= (sa.n + sb.n - i)
       |ORDER BY da, db""".stripMargin
 
-  val dd2_minhash_lsh = QueryDef.sqlChecked("dd2_minhash_lsh", NgramJaccardSql) { (s, d) =>
+  /** Full MinHash-LSH mirror, generated from the SAME fixed-seed
+    * parameter table the engine uses: DuckDB replays the 31-bit shingle
+    * hash, all 64 universal hashes, the per-band fold, the bucket-size
+    * cap, the banded candidate join, and the exact-Jaccard verification
+    * — so the oracle reproduces the LSH pair set exactly at ANY scale
+    * (an exact-Jaccard oracle would diverge on the rare pair the banding
+    * misses, or whenever the bucket cap engages).
+    */
+  private val MinhashLshSql: String = {
+    val params = graft.functions.TextHashing.minhashParams(64)
+    val paramRows = params.zipWithIndex
+      .map { case ((a, b), k) => s"($k, ${a}, ${b})" }.mkString(",\n   ")
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |hs0 AS (SELECT doc_id, s, ${polySql("s", 41)} AS hv FROM sh),
+       |${mixCtes("hs0", "hsm", keep = Seq("doc_id", "s"), cols = Seq("hv"))},
+       |hs AS (SELECT doc_id, hv % 2147483648 AS h FROM hsm),
+       |params AS (SELECT * FROM (VALUES
+       |   $paramRows) t(k, a, b)),
+       |sig AS (SELECT doc_id, k, min((a * h + b) % 2305843009213693951) AS sg
+       |        FROM hs, params GROUP BY doc_id, k),
+       |band AS (SELECT s0.doc_id, s0.k // 2 AS band,
+       |          (((97 * 131 + (s0.sg % 4294967296)) % 4294967296) * 131
+       |            + (s1.sg % 4294967296)) % 4294967296 AS band_hash
+       |         FROM sig s0 JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.k = s0.k + 1
+       |         WHERE s0.k % 2 = 0),
+       |keep AS (SELECT band, band_hash FROM band GROUP BY band, band_hash
+       |         HAVING count(*) <= 1000),
+       |bk AS (SELECT b.doc_id, b.band, b.band_hash FROM band b JOIN keep USING (band, band_hash)),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bk x JOIN bk y USING (band, band_hash) WHERE x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c JOIN sh a ON a.doc_id = c.da
+       |                      JOIN sh b2 ON b2.doc_id = c.db AND b2.s = a.s
+       |          GROUP BY c.da, c.db)
+       |SELECT da, db, round(i*1.0/(sa.n + sb.n - i), 4) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE 2*i >= (sa.n + sb.n - i)
+       |ORDER BY da, db""".stripMargin
+  }
+
+  val dd2_minhash_lsh = QueryDef.sqlChecked("dd2_minhash_lsh", MinhashLshSql) { (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d))
   }
 
@@ -74,9 +120,10 @@ object DataPipeline {
   }
 
   /** Full SimHash mirror: the oracle recomputes the two 32-bit token
-    * hashes, the per-bit votes, both signature halves, and brute-forces
-    * all pairs (fine at oracle scale) — the banded join in the engine is
-    * exactly the recall-guaranteed version of this.
+    * hashes, the per-bit votes, both signature halves, AND the engine's
+    * byte-band bucketing with the bucket-size cap — so it reproduces the
+    * banded join's exact pair set at ANY scale (a brute-force oracle
+    * would diverge the moment the cap drops an oversized bucket).
     */
   private val SimhashSql =
     s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -93,10 +140,21 @@ object DataPipeline {
        |        CAST(sum(CASE WHEN vb > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sb
        |       FROM bits GROUP BY doc_id),
        |sig AS (SELECT d.doc_id, coalesce(s.sa, 0) AS sa, coalesce(s.sb, 0) AS sb
-       |        FROM documents d LEFT JOIN sigagg s ON s.doc_id = d.doc_id)
-       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |        FROM documents d LEFT JOIN sigagg s ON s.doc_id = d.doc_id),
+       |flat AS (SELECT doc_id, i,
+       |          CASE WHEN i < 32 THEN (sa >> i) & 1 ELSE (sb >> (i - 32)) & 1 END AS bit
+       |         FROM sig, range(64) r(i)),
+       |bytes AS (SELECT doc_id, i // 8 AS band,
+       |           CAST(sum(bit << (7 - (i % 8))) AS BIGINT) AS byte_val
+       |          FROM flat GROUP BY doc_id, i // 8),
+       |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
+       |         HAVING count(*) <= 1000),
+       |bk AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b JOIN keep USING (band, byte_val)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bk a JOIN bk b USING (band, byte_val) WHERE a.doc_id < b.doc_id)
+       |SELECT da, db,
        | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
        |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
        |ORDER BY da, db""".stripMargin
 
