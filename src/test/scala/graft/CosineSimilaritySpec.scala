@@ -11,19 +11,19 @@ class CosineSimilaritySpec extends SparkSpec {
     val b = Array(-1.0, 0.5, 2.0)
     val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
     val viaCol = df.select(GraftFunctions.cosine_similarity(col("a"), col("b")))
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(math.abs(viaCol - TextHashing.cosine(a, b)) < 1e-12)
 
     GraftFunctions.register(spark)
     df.createOrReplaceTempView("vecs")
-    val viaSql = spark.sql("SELECT cosine_similarity(a, b) FROM vecs").head.getDouble(0)
+    val viaSql = spark.sql("SELECT cosine_similarity(a, b) FROM vecs").head().getDouble(0)
     assert(viaSql === viaCol)
   }
 
   test("null inputs yield null, wrong types fail analysis") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0, 0.0)), Option.empty[Seq[Double]])).toDF("a", "b")
-    val r = df.select(GraftFunctions.cosine_similarity(col("a"), col("b"))).head
+    val r = df.select(GraftFunctions.cosine_similarity(col("a"), col("b"))).head()
     assert(r.isNullAt(0))
     val bad = Seq(("x", 1)).toDF("a", "b")
     intercept[Exception] {
@@ -38,7 +38,7 @@ class CosineSimilaritySpec extends SparkSpec {
       (Seq(1.0, 0.0, i.toDouble % 3), Seq(1.0, 0.0, i.toDouble % 3))
     }.toDF("a", "b")
     val sims = df.select(GraftFunctions.cosine_similarity(col("a"), col("b")).as("s"))
-      .agg(min("s"), max("s")).head
+      .agg(min("s"), max("s")).head()
     assert(math.abs(sims.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(sims.getDouble(1) - 1.0) < 1e-12)
   }

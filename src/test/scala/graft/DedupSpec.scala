@@ -15,7 +15,7 @@ class DedupSpec extends SparkSpec {
   test("exact dedup groups every doc and keeps min id") {
     val d = Dedup.exact(docs)
     assert(d.count() === docs.count()) // corpus has no exact dups
-    assert(d.agg(sum("n_copies")).head.getLong(0) === docs.count())
+    assert(d.agg(sum("n_copies")).head().getLong(0) === docs.count())
   }
 
   test("minhash-LSH finds all high-similarity pairs and only true pairs") {
@@ -81,7 +81,7 @@ class DedupSpec extends SparkSpec {
     // the 10 pure-stop-phrase shingles (df = 41 > cap) are out of the
     // computation: the planted pair keeps 5 of its shared shingles over a
     // 7-shingle union -> J = 5/7
-    val row = capped.filter(col("da") === 1L && col("db") === 41L).head
+    val row = capped.filter(col("da") === 1L && col("db") === 41L).head()
     assert(math.abs(row.getDouble(2) - 5.0 / 7.0) < 1e-3)
     // fragment overlap: uncapped, the guaranteed-shared stop fingerprints
     // pair up EVERY doc combination (the quadratic blowup); under the cap
