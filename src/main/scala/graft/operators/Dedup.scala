@@ -120,7 +120,7 @@ object Dedup {
     * hot set is tiny by construction (keys in > cap docs), so the
     * anti-join broadcasts.
     */
-  private def capDocFreq(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  private[operators] def capDocFreq(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val hot = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(keyCols.map(col): _*)
     keyed.join(broadcast(hot), keyCols, "left_anti")

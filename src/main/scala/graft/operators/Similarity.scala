@@ -61,6 +61,64 @@ object Similarity {
     (0 until nBits).map(1 << _) ++:
     (for { i <- 0 until nBits; j <- i + 1 until nBits } yield (1 << i) | (1 << j))
 
+  /** Sub-quadratic embedding near-duplicate PAIRS (the scale path whose
+    * oracle baseline is [[Dedup.embeddingNearDup]]'s brute force): a
+    * 64-bit random-hyperplane signature per vector, byte-banded like
+    * SimHash (8 bands of 8 bits), bucket-size-capped candidate equi-join,
+    * then exact cosine verification of candidates only. Recall at
+    * sim s is 1-(1-p^8)^8 with p = 1 - arccos(s)/pi (e.g. ~0.94 at
+    * s = 0.9); every candidate is verified, so precision is exact.
+    *
+    * The signature loop runs as a typed map with native folds (64 dots
+    * of 64 dims/row; interpreted HOFs would be ~100x slower), ascending
+    * index order so the SQL mirror's list_inner_product matches bit for
+    * bit.
+    */
+  def lshNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.45,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes: Array[Array[Double]] =
+      hyperplanes(dim, nBits = 64).map(_.toArray).toArray
+    val e = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .repartition(spark.sparkContext.defaultParallelism)
+    val ps = planes
+    val sigs = e.map { case (id, v) =>
+      val bits = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j) * ps(i)(j); j += 1 }
+        bits(i) = if (s >= 0) 1 else 0
+        i += 1
+      }
+      (id, graft.functions.TextHashing.byteBands(bits))
+    }.toDF("id", "bytes")
+    val banded = Dedup.capDocFreq(
+      sigs.select(col("id"), posexplode(col("bytes"))).toDF("id", "band", "byte_val"),
+      Seq("band", "byte_val"), maxBucket)
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.byte_val") === col("r.byte_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("va"), col("r.id").as("vb")).distinct()
+    val ea = e.toDF("va", "x")
+    val eb = e.toDF("vb", "y")
+    cand.join(ea, "va").join(eb, "vb")
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")))
+      .filter(col("sim") > threshold)
+      .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
+      .orderBy("va", "vb")
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket or any
     * bucket in its Hamming<=2 probe ring, then exact cosine + top-k
     * within candidates.

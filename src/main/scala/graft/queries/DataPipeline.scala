@@ -207,6 +207,39 @@ object DataPipeline {
     Dedup.embeddingNearDup(Tables.embeddings(s, d))
   }
 
+  /** Full mirror of the sub-quadratic embedding near-dup: DuckDB replays
+    * the 64 hyperplane sign bits (same fixed-seed constants), the byte
+    * banding, the bucket cap, the banded candidate join, and the exact
+    * cosine verification — scale-true like the other LSH mirrors.
+    */
+  private val EmbeddingLshSql: String = {
+    val planes = Similarity.hyperplanes(dim = 64, nBits = 64)
+    def planeArr(p: Seq[Double]) =
+      p.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")
+    val byteExprs = (0 until 8).map { b =>
+      (0 until 8).map { t =>
+        val w = 1 << (7 - t)
+        s"(CASE WHEN list_inner_product(v, ${planeArr(planes(8 * b + t))}) >= 0 THEN $w ELSE 0 END)"
+      }.mkString("(", "\n    + ", ")")
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bytes AS (SELECT vec_id, unnest(range(8)) AS band,
+       |           unnest([${byteExprs.mkString(",\n  ")}]) AS byte_val
+       |          FROM e),
+       |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
+       |         HAVING count(*) <= 1000),
+       |bk AS (SELECT b.vec_id, b.band, b.byte_val FROM bytes b JOIN keep USING (band, byte_val)),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |         FROM bk a JOIN bk b USING (band, byte_val) WHERE a.vec_id < b.vec_id),
+       |sc AS (SELECT c.va, c.vb, list_cosine_similarity(x.v, y.v) AS s
+       |       FROM cand c JOIN e x ON x.vec_id = c.va JOIN e y ON y.vec_id = c.vb)
+       |SELECT va, vb, round(s, 4) AS sim FROM sc WHERE s > 0.45 ORDER BY va, vb""".stripMargin
+  }
+
+  val dd5b_embedding_lsh = QueryDef.sqlChecked("dd5b_embedding_lsh", EmbeddingLshSql) { (s, d) =>
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d))
+  }
+
   // -------------------------------------------------- similarity search
   val ann_brute_topk = QueryDef.sqlChecked(
     "ann_brute_topk",
@@ -446,7 +479,8 @@ object DataPipeline {
 
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
-    dd5_embedding_neardup, dd6_winnow_fragments, ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
+    dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
+    ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     mm_features, mm_frames, mm_resize)
 }

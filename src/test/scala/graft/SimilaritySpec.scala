@@ -23,6 +23,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH near-dup pairs: sound vs brute force, planted dup found") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // soundness on real data: every reported pair is a true > 0.45 pair
+    // (candidates are exactly verified, so this must hold by construction)
+    val lshPairs = Similarity.lshNearDupPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = graft.operators.Dedup.embeddingNearDup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(brutePairs))
+    assert(lshPairs.nonEmpty)
+    // planted near-identical vectors (cos ~ 0.9995) must be found: at that
+    // angle all 64 sign bits almost surely agree -> same buckets
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7) + 0.1)
+    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.02 else 0.0) }
+    val far = Array.tabulate(64)(i => math.cos(i * 1.3) - 0.2)
+    val df = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val found = Similarity.lshNearDupPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)))
+  }
+
   test("LSH top-k achieves useful recall against brute force") {
     val bf = neighborSet(Similarity.bruteForceTopK(emb, qids))
     val lsh = neighborSet(Similarity.lshTopK(emb, qids))
