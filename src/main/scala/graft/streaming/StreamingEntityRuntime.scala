@@ -46,11 +46,20 @@ import graft.runtime.{EventTransport, StatefulOperator}
   *   the SAME `StatefulOperator.handle`, and both pass the S1-S6
   *   scenario gate — the operator semantics are lowering-independent.
   */
+/** @param fileInputDir when set, client events enter through a durable
+  *   file source at this path instead of an in-memory stream — the
+  *   replayable-source shape a checkpoint RESTART requires (MemoryStream
+  *   data dies with the JVM, so recovery can only be tested/deployed
+  *   with durable sources; Kafka plays this role in production).
+  *   Combined with a stable `checkpointDir`, a new runtime on the same
+  *   dirs resumes exactly where the old one stopped, state included.
+  */
 final class StreamingEntityRuntime(
     registry: EntityRegistry,
     spark: SparkSession,
     checkpointDir: Option[String] = None,
-    useTransformWithState: Boolean = false)
+    useTransformWithState: Boolean = false,
+    fileInputDir: Option[String] = None)
     extends EventTransport with AutoCloseable {
 
   import spark.implicits._
@@ -64,12 +73,24 @@ final class StreamingEntityRuntime(
   // the "internal topic": continuations land here executor-side and the
   // file stream below re-ingests them, partitioned like any other source.
   // Files are staged in a sibling dir and atomically renamed into the
-  // watched dir so the source never lists a half-written file.
-  private val loopbackBase = java.nio.file.Files.createTempDirectory("graft-loopback")
-  private val loopbackDir = java.nio.file.Files
-    .createDirectory(loopbackBase.resolve("topic")).toString
-  private val loopbackStage = java.nio.file.Files
-    .createDirectory(loopbackBase.resolve("stage")).toString
+  // watched dir so the source never lists a half-written file. When a
+  // durable checkpoint is given the loopback lives NEXT TO it (stable
+  // across restarts — the checkpoint's source offsets reference it);
+  // otherwise it is a session temp dir.
+  private val loopbackBase = checkpointDir match {
+    case Some(c) =>
+      val p = java.nio.file.Paths.get(c + "-loopback")
+      java.nio.file.Files.createDirectories(p); p
+    case None => java.nio.file.Files.createTempDirectory("graft-loopback")
+  }
+  private def ensureDir(p: java.nio.file.Path): String = {
+    java.nio.file.Files.createDirectories(p); p.toString
+  }
+  private val loopbackDir = ensureDir(loopbackBase.resolve("topic"))
+  private val loopbackStage = ensureDir(loopbackBase.resolve("stage"))
+  private val fileInput: Option[String] = fileInputDir.map { d =>
+    ensureDir(java.nio.file.Paths.get(d))
+  }
   private val contAcc = spark.sparkContext.longAccumulator("graft-loopback-conts")
   // continuation count per batch, to know when the loopback has drained
   @volatile private var pendingContinuations = false
@@ -93,7 +114,15 @@ final class StreamingEntityRuntime(
       .select("value").as[String]
       .map(EventBinary.decode(_))
     val dir = loopbackDir
-    val grouped = input.toDS().union(loopback)
+    val ingress = fileInput match {
+      case Some(in) =>
+        // durable client ingress (kept on disk -> replayable on restart)
+        spark.readStream.text(in)
+          .select("value").as[String]
+          .map(EventBinary.decode(_))
+      case None => input.toDS()
+    }
+    val grouped = ingress.union(loopback)
       .groupByKey(ev => (ev.entity, ev.key))
     val stateful =
       if (useTransformWithState)
@@ -148,12 +177,29 @@ final class StreamingEntityRuntime(
   /** Hop events that went through the distributed loopback instead. */
   def loopbackWrittenCount: Long = loopbackWritten
 
+  /** Enqueue client events: memory stream by default; a staged atomic
+    * file write when the durable file ingress is configured.
+    */
+  private def enqueue(evs: Seq[Event]): Unit = fileInput match {
+    case Some(in) =>
+      // stage as a dotfile IN the ingress dir (same filesystem -> the
+      // rename is atomic; the file source ignores dot-prefixed names)
+      val name = java.util.UUID.randomUUID().toString + ".txt"
+      val staged = java.nio.file.Paths.get(in, "." + name)
+      val out = java.nio.file.Files.newBufferedWriter(staged)
+      try evs.foreach { ev => out.write(EventBinary.encode(ev)); out.newLine() }
+      finally out.close()
+      java.nio.file.Files.move(staged, java.nio.file.Paths.get(in, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    case None => input.addData(evs): Unit
+  }
+
   /** Synchronous request/reply for tests and the YCSB driver: feed the
     * event, drain micro-batches (including loopback hops) until the
     * reply for this event id lands.
     */
   override def send(ev: Event): Event = {
-    input.addData(ev)
+    enqueue(Seq(ev))
     var spins = 0
     while (!replies.containsKey(ev.eventId) && spins < 300) {
       query.processAllAvailable()
@@ -167,7 +213,7 @@ final class StreamingEntityRuntime(
   /** Pipelined fire-and-forget send; replies are collected asynchronously
     * (the shape the YCSB throughput driver uses).
     */
-  def sendAsync(evs: Seq[Event]): Unit = input.addData(evs)
+  def sendAsync(evs: Seq[Event]): Unit = enqueue(evs)
 
   def drain(): Unit = {
     query.processAllAvailable()
