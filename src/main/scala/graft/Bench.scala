@@ -9,11 +9,21 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune every computed column (a projection-only query
   * would benchmark an empty scan), noop executes the full plan exactly
   * as a real consumer would.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2); the
+  * reported per-query number is the MIN across runs and the raw runs are
+  * carried in a `runs` field — so one contended run can neither
+  * masquerade as a real regression nor mask one. The Spark SQL cache is
+  * cleared before EVERY run: several operators persist() their
+  * multi-consumer signature stages, and a warm cache would let run 2
+  * skip the signature computation entirely (an artificially fast,
+  * dishonest min).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,17 +35,25 @@ object Bench {
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val runs = (1 to nRuns).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, runs.min, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    spark.catalog.clearCache()
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results
+      .map { case (k, _, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextHashing
 
 /** Deduplication operators for large text/embedding corpora.
@@ -18,12 +19,35 @@ import graft.functions.TextHashing
   *   - embedding near-dup keeps a brute-force form here (the oracle
   *     baseline); the ANN path for scale lives in [[Similarity]].
   *
-  * All signature stages `repartition` first: a single parquet file
-  * arrives as one partition, and hash work must spread across the
-  * cluster (at 100 TB the input is already thousands of splits, so the
-  * repartition is a no-op cost-wise but keeps local runs honest).
+  * Signature stages call [[spread]] first: a single parquet file
+  * arrives as one partition and the hash work must fan out across the
+  * cluster — but ONLY when the source is actually under-partitioned.
+  * `repartition` always inserts a full round-robin shuffle of the
+  * corpus regardless of input partitioning, so at scale (where the
+  * table is already thousands of splits) it must be skipped, not
+  * relied on to be free.
+  *
+  * Signature stages are `persist(MEMORY_AND_DISK)`ed when they feed
+  * multiple consumers (band join sides + hot-key cap + verification
+  * joins): Spark's ReuseExchange only deduplicates subtrees that share
+  * a canonical exchange, so without the persist the expensive typed
+  * map re-executes once per consumer. Repeated calls with the same
+  * input reuse the same cache entry (CacheManager canonicalizes), so
+  * the entries don't accumulate; batch harnesses that run many
+  * unrelated queries (Bench/Verify) clear the cache between queries.
   */
 object Dedup {
+
+  /** Fan a narrow source out to `defaultParallelism` partitions ONLY if
+    * it arrives with fewer — the local single-file case. A well-split
+    * source (any real at-scale table) passes through untouched; an
+    * unconditional `repartition` here would be a gratuitous full
+    * shuffle of the corpus text.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   /** Whitespace tokens with empty strings dropped — expression form for
     * oracle-checked column pipelines (parity documented in QueryDef).
@@ -46,10 +70,8 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
-    documents.select(col(idCol).cast("long"), col(textCol))
+    spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-      .repartition(par)
       .map { case (id, text) =>
         val sh = TextHashing.shingles(TextHashing.tokens(text))
         val sig = TextHashing.minhashSignature(sh, MinhashParams.value(numHashes))
@@ -74,7 +96,13 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       maxBucket: Int = 1000): DataFrame = {
+    // The signature stage (64 universal hashes per shingle) feeds FOUR
+    // consumers: the hot-bucket cap aggregation, the anti-join's keyed
+    // side, and the two verification-join sides. None of those share a
+    // canonical exchange subtree, so without the persist the typed map
+    // re-executes per consumer (observed 4.7x on the full query).
     val sigs = signatures(documents, idCol, textCol, numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Bucket-size cap: a boilerplate-heavy corpus (or a pile of empty
     // docs, whose signatures are identical) lands thousands of docs in
     // ONE (band, band_hash) bucket -> a bucket-sized^2 candidate block.
@@ -111,6 +139,12 @@ object Dedup {
     * explode + equi-self-join (the shuffle is on the shingle value, so
     * co-occurring docs meet without an n^2 cross join). This is the
     * oracle-checked exact counterpart of [[minhashLsh]].
+    *
+    * When the doc-frequency cap engages (any shingle in > maxDocFreq
+    * docs), the reported `jaccard` is Jaccard over the CAPPED shingle
+    * sets — ubiquitous shingles carry no discriminative signal, so this
+    * is the intended semantics, and the DuckDB oracle mirrors the cap
+    * (sizes computed post-cap) so engine and check agree at any scale.
     */
   /** Drop join keys whose document frequency exceeds `cap`: one
     * ubiquitous key (a stop-phrase shingle, a boilerplate fingerprint)
@@ -134,14 +168,15 @@ object Dedup {
       maxDocFreq: Int = 1000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
-    val sh = capDocFreq(documents.select(col(idCol).cast("long"), col(textCol))
+    // persist: the capped shingle set feeds the size aggregation AND the
+    // self-join (plus the cap's own hot-key aggregation upstream)
+    val sh = capDocFreq(spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-      .repartition(par)
       .flatMap { case (id, text) =>
         TextHashing.shingles(TextHashing.tokens(text)).map(s => (id, s))
       }
       .toDF("doc_id", "s"), Seq("s"), maxDocFreq)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // alias after the join -> identical canonical exchanges -> Spark's
     // ReuseExchange computes the shingle stage once for both sides
@@ -176,14 +211,13 @@ object Dedup {
     require(maxHamming <= 7, "banding guarantees recall only for maxHamming <= 7")
     val spark = documents.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
     // signature packed into ONE long: candidate rows are (long, long) and
     // the Hamming check is the codegen'd bit_count(xor) — no arrays ever
     // cross the band-join shuffle (which can be hot when the corpus
-    // vocabulary clusters signatures).
-    val sigs = documents.select(col(idCol).cast("long"), col(textCol))
+    // vocabulary clusters signatures). persist: feeds the cap's hot-key
+    // aggregation and the anti-join's keyed side.
+    val sigs = spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-      .repartition(par)
       .map { case (id, text) =>
         val bits = TextHashing.simhashBits(TextHashing.tokens(text))
         var sig = 0L
@@ -192,6 +226,7 @@ object Dedup {
         (id, sig, TextHashing.byteBands(bits))
       }
       .toDF("doc_id", "sig", "bytes")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // bucket-size cap: mass-duplicate signature clusters would make one
     // (band, byte) bucket quadratic, same guard as minhashLsh's bands
     // (default is a no-op on the oracle testdata)
@@ -226,14 +261,15 @@ object Dedup {
       maxDocFreq: Int = 1000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
-    val fp = capDocFreq(documents.select(col(idCol).cast("long"), col(textCol))
+    // persist: the capped fingerprint set feeds the per-doc count
+    // aggregation AND the self-join sides
+    val fp = capDocFreq(spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-      .repartition(par)
       .flatMap { case (id, text) =>
         TextHashing.winnow(TextHashing.tokens(text)).map(f => (id, f))
       }
       .toDF("doc_id", "fp"), Seq("fp"), maxDocFreq)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // alias after the join -> identical canonical exchanges -> one
     // fingerprint stage feeds both join sides (ReuseExchange)
@@ -260,10 +296,8 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.45): DataFrame = {
-    val spark = embeddings.sparkSession
-    val par = spark.sparkContext.defaultParallelism
     val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val a = e.repartition(par).select(col(idCol).as("va"), col("v").as("x"))
+    val a = spread(e).select(col(idCol).as("va"), col("v").as("x"))
     val b = e.select(col(idCol).as("vb"), col("v").as("y"))
     a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
       .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")))

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** IVF (inverted-file) approximate nearest neighbor search: a coarse
   * k-means quantizer partitions the corpus into `nClusters` cells; a
@@ -11,8 +12,12 @@ import org.apache.spark.sql.expressions.Window
   * Spark-first composition with a fully DETERMINISTIC, engine-mirrorable
   * quantizer, so the whole pipeline carries a DuckDB oracle (the
   * reference point for IVF is Lloyd's algorithm itself, not a library):
-  *   - fit on a bounded deterministic sample (first `fitSampleRows` by
-  *     id) — cell quality needs ~1000x nClusters points, not the corpus;
+  *   - fit on a deterministic HASH sample (`mix32(id) % fitSampleMod
+  *     == 0`, a 1/fitSampleMod rate) — cell quality needs ~1000x
+  *     nClusters points, not the corpus, and a hash sample is one
+  *     narrow filter that is unbiased even when ids correlate with
+  *     content (a head-of-table `ORDER BY id LIMIT n` sample is a full
+  *     TakeOrdered pass AND inherits ingest-order bias);
   *   - init = the first `nClusters` sample vectors; `lloydIter` Lloyd
   *     steps, each a distributed assignment pass + per-cell/dim mean;
   *     centroids are O(nClusters x dim) and are collected per step like
@@ -40,6 +45,19 @@ object IvfSearch {
   def rnd6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
 
+  /** 32-bit avalanche mix of a non-negative id: the xorshift-multiply
+    * mix from TextHashing.poly32's finalizer, as a codegen'd column
+    * expression. Every intermediate stays < 2^48, so the identical
+    * BIGINT arithmetic runs in DuckDB — the fit-sample filter is
+    * oracle-mirrorable (xxhash64 is not).
+    */
+  def mix32(c: Column): Column = {
+    val h0 = pmod(c.cast("long"), lit(4294967296L))
+    val m1 = h0.bitwiseXOR(shiftright(h0, 16))
+    val m2 = pmod(m1 * lit(40503L), lit(4294967296L))
+    m2.bitwiseXOR(shiftright(m2, 13))
+  }
+
   /** Squared euclidean, ascending-dim fold (mirrors SQL list_sum order). */
   def sqDist(v: Array[Double], c: Array[Double]): Double = {
     var s = 0.0; var j = 0
@@ -64,15 +82,21 @@ object IvfSearch {
       .map(i => (rnd6(sqDist(v, centroids(i))), i))
       .sorted.take(nProbe).map(_._2)
 
-  /** Deterministic sample-fit Lloyd quantizer; returns rounded centroids. */
+  /** Deterministic sample-fit Lloyd quantizer; returns rounded centroids.
+    * `fitSampleMod` keeps rows with `mix32(id) % fitSampleMod == 0` — a
+    * narrow filter, no global TakeOrdered over the corpus; at scale set
+    * it to ~corpusRows / 16k for a quantizer-quality sample. The init
+    * (first nClusters sample vectors by id) is a limit-16 TakeOrdered:
+    * per-partition top-K + driver merge, cheap at any corpus size.
+    */
   def fitCentroids(
       e: Dataset[(Long, Array[Double])],
       nClusters: Int,
       lloydIter: Int,
-      fitSampleRows: Int): Array[Array[Double]] = {
+      fitSampleMod: Long): Array[Array[Double]] = {
     val spark = e.sparkSession
     import spark.implicits._
-    val sample = e.orderBy(col("id")).limit(fitSampleRows).cache()
+    val sample = e.filter(pmod(mix32(col("id")), lit(fitSampleMod)) === 0).cache()
     var centroids: Array[Array[Double]] =
       sample.orderBy(col("id")).limit(nClusters).collect()
         .sortBy(_._1) // collect order after TakeOrdered is not contractual
@@ -105,18 +129,21 @@ object IvfSearch {
       nClusters: Int = 16,
       nProbe: Int = 4,
       lloydIter: Int = 3,
-      fitSampleRows: Int = 4096,
+      fitSampleMod: Long = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = embeddings
+    // persist: the projection feeds the fit-sample filter, the corpus
+    // assignment pass, and the query filter — three consumers with no
+    // shared exchange
+    val e = Dedup.spread(embeddings
       .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v")))
       .as[(Long, Array[Double])]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val centroids = fitCentroids(e, nClusters, lloydIter, fitSampleRows)
+    val centroids = fitCentroids(e, nClusters, lloydIter, fitSampleMod)
     val cs = centroids
 
     // corpus assignment: one narrow pass, nClusters distances per row

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -29,8 +30,8 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val e = Dedup.spread(
+      embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
     val q = e.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col(idCol) =!= col("qid"))
@@ -72,7 +73,15 @@ object Similarity {
     * The signature loop runs as a typed map with native folds (64 dots
     * of 64 dims/row; interpreted HOFs would be ~100x slower), ascending
     * index order so the SQL mirror's list_inner_product matches bit for
-    * bit.
+    * bit. Vectors must have exactly `dim` entries (checked per row — a
+    * longer vector would silently truncate against the hyperplanes).
+    *
+    * The (id, vector) projection feeds three consumers (the signature
+    * map and both verification-join sides), which share no canonical
+    * exchange — so it is persisted to run the scan/shuffle once. At
+    * extreme corpus scale MEMORY_AND_DISK spills the projection to
+    * local disk; that is still one materialization instead of three
+    * full passes.
     */
   def lshNearDupPairs(
       embeddings: DataFrame,
@@ -85,12 +94,15 @@ object Similarity {
     import spark.implicits._
     val planes: Array[Array[Double]] =
       hyperplanes(dim, nBits = 64).map(_.toArray).toArray
-    val e = embeddings
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+    val e = Dedup.spread(embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v")))
       .as[(Long, Array[Double])]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ps = planes
+    val d = dim
     val sigs = e.map { case (id, v) =>
+      require(v.length == d,
+        s"lshNearDupPairs: vector for id=$id has ${v.length} dims, hyperplanes have $d")
       val bits = new Array[Int](64)
       var i = 0
       while (i < 64) {
@@ -112,6 +124,7 @@ object Similarity {
       .select(col("l.id").as("va"), col("r.id").as("vb")).distinct()
     val ea = e.toDF("va", "x")
     val eb = e.toDF("vb", "y")
+    // (ea/eb scan the persisted projection, not the source table)
     cand.join(ea, "va").join(eb, "vb")
       .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")))
       .filter(col("sim") > threshold)
@@ -140,8 +153,8 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, nBits)
     val planeCols = planes.map(p => array(p.map(lit): _*))
-    val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val e = Dedup.spread(
+      embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
     def signature = planeCols.zipWithIndex
       .map { case (p, i) => when(dot(col("v"), p) >= 0, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)

@@ -20,12 +20,12 @@ object DataPipeline {
     Dedup.exact(Tables.documents(s, d))
   }
 
-  /** Exact word-3-gram Jaccard pairs at J >= 0.5 — the oracle for BOTH
-    * dd3 (which computes exactly this) and dd2 (whose LSH banding at
-    * 32 bands x 2 rows has ~1-1e-4 recall per pair at J = 0.5, and whose
-    * verification stage recomputes the same exact Jaccard — so its output
-    * equals the exact pair set; the fixed-seed MinHash makes any residual
-    * miss deterministic and locally reproducible, not flaky).
+  /** Word-3-gram Jaccard pairs at J >= 0.5 — dd3's oracle, mirroring the
+    * engine's doc-frequency cap exactly: shingles in > 1000 docs are
+    * dropped BEFORE sizes/intersections (same keep/join shape as the
+    * dd2/dd4/dd5b mirrors), so engine and oracle agree even at scales
+    * where the cap engages. The reported jaccard is then Jaccard over
+    * the capped sets — the engine's declared semantics.
     */
   private val NgramJaccardSql =
     """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -34,9 +34,11 @@ object DataPipeline {
       |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT da, db, round(i*1.0/(sa.n + sb.n - i), 4) AS jaccard
       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
@@ -166,7 +168,9 @@ object DataPipeline {
     * gram text; window minima over each w-gram run (tie direction is
     * value-irrelevant: only the min VALUE survives, deduped); documents
     * shorter than k+w-1 degenerate to the global min, same as the Scala
-    * early-return.
+    * early-return. The engine's doc-frequency cap (fingerprints in
+    * > 1000 docs dropped, counts computed post-cap) is mirrored with the
+    * same keep/join CTEs as the other dedup mirrors.
     */
   private val WinnowSql =
     s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -186,9 +190,11 @@ object DataPipeline {
        |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
        |         FROM gh),
        |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM winm WHERE i <= greatest(1, ng - 3)),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+       |keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
+       |fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM fpk GROUP BY doc_id),
        |pair AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS shared
-       |         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |         FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT da, db, shared, round(shared*1.0/least(ca.n, cb.n), 4) AS containment
        |FROM pair JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
        |WHERE shared >= 2 ORDER BY da, db""".stripMargin
@@ -211,6 +217,9 @@ object DataPipeline {
     * the 64 hyperplane sign bits (same fixed-seed constants), the byte
     * banding, the bucket cap, the banded candidate join, and the exact
     * cosine verification — scale-true like the other LSH mirrors.
+    * NOTE: this mirror pins the operator DEFAULTS (dim=64,
+    * threshold=0.45, maxBucket=1000); calling lshNearDupPairs with
+    * other arguments needs a regenerated mirror.
     */
   private val EmbeddingLshSql: String = {
     val planes = Similarity.hyperplanes(dim = 64, nBits = 64)
@@ -286,14 +295,16 @@ object DataPipeline {
   }
 
   /** Full IVF mirror: DuckDB re-runs the ENTIRE deterministic quantizer —
-    * the same init (first-16 sample vectors), the same `lloydIter` Lloyd
-    * steps unrolled as CTEs, the same round-6 distances with cell-id
-    * tiebreaks — then the probe join and exact cosine top-k. Rounding at
-    * every cross-engine comparison point absorbs summation-order FP
-    * noise (see IvfSearch scaladoc).
+    * the same mix32 hash-sample filter (Mod mirrors ivfTopK's
+    * fitSampleMod; 1 keeps every row at test scale, the filter shape is
+    * what scales), the same init (first-16 sample vectors), the same
+    * `lloydIter` Lloyd steps unrolled as CTEs, the same round-6
+    * distances with cell-id tiebreaks — then the probe join and exact
+    * cosine top-k. Rounding at every cross-engine comparison point
+    * absorbs summation-order FP noise (see IvfSearch scaladoc).
     */
   private val AnnIvfSql: String = {
-    val K = 16; val Iter = 3; val NProbe = 4; val Dim = 64; val Sample = 4096
+    val K = 16; val Iter = 3; val NProbe = 4; val Dim = 64; val Mod = 1L
     def d2(v: String, c: String) =
       s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
     val iters = (1 to Iter).map { i =>
@@ -311,7 +322,11 @@ object DataPipeline {
          |  ON n.cell = p.cell)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $Sample),
+       |samp AS (SELECT vec_id, v FROM (
+       |  SELECT vec_id, v, xor(m2, m2 >> 13) AS hs FROM (
+       |    SELECT vec_id, v, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |      SELECT vec_id, v, vec_id % 4294967296 AS h0 FROM e)))
+       |  WHERE hs % $Mod = 0),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |        list_transform(v, x -> round(x, 6)) AS c
        |       FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $K)),

@@ -42,6 +42,32 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("spread: fans out under-partitioned sources, no-op on well-split ones") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, s"tok$i alpha beta gamma delta epsilon zeta eta"))
+    // already >= defaultParallelism splits (the at-scale case): spread
+    // must NOT insert a round-robin shuffle of the corpus
+    val well = spark.sparkContext.parallelize(rows, 8).toDF("doc_id", "text")
+    val spreadWell = graft.operators.Dedup.spread(well)
+    assert(spreadWell.rdd.getNumPartitions === 8)
+    assert(!spreadWell.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"),
+      "spread added a gratuitous shuffle to a well-partitioned source")
+    // single-partition local file case: must fan out
+    val narrow = spark.sparkContext.parallelize(rows, 1).toDF("doc_id", "text")
+    val spreadNarrow = graft.operators.Dedup.spread(narrow)
+    assert(spreadNarrow.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    assert(spreadNarrow.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"))
+    // end-to-end: a signature pipeline over the well-split input plans no
+    // round-robin exchange anywhere
+    val p = graft.operators.Dedup.ngramJaccard(well)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    assert(!p.contains("RoundRobinPartitioning"), p)
+  }
+
   test("salted skew join: same result as plain join under heavy key skew") {
     import spark.implicits._
     // 90% of left rows share one hot key
