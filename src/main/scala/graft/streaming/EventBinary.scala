@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputFilter, ObjectInputStream, ObjectOutputStream}
 import java.util.Base64
 import graft.model.Event
 
@@ -11,8 +11,22 @@ import graft.model.Event
   * [[EventJson]] with its Python-JSON numeric model is the CLIENT
   * boundary format. Base64 text framing keeps the loopback sink a plain
   * line-oriented file/topic.
+  *
+  * Decoding runs under an [[ObjectInputFilter]] allowlist (graft model /
+  * flow classes, Scala runtime, core JDK value types): anything that can
+  * write to the loopback directory — or the internal broker topic in the
+  * production swap — would otherwise get arbitrary-gadget
+  * deserialization on executors.
   */
 object EventBinary {
+
+  /** Allowlist for the event graph: Event/EventType/Payload and flow
+    * state (graft.*), Scala collections/boxing (scala.*), JDK value and
+    * collection classes. Everything else is rejected before
+    * instantiation; the depth/ref bounds stop billion-laughs graphs.
+    */
+  private val filter: ObjectInputFilter = ObjectInputFilter.Config.createFilter(
+    "maxdepth=64;maxrefs=65536;graft.**;scala.**;java.lang.**;java.util.**;java.time.**;!*")
 
   def encode(ev: Event): String = {
     val bos = new ByteArrayOutputStream()
@@ -25,6 +39,7 @@ object EventBinary {
   def decode(s: String): Event = {
     val ois = new ObjectInputStream(
       new ByteArrayInputStream(Base64.getDecoder.decode(s)))
+    ois.setObjectInputFilter(filter)
     try ois.readObject().asInstanceOf[Event] finally ois.close()
   }
 }

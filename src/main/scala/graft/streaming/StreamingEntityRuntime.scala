@@ -34,9 +34,14 @@ import graft.runtime.{EventTransport, StatefulOperator}
   *
   * The stateful function is THE SAME `StatefulOperator.handle` the
   * LocalRuntime uses, so scenario semantics are pinned once. State lives
-  * in the Spark state store (checkpointed, partitioned by the group key)
-  * — at cluster scale this is per-key state sharded over executors with
-  * exactly-once micro-batch semantics.
+  * in the Spark state store (checkpointed, partitioned by the group key):
+  * per-key state is exactly-once across micro-batches and restarts. The
+  * loopback egress is replay-IDEMPOTENT (deterministic per-(batch,
+  * partition) file names, publish-if-absent — see
+  * [[StreamingEntityRuntime.writeLoopbackPartition]]), which closes the
+  * batch-replay / task-retry duplication windows; the residual zombie
+  * window degrades to at-least-once, the reference's own guarantee on
+  * its internal Kafka topic.
   */
 /** @param useTransformWithState lower onto Spark 4's
   *   `transformWithState` (StatefulProcessor + RocksDB state store;
@@ -140,7 +145,7 @@ final class StreamingEntityRuntime(
     .option("checkpointLocation", checkpointDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
     .trigger(Trigger.ProcessingTime(0))
-    .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
+    .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], batchId: Long) =>
       // Two actions over the stateful output -> persist to run the
       // stateful operator once, not per action.
       val cached = batch.persist()
@@ -153,14 +158,17 @@ final class StreamingEntityRuntime(
       // Continuations: serialized and appended to the loopback sink BY
       // THE EXECUTORS; the driver only learns the count (an accumulator
       // scalar). Empty partitions write nothing, so idle workloads add
-      // zero files for the source to list.
+      // zero files for the source to list. File names derive from
+      // (batchId, partitionId) so a replayed batch or retried task
+      // republishes the SAME file instead of appending a duplicate —
+      // see writeLoopbackPartition.
       val before = contAcc.value
       val stage = loopbackStage
       val acc = contAcc
       cached
         .filter((e: Event) => !e.eventType.isInstanceOf[EventType.Reply])
         .foreachPartition { (it: Iterator[Event]) =>
-          StreamingEntityRuntime.writeLoopbackPartition(it, stage, dir, acc)
+          StreamingEntityRuntime.writeLoopbackPartition(it, stage, dir, acc, batchId)
         }
       val n = contAcc.value - before
       loopbackWritten += n
@@ -263,22 +271,47 @@ object StreamingEntityRuntime {
     * into a staged file, then atomically rename it into the watched
     * topic dir (the file stream never sees a partial file). Runs on the
     * executor that produced the events — this IS the distributed egress.
+    *
+    * Idempotence: the published name is a pure function of
+    * (batchId, partitionId), and publication is skipped when the target
+    * already exists — so a task retried after its rename succeeded, or a
+    * whole batch replayed after a crash/restart (foreachBatch re-runs
+    * uncommitted batches with the same batchId and replayed offsets,
+    * hence identical partition content), republishes nothing instead of
+    * double-appending hop events. The residual window is a zombie task
+    * publishing after the file was already consumed AND deleted by a
+    * later trigger — content-identical, same at-least-once residue as a
+    * Kafka-producer retry on the reference's internal topic.
     */
   def writeLoopbackPartition(
       events: Iterator[Event],
       stageDir: String,
       topicDir: String,
-      acc: org.apache.spark.util.LongAccumulator): Unit = {
+      acc: org.apache.spark.util.LongAccumulator,
+      batchId: Long): Unit = {
     if (events.hasNext) {
-      val name = java.util.UUID.randomUUID().toString + ".txt"
-      val staged = java.nio.file.Paths.get(stageDir, name)
+      val pid = Option(org.apache.spark.TaskContext.get())
+        .map(_.partitionId()).getOrElse(0)
+      val name = s"b$batchId-p$pid.txt"
+      val target = java.nio.file.Paths.get(topicDir, name)
+      // stage under a unique suffix so two concurrent attempts of the
+      // same partition never write the same staged file
+      val staged = java.nio.file.Paths.get(stageDir,
+        name + "." + java.util.UUID.randomUUID().toString)
       val out = java.nio.file.Files.newBufferedWriter(staged)
       var n = 0L
       try events.foreach { ev =>
         out.write(EventBinary.encode(ev)); out.newLine(); n += 1
       } finally out.close()
-      java.nio.file.Files.move(staged, java.nio.file.Paths.get(topicDir, name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (java.nio.file.Files.exists(target)) {
+        // a prior attempt of this (batch, partition) already published —
+        // idempotent replay: drop ours
+        java.nio.file.Files.delete(staged)
+      } else {
+        java.nio.file.Files.move(staged, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+      // count either way: the events ARE in flight in the published file
       acc.add(n)
     }
   }

@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import graft.model._
 import graft.model.Types._
 import graft.flow.FlowState
-import graft.streaming.EventJson
+import graft.streaming.{EventBinary, EventJson}
 
 /** Roundtrip property for the JSON wire codec over the full EventType x
   * Payload space, including nested env/state values and travelling
@@ -110,6 +110,28 @@ class EventJsonSpec extends AnyFunSuite {
       EntityRef("Cart", "c9"))
     val ev = Event("e2", "Cart", "c9", EventType.EventFlow, Payload.FlowPayload(fs))
     assert(EventJson.decode(EventJson.encode(ev)) === ev)
+  }
+
+  test("EventBinary roundtrips the typed event graph (internal hop codec)") {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(7L)
+    (1 to 100).foreach { _ =>
+      val ev = genEvent.pureApply(params, seed)
+      seed = seed.next
+      assert(EventBinary.decode(EventBinary.encode(ev)) === ev)
+    }
+  }
+
+  test("EventBinary rejects non-allowlisted classes (gadget defense)") {
+    // hand-craft a loopback line that deserializes to a class outside the
+    // graft/scala/JDK-value allowlist — the filter must refuse it before
+    // instantiation, not after
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new java.io.File("/tmp/gadget"))
+    oos.close()
+    val line = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    intercept[java.io.InvalidClassException] { EventBinary.decode(line) }
   }
 
   test("payload string is itself valid JSON inside the envelope (wire schema)") {

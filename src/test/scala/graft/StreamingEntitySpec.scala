@@ -25,6 +25,29 @@ class StreamingEntitySpec extends EntityScenarios with SparkSpec {
     finally { open.foreach(_.close()); open = Nil }
   }
 
+  test("loopback publish is idempotent per (batch, partition) — replay adds nothing") {
+    import graft.model.{Event, EventType, Payload}
+    import graft.streaming.EventBinary
+    val stage = java.nio.file.Files.createTempDirectory("graft-lb-stage").toString
+    val topic = java.nio.file.Files.createTempDirectory("graft-lb-topic").toString
+    val acc = spark.sparkContext.longAccumulator("lb-test")
+    val evs = Seq(Event("hop1", "T", "k", EventType.Ping, Payload.Empty))
+    StreamingEntityRuntime.writeLoopbackPartition(evs.iterator, stage, topic, acc, 3L)
+    // simulated batch replay / task retry: same (batchId, partition)
+    StreamingEntityRuntime.writeLoopbackPartition(evs.iterator, stage, topic, acc, 3L)
+    val files = new java.io.File(topic).listFiles()
+    assert(files.length === 1, "replay must republish, not append a duplicate")
+    assert(files.head.getName === "b3-p0.txt")
+    val lines = java.nio.file.Files.readAllLines(files.head.toPath)
+    assert(lines.size === 1)
+    assert(EventBinary.decode(lines.get(0)) === evs.head)
+    // a different batch publishes its own file
+    StreamingEntityRuntime.writeLoopbackPartition(evs.iterator, stage, topic, acc, 4L)
+    assert(new java.io.File(topic).listFiles().length === 2)
+    // nothing left behind in the stage dir
+    assert(new java.io.File(stage).listFiles().length === 0)
+  }
+
   test("egress is distributed: hops use the loopback, driver sees replies only") {
     val (rtT, c) = fresh()
     val rt = rtT.asInstanceOf[StreamingEntityRuntime]
