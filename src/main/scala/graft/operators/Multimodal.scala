@@ -21,16 +21,24 @@ final case class MediaFeatures(
     head_hex: String,
     feature_vec: Array[Float])
 
+/** Per-image decoded stats: dimensions + per-channel pixel means — what
+  * a real feature extractor reads off the decoded pixel buffer.
+  */
+final case class ImageStats(
+    doc_id: Long, width: Int, height: Int,
+    mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns + typed metadata struct, with decode / feature-extraction as
   * a partition-local typed transformation.
   *
   * The Spark-side shape is the real thing — schema, encoders, batch
   * iteration via mapPartitions (one decoder instance per partition, the
-  * same pattern a JNI codec or ONNX session would need). Only the codec
-  * itself is STUBBED (this container has no image/audio libraries): see
-  * [[decodeStub]], which derives deterministic fake features from the
-  * bytes so the pipeline is end-to-end testable.
+  * same pattern a JNI codec or ONNX session would need). IMAGES are
+  * decoded for real with the JDK's `javax.imageio` (PNG/JPEG, zero
+  * external deps): [[decodeImages]] reads actual codec bytes into a
+  * pixel buffer. [[decodeStub]] remains only as the deterministic
+  * FALLBACK for media kinds with no in-container codec (audio/video).
   */
 object Multimodal {
 
@@ -52,11 +60,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: a real implementation would decode the codec here
-    * (e.g. JPEG -> pixels -> resize -> embed; PCM -> mel features;
-    * video -> frame sample). This stand-in derives deterministic
-    * features from the raw bytes so tests exercise the full pipeline:
-    * partition-local batching, one "decoder" per partition, typed output.
+  /** FALLBACK decoder for media kinds without an in-container codec
+    * (audio/video; images go through the REAL [[decodeImages]] path).
+    * Derives deterministic features from the raw bytes so the pipeline
+    * stays end-to-end testable: partition-local batching, one "decoder"
+    * per partition, typed output.
     */
   def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     // Per-partition decoder init would go here (expensive handle, reused
@@ -84,6 +92,79 @@ object Multimodal {
   def extractFeatures(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     asMediaTable(documents).mapPartitions(decodeStub)
+  }
+
+  /** Deterministic synthetic image table: one small PNG per document,
+    * pixels a pure function of (doc_id, x, y) — so a SQL oracle can
+    * predict the DECODED output without being able to decode. The PNG
+    * bytes are real codec output (ImageIO's PNG encoder), generated
+    * executor-side; with real data this table is
+    * `spark.read.format("binaryFile")` over an image corpus.
+    */
+  def syntheticImages(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      ids.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+            val b = ((id * 29 + x * 3 + y * 19) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, MediaMeta("image", "png", bos.size.toLong))
+      }
+    }
+  }
+
+  /** REAL image decode: `javax.imageio` reads the PNG/JPEG payload into
+    * a pixel buffer; stats are computed off the decoded pixels. PNG is
+    * lossless, so for [[syntheticImages]] payloads the decoded buffer is
+    * byte-exact against the generating formula — which is what lets a
+    * SQL oracle hash-check a genuine codec round-trip. Partition-local
+    * like every decoder here; channel sums are exact integer arithmetic
+    * so the mean is engine-reproducible.
+    */
+  def decodeImages(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        require(r.meta.kind == "image",
+          s"decodeImages on kind=${r.meta.kind} (doc ${r.doc_id}) — use decodeStub fallback")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        ImageStats(r.doc_id, w, h, rnd4(sr / n), rnd4(sg / n), rnd4(sb / n))
+      }
+    }
   }
 
   /** One sampled frame of a chunked media payload. */

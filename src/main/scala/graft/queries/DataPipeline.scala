@@ -453,8 +453,40 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling over the byte payload (ASCII stand-in: byte slicing
-    * == char slicing, so DuckDB mirrors the frames with substr + md5).
+  /** REAL codec round-trip, oracle-checked: deterministic PNGs are
+    * generated from a pure (doc_id, x, y) pixel formula, ENCODED with
+    * ImageIO's PNG writer, then DECODED back through javax.imageio on
+    * executors; the emitted stats come off the decoded pixel buffer.
+    * DuckDB can't decode PNG — it doesn't need to: PNG is lossless, so
+    * the oracle recomputes the same stats directly from the generating
+    * formula. Any decoder bug (channel order, stride, color model)
+    * breaks the hash.
+    */
+  val mm_decode = QueryDef.sqlChecked(
+    "mm_decode",
+    """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(w*h)) AS i FROM dims),
+      |v AS (SELECT doc_id, w, h,
+      |       (doc_id*31 + (i % w)*7 + (i // w)*13) % 256 AS r,
+      |       (doc_id*17 + (i % w)*11 + (i // w)*5) % 256 AS g,
+      |       (doc_id*29 + (i % w)*3 + (i // w)*19) % 256 AS b
+      |      FROM px)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      | round(sum(r)*1.0/(w*h), 4) AS mean_r,
+      | round(sum(g)*1.0/(w*h), 4) AS mean_g,
+      | round(sum(b)*1.0/(w*h), 4) AS mean_b
+      |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.decodeImages(Multimodal.syntheticImages(Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Frame sampling over the byte payload. INVARIANT: the oracle mirrors
+    * frames with character-based substr/md5, which equals the engine's
+    * byte-based slicing only for ASCII payloads — the testdata documents
+    * are ASCII by construction (asserted by spec). Real media is binary,
+    * so byte semantics are the correct engine behavior; the char-based
+    * mirror is only the ASCII stand-in.
     */
   val mm_frames = QueryDef.sqlChecked(
     "mm_frames",
@@ -474,7 +506,11 @@ object DataPipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Byte-level thumbnail resize, exploded to scalar cells. */
+  /** Byte-level thumbnail resize, exploded to scalar cells. Same ASCII
+    * invariant as mm_frames: the ascii()/substr mirror matches the
+    * engine's byte means only on ASCII payloads (spec-asserted on the
+    * testdata).
+    */
   val mm_resize = QueryDef.sqlChecked(
     "mm_resize",
     """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
@@ -497,5 +533,5 @@ object DataPipeline {
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    mm_features, mm_frames, mm_resize)
+    mm_features, mm_frames, mm_resize, mm_decode)
 }
