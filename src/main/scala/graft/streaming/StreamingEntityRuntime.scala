@@ -86,7 +86,8 @@ final class StreamingEntityRuntime(
     case Some(c) =>
       val p = java.nio.file.Paths.get(c + "-loopback")
       java.nio.file.Files.createDirectories(p); p
-    case None => java.nio.file.Files.createTempDirectory("graft-loopback")
+    case None =>
+      StreamingEntityRuntime.newTempDir("graft-loopback")
   }
   private def ensureDir(p: java.nio.file.Path): String = {
     java.nio.file.Files.createDirectories(p); p.toString
@@ -143,37 +144,31 @@ final class StreamingEntityRuntime(
     // state store checkpointing: exactly-once per-key state across
     // micro-batches (and across restarts when a durable dir is given)
     .option("checkpointLocation", checkpointDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+      StreamingEntityRuntime.newTempDir("graft-ckpt").toString))
     .trigger(Trigger.ProcessingTime(0))
     .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], batchId: Long) =>
-      // Two actions over the stateful output -> persist to run the
-      // stateful operator once, not per action.
-      val cached = batch.persist()
-      // Replies: the only traffic that crosses to the driver.
-      val reps = cached
-        .filter((e: Event) => e.eventType.isInstanceOf[EventType.Reply])
-        .collect()
-      reps.foreach(r => replies.put(r.eventId, r))
-      driverCollected += reps.length
-      // Continuations: serialized and appended to the loopback sink BY
-      // THE EXECUTORS; the driver only learns the count (an accumulator
-      // scalar). Empty partitions write nothing, so idle workloads add
-      // zero files for the source to list. File names derive from
-      // (batchId, partitionId) so a replayed batch or retried task
+      // SINGLE egress pass: each executor partition streams its
+      // continuations into the loopback sink (the distributed egress —
+      // only the reference's EgressRouter INTERNAL route,
+      // dataflow.py:96-106, by another name) and returns only the
+      // client-facing replies, which the one collect brings to the
+      // driver. One job, no persist, half the per-batch scheduling of a
+      // collect+foreachPartition pair — hop latency is the entity
+      // runtime's unit cost, so this is the hot path. File names derive
+      // from (batchId, partitionId) so a replayed batch or retried task
       // republishes the SAME file instead of appending a duplicate —
-      // see writeLoopbackPartition.
+      // see egressPartition.
       val before = contAcc.value
       val stage = loopbackStage
       val acc = contAcc
-      cached
-        .filter((e: Event) => !e.eventType.isInstanceOf[EventType.Reply])
-        .foreachPartition { (it: Iterator[Event]) =>
-          StreamingEntityRuntime.writeLoopbackPartition(it, stage, dir, acc, batchId)
-        }
+      val reps = batch.mapPartitions { (it: Iterator[Event]) =>
+        StreamingEntityRuntime.egressPartition(it, stage, dir, acc, batchId)
+      }(eventEnc).collect()
+      reps.foreach(r => replies.put(r.eventId, r))
+      driverCollected += reps.length
       val n = contAcc.value - before
       loopbackWritten += n
       pendingContinuations = n > 0
-      cached.unpersist()
       ()
     }
     .start()
@@ -184,6 +179,18 @@ final class StreamingEntityRuntime(
 
   /** Hop events that went through the distributed loopback instead. */
   def loopbackWrittenCount: Long = loopbackWritten
+
+  /** (batchId, triggerExecution ms) for every recent micro-batch that
+    * carried input — the hop-latency observability the YCSB artifact
+    * reports (a flow hop costs one micro-batch by construction; callers
+    * window by batchId to separate warmup from the measured phase).
+    */
+  def busyBatches: Seq[(Long, Double)] =
+    query.recentProgress.toSeq.filter(_.numInputRows > 0)
+      .map(p => (p.batchId, p.durationMs.get("triggerExecution").toDouble))
+
+  /** Raw progress JSON (duration breakdown per batch) for bench debug. */
+  def progressJson: Seq[String] = query.recentProgress.toSeq.map(_.json)
 
   /** Enqueue client events: memory stream by default; a staged atomic
     * file write when the durable file ingress is configured.
@@ -235,6 +242,20 @@ final class StreamingEntityRuntime(
 
 object StreamingEntityRuntime {
 
+  /** Temp dir for NON-durable runs, preferring tmpfs (/dev/shm): every
+    * micro-batch writes offset/commit WAL entries and state-store
+    * deltas, and a hop costs one batch — so the per-batch fsync floor
+    * is hop latency. A session-scoped (explicitly non-recoverable)
+    * checkpoint has no durability to lose in memory. Durable runs pass
+    * `checkpointDir` and never come through here.
+    */
+  private[streaming] def newTempDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** The `transformWithState` lowering of the entity operator (Spark 4
     * StatefulProcessor API, RocksDB-backed ValueState): identical
     * semantics to [[statefulFn]], expressed against the newer state API.
@@ -267,10 +288,12 @@ object StreamingEntityRuntime {
     }
   }
 
-  /** Executor-side loopback append: stream the partition's continuations
-    * into a staged file, then atomically rename it into the watched
-    * topic dir (the file stream never sees a partial file). Runs on the
-    * executor that produced the events — this IS the distributed egress.
+  /** Executor-side egress for one partition of a batch's stateful
+    * output, in ONE pass: continuations stream into a staged loopback
+    * file that is atomically renamed into the watched topic dir (the
+    * file stream never sees a partial file); client-facing replies are
+    * returned, to be collect()ed by the driver. Runs on the executor
+    * that produced the events — this IS the distributed egress.
     *
     * Idempotence: the published name is a pure function of
     * (batchId, partitionId), and publication is skipped when the target
@@ -283,37 +306,47 @@ object StreamingEntityRuntime {
     * later trigger — content-identical, same at-least-once residue as a
     * Kafka-producer retry on the reference's internal topic.
     */
-  def writeLoopbackPartition(
+  def egressPartition(
       events: Iterator[Event],
       stageDir: String,
       topicDir: String,
       acc: org.apache.spark.util.LongAccumulator,
-      batchId: Long): Unit = {
-    if (events.hasNext) {
-      val pid = Option(org.apache.spark.TaskContext.get())
-        .map(_.partitionId()).getOrElse(0)
-      val name = s"b$batchId-p$pid.txt"
-      val target = java.nio.file.Paths.get(topicDir, name)
-      // stage under a unique suffix so two concurrent attempts of the
-      // same partition never write the same staged file
-      val staged = java.nio.file.Paths.get(stageDir,
-        name + "." + java.util.UUID.randomUUID().toString)
-      val out = java.nio.file.Files.newBufferedWriter(staged)
-      var n = 0L
-      try events.foreach { ev =>
-        out.write(EventBinary.encode(ev)); out.newLine(); n += 1
-      } finally out.close()
-      if (java.nio.file.Files.exists(target)) {
-        // a prior attempt of this (batch, partition) already published —
-        // idempotent replay: drop ours
-        java.nio.file.Files.delete(staged)
-      } else {
-        java.nio.file.Files.move(staged, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      batchId: Long): Iterator[Event] = {
+    val pid = Option(org.apache.spark.TaskContext.get())
+      .map(_.partitionId()).getOrElse(0)
+    val name = s"b$batchId-p$pid.txt"
+    val target = java.nio.file.Paths.get(topicDir, name)
+    // a prior attempt of this (batch, partition) already published its
+    // continuations — idempotent replay: don't write, but still drain
+    // the iterator for the replies
+    val alreadyPublished = java.nio.file.Files.exists(target)
+    // stage under a unique suffix so two concurrent attempts of the
+    // same partition never write the same staged file
+    val staged = java.nio.file.Paths.get(stageDir,
+      name + "." + java.util.UUID.randomUUID().toString)
+    val reps = Vector.newBuilder[Event]
+    var out: java.io.BufferedWriter = null // opened on first continuation
+    var n = 0L
+    try {
+      events.foreach { ev =>
+        if (ev.eventType.isInstanceOf[EventType.Reply]) reps += ev
+        else {
+          n += 1
+          if (!alreadyPublished) {
+            if (out == null) out = java.nio.file.Files.newBufferedWriter(staged)
+            out.write(EventBinary.encode(ev)); out.newLine()
+          }
+        }
       }
-      // count either way: the events ARE in flight in the published file
-      acc.add(n)
+    } finally if (out != null) out.close()
+    if (out != null) {
+      if (java.nio.file.Files.exists(target)) java.nio.file.Files.delete(staged)
+      else java.nio.file.Files.move(staged, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
+    // count either way: the events ARE in flight in the published file
+    acc.add(n)
+    reps.result().iterator
   }
 
   /** The per-group stateful function: a free-standing serializable

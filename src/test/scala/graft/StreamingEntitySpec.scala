@@ -31,18 +31,22 @@ class StreamingEntitySpec extends EntityScenarios with SparkSpec {
     val stage = java.nio.file.Files.createTempDirectory("graft-lb-stage").toString
     val topic = java.nio.file.Files.createTempDirectory("graft-lb-topic").toString
     val acc = spark.sparkContext.longAccumulator("lb-test")
-    val evs = Seq(Event("hop1", "T", "k", EventType.Ping, Payload.Empty))
-    StreamingEntityRuntime.writeLoopbackPartition(evs.iterator, stage, topic, acc, 3L)
+    val hop = Event("hop1", "T", "k", EventType.Ping, Payload.Empty)
+    val reply = Event("r1", "T", "k", EventType.SuccessfulInvocation, Payload.Empty)
+    val evs = Seq(hop, reply)
+    val r1 = StreamingEntityRuntime.egressPartition(evs.iterator, stage, topic, acc, 3L)
+    assert(r1.toSeq === Seq(reply), "replies are returned, not written to loopback")
     // simulated batch replay / task retry: same (batchId, partition)
-    StreamingEntityRuntime.writeLoopbackPartition(evs.iterator, stage, topic, acc, 3L)
+    val r2 = StreamingEntityRuntime.egressPartition(evs.iterator, stage, topic, acc, 3L)
+    assert(r2.toSeq === Seq(reply), "replay still surfaces the replies")
     val files = new java.io.File(topic).listFiles()
     assert(files.length === 1, "replay must republish, not append a duplicate")
     assert(files.head.getName === "b3-p0.txt")
     val lines = java.nio.file.Files.readAllLines(files.head.toPath)
-    assert(lines.size === 1)
-    assert(EventBinary.decode(lines.get(0)) === evs.head)
+    assert(lines.size === 1, "only the hop goes to the loopback, exactly once")
+    assert(EventBinary.decode(lines.get(0)) === hop)
     // a different batch publishes its own file
-    StreamingEntityRuntime.writeLoopbackPartition(evs.iterator, stage, topic, acc, 4L)
+    StreamingEntityRuntime.egressPartition(evs.iterator, stage, topic, acc, 4L): Unit
     assert(new java.io.File(topic).listFiles().length === 2)
     // nothing left behind in the stage dir
     assert(new java.io.File(stage).listFiles().length === 0)
