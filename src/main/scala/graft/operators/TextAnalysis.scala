@@ -82,6 +82,31 @@ object TextAnalysis {
       .orderBy("doc_id", "term")
   }
 
+  /** Within-document repetition (a standard LLM-corpus quality signal:
+    * high duplicate-n-gram ratios mark boilerplate/spam/generation
+    * loops): total vs distinct word-3-grams and the duplicate ratio.
+    * Row-local column expressions only — the n-gram build is a
+    * per-row HOF over the token array (bounded work per row, no
+    * explode, no shuffle), so the operator stays a narrow pass.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    // guard: sequence(0, n) is bidirectional in Spark — a doc under 3
+    // tokens would produce a DESCENDING sequence, not an empty one
+    val grams = when(size(ws) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - lit(3)),
+        i => concat_ws(" ",
+          element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+    documents.select(
+      col("doc_id"),
+      size(grams).as("n_grams"),
+      size(array_distinct(grams)).as("n_distinct"),
+      when(size(grams) > 0,
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4))
+        .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Function-word profiles for [[languageId]] — public so the oracle SQL
     * is generated from the same table (no drift between engine and check).
     */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface: dedup, similarity search, text
   * analysis, multimodal plumbing (north-star extensions from SURVEY.md
@@ -438,6 +438,58 @@ object DataPipeline {
     TextAnalysis.tfIdf(Tables.documents(s, d))
   }
 
+  val txt_repetition = QueryDef.sqlChecked(
+    "txt_repetition",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |g AS (SELECT doc_id,
+      |       list_transform(range(greatest(len(ws) - 2, 0)),
+      |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS grams
+      |      FROM wl)
+      |SELECT doc_id,
+      | CAST(len(grams) AS INTEGER) AS n_grams,
+      | CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+      | CASE WHEN len(grams) > 0
+      |   THEN round(1.0 - len(list_distinct(grams))*1.0/len(grams), 4)
+      |   ELSE 0.0 END AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.repetition(Tables.documents(s, d))
+  }
+
+  /** Decontamination mirror, generated from the engine's constants
+    * (evalMod=19, gramSize=4): DuckDB replays the mix32 eval split, the
+    * 4-gram shingle sets, the eval-distinct join, and the per-doc
+    * counts — the whole hygiene pass, split included.
+    */
+  private val DecontaminateSql: String = {
+    val K = 4; val Mod = 19L
+    val joins = (1 until K)
+      .map(j => s"JOIN tok t$j ON t$j.doc_id = a.doc_id AND t$j.i = a.i + $j")
+      .mkString(" ")
+    val gram = "a.w" + (1 until K).map(j => s" || ' ' || t$j.w").mkString
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |sh AS (SELECT DISTINCT a.doc_id, $gram AS s FROM tok a $joins),
+       |mx AS (SELECT doc_id, xor(m2, m2 >> 13) AS hs FROM (
+       |  SELECT doc_id, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT doc_id, doc_id % 4294967296 AS h0 FROM documents))),
+       |ev AS (SELECT doc_id FROM mx WHERE hs % $Mod = 0),
+       |evs AS (SELECT DISTINCT s FROM sh JOIN ev USING (doc_id)),
+       |tr AS (SELECT sh.doc_id, sh.s FROM sh LEFT JOIN ev ON ev.doc_id = sh.doc_id
+       |       WHERE ev.doc_id IS NULL),
+       |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1)
+       |SELECT doc_id, n_hits, n_shingles,
+       | round(n_hits*1.0/n_shingles, 4) AS overlap_ratio
+       |FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  val dc1_decontaminate = QueryDef.sqlChecked("dc1_decontaminate", DecontaminateSql) {
+    (s, d) => Decontamination.overlap(Tables.documents(s, d))
+  }
+
   // --------------------------------------------------------- multimodal
   val mm_features = QueryDef.sqlChecked(
     "mm_features",
@@ -533,5 +585,6 @@ object DataPipeline {
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
+    txt_repetition, dc1_decontaminate,
     mm_features, mm_frames, mm_resize, mm_decode)
 }

@@ -1,12 +1,38 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Decontamination, Multimodal, TextAnalysis}
 import graft.sources.Tables
 
 class TextAnalysisSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("repetition: duplicate 3-gram ratio matches hand count; short docs are 0") {
+    import spark.implicits._
+    // "a b c" repeated 3x: 7 3-grams, 3 distinct -> ratio 1 - 3/7
+    val df = Seq((1L, "a b c a b c a b c"), (2L, "just two")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((7, 3, math.floor((1.0 - 3.0 / 7) * 1e4 + 0.5) / 1e4)))
+    assert(out(2L) === ((0, 0, 0.0)))
+  }
+
+  test("decontamination flags a train doc that duplicates an eval doc") {
+    import spark.implicits._
+    // mix32(0) = 0 -> doc 0 lands in the eval split (0 % 19 == 0);
+    // mix32(1)/mix32(2) do not
+    val df = Seq(
+      (0L, "one two three four five"),   // eval
+      (1L, "one two three four five"),   // train, contaminated (2/2 grams)
+      (2L, "alpha beta gamma delta eps") // train, clean -> not in output
+    ).toDF("doc_id", "text")
+    val out = Decontamination.overlap(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((1L, 2L, 2L, 1.0)))
+  }
 
   test("language id emits a known code per doc, deterministically") {
     val out = TextAnalysis.languageId(docs)
