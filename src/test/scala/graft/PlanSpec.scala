@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dc1: eval shingle set broadcasts (map-side hit join), no cartesian") {
+    val p = plan("dc1_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("txt_repetition and mm_decode stay narrow: no hash shuffle anywhere") {
+    Seq("txt_repetition", "mm_decode").foreach { q =>
+      val p = plan(q)
+      // per-row work only; the sole exchange is the output sort's range
+      // partitioning
+      assert(!p.contains("Exchange hashpartitioning"), s"$q planned a shuffle:\n$p")
+    }
+  }
+
   test("txt_tfidf: term join keys are equi, N is broadcast") {
     val p = plan("txt_tfidf")
     assert(!p.contains("CartesianProduct"), p)
