@@ -107,6 +107,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary building: global top-K terms by document frequency
+    * (occurrence count carried along) — the corpus-statistics precursor
+    * to tokenizer training / stopword induction. Scale shape: one
+    * explode + hash aggregation by term (a term's stats are ONE row
+    * however common the term — no hot key), then a global top-K that
+    * plans as TakeOrderedAndProject (per-partition top-K + driver
+    * merge), never a full sort. Deterministic tiebreak by term.
+    */
+  def vocabulary(documents: DataFrame, topK: Int = 1000): DataFrame =
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+
   /** Function-word profiles for [[languageId]] — public so the oracle SQL
     * is generated from the same table (no drift between engine and check).
     */

@@ -438,6 +438,18 @@ object DataPipeline {
     TextAnalysis.tfIdf(Tables.documents(s, d))
   }
 
+  val txt_vocab = QueryDef.sqlChecked(
+    "txt_vocab",
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+      |  FROM documents)
+      |SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences,
+      | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM tok GROUP BY term
+      |ORDER BY df DESC, term LIMIT 1000""".stripMargin) { (s, d) =>
+    TextAnalysis.vocabulary(Tables.documents(s, d))
+  }
+
   val txt_repetition = QueryDef.sqlChecked(
     "txt_repetition",
     """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -585,6 +597,6 @@ object DataPipeline {
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    txt_repetition, dc1_decontaminate,
+    txt_repetition, txt_vocab, dc1_decontaminate,
     mm_features, mm_frames, mm_resize, mm_decode)
 }

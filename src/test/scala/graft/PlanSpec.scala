@@ -146,6 +146,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("txt_vocab: global top-K is TakeOrdered with partial agg, no full sort") {
+    val p = plan("txt_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("txt_tfidf: term join keys are equi, N is broadcast") {
     val p = plan("txt_tfidf")
     assert(!p.contains("CartesianProduct"), p)
