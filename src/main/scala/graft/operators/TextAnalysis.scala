@@ -85,25 +85,35 @@ object TextAnalysis {
   /** Within-document repetition (a standard LLM-corpus quality signal:
     * high duplicate-n-gram ratios mark boilerplate/spam/generation
     * loops): total vs distinct word-3-grams and the duplicate ratio.
-    * Row-local column expressions only — the n-gram build is a
-    * per-row HOF over the token array (bounded work per row, no
-    * explode, no shuffle), so the operator stays a narrow pass.
+    *
+    * Runs as a typed map with a native loop, NOT as array HOFs: a
+    * `transform(sequence(...), i -> ... ws ...)` formulation
+    * re-evaluates the free `ws` subexpression (the whole tokenization)
+    * once per gram — O(tokens^2) per row, measured 20x slower at sf0.1
+    * (the exact interpreted-HOF trap TextHashing documents). The typed
+    * map is linear, allocation-light, and stays a narrow pass.
     */
   def repetition(documents: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
-    // guard: sequence(0, n) is bidirectional in Spark — a doc under 3
-    // tokens would produce a DESCENDING sequence, not an empty one
-    val grams = when(size(ws) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(ws) - lit(3)),
-        i => concat_ws(" ",
-          element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-    documents.select(
-      col("doc_id"),
-      size(grams).as("n_grams"),
-      size(array_distinct(grams)).as("n_distinct"),
-      when(size(grams) > 0,
-        round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4))
-        .otherwise(lit(0.0)).as("rep_ratio"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    Dedup.spread(documents.select(col("doc_id").cast("long"), col("text")))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.functions.TextHashing.tokens(text)
+        val n = math.max(toks.length - 2, 0)
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        while (i + 2 < toks.length) {
+          seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)): Unit
+          i += 1
+        }
+        val d = seen.size
+        // round half away from zero at 4 dp (Spark/DuckDB round parity)
+        val ratio =
+          if (n > 0) math.floor((1.0 - d.toDouble / n) * 1e4 + 0.5) / 1e4 else 0.0
+        (id, n, d, ratio)
+      }
+      .toDF("doc_id", "n_grams", "n_distinct", "rep_ratio")
       .orderBy("doc_id")
   }
 
