@@ -85,40 +85,47 @@ object IvfSearch {
   /** Deterministic sample-fit Lloyd quantizer; returns rounded centroids.
     * `fitSampleMod` keeps rows with `mix32(id) % fitSampleMod == 0` — a
     * narrow filter, no global TakeOrdered over the corpus; at scale set
-    * it to ~corpusRows / 16k for a quantizer-quality sample. The init
-    * (first nClusters sample vectors by id) is a limit-16 TakeOrdered:
-    * per-partition top-K + driver merge, cheap at any corpus size.
+    * it to ~corpusRows / 16k for a quantizer-quality sample.
+    *
+    * The sample is collected ONCE and Lloyd iterates on the driver:
+    * the sample is driver-safe BY DESIGN (the mod bounds it regardless
+    * of corpus size — the same contract every sample-fit quantizer
+    * makes), and a distributed Lloyd step over a bounded sample is all
+    * scheduling overhead: 2 jobs x lloydIter collapse to zero. The
+    * corpus-wide ASSIGNMENT pass in [[ivfTopK]] stays distributed —
+    * that is the part that scales with data. Arithmetic is unchanged
+    * (same init, same rnd6 distances/means, ascending-id summation) so
+    * the DuckDB mirror still replays it exactly.
     */
   def fitCentroids(
       e: Dataset[(Long, Array[Double])],
       nClusters: Int,
       lloydIter: Int,
       fitSampleMod: Long): Array[Array[Double]] = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val sample = e.filter(pmod(mix32(col("id")), lit(fitSampleMod)) === 0).cache()
+    val sample = e.filter(pmod(mix32(col("id")), lit(fitSampleMod)) === 0)
+      .collect().sortBy(_._1) // deterministic ascending-id order
+    require(sample.nonEmpty, "IVF fit sample is empty — lower fitSampleMod")
     var centroids: Array[Array[Double]] =
-      sample.orderBy(col("id")).limit(nClusters).collect()
-        .sortBy(_._1) // collect order after TakeOrdered is not contractual
-        .map(_._2.map(rnd6))
+      sample.take(nClusters).map(_._2.map(rnd6))
     var it = 0
     while (it < lloydIter) {
       val cs = centroids
-      val means = sample
-        .map { case (_, v) => (nearestCell(v, cs), v) }
-        .toDF("cell", "v")
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(r => rnd6(r.getDouble(2)))
-        }
+      val dim = sample.head._2.length
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      sample.foreach { case (_, v) =>
+        val c = nearestCell(v, cs)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
       // empty cells keep their previous centroid
-      centroids = centroids.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old
+        else sums(i).map(s => rnd6(s / counts(i)))
+      }
       it += 1
     }
-    sample.unpersist()
     centroids
   }
 
