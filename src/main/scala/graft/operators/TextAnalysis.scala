@@ -144,26 +144,45 @@ object TextAnalysis {
 
   /** Language-ID heuristic: score each candidate language by its
     * function-word hit rate in the token stream and take the argmax
-    * (deterministic tiebreak by profile order). Pure rational arithmetic
-    * over column expressions, so the identical computation is
-    * SQL-expressible for the oracle; a real system would swap in full
-    * character n-gram profiles, same operator shape.
+    * (deterministic tiebreak by profile order). Pure rational arithmetic,
+    * so the identical computation is SQL-expressible for the oracle; a
+    * real system would swap in full character n-gram profiles, same
+    * operator shape.
+    *
+    * One typed-map pass over the tokens: the column-expression form
+    * evaluated the tokenization ~3x per language per row (interpreted
+    * HOFs share no subexpressions) — the native loop tokenizes once and
+    * scores all profiles from it.
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
-    def score(stop: Seq[String]): Column =
-      when(size(ws) === 0, lit(0.0))
-        .otherwise(round(size(filter(ws, w => w.isin(stop: _*))).cast("double") / size(ws), 4))
-    val scored = documents.select(
-      Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
-        LangProfiles.map { case (l, st) => score(st).as(s"score_$l") }: _*)
-    val scoreCols = LangProfiles.map { case (l, _) => col(s"score_$l") }
-    val best = greatest(scoreCols: _*)
-    val pred = LangProfiles.foldLeft(when(best <= 0, lit("und"))) {
-      case (acc, (l, _)) => acc.when(col(s"score_$l") === best, lit(l))
-    }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val profiles = LangProfiles
+    val profSets = profiles.map { case (_, st) => st.toSet }
+    val scored = Dedup.spread(
+      documents.select(col("doc_id").cast("long"), col("lang"), col("text")))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val toks = graft.functions.TextHashing.tokens(text)
+        val scores = profSets.map { set =>
+          if (toks.isEmpty) 0.0
+          else {
+            var h = 0
+            toks.foreach(t => if (set(t)) h += 1)
+            // round half away from zero at 4 dp (SQL round parity)
+            math.floor(h.toDouble / toks.length * 1e4 + 0.5) / 1e4
+          }
+        }
+        val best = scores.max
+        val pred = if (best <= 0) "und" else profiles(scores.indexOf(best))._1
+        (id, lang, pred, scores.toArray)
+      }
+      .toDF("doc_id", "labeled_lang", "predicted_lang", "scores")
     scored.select(
-      Seq(col("doc_id"), col("labeled_lang"), pred.as("predicted_lang")) ++ scoreCols: _*)
+      Seq(col("doc_id"), col("labeled_lang"), col("predicted_lang")) ++
+        profiles.zipWithIndex.map { case ((l, _), i) =>
+          col("scores")(i).as(s"score_$l")
+        }: _*)
       .orderBy("doc_id")
   }
 }
