@@ -35,16 +35,22 @@ object Bench {
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to nRuns).map { _ =>
+      val runs = (1 to math.max(1, nRuns)).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.min, runs)
+      // a fast FAILURE must not become the reported min; if every run
+      // failed, report the slowest elapsed so the breakage is visible
+      // in the headline number, not hidden by a near-zero time
+      val good = runs.filter(_._2).map(_._1)
+      val t = if (good.nonEmpty) good.min else runs.map(_._1).max
+      (name, t, runs.map(_._1))
     }
     spark.catalog.clearCache()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

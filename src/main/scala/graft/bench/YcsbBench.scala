@@ -58,6 +58,9 @@ object YcsbBench {
       // nothing except burn scheduler cycles between real batches —
       // with ProcessingTime(0) they'd otherwise fire continuously
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // the hop stats window by batchId over recentProgress; the
+      // default retention (100) would silently truncate long runs
+      .config("spark.sql.streaming.numRecentProgressUpdates", "512")
     if (sys.env.get("SPARK_GRAFT_TWS").contains("1"))
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

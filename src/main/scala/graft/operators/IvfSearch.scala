@@ -83,15 +83,17 @@ object IvfSearch {
       .sorted.take(nProbe).map(_._2)
 
   /** Deterministic sample-fit Lloyd quantizer; returns rounded centroids.
-    * `fitSampleMod` keeps rows with `mix32(id) % fitSampleMod == 0` — a
-    * narrow filter, no global TakeOrdered over the corpus; at scale set
-    * it to ~corpusRows / 16k for a quantizer-quality sample.
+    * Two bounds make the sample driver-safe at ANY corpus size:
+    * `fitSampleMod` pre-filters to rows with `mix32(id) % mod == 0`
+    * (a narrow filter — set it to ~corpusRows/16k at scale to shrink
+    * the scan), and a HARD cap of `fitMaxRows` via a hash-ordered
+    * TakeOrdered (per-partition top-K on `(mix32(id), id)` + driver
+    * merge — bounded and UNBIASED, unlike a first-N-by-id sample,
+    * because the order is the avalanche hash, not ingest order).
     *
-    * The sample is collected ONCE and Lloyd iterates on the driver:
-    * the sample is driver-safe BY DESIGN (the mod bounds it regardless
-    * of corpus size — the same contract every sample-fit quantizer
-    * makes), and a distributed Lloyd step over a bounded sample is all
-    * scheduling overhead: 2 jobs x lloydIter collapse to zero. The
+    * The bounded sample is collected ONCE and Lloyd iterates on the
+    * driver: a distributed Lloyd step over a bounded sample is all
+    * scheduling overhead (2 jobs x lloydIter collapse to zero). The
     * corpus-wide ASSIGNMENT pass in [[ivfTopK]] stays distributed —
     * that is the part that scales with data. Arithmetic is unchanged
     * (same init, same rnd6 distances/means, ascending-id summation) so
@@ -101,8 +103,10 @@ object IvfSearch {
       e: Dataset[(Long, Array[Double])],
       nClusters: Int,
       lloydIter: Int,
-      fitSampleMod: Long): Array[Array[Double]] = {
+      fitSampleMod: Long,
+      fitMaxRows: Int = 4096): Array[Array[Double]] = {
     val sample = e.filter(pmod(mix32(col("id")), lit(fitSampleMod)) === 0)
+      .orderBy(mix32(col("id")), col("id")).limit(fitMaxRows)
       .collect().sortBy(_._1) // deterministic ascending-id order
     require(sample.nonEmpty, "IVF fit sample is empty — lower fitSampleMod")
     var centroids: Array[Array[Double]] =
@@ -137,6 +141,7 @@ object IvfSearch {
       nProbe: Int = 4,
       lloydIter: Int = 3,
       fitSampleMod: Long = 1,
+      fitMaxRows: Int = 4096,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
@@ -150,7 +155,7 @@ object IvfSearch {
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val centroids = fitCentroids(e, nClusters, lloydIter, fitSampleMod)
+    val centroids = fitCentroids(e, nClusters, lloydIter, fitSampleMod, fitMaxRows)
     val cs = centroids
 
     // corpus assignment: one narrow pass, nClusters distances per row

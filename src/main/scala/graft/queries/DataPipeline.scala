@@ -304,7 +304,7 @@ object DataPipeline {
     * absorbs summation-order FP noise (see IvfSearch scaladoc).
     */
   private val AnnIvfSql: String = {
-    val K = 16; val Iter = 3; val NProbe = 4; val Dim = 64; val Mod = 1L
+    val K = 16; val Iter = 3; val NProbe = 4; val Dim = 64; val Mod = 1L; val MaxRows = 4096
     def d2(v: String, c: String) =
       s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
     val iters = (1 to Iter).map { i =>
@@ -326,7 +326,7 @@ object DataPipeline {
        |  SELECT vec_id, v, xor(m2, m2 >> 13) AS hs FROM (
        |    SELECT vec_id, v, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
        |      SELECT vec_id, v, vec_id % 4294967296 AS h0 FROM e)))
-       |  WHERE hs % $Mod = 0),
+       |  WHERE hs % $Mod = 0 ORDER BY hs, vec_id LIMIT $MaxRows),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |        list_transform(v, x -> round(x, 6)) AS c
        |       FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $K)),

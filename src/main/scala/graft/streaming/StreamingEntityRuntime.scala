@@ -38,7 +38,7 @@ import graft.runtime.{EventTransport, StatefulOperator}
   * per-key state is exactly-once across micro-batches and restarts. The
   * loopback egress is replay-IDEMPOTENT (deterministic per-(batch,
   * partition) file names, publish-if-absent — see
-  * [[StreamingEntityRuntime.writeLoopbackPartition]]), which closes the
+  * [[StreamingEntityRuntime.egressPartition]]), which closes the
   * batch-replay / task-retry duplication windows; the residual zombie
   * window degrades to at-least-once, the reference's own guarantee on
   * its internal Kafka topic.
@@ -339,13 +339,22 @@ object StreamingEntityRuntime {
         }
       }
     } finally if (out != null) out.close()
+    var published = false
     if (out != null) {
       if (java.nio.file.Files.exists(target)) java.nio.file.Files.delete(staged)
-      else java.nio.file.Files.move(staged, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      else {
+        java.nio.file.Files.move(staged, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        published = true
+      }
     }
-    // count either way: the events ARE in flight in the published file
-    acc.add(n)
+    // Count only on the attempt that actually published: accumulator
+    // updates inside a transformation are re-applied on task retry, so
+    // counting replays would inflate the hop counters the specs and the
+    // YCSB artifact assert on. (The pendingContinuations flag derived
+    // from this is advisory — processAllAvailable sees published files
+    // through the source's own listing regardless.)
+    if (published) acc.add(n)
     reps.result().iterator
   }
 

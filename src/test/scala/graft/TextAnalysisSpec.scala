@@ -18,6 +18,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((0, 0, 0.0)))
   }
 
+  test("decontamination overlapWith: explicit eval corpus flags the duplicate") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "one two three four five"),
+      (2L, "alpha beta gamma delta eps")).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val out = Decontamination.overlapWith(train, evalDocs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((1L, 2L, 2L, 1.0)))
+  }
+
   test("decontamination flags a train doc that duplicates an eval doc") {
     import spark.implicits._
     // mix32(0) = 0 -> doc 0 lands in the eval split (0 % 19 == 0);
