@@ -49,7 +49,10 @@ object IvfSearch {
     * mix from TextHashing.poly32's finalizer, as a codegen'd column
     * expression. Every intermediate stays < 2^48, so the identical
     * BIGINT arithmetic runs in DuckDB — the fit-sample filter is
-    * oracle-mirrorable (xxhash64 is not).
+    * oracle-mirrorable (xxhash64 is not). `pmod` keeps h0 non-negative
+    * for negative ids too; the DuckDB mirrors use the positive-modulo
+    * form `((x % m + m) % m)` (plain `%` takes the dividend's sign
+    * there), so engine and oracle agree for ALL long ids.
     */
   def mix32(c: Column): Column = {
     val h0 = pmod(c.cast("long"), lit(4294967296L))
@@ -162,9 +165,12 @@ object IvfSearch {
     val assigned = e.map { case (id, v) => (id, v, nearestCell(v, cs)) }
       .toDF(idCol, "v", "cell")
 
-    // each query probes its nProbe nearest cells (broadcast, tiny)
+    // each query probes its nProbe nearest cells (broadcast, tiny).
+    // Column-based isin (not a typed closure): Catalyst sees the
+    // predicate, so the probe pass prunes at the (cached) scan instead
+    // of re-reading the whole corpus projection.
     val np = nProbe
-    val probes = e.filter(t => queryIds.contains(t._1))
+    val probes = e.filter(col("id").isin(queryIds: _*))
       .flatMap { case (id, v) => probeCellsOf(v, cs, np).map(c => (id, v, c)) }
       .toDF("qid", "qv", "cell")
 

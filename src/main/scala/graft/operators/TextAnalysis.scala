@@ -71,8 +71,17 @@ object TextAnalysis {
     * Downstream vectorization is a per-doc collect_list over this table.
     */
   def tfIdf(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // spread: a single-file corpus must not tokenize on one partition
+    // (same guard every sibling text op applies)
+    val tok = Dedup.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // persist: tf feeds TWO consumers (the df aggregation and the join's
+    // left side) that share no canonical exchange — without it the
+    // tokenize/explode/agg chain re-executes per consumer (AQE exchange
+    // reuse is best-effort, not a contract). Callers that batch many
+    // queries clear the SQL cache between them (see Dedup scaladoc).
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     tf.join(df, "term")

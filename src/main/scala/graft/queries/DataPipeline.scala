@@ -6,9 +6,13 @@ import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextAnal
 
 /** Training-data pipeline surface: dedup, similarity search, text
   * analysis, multimodal plumbing (north-star extensions from SURVEY.md
-  * §2.b). SQL-expressible ops carry a DuckDB oracle; the
-  * probabilistic/stub ops (MinHash-LSH, SimHash, LSH-ANN, lang-id) are
-  * rows-only here and pinned by ScalaTest specs instead.
+  * §2.b). EVERY query here carries a full DuckDB oracle (rows + schema
+  * + value hash): the probabilistic ops (MinHash-LSH, SimHash, sign-LSH,
+  * IVF, decontamination) are mirrored scale-true — the SQL replays the
+  * engine's own fixed-seed hashes, band folds, bucket caps, hyperplanes
+  * and Lloyd steps, so the oracle reproduces the banded pair sets even
+  * when the caps engage; the media ops are checked via lossless-codec
+  * round-trips against the generating formula.
   */
 object DataPipeline {
 
@@ -325,7 +329,7 @@ object DataPipeline {
        |samp AS (SELECT vec_id, v FROM (
        |  SELECT vec_id, v, xor(m2, m2 >> 13) AS hs FROM (
        |    SELECT vec_id, v, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
-       |      SELECT vec_id, v, vec_id % 4294967296 AS h0 FROM e)))
+       |      SELECT vec_id, v, ((vec_id % 4294967296) + 4294967296) % 4294967296 AS h0 FROM e)))
        |  WHERE hs % $Mod = 0 ORDER BY hs, vec_id LIMIT $MaxRows),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |        list_transform(v, x -> round(x, 6)) AS c
@@ -485,7 +489,7 @@ object DataPipeline {
        |sh AS (SELECT DISTINCT a.doc_id, $gram AS s FROM tok a $joins),
        |mx AS (SELECT doc_id, xor(m2, m2 >> 13) AS hs FROM (
        |  SELECT doc_id, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
-       |    SELECT doc_id, doc_id % 4294967296 AS h0 FROM documents))),
+       |    SELECT doc_id, ((doc_id % 4294967296) + 4294967296) % 4294967296 AS h0 FROM documents))),
        |ev AS (SELECT doc_id FROM mx WHERE hs % $Mod = 0),
        |evs AS (SELECT DISTINCT s FROM sh JOIN ev USING (doc_id)),
        |tr AS (SELECT sh.doc_id, sh.s FROM sh LEFT JOIN ev ON ev.doc_id = sh.doc_id

@@ -162,6 +162,28 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("txt_tfidf: tf persists — tokenize/explode materializes exactly once") {
+    val p = plan("txt_tfidf")
+    // tf feeds two consumers (df agg + join left side); the persist means
+    // both read the cache instead of re-running the explode+agg chain
+    assert(p.contains("InMemoryTableScan"), p)
+    // formatted mode prints the cached subtree under each consumer, but
+    // a single shared node id proves one physical Generate (explode)
+    val generateIds = "Generate \\(\\d+\\)".r.findAllIn(p).toSeq.distinct
+    assert(generateIds.length === 1,
+      s"explode must be one shared cached node, got $generateIds:\n$p")
+  }
+
+  test("ann_ivf: probe filter is a visible column predicate (like ann_lsh)") {
+    val p = plan("ann_ivf_topk")
+    // the typed-closure form hid the query-id filter from Catalyst; the
+    // column isin must surface as a pushable IN predicate on the probe
+    // pass over the cached projection
+    assert(p.contains("IN (0,1,2,3,4)") || p.contains("In(id, [0,1,2,3,4])")
+      || p.contains("id IN (0,1,2,3,4)"),
+      s"query-id IN predicate missing from probe pass:\n$p")
+  }
+
   test("q12b: no unpartitioned window over the big input") {
     val df = SparkEntry.queries("q12b_distribution")(spark, sf)
     val windows = df.queryExecution.executedPlan.collect {
