@@ -16,6 +16,13 @@ import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextAnal
   */
 object DataPipeline {
 
+  /** The fixture query-vector ids every ANN entry (brute / LSH / IVF)
+    * probes for. PlanSpec derives its expected IN-list predicate from
+    * this value, so changing the fixture can't silently break the gate.
+    * The DuckDB mirrors select the same set as `vec_id < 5`.
+    */
+  val AnnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
   // -------------------------------------------------------------- dedup
   val dd1_exact_dedup = QueryDef.sqlChecked(
     "dd1_exact_dedup",
@@ -31,14 +38,14 @@ object DataPipeline {
     * where the cap engages. The reported jaccard is then Jaccard over
     * the capped sets — the engine's declared semantics.
     */
-  private val NgramJaccardSql =
-    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
-      |            FROM documents),
+  private def ngramJaccardSqlFor(docsRel: String, cap: Int): String =
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM $docsRel),
       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
       |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $cap),
       |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
       |sz AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
@@ -49,6 +56,8 @@ object DataPipeline {
       |WHERE 2*i >= (sa.n + sb.n - i)
       |ORDER BY da, db""".stripMargin
 
+  private val NgramJaccardSql = ngramJaccardSqlFor("documents", 1000)
+
   /** Full MinHash-LSH mirror, generated from the SAME fixed-seed
     * parameter table the engine uses: DuckDB replays the 31-bit shingle
     * hash, all 64 universal hashes, the per-band fold, the bucket-size
@@ -57,12 +66,12 @@ object DataPipeline {
     * (an exact-Jaccard oracle would diverge on the rare pair the banding
     * misses, or whenever the bucket cap engages).
     */
-  private val MinhashLshSql: String = {
+  private def minhashLshSqlFor(docsRel: String, cap: Int): String = {
     val params = graft.functions.TextHashing.minhashParams(64)
     val paramRows = params.zipWithIndex
       .map { case ((a, b), k) => s"($k, ${a}, ${b})" }.mkString(",\n   ")
     s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
-       |            FROM documents),
+       |            FROM $docsRel),
        |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
@@ -80,7 +89,7 @@ object DataPipeline {
        |         FROM sig s0 JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.k = s0.k + 1
        |         WHERE s0.k % 2 = 0),
        |keep AS (SELECT band, band_hash FROM band GROUP BY band, band_hash
-       |         HAVING count(*) <= 1000),
+       |         HAVING count(*) <= $cap),
        |bk AS (SELECT b.doc_id, b.band, b.band_hash FROM band b JOIN keep USING (band, band_hash)),
        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |         FROM bk x JOIN bk y USING (band, band_hash) WHERE x.doc_id < y.doc_id),
@@ -95,12 +104,55 @@ object DataPipeline {
        |ORDER BY da, db""".stripMargin
   }
 
+  private val MinhashLshSql = minhashLshSqlFor("documents", 1000)
+
   val dd2_minhash_lsh = QueryDef.sqlChecked("dd2_minhash_lsh", MinhashLshSql) { (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d))
   }
 
   val dd3_ngram_jaccard = QueryDef.sqlChecked("dd3_ngram_jaccard", NgramJaccardSql) { (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d))
+  }
+
+  // ------------------------------------------- cap-engagement fixtures
+  /** The dd2/dd3 hot-key caps never fire on the organic testdata, so
+    * their mirror CTEs would be dead code at gate scale. These entries
+    * union CapN identical boilerplate docs (> cap = CapMax) onto a
+    * fixed slice of `documents` IN-QUERY, in both engines, so the cap
+    * provably engages under the oracle: uncapped, the boilerplate
+    * block alone would emit CapN*(CapN-1)/2 = 1770 J=1.0 pairs; capped,
+    * it emits none (every boilerplate band bucket / shingle exceeds the
+    * cap) — CappedFixtureSpec asserts that delta against the engine.
+    */
+  private val BoilerText =
+    "zq alpha zq bravo zq charlie zq delta zq echo zq foxtrot zq golf"
+  private[graft] val CapN = 60
+  private[graft] val CapMax = 40
+
+  private[graft] def cappedDocs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 100)
+    val boiler = s.range(CapN.toLong)
+      .select((col("id") + 1000000L).as("doc_id"), lit(BoilerText).as("text"))
+    base.unionByName(boiler)
+  }
+
+  private val CappedDocsRel =
+    s"""(SELECT doc_id, text FROM documents WHERE doc_id < 100
+       | UNION ALL
+       | SELECT 1000000 + r AS doc_id, '$BoilerText' AS text FROM range($CapN) t(r))"""
+      .stripMargin
+
+  val dd2_capped_minhash = QueryDef.sqlChecked(
+    "dd2_capped_minhash", minhashLshSqlFor(CappedDocsRel, CapMax)) { (s, d) =>
+    Dedup.minhashLsh(cappedDocs(s, d), maxBucket = CapMax)
+  }
+
+  val dd3_capped_jaccard = QueryDef.sqlChecked(
+    "dd3_capped_jaccard", ngramJaccardSqlFor(CappedDocsRel, CapMax)) { (s, d) =>
+    Dedup.ngramJaccard(cappedDocs(s, d), maxDocFreq = CapMax)
   }
 
   /** DuckDB re-derivation of the char-level poly32 fold (TextHashing.poly32),
@@ -264,7 +316,7 @@ object DataPipeline {
       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
       |      FROM sc)
       |SELECT qid, rnk, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) {
-    (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+    (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryIds = AnnQueryIds)
   }
 
   /** Full LSH mirror, generated from the SAME fixed-seed hyperplanes and
@@ -295,7 +347,7 @@ object DataPipeline {
   }
 
   val ann_lsh_topk = QueryDef.sqlChecked("ann_lsh_topk", AnnLshSql) { (s, d) =>
-    Similarity.lshTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+    Similarity.lshTopK(Tables.embeddings(s, d), queryIds = AnnQueryIds)
   }
 
   /** Full IVF mirror: DuckDB re-runs the ENTIRE deterministic quantizer —
@@ -354,7 +406,7 @@ object DataPipeline {
 
   val ann_ivf_topk = QueryDef.sqlChecked("ann_ivf_topk", AnnIvfSql) { (s, d) =>
     graft.operators.IvfSearch.ivfTopK(Tables.embeddings(s, d),
-      queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      queryIds = AnnQueryIds)
   }
 
   // ------------------------------------------------------ text analysis
@@ -506,6 +558,41 @@ object DataPipeline {
     (s, d) => Decontamination.overlap(Tables.documents(s, d))
   }
 
+  /** Mirror for the DEPLOYMENT decontamination API
+    * (Decontamination.overlapWith — explicit eval corpus, not the
+    * hash-split demo): eval = the `doc_id % 100 < 3` slice, train = the
+    * complement, both derived in-query from `documents` so the whole
+    * call replays in DuckDB. Plain `%` mirrors the engine's `pmod`
+    * because fixture doc_ids are non-negative (the negative-id parity
+    * concern is mix32-specific and spec-covered separately).
+    */
+  private val OverlapWithSql: String = {
+    val K = 4
+    val joins = (1 until K)
+      .map(j => s"JOIN tok t$j ON t$j.doc_id = a.doc_id AND t$j.i = a.i + $j")
+      .mkString(" ")
+    val gram = "a.w" + (1 until K).map(j => s" || ' ' || t$j.w").mkString
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |sh AS (SELECT DISTINCT a.doc_id, $gram AS s FROM tok a $joins),
+       |evs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 < 3),
+       |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 >= 3),
+       |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1)
+       |SELECT doc_id, n_hits, n_shingles,
+       | round(n_hits*1.0/n_shingles, 4) AS overlap_ratio
+       |FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  val dc2_overlap_with = QueryDef.sqlChecked("dc2_overlap_with", OverlapWithSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Decontamination.overlapWith(
+      train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3),
+      evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
+  }
+
   // --------------------------------------------------------- multimodal
   val mm_features = QueryDef.sqlChecked(
     "mm_features",
@@ -599,8 +686,9 @@ object DataPipeline {
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
+    dd2_capped_minhash, dd3_capped_jaccard,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    txt_repetition, txt_vocab, dc1_decontaminate,
+    txt_repetition, txt_vocab, dc1_decontaminate, dc2_overlap_with,
     mm_features, mm_frames, mm_resize, mm_decode)
 }
