@@ -28,6 +28,13 @@ final case class ImageStats(
     doc_id: Long, width: Int, height: Int,
     mean_r: Double, mean_g: Double, mean_b: Double)
 
+/** Per-clip decoded audio stats — what a real audio featurizer reads
+  * off the decoded PCM buffer (length, rate, amplitude moments).
+  */
+final case class AudioStats(
+    doc_id: Long, n_samples: Int, sample_rate: Int,
+    mean_amp: Double, peak: Int, rms: Double)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns + typed metadata struct, with decode / feature-extraction as
   * a partition-local typed transformation.
@@ -37,8 +44,11 @@ final case class ImageStats(
   * same pattern a JNI codec or ONNX session would need). IMAGES are
   * decoded for real with the JDK's `javax.imageio` (PNG/JPEG, zero
   * external deps): [[decodeImages]] reads actual codec bytes into a
-  * pixel buffer. [[decodeStub]] remains only as the deterministic
-  * FALLBACK for media kinds with no in-container codec (audio/video).
+  * pixel buffer. AUDIO is decoded for real with the JDK's
+  * `javax.sound.sampled` (WAV PCM, lossless): [[decodeAudio]] parses
+  * the RIFF container and reads the PCM frames. [[decodeStub]] remains
+  * only as the deterministic FALLBACK for VIDEO, the one media kind
+  * with no in-container codec.
   */
 object Multimodal {
 
@@ -61,10 +71,11 @@ object Multimodal {
   }
 
   /** FALLBACK decoder for media kinds without an in-container codec
-    * (audio/video; images go through the REAL [[decodeImages]] path).
-    * Derives deterministic features from the raw bytes so the pipeline
-    * stays end-to-end testable: partition-local batching, one "decoder"
-    * per partition, typed output.
+    * (video only — images go through the REAL [[decodeImages]] path and
+    * audio through the REAL [[decodeAudio]] path). Derives
+    * deterministic features from the raw bytes so the pipeline stays
+    * end-to-end testable: partition-local batching, one "decoder" per
+    * partition, typed output.
     */
   def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     // Per-partition decoder init would go here (expensive handle, reused
@@ -163,6 +174,80 @@ object Multimodal {
         }
         val n = (w * h).toDouble
         ImageStats(r.doc_id, w, h, rnd4(sr / n), rnd4(sg / n), rnd4(sb / n))
+      }
+    }
+  }
+
+  /** Deterministic synthetic audio table: one short 16-bit mono PCM WAV
+    * per document, samples a pure integer function of (doc_id, t) — so
+    * a SQL oracle can predict the DECODED stats without a WAV parser.
+    * The WAV bytes are real container output (`javax.sound.sampled`'s
+    * WAVE writer), generated executor-side; with real data this table
+    * is `spark.read.format("binaryFile")` over an audio corpus.
+    */
+  def syntheticAudio(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      ids.map { id =>
+        val n = (50 + id % 30).toInt
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          // pure integer formula (no trig): mirrors exactly in SQL
+          val v = ((id * 131L + t.toLong * t * 7 + t * 13L) % 20001L - 10000L).toInt
+          pcm(2 * t) = (v & 0xff).toByte
+          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+          t += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray, MediaMeta("audio", "wav", bos.size.toLong))
+      }
+    }
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses the WAV/RIFF
+    * container (format chunk -> rate/width/channels, data chunk -> PCM
+    * frames); stats are computed off the decoded samples. PCM WAV is
+    * lossless, so for [[syntheticAudio]] payloads the decoded buffer is
+    * byte-exact against the generating formula — the same oracle trick
+    * as [[decodeImages]]. Amplitude sums are exact integer arithmetic;
+    * only the final mean/rms divide (then round) so the stats are
+    * engine-reproducible.
+    */
+  def decodeAudio(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(r.meta.kind == "audio",
+          s"decodeAudio on kind=${r.meta.kind} (doc ${r.doc_id}) — use decodeStub fallback")
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt (doc ${r.doc_id})")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        var sum = 0L; var sumSq = 0L; var peak = 0
+        var i = 0
+        while (i < n) {
+          val v =
+            if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+            else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          sum += v
+          sumSq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioStats(r.doc_id, n, fmt.getSampleRate.toInt,
+          rnd4(sum.toDouble / n), peak, rnd4(math.sqrt(sumSq.toDouble / n)))
       }
     }
   }

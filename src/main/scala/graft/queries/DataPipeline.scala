@@ -636,6 +636,31 @@ object DataPipeline {
       .toDF().orderBy("doc_id")
   }
 
+  /** REAL codec round-trip for audio, same trick as mm_decode:
+    * deterministic 16-bit mono PCM WAVs are generated from a pure
+    * integer (doc_id, t) sample formula, written through the JDK's
+    * WAVE encoder, then DECODED back through javax.sound.sampled on
+    * executors; the emitted stats come off the decoded PCM buffer.
+    * WAV PCM is lossless, so the oracle recomputes the same stats
+    * directly from the generating formula. Any container/decoder bug
+    * (endianness, header offset, sample width) breaks the hash.
+    */
+  val mm_audio = QueryDef.sqlChecked(
+    "mm_audio",
+    """WITH par AS (SELECT doc_id, 50 + doc_id % 30 AS n FROM documents),
+      |t AS (SELECT doc_id, n, unnest(range(n)) AS t FROM par),
+      |s AS (SELECT doc_id, n, (doc_id*131 + t*t*7 + t*13) % 20001 - 10000 AS v FROM t)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+      | CAST(8000 AS INTEGER) AS sample_rate,
+      | round(sum(v)*1.0/n, 4) AS mean_amp,
+      | CAST(max(abs(v)) AS INTEGER) AS peak,
+      | round(sqrt(sum(v*v)*1.0/n), 4) AS rms
+      |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.decodeAudio(Multimodal.syntheticAudio(Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+  }
+
   /** Frame sampling over the byte payload. INVARIANT: the oracle mirrors
     * frames with character-based substr/md5, which equals the engine's
     * byte-based slicing only for ASCII payloads — the testdata documents
@@ -690,5 +715,5 @@ object DataPipeline {
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, dc1_decontaminate, dc2_overlap_with,
-    mm_features, mm_frames, mm_resize, mm_decode)
+    mm_features, mm_frames, mm_resize, mm_decode, mm_audio)
 }

@@ -44,6 +44,39 @@ class MultimodalSpec extends SparkSpec {
     assert(img.getWidth === (4 + row.doc_id % 5).toInt)
   }
 
+  test("WAV encode->decode round-trip recovers the generating sample formula") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf).limit(20)
+    val stats = Multimodal.decodeAudio(Multimodal.syntheticAudio(docs))
+      .collect().map(st => st.doc_id -> st).toMap
+    assert(stats.nonEmpty)
+    stats.foreach { case (id, st) =>
+      val n = (50 + id % 30).toInt
+      val samples = (0 until n)
+        .map(t => ((id * 131L + t.toLong * t * 7 + t * 13L) % 20001L - 10000L).toInt)
+      assert(st.n_samples === n)
+      assert(st.sample_rate === 8000)
+      assert(st.peak === samples.map(math.abs).max)
+      def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(st.mean_amp === rnd4(samples.map(_.toLong).sum.toDouble / n))
+      assert(st.rms === rnd4(math.sqrt(
+        samples.map(v => v.toLong * v).sum.toDouble / n)))
+    }
+  }
+
+  test("decode really goes through the WAV codec (payload is a valid RIFF/WAVE)") {
+    implicit val s = spark
+    val row = Multimodal.syntheticAudio(Tables.documents(spark, sf).limit(1)).head()
+    assert(row.media.take(4).map(_.toChar).mkString === "RIFF")
+    assert(row.media.slice(8, 12).map(_.toChar).mkString === "WAVE")
+    assert(row.meta.kind === "audio" && row.meta.encoding === "wav")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(row.media))
+    assert(ais.getFormat.getSampleRate === 8000f)
+    assert(ais.getFormat.getChannels === 1)
+    ais.close()
+  }
+
   test("documents are ASCII — the invariant the byte-based frame/resize oracles need") {
     val nonAscii = Tables.documents(spark, sf)
       .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
