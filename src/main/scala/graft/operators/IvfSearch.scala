@@ -136,6 +136,20 @@ object IvfSearch {
     centroids
   }
 
+  /** Top-k probe search over the IVF cells.
+    *
+    * CACHE OWNERSHIP (same contract as Dedup's signature stages): the
+    * internal projection `e` is persist(MEMORY_AND_DISK)ed because it
+    * feeds three consumers (fit-sample filter, corpus assignment, query
+    * filter) that share no canonical exchange. A returned DataFrame has
+    * no completion hook, so the entry is NOT unpersisted here; repeated
+    * calls on the same input reuse the one entry (CacheManager
+    * canonicalizes), and batch harnesses that run many unrelated
+    * queries (Bench/Verify) clear the SQL cache between queries. A
+    * long-lived caller that never clears the cache holds one
+    * projection-sized entry per distinct input — call
+    * `spark.catalog.clearCache()` (or uncache the input) when done.
+    */
   def ivfTopK(
       embeddings: DataFrame,
       queryIds: Seq[Long],

@@ -69,6 +69,14 @@ object TextAnalysis {
     * vocabulary-sized and shuffles by term (no hot key: a term's df row
     * is one row however common the term); N is a broadcast scalar.
     * Downstream vectorization is a per-doc collect_list over this table.
+    *
+    * CACHE OWNERSHIP: `tf` is persist(MEMORY_AND_DISK)ed (two consumers,
+    * no shared exchange) and NOT unpersisted here — a returned DataFrame
+    * has no completion hook. Repeated same-input calls reuse the one
+    * entry (CacheManager canonicalizes); batch harnesses clear the SQL
+    * cache between queries; a long-lived caller that never clears the
+    * cache should `spark.catalog.clearCache()` when done (the same
+    * contract as Dedup's signature stages and IvfSearch.ivfTopK).
     */
   def tfIdf(documents: DataFrame): DataFrame = {
     // spread: a single-file corpus must not tokenize on one partition

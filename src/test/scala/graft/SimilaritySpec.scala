@@ -70,4 +70,27 @@ class SimilaritySpec extends SparkSpec {
     // probes 4/16 cells (~25% of corpus); recall should beat that baseline
     assert(mean >= 0.3, s"mean IVF recall@10 too low: $mean (per-query $recalls)")
   }
+
+  test("mix32 matches the DuckDB positive-modulo mirror for negative and positive ids") {
+    import spark.implicits._
+    // The SQL mirrors compute h0 = ((x % m + m) % m) because DuckDB's %
+    // takes the dividend's sign; the engine uses pmod. Scala's % has
+    // the same dividend-sign semantics as DuckDB's, so replaying the
+    // mirror chain verbatim here checks exactly the claimed parity —
+    // including ids the fixtures never produce (negative, Long.MinValue).
+    def mirror(x: Long): Long = {
+      val m = 4294967296L
+      val h0 = (x % m + m) % m
+      val m1 = h0 ^ (h0 >> 16)
+      val m2 = (m1 * 40503L) % m
+      m2 ^ (m2 >> 13)
+    }
+    val ids = Seq(-1L, -2L, -4294967296L, -4294967297L, Long.MinValue,
+      Long.MaxValue, 0L, 1L, 12345L, -987654321L)
+    val engine = ids.toDF("id")
+      .select(graft.operators.IvfSearch.mix32(org.apache.spark.sql.functions.col("id")))
+      .collect().map(_.getLong(0))
+    assert(engine.toSeq === ids.map(mirror),
+      "mix32 column diverges from the positive-modulo SQL mirror")
+  }
 }
