@@ -52,6 +52,8 @@ object Bench {
     "q17_dates" -> 0.90, "q18_arrays" -> 0.98, "q18b_explode" -> 0.63,
     "q19_json" -> 0.48, "q1_agg" -> 0.36, "q20_udf_aggregator" -> 0.36,
     "q20b_transitions" -> 0.48, "q21_scalar_subquery" -> 0.35,
+    "dc2_overlap_with" -> 1.22, "dd2_capped_minhash" -> 0.94,
+    "dd3_capped_jaccard" -> 0.69, "mm_audio" -> 0.89,
     "q22_pivot" -> 0.41, "q2_predicates" -> 0.35, "q3_broadcast_join" -> 0.42,
     "q4_sortmerge_join" -> 0.61, "q5_outer_join" -> 0.51,
     "q5b_full_outer" -> 0.31, "q6_semi_anti" -> 0.37, "q7_range_join" -> 0.65,
