@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.IvfSearch.mix32
+
+/** Corpus sampling / splitting / packing utilities — the bookkeeping
+  * passes of an LLM training-data pipeline between cleaning and
+  * tokenization. The reference system has no analog; these extend the
+  * engine's declared training-pipeline surface (SURVEY.md §2.b
+  * north-star slots) with the same design rules as the rest of the
+  * family: deterministic (hash-derived, never rand()), expressible as
+  * declarative plans Catalyst can optimize, and mirrorable in SQL so
+  * every entry carries a full DuckDB oracle.
+  *
+  * Scale shapes:
+  *   - [[hashSplit]] is a pure narrow projection (no shuffle at all);
+  *   - [[quotaPerKey]] shuffles once on the stratum key — the minimum
+  *     possible for an exact per-key quota; a pathologically hot
+  *     stratum bounds one partition's sort, which stays fine while
+  *     quota <<< stratum size (rank truncation short-circuits output,
+  *     not the sort) — for extreme skew pre-filter with an approximate
+  *     per-key sample first;
+  *   - [[packSequences]] never orders the corpus globally: documents
+  *     are hash-sharded first and the running-token cumsum windows
+  *     WITHIN each shard, so the sort parallelism equals the shard
+  *     count and packing stays embarrassingly parallel at any corpus
+  *     size (each shard is an independent token stream — exactly how a
+  *     multi-worker tokenizer consumes it downstream).
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment by avalanche hash of the
+    * id: `mix32(id) % 100` buckets against percentage thresholds. The
+    * avalanche hash makes the split unbiased even when ids correlate
+    * with content (ingest order, source, time); being id-derived, the
+    * assignment is stable under corpus re-partitioning, re-ingestion
+    * and incremental appends — the property that matters for
+    * reproducible dataset releases. One narrow projection, no shuffle.
+    */
+  def hashSplit(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = pmod(mix32(col(idCol)), lit(100L))
+    documents.select(
+      col(idCol),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy(idCol)
+  }
+
+  /** Per-stratum quota sampling: keep at most `quota` documents per
+    * `keyCol` value, chosen by hash order (unbiased within the stratum,
+    * deterministic across runs) with the id as tiebreak. The standard
+    * "at most N documents per domain/language/source" balancing pass.
+    * One shuffle on the stratum key; rank truncation bounds the output
+    * to quota x strata rows.
+    */
+  def quotaPerKey(
+      documents: DataFrame,
+      keyCol: String = "lang",
+      idCol: String = "doc_id",
+      quota: Int = 5): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(mix32(col(idCol)), col(idCol))
+    documents
+      .select(col(idCol), col(keyCol))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= quota)
+      .orderBy(keyCol, "rk")
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins —
+    * the pass that turns a cleaned corpus into training context
+    * windows. Documents are hash-sharded (`mix32(id) % shards`, each
+    * shard an independent token stream), ordered by id within the
+    * shard, and a running token count places each document at its
+    * stream offset; its bin is `offset div budget` (offset-based
+    * packing: a document whose tokens straddle a boundary belongs to
+    * the bin where it starts, the contiguous-stream semantics —
+    * deterministic, no first-fit search). Output: one row per document
+    * with (shard, bin, stream offset, token count).
+    *
+    * The cumsum windows PER SHARD, so there is no global sort; `shards`
+    * sets the packing parallelism independently of input partitioning
+    * (set it to ~cluster cores at scale).
+    */
+  def packSequences(
+      documents: DataFrame,
+      budget: Int = 2048,
+      shards: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0 && shards > 0, s"invalid budget=$budget shards=$shards")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(
+        col(idCol),
+        pmod(mix32(col(idCol)), lit(shards.toLong)).as("shard"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col(idCol), col("shard"), expr(s"off div $budget").as("bin"),
+        col("off"), col("n_tokens"))
+      .orderBy(idCol)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface: dedup, similarity search, text
   * analysis, multimodal plumbing (north-star extensions from SURVEY.md
@@ -593,6 +593,54 @@ object DataPipeline {
       evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
   }
 
+  // ------------------------------------------- sampling/split/packing
+  /** Shared DuckDB fragment: the mix32 avalanche over doc_id (the same
+    * positive-modulo chain as the dc1/ann_ivf mirrors), carrying
+    * `keep` columns through, exposed as `hs`.
+    */
+  private def mix32Sql(keep: String): String =
+    s"""(SELECT $keep, xor(m2, m2 >> 13) AS hs FROM (
+       |  SELECT $keep, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT $keep, ((doc_id % 4294967296) + 4294967296) % 4294967296 AS h0
+       |    FROM documents)))""".stripMargin
+
+  val sp1_hash_split = QueryDef.sqlChecked(
+    "sp1_hash_split",
+    s"""WITH mx AS ${mix32Sql("doc_id")}
+       |SELECT doc_id, hs % 100 AS bucket,
+       | CASE WHEN hs % 100 < 90 THEN 'train'
+       |      WHEN hs % 100 < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM mx ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.hashSplit(Tables.documents(s, d))
+  }
+
+  val sp2_quota_sample = QueryDef.sqlChecked(
+    "sp2_quota_sample",
+    s"""WITH mx AS ${mix32Sql("doc_id, lang")},
+       |r AS (SELECT doc_id, lang,
+       |       CAST(row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id)
+       |            AS INTEGER) AS rk
+       |      FROM mx)
+       |SELECT doc_id, lang, rk FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) {
+    (s, d) => Sampling.quotaPerKey(Tables.documents(s, d))
+  }
+
+  val pk1_pack_sequences = QueryDef.sqlChecked(
+    "pk1_pack_sequences",
+    s"""WITH mx AS ${mix32Sql("doc_id, text")},
+       |t AS (SELECT doc_id, hs % 32 AS shard,
+       |       CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)
+       |         AS n_tokens
+       |      FROM mx),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+       |      FROM t)
+       |SELECT doc_id, shard, off // 2048 AS bin, off, n_tokens
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.packSequences(Tables.documents(s, d))
+  }
+
   // --------------------------------------------------------- multimodal
   val mm_features = QueryDef.sqlChecked(
     "mm_features",
@@ -715,5 +763,6 @@ object DataPipeline {
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, dc1_decontaminate, dc2_overlap_with,
+    sp1_hash_split, sp2_quota_sample, pk1_pack_sequences,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio)
 }

@@ -190,12 +190,35 @@ class PlanSpec extends SparkSpec {
       s"query-id IN ($ids) predicate missing from probe pass:\n$p")
   }
 
-  test("q12b: no unpartitioned window over the big input") {
-    val df = SparkEntry.queries("q12b_distribution")(spark, sf)
-    val windows = df.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
+  /** Logical-plan windows: the physical WindowExec hides behind
+    * AdaptiveSparkPlanExec/QueryStageExec boundaries (TreeNode.collect
+    * does not traverse them, so a physical collect is silently EMPTY
+    * under AQE and `forall` passes vacuously); the optimized logical
+    * plan has no such wrapping.
+    */
+  private def logicalWindows(q: String) =
+    SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
+
+  test("q12b: no unpartitioned window over the big input") {
+    val windows = logicalWindows("q12b_distribution")
+    assert(windows.nonEmpty, "q12b should plan windows")
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "q12b must not plan a global (single-task) window")
+  }
+
+  test("sp1: hash split is a pure narrow projection (no hash shuffle)") {
+    val p = plan("sp1_hash_split")
+    assert(!p.contains("Exchange hashpartitioning"), s"sp1 planned a shuffle:\n$p")
+  }
+
+  test("sp2/pk1: quota and packing windows are partitioned, never global") {
+    Seq("sp2_quota_sample", "pk1_pack_sequences").foreach { q =>
+      val windows = logicalWindows(q)
+      assert(windows.nonEmpty, s"$q should plan a window")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$q must not plan a global (single-task) window")
+    }
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("hashSplit: assignment is exhaustive, deterministic, and roughly proportional") {
+    val s1 = Sampling.hashSplit(docs)
+    val bySplit = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum
+    assert(total === docs.count())
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // 90/5/5 within generous tolerance at 500 docs (hash, not rand)
+    assert(bySplit("train").toDouble / total > 0.8)
+    assert(bySplit("val").toDouble / total < 0.15)
+    // determinism: identical assignment on re-run
+    assert(Sampling.hashSplit(docs).collect().toSet === s1.collect().toSet)
+  }
+
+  test("hashSplit: assignment is stable under input re-partitioning") {
+    val a = Sampling.hashSplit(docs).collect().toSet
+    val b = Sampling.hashSplit(docs.repartition(7)).collect().toSet
+    assert(a === b, "split must be id-derived, not partition-derived")
+  }
+
+  test("quotaPerKey: at most quota rows per stratum, ranks contiguous from 1") {
+    val q = Sampling.quotaPerKey(docs, quota = 5).collect()
+    val byKey = q.groupBy(_.getString(1))
+    byKey.foreach { case (lang, rows) =>
+      assert(rows.length <= 5, s"stratum $lang over quota")
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length),
+        s"ranks not contiguous for $lang")
+    }
+    // every stratum present in the corpus is represented
+    assert(byKey.keySet === docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet)
+  }
+
+  test("packSequences: offsets are contiguous per shard and bins respect the budget") {
+    val p = Sampling.packSequences(docs, budget = 256, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p.nonEmpty)
+    p.groupBy(_._2).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_._1) // ascending doc_id = stream order
+      var expectedOff = 0L
+      ordered.foreach { case (id, _, bin, off, n) =>
+        assert(off === expectedOff, s"gap in shard $shard stream at doc $id")
+        assert(bin === off / 256, s"bin must be the offset's budget quotient")
+        expectedOff += n
+      }
+    }
+  }
+
+  test("packSequences: total tokens are conserved across shards") {
+    val p = Sampling.packSequences(docs, budget = 256, shards = 8)
+    val packed = p.agg(sum("n_tokens")).head().getLong(0)
+    val direct = docs
+      .select(size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(packed === direct)
+  }
+}
