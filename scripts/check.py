@@ -83,7 +83,7 @@ def main():
                     else:
                         neq = a.astype(str) != b.astype(str)
                     if neq.any():
-                        i = int(np.argmax(neq.values))
+                        i = int(np.argmax(np.asarray(neq)))
                         print(f"      col {c}: {int(neq.sum())} diffs, first at row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r}")
             else:
                 print(f"      spark cols: {sorted(spark_df.columns)}")

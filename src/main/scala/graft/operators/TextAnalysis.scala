@@ -99,6 +99,35 @@ object TextAnalysis {
       .orderBy("doc_id", "term")
   }
 
+  /** PII pattern scrubbing: redact emails and URLs, emit match counts
+    * and the redacted text — the standard privacy pass before a corpus
+    * ships. One narrow projection (regexp_replace/extract_all are
+    * codegen'd row-local expressions, no shuffle).
+    *
+    * The patterns use only explicit character classes and `{m,}` /
+    * `+` / `?` quantifiers — the regex subset on which Java's engine
+    * (Spark) and RE2 (DuckDB) agree exactly, which is what makes the
+    * pass oracle-checkable; `\s`-style perl classes differ between the
+    * two engines and are deliberately avoided (documents are
+    * single-line, space-separated — spec-asserted ASCII).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  def redactPii(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    documents.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(UrlPattern), lit(0))).as("n_urls"),
+      md5(regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>")).as("redacted_md5"))
+      .orderBy(idCol)
+  }
+
   /** Within-document repetition (a standard LLM-corpus quality signal:
     * high duplicate-n-gram ratios mark boilerplate/spam/generation
     * loops): total vs distinct word-3-grams and the duplicate ratio.

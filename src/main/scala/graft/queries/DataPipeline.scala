@@ -593,6 +593,45 @@ object DataPipeline {
       evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
   }
 
+  /** PII redaction over documents with deterministic in-query pattern
+    * injection (every 7th doc gets a synthetic email + URL appended, in
+    * both engines) so the redaction provably ENGAGES — the organic
+    * testdata contains no PII, and an all-zero-match entry would prove
+    * nothing (the cap-fixture lesson). The md5 of the redacted text
+    * makes the oracle compare the full replacement output, not just
+    * counts. Patterns come from the engine's own constants
+    * (TextAnalysis.EmailPattern/UrlPattern) so SQL and Scala can't
+    * drift; DuckDB needs the explicit 'g' flag (its regexp_replace is
+    * first-match by default, Spark's is global).
+    */
+  val txt_redact = QueryDef.sqlChecked(
+    "txt_redact",
+    s"""WITH aug AS (SELECT doc_id,
+       |  text || CASE WHEN doc_id % 7 = 0
+       |    THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org or ' ||
+       |         'https://ex.org/d/' || CAST(doc_id AS VARCHAR) || ' now'
+       |    ELSE '' END AS text FROM documents)
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS INTEGER)
+       |   AS n_emails,
+       | CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) AS INTEGER)
+       |   AS n_urls,
+       | md5(regexp_replace(
+       |   regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+       |   '${TextAnalysis.UrlPattern}', '<URL>', 'g')) AS redacted_md5
+       |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val aug = docs.select(
+      col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"),
+            lit("@ex.org or https://ex.org/d/"), col("doc_id").cast("string"),
+            lit(" now")))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.redactPii(aug)
+  }
+
   // ------------------------------------------- sampling/split/packing
   /** Shared DuckDB fragment: the mix32 avalanche over doc_id (the same
     * positive-modulo chain as the dc1/ann_ivf mirrors), carrying
@@ -762,7 +801,7 @@ object DataPipeline {
     dd2_capped_minhash, dd3_capped_jaccard,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    txt_repetition, txt_vocab, dc1_decontaminate, dc2_overlap_with,
+    txt_repetition, txt_vocab, txt_redact, dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, pk1_pack_sequences,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio)
 }

@@ -57,7 +57,8 @@ class MultimodalSpec extends SparkSpec {
       assert(st.n_samples === n)
       assert(st.sample_rate === 8000)
       assert(st.peak === samples.map(math.abs).max)
-      def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      // half away from zero, the cross-engine round(x,4) convention
+      def rnd4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
       assert(st.mean_amp === rnd4(samples.map(_.toLong).sum.toDouble / n))
       assert(st.rms === rnd4(math.sqrt(
         samples.map(v => v.toLong * v).sum.toDouble / n)))

@@ -139,8 +139,8 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("txt_repetition and mm_decode stay narrow: no hash shuffle anywhere") {
-    Seq("txt_repetition", "mm_decode").foreach { q =>
+  test("txt_repetition, mm_decode, txt_redact stay narrow: no hash shuffle anywhere") {
+    Seq("txt_repetition", "mm_decode", "txt_redact").foreach { q =>
       val p = plan(q)
       // per-row work only; the sole exchange is the output sort's range
       // partitioning

@@ -122,6 +122,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cells.forall(_.value === 97.5))
   }
 
+  test("redactPii: planted emails/URLs are counted and replaced, clean text untouched") {
+    implicit val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe+spam@mail.example.org or https://a.example/x?q=1 thanks"),
+      (2L, "two mails a@b.io c.d@e.co.uk and plain text"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 1 && out(1L).getInt(2) === 1)
+    assert(out(2L).getInt(1) === 2 && out(2L).getInt(2) === 0)
+    assert(out(3L).getInt(1) === 0 && out(3L).getInt(2) === 0)
+    // the redacted hash equals the hand-redacted text's md5
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(1L).getString(3) === md5("reach me at <EMAIL> or <URL> thanks"))
+    assert(out(2L).getString(3) === md5("two mails <EMAIL> <EMAIL> and plain text"))
+    assert(out(3L).getString(3) === md5("no pii here at all"))
+  }
+
   test("multimodal stub pipeline: features derive from payload bytes") {
     implicit val s = spark
     import s.implicits._
