@@ -55,7 +55,7 @@ object Bench {
     "dc2_overlap_with" -> 1.22, "dd2_capped_minhash" -> 0.94,
     "dd3_capped_jaccard" -> 0.69, "mm_audio" -> 0.89,
     "sp1_hash_split" -> 0.15, "sp2_quota_sample" -> 0.21,
-    "pk1_pack_sequences" -> 0.30,
+    "pk1_pack_sequences" -> 0.30, "txt_redact" -> 0.56,
     "q22_pivot" -> 0.41, "q2_predicates" -> 0.35, "q3_broadcast_join" -> 0.42,
     "q4_sortmerge_join" -> 0.61, "q5_outer_join" -> 0.51,
     "q5b_full_outer" -> 0.31, "q6_semi_anti" -> 0.37, "q7_range_join" -> 0.65,
