@@ -602,7 +602,9 @@ object DataPipeline {
     * counts. Patterns come from the engine's own constants
     * (TextAnalysis.EmailPattern/UrlPattern) so SQL and Scala can't
     * drift; DuckDB needs the explicit 'g' flag (its regexp_replace is
-    * first-match by default, Spark's is global).
+    * first-match by default, Spark's is global). As in dc2, plain `%`
+    * mirrors the engine's `pmod` because fixture doc_ids are
+    * non-negative.
     */
   val txt_redact = QueryDef.sqlChecked(
     "txt_redact",
