@@ -16,7 +16,18 @@ import graft.streaming.StreamingEntityRuntime
   * /root/reference/stateflow/client/kafka_client.py:78-91,144-145):
   * requests are pipelined into the stream, replies matched by event id.
   *
-  * Prints one JSON line per workload with throughput and p50/p99.
+  * Two blocks per artifact:
+  *   - reference parity: the reference demo's own sizes (100 entities /
+  *     1000 ops) on a 1-partition ingress + 4 state partitions —
+  *     comparable round over round;
+  *   - scale-out: SPARK_GRAFT_YCSB_SCALE sizes (default 10000 entities /
+  *     10000 ops) on a multi-partition ingress with state partitions ≈
+  *     available cores — the evidence that hop latency is the unit cost
+  *     while THROUGHPUT scales with distinct keys (more keys per batch =
+  *     more parallel state partitions doing useful work per trigger, so
+  *     ops/s rises while per-op latency holds).
+  *
+  * Prints one JSON line per run with throughput and p50/p99.
   */
 object YcsbBench {
 
@@ -39,19 +50,26 @@ object YcsbBench {
     }
   }
 
-  private val N_ENTITIES = 100
-  private val N_TASKS = 1000
   private val STARTING_AMOUNT = 100
 
+  /** One benchmark configuration: entity count, op count, ingress and
+    * state partitioning.
+    */
+  private final case class Config(
+      label: String,
+      nEntities: Int,
+      nTasks: Int,
+      statePartitions: Int,
+      ingressPartitions: Int)
+
   def main(args: Array[String]): Unit = {
-    // 100 zipfian keys with sub-KB state saturate ~4 state partitions;
-    // more partitions only multiply per-batch state-store commit and
-    // task-launch overhead (measured: 4 > 8 > 16 on this workload —
-    // hop latency is per-batch overhead, not compute)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // threads must cover the LARGEST state-partition count in the plan;
+    // each block then sets spark.sql.shuffle.partitions per session
+    // (state partition count is fixed per streaming query at start)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.metricsEnabled", "false")
       // the runtime has no timeouts/watermarks, so no-data batches do
@@ -68,9 +86,28 @@ object YcsbBench {
     spark.sparkContext.setLogLevel("ERROR")
     TestEntities.registerFlows()
 
-    val lines =
+    // reference parity: the demo's own sizes on the demo's shape.
+    // 100 zipfian keys with sub-KB state saturate ~4 state partitions;
+    // more partitions only multiply per-batch state-store commit and
+    // task-launch overhead at this key count (measured: 4 > 8 > 16 —
+    // hop latency is per-batch overhead, not compute)
+    val parity = Config("reference_parity", 100, 1000,
+      statePartitions = 4, ingressPartitions = 1)
+    // scale-out: 100x keys, state partitions ≈ cores, ingress split
+    val scaleEntities =
+      sys.env.getOrElse("SPARK_GRAFT_YCSB_SCALE_ENTITIES", "10000").toInt
+    val scaleOps = sys.env.getOrElse("SPARK_GRAFT_YCSB_SCALE_OPS", "10000").toInt
+    val scale = Config("scale_out", scaleEntities, scaleOps,
+      statePartitions = cpus.toInt, ingressPartitions = 4)
+
+    val workloads =
       Seq("A" -> (0.5, 0.5, 0.0), "B" -> (0.95, 0.05, 0.0), "T" -> (0.0, 0.0, 1.0))
-        .map { case (name, mix) => runWorkload(spark, name, mix) }
+    val lines = Seq(parity, scale).flatMap { cfg =>
+      // state partition count binds at query start from the session conf
+      val session = spark.newSession()
+      session.conf.set("spark.sql.shuffle.partitions", cfg.statePartitions)
+      workloads.map { case (name, mix) => runWorkload(session, cfg, name, mix) }
+    }
     // machine-readable per-round artifact (judge/driver diffable)
     val out = sys.env.getOrElse("SPARK_GRAFT_YCSB_OUT", "YCSB.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
@@ -78,15 +115,15 @@ object YcsbBench {
     spark.stop()
   }
 
-  private def runWorkload(spark: SparkSession, name: String,
+  private def runWorkload(spark: SparkSession, cfg: Config, name: String,
       mix: (Double, Double, Double)): String = {
     // SPARK_GRAFT_TWS=1 -> measure the transformWithState lowering
     // (caller session must carry the RocksDB provider conf; main sets it)
     val useTws = sys.env.get("SPARK_GRAFT_TWS").contains("1")
     val rt = new StreamingEntityRuntime(TestEntities.registry, spark,
-      useTransformWithState = useTws)
+      useTransformWithState = useTws, inputPartitions = cfg.ingressPartitions)
     try {
-      val keys = (0 until N_ENTITIES).map(i => s"k$i")
+      val keys = (0 until cfg.nEntities).map(i => s"k$i")
       // pipelined setup: all creates in one micro-batch (a synchronous
       // create per entity would cost one batch EACH and pollute the
       // recent-progress hop stats)
@@ -105,9 +142,9 @@ object YcsbBench {
       // codegen/state-store cold start — the reference's long-running
       // broker deployment never measures a cold first batch either
       val warm = (0 until 60).flatMap { i =>
-        val k = keys(i % N_ENTITIES)
+        val k = keys(i % cfg.nEntities)
         val ref = EntityRef("YCSBEntity", k)
-        val other = keys((i + 1) % N_ENTITIES)
+        val other = keys((i + 1) % cfg.nEntities)
         Seq(
           Event(s"warm-r$i", ref.entity, k, EventType.InvokeStateful,
             Payload.MethodCall("read", Map.empty)),
@@ -120,7 +157,7 @@ object YcsbBench {
       rt.drain()
       warm.foreach(ev => rt.takeReply(ev.eventId))
 
-      val zipf = new Zipf(N_ENTITIES)
+      val zipf = new Zipf(cfg.nEntities)
       val rnd = new scala.util.Random(7)
       val (pRead, pUpdate, _) = mix
 
@@ -128,7 +165,7 @@ object YcsbBench {
       // send time per id; replies matched by event id afterwards.
       var i = 0
       val reqs = Vector.newBuilder[(String, Event)]
-      while (i < N_TASKS) {
+      while (i < cfg.nTasks) {
         val key = keys(zipf.next())
         val ref = EntityRef("YCSBEntity", key)
         val id = s"op$i"
@@ -170,7 +207,7 @@ object YcsbBench {
       val lat = Array.newBuilder[Double]
       val replyTs = new java.util.HashMap[String, Long]()
       var spins = 0
-      while (done < N_TASKS && spins < 1000) {
+      while (done < cfg.nTasks && spins < 1000) {
         rt.drain()
         requests.foreach { case (id, _) =>
           if (!replyTs.containsKey(id)) rt.takeReply(id).foreach { _ =>
@@ -195,7 +232,7 @@ object YcsbBench {
       val busyBatches = measured.length
       val avgBatchMs =
         if (measured.isEmpty) 0.0 else measured.map(_._2).sum / measured.length
-      val line = f"""{"workload":"$name","ops":$done,"wall_sec":$wall%.3f,"throughput_ops_sec":${done / wall}%.1f,"p50_ms":${pct(0.5)}%.2f,"p99_ms":${pct(0.99)}%.2f,"hop_events":${rt.loopbackWrittenCount},"driver_replies":${rt.driverCollectedCount},"busy_batches":$busyBatches,"avg_batch_ms":$avgBatchMs%.1f}"""
+      val line = f"""{"workload":"$name","config":"${cfg.label}","entities":${cfg.nEntities},"state_partitions":${cfg.statePartitions},"ingress_partitions":${cfg.ingressPartitions},"ops":$done,"wall_sec":$wall%.3f,"throughput_ops_sec":${done / wall}%.1f,"p50_ms":${pct(0.5)}%.2f,"p99_ms":${pct(0.99)}%.2f,"hop_events":${rt.loopbackWrittenCount},"driver_replies":${rt.driverCollectedCount},"busy_batches":$busyBatches,"avg_batch_ms":$avgBatchMs%.1f}"""
       println(line)
       if (sys.env.contains("SPARK_GRAFT_YCSB_DEBUG"))
         rt.progressJson.foreach(j => println(s"[progress] $j"))

@@ -17,6 +17,18 @@ import org.apache.spark.sql.expressions.Window
   *   - right rows sort BEFORE left rows at equal timestamps (side 0 vs 1),
   *     giving inclusive at-or-before semantics;
   *   - skew in `key` is handled by AQE like any other window shuffle.
+  *
+  * NULL-VALUE SEMANTICS: the resolution pass encodes "no right row yet"
+  * as a NULL slot on left rows and resolves with `last(value,
+  * ignoreNulls = true)` — so a right row whose `valueCol` is itself
+  * NULL is indistinguishable from absence and is SKIPPED: the join
+  * carries the latest **non-NULL** value at-or-before, not the latest
+  * row's value. For q8's events (values never NULL) the two semantics
+  * coincide. An API user who needs genuine NULLs carried should wrap
+  * the value in a presence struct before joining and unwrap after:
+  * `right.withColumn(v, struct(col(v)))` makes every right row non-NULL
+  * at the slot level while preserving an inner NULL. Pinned by
+  * RelationalSpec ("as-of join skips NULL right values…").
   */
 object AsOfJoin {
 

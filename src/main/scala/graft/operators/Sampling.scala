@@ -28,6 +28,13 @@ import graft.operators.IvfSearch.mix32
   *     count and packing stays embarrassingly parallel at any corpus
   *     size (each shard is an independent token stream — exactly how a
   *     multi-worker tokenizer consumes it downstream).
+  *
+  * OUTPUT ORDER IS UNSPECIFIED (as for any Spark relational operator):
+  * a corpus-sized global ORDER BY inside an operator API would plan an
+  * `Exchange rangepartitioning` + full sort of the whole table at
+  * 100 TB. Callers that need deterministic output (the oracle harness)
+  * sort at the edge — the QueryDef wrappers do — and `PlanSpec` pins
+  * that bare operator calls plan ZERO exchanges of either kind.
   */
 object Sampling {
 
@@ -53,7 +60,6 @@ object Sampling {
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test").as("split"))
-      .orderBy(idCol)
   }
 
   /** Per-stratum quota sampling: keep at most `quota` documents per
@@ -73,7 +79,6 @@ object Sampling {
       .select(col(idCol), col(keyCol))
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= quota)
-      .orderBy(keyCol, "rk")
   }
 
   /** Sequence packing: assign documents to fixed token-budget bins —
@@ -108,6 +113,5 @@ object Sampling {
       .withColumn("off", sum("n_tokens").over(w) - col("n_tokens"))
       .select(col(idCol), col("shard"), expr(s"off div $budget").as("bin"),
         col("off"), col("n_tokens"))
-      .orderBy(idCol)
   }
 }

@@ -8,6 +8,14 @@ import graft.operators.Dedup.tokens
   * token counting, document fingerprinting, language identification.
   * All are row-local (narrow) transformations — they scale embarrassingly
   * and keep the parquet scan as the only I/O.
+  *
+  * OUTPUT ORDER IS UNSPECIFIED: an ORDER BY inside an operator API would
+  * plan an `Exchange rangepartitioning` + full sort of a corpus-sized
+  * output at 100 TB. Determinism sorts live in the QueryDef wrappers
+  * (the oracle edge), and `PlanSpec` pins that bare narrow-operator
+  * calls plan ZERO exchanges of either kind. ([[vocabulary]] is the one
+  * exception: its orderBy+limit IS the top-K semantics and plans as
+  * TakeOrderedAndProject, never a full sort.)
   */
 object TextAnalysis {
 
@@ -33,7 +41,6 @@ object TextAnalysis {
         size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words) * 0.5
           + least(size(words), lit(100)).cast("double") / 100 * 0.5, 4)
         .as("quality_score"))
-      .orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
@@ -47,7 +54,6 @@ object TextAnalysis {
       round(col("n_chars").cast("double")
         / regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")), 4)
         .as("chars_per_token"))
-      .orderBy("doc_id")
 
   /** Rolling-hash document fingerprint (Rabin-Karp style fold over the
     * word stream, mod 1e9+7). Word atoms use only length+first-char so
@@ -60,7 +66,6 @@ object TextAnalysis {
       aggregate(tokens(col("text")), lit(0L),
         (acc, w) => pmod(acc * 131L + length(w) * 31L + ascii(w), lit(1000000007L)))
         .as("fp"))
-      .orderBy("doc_id")
 
   /** tf-idf over whitespace tokens: one row per (doc, term) with the raw
     * term frequency, document frequency, and tf * ln(N/df) (rounded for
@@ -96,7 +101,6 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
-      .orderBy("doc_id", "term")
   }
 
   /** PII pattern scrubbing: redact emails and URLs, emit match counts
@@ -125,7 +129,6 @@ object TextAnalysis {
       size(regexp_extract_all(t, lit(UrlPattern), lit(0))).as("n_urls"),
       md5(regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
         UrlPattern, "<URL>")).as("redacted_md5"))
-      .orderBy(idCol)
   }
 
   /** Within-document repetition (a standard LLM-corpus quality signal:
@@ -160,7 +163,6 @@ object TextAnalysis {
         (id, n, d, ratio)
       }
       .toDF("doc_id", "n_grams", "n_distinct", "rep_ratio")
-      .orderBy("doc_id")
   }
 
   /** Vocabulary building: global top-K terms by document frequency
@@ -229,6 +231,5 @@ object TextAnalysis {
         profiles.zipWithIndex.map { case ((l, _), i) =>
           col("scores")(i).as(s"score_$l")
         }: _*)
-      .orderBy("doc_id")
   }
 }

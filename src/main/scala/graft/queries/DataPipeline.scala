@@ -425,7 +425,7 @@ object DataPipeline {
        | round(CAST(len(list_filter(ws, w -> list_contains($StopList, w))) AS DOUBLE)/len(ws)*0.5
        |   + least(len(ws), 100)/100.0*0.5, 4) AS quality_score
        |FROM wl ORDER BY doc_id""".stripMargin) { (s, d) =>
-    TextAnalysis.quality(Tables.documents(s, d))
+    TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   val txt_tokens = QueryDef.sqlChecked(
@@ -435,7 +435,7 @@ object DataPipeline {
       | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
       | round(CAST(n_chars AS DOUBLE)/len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')), 4) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    TextAnalysis.tokenCounts(Tables.documents(s, d))
+    TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   val txt_fingerprint = QueryDef.sqlChecked(
@@ -448,7 +448,7 @@ object DataPipeline {
       |     list_transform(ws, w -> CAST(length(w)*31 + ascii(w) AS BIGINT))),
       |   (a, b) -> (a*131 + b) % 1000000007) AS BIGINT) AS fp
       |FROM wl ORDER BY doc_id""".stripMargin) { (s, d) =>
-    TextAnalysis.fingerprint(Tables.documents(s, d))
+    TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   /** Oracle generated from the same [[TextAnalysis.LangProfiles]] table
@@ -477,7 +477,7 @@ object DataPipeline {
   }
 
   val txt_langid = QueryDef.sqlChecked("txt_langid", LangIdSql) { (s, d) =>
-    TextAnalysis.languageId(Tables.documents(s, d))
+    TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   val txt_tfidf = QueryDef.sqlChecked(
@@ -491,7 +491,7 @@ object DataPipeline {
       |SELECT doc_id, term, tf, df, round(tf * ln(n / df), 4) AS tfidf
       |FROM tf JOIN df USING (term), n
       |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
-    TextAnalysis.tfIdf(Tables.documents(s, d))
+    TextAnalysis.tfIdf(Tables.documents(s, d)).orderBy("doc_id", "term")
   }
 
   val txt_vocab = QueryDef.sqlChecked(
@@ -521,7 +521,7 @@ object DataPipeline {
       |   THEN round(1.0 - len(list_distinct(grams))*1.0/len(grams), 4)
       |   ELSE 0.0 END AS rep_ratio
       |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
-    TextAnalysis.repetition(Tables.documents(s, d))
+    TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   /** Decontamination mirror, generated from the engine's constants
@@ -631,7 +631,7 @@ object DataPipeline {
             lit("@ex.org or https://ex.org/d/"), col("doc_id").cast("string"),
             lit(" now")))
           .otherwise(lit(""))).as("text"))
-    TextAnalysis.redactPii(aug)
+    TextAnalysis.redactPii(aug).orderBy("doc_id")
   }
 
   // ------------------------------------------- sampling/split/packing
@@ -652,7 +652,7 @@ object DataPipeline {
        | CASE WHEN hs % 100 < 90 THEN 'train'
        |      WHEN hs % 100 < 95 THEN 'val' ELSE 'test' END AS split
        |FROM mx ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Sampling.hashSplit(Tables.documents(s, d))
+    Sampling.hashSplit(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   val sp2_quota_sample = QueryDef.sqlChecked(
@@ -663,7 +663,7 @@ object DataPipeline {
        |            AS INTEGER) AS rk
        |      FROM mx)
        |SELECT doc_id, lang, rk FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) {
-    (s, d) => Sampling.quotaPerKey(Tables.documents(s, d))
+    (s, d) => Sampling.quotaPerKey(Tables.documents(s, d)).orderBy("lang", "rk")
   }
 
   val pk1_pack_sequences = QueryDef.sqlChecked(
@@ -674,12 +674,13 @@ object DataPipeline {
        |         AS n_tokens
        |      FROM mx),
        |c AS (SELECT doc_id, shard, n_tokens,
-       |       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+       |       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |            AS BIGINT) AS off
        |      FROM t)
-       |SELECT doc_id, shard, off // 2048 AS bin, off, n_tokens
+       |SELECT doc_id, shard, CAST(off // 2048 AS BIGINT) AS bin, off, n_tokens
        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Sampling.packSequences(Tables.documents(s, d))
+    Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   // --------------------------------------------------------- multimodal

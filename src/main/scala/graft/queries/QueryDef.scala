@@ -13,7 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - floating aggregates are rounded (sums of 2-dec money to 2; avgs to 4)
   *    so IEEE summation-order noise cannot flip the hash,
   *  - integer-ish aggregates are CAST to the same width on both sides
-  *    (DuckDB sum(int) is HUGEINT; Spark's is BIGINT).
+  *    (DuckDB sum(int) is HUGEINT; Spark's is BIGINT). This includes
+  *    WINDOWED sums: `sum(x) OVER (...)` is HUGEINT too, and pandas
+  *    materializes HUGEINT as float64, so the driver's hasher sees
+  *    `1160.0` vs `1160` even when values agree (the round-5
+  *    pk1_pack_sequences failure). Round-6 sweep: all 59 mirrors
+  *    audited for uncast integer `sum(` / `sum() OVER` / `list_sum`
+  *    producers in emitted columns — pk1's `off`/`bin` were the only
+  *    ones; every other integer aggregate is CAST or intermediate.
   */
 final case class QueryDef(
     name: String,

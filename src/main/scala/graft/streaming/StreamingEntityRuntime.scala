@@ -59,12 +59,21 @@ import graft.runtime.{EventTransport, StatefulOperator}
   *   Combined with a stable `checkpointDir`, a new runtime on the same
   *   dirs resumes exactly where the old one stopped, state included.
   */
+/** @param inputPartitions partition count of the in-memory client
+  *   ingress (the MemoryStream analog of a client topic's partition
+  *   count). The reference-parity YCSB runs use 1 (matching the
+  *   single-partition `client_request` topic of the reference demo);
+  *   the scale-out runs use more so the ingress itself is not the
+  *   serialization point. Ignored when `fileInputDir` is set (file
+  *   sources split by file).
+  */
 final class StreamingEntityRuntime(
     registry: EntityRegistry,
     spark: SparkSession,
     checkpointDir: Option[String] = None,
     useTransformWithState: Boolean = false,
-    fileInputDir: Option[String] = None)
+    fileInputDir: Option[String] = None,
+    inputPartitions: Int = 1)
     extends EventTransport with AutoCloseable {
 
   import spark.implicits._
@@ -73,7 +82,7 @@ final class StreamingEntityRuntime(
   private implicit val keyEnc: Encoder[(String, String)] =
     Encoders.tuple(Encoders.STRING, Encoders.STRING)
 
-  private val input = MemoryStream[Event](spark, numPartitions = 1)
+  private val input = MemoryStream[Event](spark, numPartitions = inputPartitions)
   private val replies = new ConcurrentHashMap[String, Event]()
   // the "internal topic": continuations land here executor-side and the
   // file stream below re-ingests them, partitioned like any other source.

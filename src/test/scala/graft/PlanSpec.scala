@@ -142,9 +142,53 @@ class PlanSpec extends SparkSpec {
   test("txt_repetition, mm_decode, txt_redact stay narrow: no hash shuffle anywhere") {
     Seq("txt_repetition", "mm_decode", "txt_redact").foreach { q =>
       val p = plan(q)
-      // per-row work only; the sole exchange is the output sort's range
-      // partitioning
+      // per-row work only; the sole exchange is the QueryDef wrapper's
+      // determinism sort (range partitioning at the oracle edge)
       assert(!p.contains("Exchange hashpartitioning"), s"$q planned a shuffle:\n$p")
+    }
+  }
+
+  /** Round-6 gate: operator APIs must not embed output sorts. A global
+    * ORDER BY inside an operator is an `Exchange rangepartitioning` +
+    * full sort of a corpus-sized output at 100 TB; determinism sorts
+    * belong to the QueryDef wrappers (the oracle edge) only. The pure
+    * narrow projections must plan ZERO exchanges of ANY kind when
+    * called bare.
+    */
+  test("bare narrow operators plan zero exchanges (sorts live at the oracle edge only)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    val bare = Seq(
+      "Sampling.hashSplit" -> graft.operators.Sampling.hashSplit(docs),
+      "TextAnalysis.redactPii" -> graft.operators.TextAnalysis.redactPii(docs),
+      "TextAnalysis.quality" -> graft.operators.TextAnalysis.quality(docs),
+      "TextAnalysis.tokenCounts" -> graft.operators.TextAnalysis.tokenCounts(docs),
+      "TextAnalysis.fingerprint" -> graft.operators.TextAnalysis.fingerprint(docs))
+    bare.foreach { case (name, df) =>
+      val p = df.queryExecution.explainString(fmt)
+      assert(!p.contains("Exchange"), s"$name planned an exchange:\n$p")
+    }
+  }
+
+  /** The spread-guarded typed maps may carry ONE round-robin exchange at
+    * small partition counts (the single-file-corpus guard — a no-op at
+    * scale where input partitions >= cores); they must never plan a
+    * range or hash exchange. The windowed sampling ops shuffle once on
+    * their partition key and must never add a range exchange on top.
+    */
+  test("bare spread/windowed operators never plan a range exchange") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    Seq(
+      "TextAnalysis.repetition" -> graft.operators.TextAnalysis.repetition(docs),
+      "TextAnalysis.languageId" -> graft.operators.TextAnalysis.languageId(docs),
+      "TextAnalysis.tfIdf" -> graft.operators.TextAnalysis.tfIdf(docs),
+      "Sampling.quotaPerKey" -> graft.operators.Sampling.quotaPerKey(docs),
+      "Sampling.packSequences" -> graft.operators.Sampling.packSequences(docs)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.explainString(fmt)
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$name planned a range exchange (embedded output sort?):\n$p")
     }
   }
 

@@ -56,6 +56,33 @@ class RelationalSpec extends SparkSpec {
       === Seq(Some(1.0), Some(3.0), None))
   }
 
+  test("as-of join skips NULL right values (documented semantics) — struct-wrap carries them") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 12:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+      .select("event_id", "user_id", "ts")
+    // latest right row at-or-before has a genuine NULL value
+    val right = Seq(
+      (1L, t("2024-01-01 09:00:00"), Some(1.0)),
+      (1L, t("2024-01-01 11:00:00"), None: Option[Double]))
+      .toDF("user_id", "ts", "value")
+    // documented: the NULL row is indistinguishable from absence ->
+    // the older non-NULL 1.0 is carried, NOT the latest row's NULL
+    val skipped = AsOfJoin.lastAtOrBefore(left, right, "user_id", "ts", "ts", "value", "v")
+      .collect()
+    assert(Option(skipped.head.get(3)) === Some(1.0))
+    // workaround from the scaladoc: presence-struct wrap makes every
+    // right row non-NULL at the slot level, so the latest row wins and
+    // its inner NULL is preserved after unwrap
+    val wrapped = right.withColumn("value", struct(col("value")))
+    val carried = AsOfJoin.lastAtOrBefore(left, wrapped, "user_id", "ts", "ts", "value", "v")
+      .select(col("event_id"), col("v.value").as("v"))
+      .collect()
+    assert(Option(carried.head.get(1)) === None,
+      "struct-wrapped join must carry the latest row's inner NULL")
+  }
+
   test("oracle SQL map covers exactly the SQL-expressible queries") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
