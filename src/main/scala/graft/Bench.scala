@@ -113,7 +113,13 @@ object Bench {
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val calBefore = calibrationProbe()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,q2_predicates -> focused re-measure
+    // of a flagged subset without paying for the whole suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to math.max(1, nRuns)).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

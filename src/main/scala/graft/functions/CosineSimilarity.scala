@@ -81,11 +81,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
 
   /** Register SQL-callable names on a session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** Native codegen cosine similarity as a Column function; registers on
     * the active session on first use.
@@ -93,5 +98,14 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
     org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
+  }
+
+  /** Native codegen bloom probe as a Column function (see
+    * [[BloomMightContain]]); registers on the active session on first
+    * use. `bloomBytes` must be a binary literal (`lit(serialized)`).
+    */
+  def bloom_might_contain(bloomBytes: Column, value: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
+    org.apache.spark.sql.functions.call_function("bloom_might_contain", bloomBytes, value)
   }
 }

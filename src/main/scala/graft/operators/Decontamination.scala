@@ -92,6 +92,5 @@ object Decontamination {
     hits.join(sizes, "doc_id")
       .select(col("doc_id"), col("n_hits"), col("n_shingles"),
         round(col("n_hits").cast("double") / col("n_shingles"), 4).as("overlap_ratio"))
-      .orderBy("doc_id")
   }
 }

@@ -35,6 +35,12 @@ import graft.functions.TextHashing
   * input reuse the same cache entry (CacheManager canonicalizes), so
   * the entries don't accumulate; batch harnesses that run many
   * unrelated queries (Bench/Verify) clear the cache between queries.
+  *
+  * OUTPUT ORDER IS UNSPECIFIED: dd1's output is corpus-sized (one row
+  * per distinct text) and the pair lists are unbounded on dup-heavy
+  * corpora, so an embedded ORDER BY would plan a full range-exchange
+  * sort of the result at scale. Determinism sorts live in the QueryDef
+  * wrappers (the oracle edge).
   */
 object Dedup {
 
@@ -63,7 +69,6 @@ object Dedup {
     documents
       .groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
-      .orderBy("h")
 
   /** Per-doc (shingle set, LSH band hashes) via one typed narrow map. */
   private def signatures(documents: DataFrame, idCol: String, textCol: String,
@@ -132,7 +137,6 @@ object Dedup {
       .filter(col("inter") * 2 >= col("uni") && col("uni") > 0)
       .select(col("da"), col("db"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-      .orderBy("da", "db")
   }
 
   /** Exact word-3-gram Jaccard over all qualifying pairs, via shingle
@@ -192,7 +196,6 @@ object Dedup {
       .filter(col("inter") * lit((1 / threshold).toLong) >= col("uni"))
       .select(col("da"), col("db"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-      .orderBy("da", "db")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
@@ -244,7 +247,6 @@ object Dedup {
         bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("da", "db")
   }
 
   /** Fragment-level overlap via winnowing fingerprints: documents that
@@ -283,7 +285,6 @@ object Dedup {
       .select(col("da"), col("db"), col("shared"),
         round(col("shared").cast("double") / least(col("na"), col("nb")), 4)
           .as("containment"))
-      .orderBy("da", "db")
   }
 
   /** Embedding cosine near-duplicate pairs — brute-force O(n^2) baseline
@@ -303,7 +304,48 @@ object Dedup {
       .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")))
       .filter(col("sim") > threshold)
       .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
-      .orderBy("va", "vb")
+  }
+
+  /** Incremental exact dedup against an existing corpus with a Bloom
+    * prefilter — the "is this new document already in the released
+    * dataset" pass of an append-only corpus pipeline, where the naive
+    * form (semi-join every new batch against the full corpus) shuffles
+    * corpus-scale data per batch.
+    *
+    * Scale shape: ONE pass over the corpus builds a Bloom filter of
+    * content hashes (`df.stat.bloomFilter` — a distributed treeAggregate;
+    * the sketch is ~1.2 GB per 1e9 docs at 1% fpp, well inside a task
+    * binary); the new batch is then prefiltered by a codegen'd sketch
+    * probe ([[graft.functions.BloomMightContain]]) that is NARROW — no
+    * false negatives, so at 1% fpp ~99% of genuinely-new documents never
+    * reach the confirm join. Only the surviving candidates (true dups +
+    * fpp stragglers) shuffle into an exact semi-join on the text, which
+    * also clears Bloom false positives AND xxhash64 collisions — the
+    * operator's RESULT is exactly "new docs whose text exists in the
+    * corpus", with the sketch as a pure performance layer.
+    *
+    * The corpus count for sizing the sketch is one parquet-metadata-
+    * cheap action; pass `expectedItems` to skip it when the caller
+    * already knows the cardinality.
+    */
+  def bloomPrefilterDedup(
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    val expected =
+      if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
+    val bf = corpus.select(xxhash64(col(textCol)).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val bytes = graft.functions.BloomMightContain.serialize(bf)
+    val candidates = newDocs.filter(
+      graft.functions.GraftFunctions.bloom_might_contain(
+        lit(bytes), xxhash64(col(textCol))))
+    candidates
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
+      .select(col(idCol), md5(col(textCol)).as("h"))
   }
 }
 

@@ -114,4 +114,28 @@ object Sampling {
       .select(col(idCol), col("shard"), expr(s"off div $budget").as("bin"),
         col("off"), col("n_tokens"))
   }
+
+  /** Weight-proportional Bernoulli downsampling: keep each document
+    * with probability `min(weight, cap) / cap`, decided by integer
+    * hash arithmetic — `mix32(id) % cap < min(weight, cap)` — so the
+    * decision is deterministic, exactly SQL-mirrorable (no floats, no
+    * rand()), stable under re-partitioning/re-ingestion, and
+    * independent per document (no coordination, unlike quota
+    * sampling). The standard quality/length-weighted corpus thinning
+    * pass: with `weightCol = n_chars, cap = 2000`, a 500-char doc
+    * survives with p = 0.25, a 2000+-char doc always survives.
+    * One narrow projection+filter, no shuffle.
+    */
+  def weightedDownsample(
+      documents: DataFrame,
+      weightCol: String = "n_chars",
+      idCol: String = "doc_id",
+      cap: Int = 2000): DataFrame = {
+    require(cap > 0, s"invalid cap=$cap")
+    val w = least(col(weightCol), lit(cap)).cast("long")
+    val bucket = pmod(mix32(col(idCol)), lit(cap.toLong))
+    documents
+      .select(col(idCol), w.as("w"), bucket.as("bucket"))
+      .filter(col("bucket") < col("w"))
+  }
 }

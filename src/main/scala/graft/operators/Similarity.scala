@@ -129,7 +129,6 @@ object Similarity {
       .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")))
       .filter(col("sim") > threshold)
       .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
-      .orderBy("va", "vb")
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket or any

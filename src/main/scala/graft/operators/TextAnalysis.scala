@@ -180,6 +180,37 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("term"))
       .limit(topK)
 
+  /** Top-K word bigrams by occurrence count (document frequency carried
+    * along) — the n>1 companion to [[vocabulary]] for tokenizer-merge
+    * statistics and collocation mining. Same scale shape: one narrow
+    * bigram explode (typed map — the window-join formulation would
+    * shuffle the token stream on (doc, position)), one hash aggregation
+    * keyed by bigram (a bigram's stats are ONE row however common it
+    * is), then TakeOrderedAndProject for the global top-K — never a
+    * full sort. Deterministic tiebreak by bigram text.
+    */
+  def topBigrams(documents: DataFrame, topK: Int = 200): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    Dedup.spread(documents.select(col("doc_id").cast("long"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = graft.functions.TextHashing.tokens(text)
+        var i = 0
+        val out = Array.newBuilder[(Long, String)]
+        while (i + 1 < toks.length) {
+          out += ((id, toks(i) + " " + toks(i + 1)))
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("doc_id", "bigram")
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("df"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Function-word profiles for [[languageId]] — public so the oracle SQL
     * is generated from the same table (no drift between engine and check).
     */

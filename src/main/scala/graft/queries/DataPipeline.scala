@@ -28,7 +28,7 @@ object DataPipeline {
     "dd1_exact_dedup",
     """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin) { (s, d) =>
-    Dedup.exact(Tables.documents(s, d))
+    Dedup.exact(Tables.documents(s, d)).orderBy("h")
   }
 
   /** Word-3-gram Jaccard pairs at J >= 0.5 — dd3's oracle, mirroring the
@@ -107,11 +107,11 @@ object DataPipeline {
   private val MinhashLshSql = minhashLshSqlFor("documents", 1000)
 
   val dd2_minhash_lsh = QueryDef.sqlChecked("dd2_minhash_lsh", MinhashLshSql) { (s, d) =>
-    Dedup.minhashLsh(Tables.documents(s, d))
+    Dedup.minhashLsh(Tables.documents(s, d)).orderBy("da", "db")
   }
 
   val dd3_ngram_jaccard = QueryDef.sqlChecked("dd3_ngram_jaccard", NgramJaccardSql) { (s, d) =>
-    Dedup.ngramJaccard(Tables.documents(s, d))
+    Dedup.ngramJaccard(Tables.documents(s, d)).orderBy("da", "db")
   }
 
   // ------------------------------------------- cap-engagement fixtures
@@ -147,12 +147,12 @@ object DataPipeline {
 
   val dd2_capped_minhash = QueryDef.sqlChecked(
     "dd2_capped_minhash", minhashLshSqlFor(CappedDocsRel, CapMax)) { (s, d) =>
-    Dedup.minhashLsh(cappedDocs(s, d), maxBucket = CapMax)
+    Dedup.minhashLsh(cappedDocs(s, d), maxBucket = CapMax).orderBy("da", "db")
   }
 
   val dd3_capped_jaccard = QueryDef.sqlChecked(
     "dd3_capped_jaccard", ngramJaccardSqlFor(CappedDocsRel, CapMax)) { (s, d) =>
-    Dedup.ngramJaccard(cappedDocs(s, d), maxDocFreq = CapMax)
+    Dedup.ngramJaccard(cappedDocs(s, d), maxDocFreq = CapMax).orderBy("da", "db")
   }
 
   /** DuckDB re-derivation of the char-level poly32 fold (TextHashing.poly32),
@@ -217,7 +217,7 @@ object DataPipeline {
        |ORDER BY da, db""".stripMargin
 
   val dd4_simhash = QueryDef.sqlChecked("dd4_simhash", SimhashSql) { (s, d) =>
-    Dedup.simhashPairs(Tables.documents(s, d))
+    Dedup.simhashPairs(Tables.documents(s, d)).orderBy("da", "db")
   }
 
   /** Winnowing mirror (k=4, w=4): 4-gram hashes = poly63 of the joined
@@ -256,7 +256,7 @@ object DataPipeline {
        |WHERE shared >= 2 ORDER BY da, db""".stripMargin
 
   val dd6_winnow_fragments = QueryDef.sqlChecked("dd6_winnow_fragments", WinnowSql) { (s, d) =>
-    Dedup.fragmentOverlap(Tables.documents(s, d))
+    Dedup.fragmentOverlap(Tables.documents(s, d)).orderBy("da", "db")
   }
 
   val dd5_embedding_neardup = QueryDef.sqlChecked(
@@ -266,7 +266,7 @@ object DataPipeline {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
       |ORDER BY va, vb""".stripMargin) { (s, d) =>
-    Dedup.embeddingNearDup(Tables.embeddings(s, d))
+    Dedup.embeddingNearDup(Tables.embeddings(s, d)).orderBy("va", "vb")
   }
 
   /** Full mirror of the sub-quadratic embedding near-dup: DuckDB replays
@@ -302,7 +302,7 @@ object DataPipeline {
   }
 
   val dd5b_embedding_lsh = QueryDef.sqlChecked("dd5b_embedding_lsh", EmbeddingLshSql) { (s, d) =>
-    Similarity.lshNearDupPairs(Tables.embeddings(s, d))
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d)).orderBy("va", "vb")
   }
 
   // -------------------------------------------------- similarity search
@@ -506,6 +506,23 @@ object DataPipeline {
     TextAnalysis.vocabulary(Tables.documents(s, d))
   }
 
+  /** Top-K bigrams: the LIMIT boundary is deterministic because the
+    * ordering (count DESC, bigram) is total — bigram is the group key.
+    */
+  val txt_bigrams = QueryDef.sqlChecked(
+    "txt_bigrams",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+      |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+      |SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+      | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM bg GROUP BY bigram
+      |ORDER BY n_occurrences DESC, bigram LIMIT 200""".stripMargin) { (s, d) =>
+    TextAnalysis.topBigrams(Tables.documents(s, d))
+  }
+
   val txt_repetition = QueryDef.sqlChecked(
     "txt_repetition",
     """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -555,7 +572,7 @@ object DataPipeline {
   }
 
   val dc1_decontaminate = QueryDef.sqlChecked("dc1_decontaminate", DecontaminateSql) {
-    (s, d) => Decontamination.overlap(Tables.documents(s, d))
+    (s, d) => Decontamination.overlap(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   /** Mirror for the DEPLOYMENT decontamination API
@@ -591,6 +608,7 @@ object DataPipeline {
     Decontamination.overlapWith(
       train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3),
       evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
+      .orderBy("doc_id")
   }
 
   /** PII redaction over documents with deterministic in-query pattern
@@ -681,6 +699,46 @@ object DataPipeline {
        |SELECT doc_id, shard, CAST(off // 2048 AS BIGINT) AS bin, off, n_tokens
        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
     Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Weighted Bernoulli downsampling — integer hash arithmetic only, so
+    * the mirror replays the decision exactly (no float/rand drift).
+    */
+  val sp3_weighted_downsample = QueryDef.sqlChecked(
+    "sp3_weighted_downsample",
+    s"""WITH mx AS ${mix32Sql("doc_id, n_chars")}
+       |SELECT doc_id, CAST(least(n_chars, 2000) AS BIGINT) AS w,
+       |       hs % 2000 AS bucket
+       |FROM mx WHERE hs % 2000 < least(n_chars, 2000)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.weightedDownsample(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Incremental dedup of a new batch against an existing corpus: A =
+    * docs 0..399, B = docs 400+ UNION 25 planted copies of A texts
+    * (re-keyed 2000+), built in-query in BOTH engines. The engine runs
+    * the Bloom-prefiltered path (sketch probe -> exact semi-join
+    * confirm); the oracle is the exact-semantics EXISTS — equal because
+    * the Bloom has no false negatives and the confirm join clears its
+    * false positives.
+    */
+  val dd7_bloom_dedup = QueryDef.sqlChecked(
+    "dd7_bloom_dedup",
+    """WITH adocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      |          UNION ALL
+      |          SELECT 2000 + doc_id AS doc_id, text FROM documents WHERE doc_id < 25)
+      |SELECT b.doc_id, md5(b.text) AS h
+      |FROM bdocs b
+      |WHERE EXISTS (SELECT 1 FROM adocs a WHERE a.text = b.text)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    val fresh = docs.filter(col("doc_id") >= 400)
+      .unionByName(docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 2000L).as("doc_id"), col("text")))
+    Dedup.bloomPrefilterDedup(corpus, fresh).orderBy("doc_id")
   }
 
   // --------------------------------------------------------- multimodal
@@ -801,10 +859,12 @@ object DataPipeline {
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
-    dd2_capped_minhash, dd3_capped_jaccard,
+    dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    txt_repetition, txt_vocab, txt_redact, dc1_decontaminate, dc2_overlap_with,
-    sp1_hash_split, sp2_quota_sample, pk1_pack_sequences,
+    txt_repetition, txt_vocab, txt_bigrams, txt_redact,
+    dc1_decontaminate, dc2_overlap_with,
+    sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
+    pk1_pack_sequences,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio)
 }

@@ -35,7 +35,8 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getInt(2) <= 7))
-    assert(p1.collect().sameElements(rows)) // stable across runs
+    // stable across runs (as a SET — the API no longer promises order)
+    assert(p1.collect().toSet === rows.toSet)
   }
 
   test("simhash detects a planted near-duplicate") {
@@ -113,5 +114,36 @@ class DedupSpec extends SparkSpec {
     val nd = Dedup.embeddingNearDup(Tables.embeddings(spark, sf))
     val rows = nd.collect()
     assert(rows.forall(_.getDouble(2) > 0.45))
+  }
+
+  test("bloom-prefiltered incremental dedup finds exactly the planted duplicates") {
+    import spark.implicits._
+    val corpus = (0 until 300).map(i => (i.toLong, s"corpus doc $i unique words"))
+      .toDF("doc_id", "text")
+    val planted = Seq(5L, 17L, 123L)
+    val fresh = ((1000 until 1400).map(i => (i.toLong, s"new doc $i other words")) ++
+      planted.map(i => (2000L + i, s"corpus doc $i unique words")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomPrefilterDedup(corpus, fresh).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq === planted.map(_ + 2000L))
+    // result is exact despite the probabilistic prefilter: every hit's
+    // text genuinely exists in the corpus (semi-join confirmed)
+    assert(out.length === planted.size)
+  }
+
+  test("bloom prefilter prunes: candidate count is fpp-bounded, no false negatives") {
+    import spark.implicits._
+    val corpus = (0 until 1000).map(i => (i.toLong, s"member $i")).toDF("doc_id", "text")
+    val bf = corpus.select(org.apache.spark.sql.functions.xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", 1000L, 0.01)
+    val bytes = graft.functions.BloomMightContain.serialize(bf)
+    val absent = (0 until 2000).map(i => (i.toLong, s"absent $i")).toDF("doc_id", "text")
+    val fp = absent.filter(graft.functions.GraftFunctions.bloom_might_contain(
+      lit(bytes), org.apache.spark.sql.functions.xxhash64(col("text")))).count()
+    // 1% nominal fpp; allow generous slack for sketch variance
+    assert(fp <= 100, s"false-positive count $fp way above the 1% design point")
+    val present = corpus.filter(graft.functions.GraftFunctions.bloom_might_contain(
+      lit(bytes), org.apache.spark.sql.functions.xxhash64(col("text")))).count()
+    assert(present === 1000L, "a bloom filter must never drop a member")
   }
 }

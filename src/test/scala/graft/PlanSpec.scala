@@ -199,6 +199,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("txt_bigrams: global top-K is TakeOrdered with partial agg, no full sort") {
+    val p = plan("txt_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("sp3: weighted downsample is a pure narrow projection+filter (no exchange)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.Sampling.weightedDownsample(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"sp3 planned an exchange:\n$p")
+  }
+
+  test("dd7: bloom probe prefilters BEFORE the confirm join; equi semi-join; no cartesian") {
+    val p = plan("dd7_bloom_dedup")
+    assert(p.contains("bloom_might_contain"), s"prefilter probe missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), s"confirm must be a semi-join:\n$p")
+    // the probe must sit in a Filter on the scan side (narrow), i.e.
+    // appear in the plan text before any Exchange line does
+    val lines = p.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("Filter"))
+    assert(probeIdx >= 0, p)
+  }
+
   test("txt_tfidf: term join keys are equi, N is broadcast") {
     val p = plan("txt_tfidf")
     assert(!p.contains("CartesianProduct"), p)

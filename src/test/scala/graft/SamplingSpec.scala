@@ -64,4 +64,23 @@ class SamplingSpec extends SparkSpec {
       .agg(sum("n")).head().getLong(0)
     assert(packed === direct)
   }
+
+  test("weightedDownsample: decision is hash-deterministic and weight-consistent") {
+    val kept = Sampling.weightedDownsample(docs).collect()
+    assert(kept.nonEmpty)
+    // every kept row satisfies its own inclusion predicate
+    assert(kept.forall(r => r.getLong(2) < r.getLong(1)),
+      "kept row with bucket >= weight")
+    // deterministic: same input -> identical kept set, also after
+    // re-partitioning (id-derived hash, not partition-derived)
+    val again = Sampling.weightedDownsample(docs.repartition(7)).collect()
+    assert(kept.map(_.getLong(0)).toSet === again.map(_.getLong(0)).toSet)
+    // survival tracks weight: docs at/above the cap always survive
+    val total = docs.count()
+    val capped = docs.filter(col("n_chars") >= 2000).count()
+    val keptCapped = Sampling.weightedDownsample(docs)
+      .join(docs.filter(col("n_chars") >= 2000).select("doc_id"), "doc_id").count()
+    assert(keptCapped === capped, "weight >= cap must always survive")
+    assert(kept.length < total, "downsampling must drop below-cap docs")
+  }
 }

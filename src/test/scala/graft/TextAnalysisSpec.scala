@@ -70,6 +70,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.filter(col("n_stop") > col("n_words")).count() === 0)
   }
 
+  test("topBigrams matches a hand-computed fixture, ordered and limited") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"), // bigrams: "a b" x2, "b a", "b c"
+      (2L, "a b x"))     // bigrams: "a b", "b x"
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topBigrams(df, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b": 3 occurrences across 2 docs; then ties at 1 break by text
+    assert(out.toSeq === Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
   test("tf-idf matches a hand-computed fixture") {
     import spark.implicits._
     val df = Seq(
