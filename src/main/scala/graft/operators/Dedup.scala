@@ -306,6 +306,71 @@ object Dedup {
       .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair graph (the output of [[minhashLsh]]/[[ngramJaccard]]/
+    * [[simhashPairs]]) — the decision layer that turns pairwise
+    * evidence into "keep one document per cluster". A pair list alone
+    * under-deletes: A~B and B~C pairs must collapse {A,B,C} into ONE
+    * cluster even when A~C was never emitted.
+    *
+    * Algorithm: hash-min label propagation. Every member starts
+    * labelled with its own id; each round, labels flow across edges and
+    * each node keeps the minimum seen; converged when no label changes.
+    * Each round is one equi-join + one min-aggregation — all shuffles
+    * are keyed, nothing is ever collected to the driver (the driver
+    * only runs the O(1)-row convergence check per round). Rounds needed
+    * = graph diameter, and near-dup graphs are piles of small dense
+    * clusters (diameter 2-4), not long chains — the standard
+    * large-scale CC shape (hash-min from Kiveris et al., "Connected
+    * Components in MapReduce", public literature).
+    *
+    * Output: (doc_id, cluster, cluster_size) for every document that
+    * appears in at least one pair; cluster = min doc id of the
+    * component (deterministic canonical representative; the kept doc),
+    * singletons are absent (they were never duplicate evidence).
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "da",
+      bCol: String = "db",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) per round: an iterative DataFrame's
+    // lineage otherwise DOUBLES each iteration (the round references
+    // the previous labels in both the propagation join and the
+    // convergence probe) and the logical plan grows exponentially —
+    // measured OOM at ~7 rounds from plan bookkeeping alone. The
+    // checkpoint truncates lineage to the materialized partitions; a
+    // long-running cluster deployment would use reliable checkpoint()
+    // on a durable dir instead (same semantics, restart-safe).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      // convergence probe: any node whose label still shrank this round?
+      // (an O(1)-row driver action — limit(1) short-circuits the scan)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") < col("o.lbl")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
+  }
+
   /** Incremental exact dedup against an existing corpus with a Bloom
     * prefilter — the "is this new document already in the released
     * dataset" pass of an append-only corpus pipeline, where the naive

@@ -701,6 +701,58 @@ object DataPipeline {
     Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Duplicate-cluster fixture: organic docs 0..99 plus 5 planted
+    * SLIDING-WINDOW docs (doc 3000+i = tokens qz{i}..qz{i+7}, unique
+    * `qz*` vocabulary so they only pair among themselves). Adjacent
+    * docs share 5 of 7 3-gram shingles (J = 5/7) and distance-2 docs
+    * exactly 4 of 8 (J = 0.5, on the threshold), while distance >= 3 is
+    * below threshold — so the planted component {3000..3004} is a CHAIN
+    * with skip edges, NOT a clique: endpoints 3000 and 3004 have no
+    * direct pair and collapse into one cluster only through the
+    * transitive closure. That makes the oracle check the closure
+    * semantics itself, not just pair membership. Edges = the
+    * ngramJaccard pair list over the SAME union, replayed by the
+    * parameterized dd3 mirror; labels are the recursive min-label
+    * closure in BOTH engines (hash-min propagation in Spark, WITH
+    * RECURSIVE reachability-min in DuckDB — identical converged
+    * semantics: label = min doc id reachable).
+    */
+  private val Dd8Window = 8
+
+  private val Dd8Rel = {
+    val terms = (0 until Dd8Window).map(k => s"'qz' || (t.i + $k)").mkString(", ")
+    s"""(SELECT doc_id, text FROM documents WHERE doc_id < 100
+       | UNION ALL
+       | SELECT 3000 + t.i AS doc_id, concat_ws(' ', $terms) AS text
+       | FROM range(5) t(i))""".stripMargin
+  }
+
+  val dd8_dup_clusters = QueryDef.sqlChecked(
+    "dd8_dup_clusters",
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardSqlFor(Dd8Rel, 1000)}),
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION SELECT db AS a, da AS b FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+       |),
+       |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY cluster)
+       |SELECT cl.id AS doc_id, cl.cluster, sz.cluster_size
+       |FROM cl JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 100)
+    val planted = s.range(5L)
+      .select((col("id") + 3000L).as("doc_id"),
+        concat_ws(" ", (0 until Dd8Window).map(k =>
+          concat(lit("qz"), col("id") + k)): _*).as("text"))
+    Dedup.duplicateClusters(Dedup.ngramJaccard(base.unionByName(planted)))
+      .orderBy("doc_id")
+  }
+
   /** Weighted Bernoulli downsampling — integer hash arithmetic only, so
     * the mirror replays the decision exactly (no float/rand drift).
     */
@@ -860,6 +912,7 @@ object DataPipeline {
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
+    dd8_dup_clusters,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact,

@@ -131,6 +131,27 @@ class DedupSpec extends SparkSpec {
     assert(out.length === planted.size)
   }
 
+  test("duplicateClusters: transitive closure over a pair chain, min-id labels") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
+  }
+
+  test("duplicateClusters: a longer chain still converges to one component") {
+    import spark.implicits._
+    // 8-node path: worst-case diameter for the propagation loop
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = Dedup.duplicateClusters(pairs).collect()
+    assert(out.length === 8)
+    assert(out.forall(_.getLong(1) === 1L), "all nodes must take the min label")
+    assert(out.forall(_.getLong(2) === 8L))
+  }
+
   test("bloom prefilter prunes: candidate count is fpp-bounded, no false negatives") {
     import spark.implicits._
     val corpus = (0 until 1000).map(i => (i.toLong, s"member $i")).toDF("doc_id", "text")
