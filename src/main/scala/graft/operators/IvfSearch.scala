@@ -197,6 +197,5 @@ object IvfSearch {
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))
-      .orderBy("qid", "rnk")
   }
 }

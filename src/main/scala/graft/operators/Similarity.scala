@@ -41,7 +41,6 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))
-      .orderBy("qid", "rnk")
   }
 
   /** Random-hyperplane signature: bit i = sign(v . h_i), with hyperplanes
@@ -174,6 +173,5 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))
-      .orderBy("qid", "rnk")
   }
 }

@@ -317,6 +317,7 @@ object DataPipeline {
       |      FROM sc)
       |SELECT qid, rnk, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) {
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
   }
 
   /** Full LSH mirror, generated from the SAME fixed-seed hyperplanes and
@@ -348,6 +349,7 @@ object DataPipeline {
 
   val ann_lsh_topk = QueryDef.sqlChecked("ann_lsh_topk", AnnLshSql) { (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
   }
 
   /** Full IVF mirror: DuckDB re-runs the ENTIRE deterministic quantizer —
@@ -407,6 +409,7 @@ object DataPipeline {
   val ann_ivf_topk = QueryDef.sqlChecked("ann_ivf_topk", AnnIvfSql) { (s, d) =>
     graft.operators.IvfSearch.ivfTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
   }
 
   // ------------------------------------------------------ text analysis

@@ -170,6 +170,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Bare ANN calls: per-query ranked top-k needs only the partitioned
+    * rank window — a global (qid, rnk) output sort would add a range
+    * exchange over k x |queries| rows, corpus-sized in batch-ANN use.
+    * The determinism sort lives in the QueryDef wrappers.
+    */
+  test("bare ANN operators never plan a range exchange") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    Seq(
+      "Similarity.bruteForceTopK" ->
+        graft.operators.Similarity.bruteForceTopK(emb, Seq(0L, 1L)),
+      "Similarity.lshTopK" ->
+        graft.operators.Similarity.lshTopK(emb, Seq(0L, 1L)),
+      "IvfSearch.ivfTopK" ->
+        graft.operators.IvfSearch.ivfTopK(emb, Seq(0L, 1L))
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.explainString(fmt)
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$name planned a range exchange (embedded output sort?):\n$p")
+    }
+  }
+
   /** The spread-guarded typed maps may carry ONE round-robin exchange at
     * small partition counts (the single-file-corpus guard — a no-op at
     * scale where input partitions >= cores); they must never plan a
