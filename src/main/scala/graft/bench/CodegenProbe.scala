@@ -14,6 +14,21 @@ object CodegenProbe {
     println("HAS_NATIVE_LOOP=" + gen.contains(".getDouble("))
     println("FALLBACK=" + gen.contains("CosineSimilarity.nullSafeEval"))
 
+    // bloom probe: the sketch must be probed via the codegen reference
+    // object (mightContainLong direct call), not an eval fallback
+    val bf = spark.range(100).selectExpr("xxhash64(cast(id as string)) h")
+      .stat.bloomFilter("h", 100L, 0.01)
+    val bytes = graft.functions.BloomMightContain.serialize(bf)
+    val probe = spark.range(10).selectExpr("cast(id as string) s")
+      .select(graft.functions.GraftFunctions.bloom_might_contain(
+        org.apache.spark.sql.functions.lit(bytes),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("s"))).as("hit"))
+    probe.show()
+    val bgen = org.apache.spark.sql.execution.debug.codegenString(probe.queryExecution.executedPlan)
+    println("BLOOM_NATIVE=" + bgen.contains(".mightContainLong("))
+    println("BLOOM_FALLBACK=" + bgen.contains("BloomMightContain.nullSafeEval"))
+
     // salted skew join: hot key spread over salt sub-keys, same result
     import spark.implicits._
     val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "p")
