@@ -118,6 +118,28 @@ object TextAnalysis {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPattern = "https?://[^ ]+"
 
+  /** Text normalization — the first pass of every cleaning pipeline:
+    * lowercase, collapse space runs, trim. Emits the normalized-text
+    * md5 (full-output check, like [[redactPii]]), a changed flag and
+    * the length delta, so downstream stages can measure how dirty the
+    * source was. One narrow codegen'd projection, no shuffle; the
+    * regex uses only an explicit character class + `+` quantifier (the
+    * Java-regex/RE2-agreeing subset, same constraint as the PII
+    * patterns).
+    */
+  def normalize(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cleaned = trim(regexp_replace(lower(t), " +", " "))
+    documents.select(
+      col(idCol),
+      md5(cleaned).as("norm_md5"),
+      (cleaned =!= t).as("changed"),
+      (length(t) - length(cleaned)).cast("int").as("delta"))
+  }
+
   def redactPii(
       documents: DataFrame,
       idCol: String = "doc_id",

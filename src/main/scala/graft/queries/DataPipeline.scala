@@ -627,6 +627,32 @@ object DataPipeline {
     * mirrors the engine's `pmod` because fixture doc_ids are
     * non-negative.
     */
+  /** Normalization fixture: every 5th doc is dirtied IN-QUERY (leading
+    * spaces, uppercased, a trailing run-of-spaces tail) in both
+    * engines, so the cleaning pass provably engages; the other docs
+    * pin the no-op path (changed = false, delta = 0).
+    */
+  val txt_normalize = QueryDef.sqlChecked(
+    "txt_normalize",
+    """WITH aug AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN '  ' || upper(text) || '  tail   END '
+      |       ELSE text END AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, text,
+      |       trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS cleaned
+      |      FROM aug)
+      |SELECT doc_id, md5(cleaned) AS norm_md5, cleaned <> text AS changed,
+      | CAST(length(text) - length(cleaned) AS INTEGER) AS delta
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("  "), upper(col("text")), lit("  tail   END ")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.normalize(aug).orderBy("doc_id")
+  }
+
   val txt_redact = QueryDef.sqlChecked(
     "txt_redact",
     s"""WITH aug AS (SELECT doc_id,
@@ -918,7 +944,7 @@ object DataPipeline {
     dd8_dup_clusters,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    txt_repetition, txt_vocab, txt_bigrams, txt_redact,
+    txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     pk1_pack_sequences,

@@ -163,7 +163,8 @@ class PlanSpec extends SparkSpec {
       "TextAnalysis.redactPii" -> graft.operators.TextAnalysis.redactPii(docs),
       "TextAnalysis.quality" -> graft.operators.TextAnalysis.quality(docs),
       "TextAnalysis.tokenCounts" -> graft.operators.TextAnalysis.tokenCounts(docs),
-      "TextAnalysis.fingerprint" -> graft.operators.TextAnalysis.fingerprint(docs))
+      "TextAnalysis.fingerprint" -> graft.operators.TextAnalysis.fingerprint(docs),
+      "TextAnalysis.normalize" -> graft.operators.TextAnalysis.normalize(docs))
     bare.foreach { case (name, df) =>
       val p = df.queryExecution.explainString(fmt)
       assert(!p.contains("Exchange"), s"$name planned an exchange:\n$p")

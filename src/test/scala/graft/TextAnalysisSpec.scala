@@ -70,6 +70,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.filter(col("n_stop") > col("n_words")).count() === 0)
   }
 
+  test("normalize: lowercases, collapses spaces, trims; clean text is a no-op") {
+    implicit val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "  Mixed   CASE  text "),
+      (2L, "already clean text")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df).collect().map(r => r.getLong(0) -> r).toMap
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(1L).getString(1) === md5("mixed case text"))
+    assert(out(1L).getBoolean(2) === true)
+    assert(out(1L).getInt(3) === "  Mixed   CASE  text ".length - "mixed case text".length)
+    assert(out(2L).getString(1) === md5("already clean text"))
+    assert(out(2L).getBoolean(2) === false)
+    assert(out(2L).getInt(3) === 0)
+  }
+
   test("topBigrams matches a hand-computed fixture, ordered and limited") {
     import spark.implicits._
     val df = Seq(
