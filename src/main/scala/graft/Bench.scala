@@ -183,15 +183,25 @@ object Bench {
       case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     // floors regeneration: only from a run the operator asserts is
-    // uncontended (judge-verified); writes mins for every query so the
-    // committed file can't drift from the query surface
+    // uncontended (judge-verified). A full run writes mins for every
+    // query so the committed file can't drift from the query surface; a
+    // SPARK_GRAFT_BENCH_ONLY-filtered run MERGES into the existing map
+    // (a focused re-floor of one flagged query must not silently drop
+    // every other query's committed floor). Locale.ROOT: under a
+    // comma-decimal default locale, %.2f would write "0,37" and
+    // parseFloors would read it as 0 — permanently flagging the query.
     if (writeFloors) {
-      val body = results.sortBy(_._1)
-        .map { case (k, v, _, _, _) => "  \"" + k + "\": " + f"$v%.2f" }
+      val merged = (floors ++ results.map { case (k, v, _, _, _) => k -> v })
+        .toSeq.sortBy(_._1)
+      val body = merged
+        .map { case (k, v) =>
+          "  \"" + k + "\": " + String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(v)) }
         .mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(floorsPath),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] wrote floors to $floorsPath")
+      System.err.println(s"[bench] wrote floors to $floorsPath" +
+        (if (only.nonEmpty) " (merged over existing: focused subset)" else ""))
     }
     spark.stop()
   }

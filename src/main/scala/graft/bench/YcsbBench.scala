@@ -232,7 +232,11 @@ object YcsbBench {
       val busyBatches = measured.length
       val avgBatchMs =
         if (measured.isEmpty) 0.0 else measured.map(_._2).sum / measured.length
-      val line = f"""{"workload":"$name","config":"${cfg.label}","entities":${cfg.nEntities},"state_partitions":${cfg.statePartitions},"ingress_partitions":${cfg.ingressPartitions},"ops":$done,"wall_sec":$wall%.3f,"throughput_ops_sec":${done / wall}%.1f,"p50_ms":${pct(0.5)}%.2f,"p99_ms":${pct(0.99)}%.2f,"hop_events":${rt.loopbackWrittenCount},"driver_replies":${rt.driverCollectedCount},"busy_batches":$busyBatches,"avg_batch_ms":$avgBatchMs%.1f}"""
+      // Locale.ROOT: the f-interpolator uses the default locale, and a
+      // comma-decimal locale would emit invalid JSON ("wall_sec":1,234)
+      def num(fmt: String, v: Double): String =
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+      val line = s"""{"workload":"$name","config":"${cfg.label}","entities":${cfg.nEntities},"state_partitions":${cfg.statePartitions},"ingress_partitions":${cfg.ingressPartitions},"ops":$done,"wall_sec":${num("%.3f", wall)},"throughput_ops_sec":${num("%.1f", done / wall)},"p50_ms":${num("%.2f", pct(0.5))},"p99_ms":${num("%.2f", pct(0.99))},"hop_events":${rt.loopbackWrittenCount},"driver_replies":${rt.driverCollectedCount},"busy_batches":$busyBatches,"avg_batch_ms":${num("%.1f", avgBatchMs)}}"""
       println(line)
       if (sys.env.contains("SPARK_GRAFT_YCSB_DEBUG"))
         rt.progressJson.foreach(j => println(s"[progress] $j"))

@@ -54,12 +54,19 @@ case class BloomMightContain(bloomBytes: Expression, value: Expression)
     bloom.mightContainLong(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // deserialize once at codegen time and ship the OBJECT as a codegen
-    // reference — per-row work is a direct sketch probe, no byte parsing
-    val bloomRef = ctx.addReferenceObj("bloomFilter", bloom,
-      classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, (_, v) =>
-      s"${ev.value} = $bloomRef.mightContainLong($v);")
+    // a foldable NULL sketch passes checkInputDataTypes; parity with the
+    // null-intolerant interpreted path is a constant-null result, not an
+    // NPE from forcing the lazy deserialize at codegen time
+    if (bloomBytes.eval(null) == null) {
+      ExprCode.forNullValue(dataType)
+    } else {
+      // deserialize once at codegen time and ship the OBJECT as a codegen
+      // reference — per-row work is a direct sketch probe, no byte parsing
+      val bloomRef = ctx.addReferenceObj("bloomFilter", bloom,
+        classOf[BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, (_, v) =>
+        s"${ev.value} = $bloomRef.mightContainLong($v);")
+    }
   }
 
   override protected def withNewChildrenInternal(
@@ -75,6 +82,9 @@ object BloomMightContain {
     out.toByteArray
   }
 
-  def deserialize(bytes: Array[Byte]): BloomFilter =
+  def deserialize(bytes: Array[Byte]): BloomFilter = {
+    require(bytes != null && bytes.nonEmpty,
+      "bloom_might_contain: empty serialized bloom filter")
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
 }

@@ -383,11 +383,24 @@ object Dedup {
     * binary); the new batch is then prefiltered by a codegen'd sketch
     * probe ([[graft.functions.BloomMightContain]]) that is NARROW — no
     * false negatives, so at 1% fpp ~99% of genuinely-new documents never
-    * reach the confirm join. Only the surviving candidates (true dups +
-    * fpp stragglers) shuffle into an exact semi-join on the text, which
-    * also clears Bloom false positives AND xxhash64 collisions — the
-    * operator's RESULT is exactly "new docs whose text exists in the
-    * corpus", with the sketch as a pure performance layer.
+    * reach the confirm join. The confirm then clears Bloom false
+    * positives AND xxhash64 collisions exactly — the operator's RESULT
+    * is exactly "new docs whose text exists in the corpus", with the
+    * sketch as a pure performance layer.
+    *
+    * The confirm NEVER shuffles the corpus: the post-bloom candidate
+    * set is tiny (true dups + fpp stragglers of the new batch), so it
+    * broadcasts into a semi-join whose STREAMED side is a narrow
+    * text-only corpus scan, and the corpus texts that matched broadcast
+    * back to semi-filter the candidates. Both passes are
+    * BroadcastHashJoins — zero `Exchange hashpartitioning` of corpus
+    * data in the whole plan (gated in PlanSpec). The earlier form
+    * (`corpus.select(text).distinct()` as a semi-join build side)
+    * re-shuffled the full corpus text per incremental batch — the exact
+    * cost the sketch exists to avoid. The matched broadcast is bounded
+    * by the corpus multiplicity of candidate texts; on a dup-heavy
+    * corpus run exact dedup ([[exact]]) once before going incremental
+    * (the release pipeline this operator serves does exactly that).
     *
     * The corpus count for sizing the sketch is one parquet-metadata-
     * cheap action; pass `expectedItems` to skip it when the caller
@@ -408,8 +421,10 @@ object Dedup {
     val candidates = newDocs.filter(
       graft.functions.GraftFunctions.bloom_might_contain(
         lit(bytes), xxhash64(col(textCol))))
+    val matched = corpus.select(col(textCol))
+      .join(broadcast(candidates.select(col(textCol))), Seq(textCol), "left_semi")
     candidates
-      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
+      .join(broadcast(matched), Seq(textCol), "left_semi")
       .select(col(idCol), md5(col(textCol)).as("h"))
   }
 }

@@ -119,20 +119,25 @@ object TextAnalysis {
   val UrlPattern = "https?://[^ ]+"
 
   /** Text normalization — the first pass of every cleaning pipeline:
-    * lowercase, collapse space runs, trim. Emits the normalized-text
-    * md5 (full-output check, like [[redactPii]]), a changed flag and
-    * the length delta, so downstream stages can measure how dirty the
-    * source was. One narrow codegen'd projection, no shuffle; the
-    * regex uses only an explicit character class + `+` quantifier (the
-    * Java-regex/RE2-agreeing subset, same constraint as the PII
+    * lowercase, collapse whitespace runs (space/tab/CR/LF — the
+    * whitespace real corpus text actually contains) to a single space,
+    * trim. Emits the normalized-text md5 (full-output check, like
+    * [[redactPii]]), a changed flag and the length delta, so downstream
+    * stages can measure how dirty the source was. One narrow codegen'd
+    * projection, no shuffle; the regex uses only an explicit character
+    * class + `+` quantifier — `[ \t\r\n]`, NOT perl `\s` (whose
+    * membership differs between Java regex and RE2; the explicit class
+    * is the Java/RE2-agreeing subset, same constraint as the PII
     * patterns).
     */
+  val WhitespaceRun = "[ \\t\\r\\n]+"
+
   def normalize(
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val cleaned = trim(regexp_replace(lower(t), " +", " "))
+    val cleaned = trim(regexp_replace(lower(t), WhitespaceRun, " "))
     documents.select(
       col(idCol),
       md5(cleaned).as("norm_md5"),

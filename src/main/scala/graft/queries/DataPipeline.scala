@@ -628,19 +628,24 @@ object DataPipeline {
     * non-negative.
     */
   /** Normalization fixture: every 5th doc is dirtied IN-QUERY (leading
-    * spaces, uppercased, a trailing run-of-spaces tail) in both
-    * engines, so the cleaning pass provably engages; the other docs
-    * pin the no-op path (changed = false, delta = 0).
+    * space+TAB, uppercased, embedded LF, a trailing CR/TAB/space run)
+    * in both engines, so the cleaning pass provably engages on the
+    * whitespace classes real corpus text carries — not just literal
+    * spaces; the other docs pin the no-op path (changed = false,
+    * delta = 0). The mirror's regex is the same explicit `[ \t\r\n]`
+    * class the engine uses (chr(9/10/13) literals keep the dirt
+    * identical byte-for-byte across engines).
     */
   val txt_normalize = QueryDef.sqlChecked(
     "txt_normalize",
     """WITH aug AS (SELECT doc_id,
       |  CASE WHEN doc_id % 5 = 0
-      |       THEN '  ' || upper(text) || '  tail   END '
+      |       THEN ' ' || chr(9) || upper(text) || chr(10) || chr(10) ||
+      |            'tail' || chr(13) || chr(9) || '  END '
       |       ELSE text END AS text
       |  FROM documents),
       |c AS (SELECT doc_id, text,
-      |       trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS cleaned
+      |       trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')) AS cleaned
       |      FROM aug)
       |SELECT doc_id, md5(cleaned) AS norm_md5, cleaned <> text AS changed,
       | CAST(length(text) - length(cleaned) AS INTEGER) AS delta
@@ -648,7 +653,7 @@ object DataPipeline {
     val aug = Tables.documents(s, d).select(
       col("doc_id"),
       when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(lit("  "), upper(col("text")), lit("  tail   END ")))
+        concat(lit(" \t"), upper(col("text")), lit("\n\ntail\r\t  END ")))
         .otherwise(col("text")).as("text"))
     TextAnalysis.normalize(aug).orderBy("doc_id")
   }

