@@ -316,13 +316,29 @@ object Dedup {
     * Algorithm: hash-min label propagation. Every member starts
     * labelled with its own id; each round, labels flow across edges and
     * each node keeps the minimum seen; converged when no label changes.
-    * Each round is one equi-join + one min-aggregation — all shuffles
-    * are keyed, nothing is ever collected to the driver (the driver
-    * only runs the O(1)-row convergence check per round). Rounds needed
-    * = graph diameter, and near-dup graphs are piles of small dense
-    * clusters (diameter 2-4), not long chains — the standard
-    * large-scale CC shape (hash-min from Kiveris et al., "Connected
-    * Components in MapReduce", public literature).
+    * Each round is ONE Spark action: the propagation join feeds a
+    * single min-aggregation that carries the previous label alongside,
+    * and a per-row change counter (accumulator) is collected as a side
+    * effect of materializing the round — there is no separate
+    * convergence-probe job (task retries can only over-count changes,
+    * never report zero when a label actually moved, so the zero/nonzero
+    * convergence test is retry-safe). All shuffles are keyed; nothing
+    * row-shaped ever reaches the driver. Rounds needed = graph
+    * diameter, and near-dup graphs are piles of small dense clusters
+    * (diameter 2-4), not long chains — the standard large-scale CC
+    * shape (hash-min from Kiveris et al., "Connected Components in
+    * MapReduce", public literature).
+    *
+    * Lineage/memory discipline: each round's labels are checkpointed
+    * eagerly (an iterative DataFrame's plan otherwise doubles per
+    * round — measured OOM at ~7 rounds from plan bookkeeping alone),
+    * and the PREVIOUS round's materialized blocks are freed as soon as
+    * the new round lands, so block-manager usage stays one-round-sized
+    * in a long-lived session; the edge cache is dropped on completion.
+    * Pass `checkpointDir` to use reliable `checkpoint()` on a durable
+    * directory (restart-safe, the right mode for a long cluster
+    * deployment); the default `localCheckpoint` trades restart safety
+    * for zero-configuration local/batch runs.
     *
     * Output: (doc_id, cluster, cluster_size) for every document that
     * appears in at least one pair; cluster = min doc id of the
@@ -333,39 +349,58 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "da",
       bCol: String = "db",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(dir)
+    }
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // free the materialized blocks behind a checkpointed frame no round
+    // references anymore (safe: every consumer reads the NEXT, already
+    // materialized, checkpoint — the freed one is unreachable)
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) per round: an iterative DataFrame's
-    // lineage otherwise DOUBLES each iteration (the round references
-    // the previous labels in both the propagation join and the
-    // convergence probe) and the logical plan grows exponentially —
-    // measured OOM at ~7 rounds from plan bookkeeping alone. The
-    // checkpoint truncates lineage to the materialized partitions; a
-    // long-running cluster deployment would use reliable checkpoint()
-    // on a durable dir instead (same semantics, restart-safe).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    val changes = spark.sparkContext.longAccumulator("graft.cc.labelChanges")
+    var labels = snap(edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      changes.reset()
       val prop = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      // convergence probe: any node whose label still shrank this round?
-      // (an O(1)-row driver action — limit(1) short-circuits the scan)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") < col("o.lbl")).limit(1).count()
+      // self rows carry the old label in `self` (exactly one per id, the
+      // id set is fixed); max(self) recovers it through the same
+      // aggregation that takes the min — one shuffle, no second join
+      val merged = labels.select(col("id"), col("lbl"), col("lbl").as("self"))
+        .unionByName(prop.select(col("id"), col("lbl"),
+          lit(null).cast("long").as("self")))
+        .groupBy("id").agg(min("lbl").as("new_lbl"), max("self").as("old_lbl"))
+      val next = snap(merged.as[(Long, Long, Long)]
+        .map { case (id, newLbl, oldLbl) =>
+          if (newLbl < oldLbl) changes.add(1L)
+          (id, newLbl)
+        }
+        .toDF("id", "lbl"))
+      free(labels)
       labels = next
-      converged = changed == 0L
+      converged = changes.value == 0L
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
+    edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster"), col("cluster_size"))

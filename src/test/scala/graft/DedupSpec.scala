@@ -152,6 +152,65 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) === 8L))
   }
 
+  test("duplicateClusters runs ONE action per round — convergence is folded in") {
+    import spark.implicits._
+    // n-node chain: the min label travels one hop per round, so the
+    // loop runs exactly n rounds (n-1 change rounds + the zero round).
+    // With AQE off, every eager checkpoint is exactly one ACTION job
+    // (result stage named "localCheckpoint at ..."), so those must
+    // number 1 (initial labels) + n (rounds) — and there must be NO
+    // "count at" job at all: the old shape paid a separate
+    // convergence-probe count per round. (Broadcast-exchange build
+    // jobs for the propagation join are materializations inside the
+    // round's single action, not extra actions — at scale the join is
+    // sort-merge and they disappear; they are excluded by result-stage
+    // name here.)
+    val n = 6
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("da", "db")
+    val resultStages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.stageInfos.nonEmpty)
+          resultStages.add(js.stageInfos.maxBy(_.stageId).name)
+    }
+    val sc = spark.sparkContext
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.addSparkListener(listener)
+    try {
+      Dedup.duplicateClusters(chain)
+      // the listener bus posts asynchronously — poll until quiet
+      var last = -1
+      var spins = 0
+      while (last != resultStages.size && spins < 50) {
+        last = resultStages.size; Thread.sleep(100); spins += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val names = resultStages.asScala.toSeq
+      val checkpoints = names.count(_.startsWith("localCheckpoint at"))
+      val probes = names.count(_.startsWith("count at"))
+      assert(checkpoints === n + 1,
+        s"expected ${n + 1} checkpoint actions (1 init + $n rounds), saw $checkpoints in $names")
+      assert(probes === 0,
+        s"convergence must not run a separate count job, saw $probes in $names")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
+  test("duplicateClusters with a reliable checkpoint dir matches localCheckpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dd8ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val out = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
+  }
+
   test("bloom prefilter prunes: candidate count is fpp-bounded, no false negatives") {
     import spark.implicits._
     val corpus = (0 until 1000).map(i => (i.toLong, s"member $i")).toDF("doc_id", "text")
