@@ -19,7 +19,7 @@ import graft.operators.Dedup.tokens
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Quality signals: length ratios, stopword ratio, a bounded composite
     * score. Pure integer/rational arithmetic so an SQL oracle matches
@@ -132,12 +132,20 @@ object TextAnalysis {
     */
   val WhitespaceRun = "[ \\t\\r\\n]+"
 
+  /** The normalization transform itself, as a reusable Column — the
+    * single definition [[normalize]] reports on and
+    * [[TrainingPipeline]] feeds downstream stages with (one source of
+    * truth, so the report and the pipeline can't drift).
+    */
+  def normalizedText(t: Column): Column =
+    trim(regexp_replace(lower(t), WhitespaceRun, " "))
+
   def normalize(
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val cleaned = trim(regexp_replace(lower(t), WhitespaceRun, " "))
+    val cleaned = normalizedText(t)
     documents.select(
       col(idCol),
       md5(cleaned).as("norm_md5"),

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.TextHashing
+
+/** The composed end-to-end training-data pipeline: the chain a real
+  * corpus release runs, built from the engine's own operators —
+  *
+  *   normalize -> quality/language filter -> near-dup pairs ->
+  *   duplicate clusters (keep one per cluster) -> decontaminate vs the
+  *   held-out eval slice -> train/val/test split -> sequence packing.
+  *
+  * Every stage is individually oracle-checked elsewhere; this operator
+  * is the COMPOSITION evidence: the stages chain without plan blowup,
+  * with explicit persist/reuse discipline so the corpus parquet is
+  * scanned exactly once however many stages fan out from it (plan-gated
+  * in PlanSpec).
+  *
+  * Scale shape per stage:
+  *   - normalize: one narrow projection over the single corpus scan,
+  *     persisted because both the eval slice and the training corpus
+  *     branch read it;
+  *   - filter: ONE fused typed pass computes token count, the quality
+  *     score and the language-evidence flag together (tokenize once,
+  *     not once per signal — the composable per-signal operators join
+  *     by id, which at corpus scale would shuffle the text three
+  *     times); the formulas are the same ones [[TextAnalysis.quality]]
+  *     / [[TextAnalysis.languageId]] declare, parity spec-pinned;
+  *   - dedup: [[Dedup.ngramJaccard]] banded pairs ->
+  *     [[Dedup.duplicateClusters]] hash-min components; losers drop by
+  *     keyed anti-join (id-keyed, never all-pairs);
+  *   - decontamination: [[Decontamination.overlapWith]] — eval shingles
+  *     broadcast, corpus never shuffled by shingle;
+  *   - split/pack: [[Sampling.hashSplit]] (narrow) +
+  *     [[Sampling.packSequences]] (per-shard windows, no global sort),
+  *     joined by id off the same persisted clean corpus.
+  *
+  * Quality/langid semantics in the fused filter: keep a document iff it
+  * has at least one token, at least one function-word hit from ANY
+  * language profile (exactly "predicted_lang != 'und'" in
+  * [[TextAnalysis.languageId]]'s argmax terms — und means best score
+  * <= 0 means zero profile hits), and composite quality score (the
+  * [[TextAnalysis.quality]] formula, same 4-dp half-up rounding)
+  * >= `minQuality`.
+  *
+  * CACHE OWNERSHIP: same contract as the sibling operators — the
+  * persisted stages are not unpersisted here (the returned DataFrame
+  * has no completion hook); batch harnesses clear the SQL cache
+  * between queries.
+  */
+object TrainingPipeline {
+
+  def run(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      evalMod: Int = 100,
+      evalBuckets: Int = 3,
+      minQuality: Double = 0.2,
+      budget: Int = 2048,
+      shards: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    // 1. normalize — all later tokenization splits on single spaces,
+    // which is exactly what the cleaning pass guarantees
+    val norm = Dedup.spread(documents.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.normalizedText(col(textCol)).as("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // the eval slice is held OUT of the released corpus and used only
+    // as the decontamination target (id-hash split, deterministic)
+    val isEval = pmod(col("doc_id"), lit(evalMod.toLong)) < evalBuckets
+    val evalDocs = norm.filter(isEval)
+    val corpus = norm.filter(!isEval)
+
+    // 2. fused quality + language filter (one tokenization per doc)
+    val stopSet = TextAnalysis.Stopwords.toSet
+    val langSet = TextAnalysis.LangProfiles.flatMap(_._2).toSet
+    val minQ = minQuality
+    val filtered = corpus.as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = TextHashing.tokens(text)
+        val n = toks.length
+        var stops = 0
+        var langHits = 0
+        toks.foreach { t =>
+          if (stopSet(t)) stops += 1
+          if (langSet(t)) langHits += 1
+        }
+        // round half away from zero at 4 dp (SQL round parity, same
+        // trick as languageId's scores)
+        val score =
+          if (n == 0) 0.0
+          else math.floor((stops.toDouble / n * 0.5 +
+            math.min(n, 100).toDouble / 100.0 * 0.5) * 1e4 + 0.5) / 1e4
+        (id, text, n > 0 && langHits > 0 && score >= minQ)
+      }
+      .toDF("doc_id", "text", "keep")
+      .filter(col("keep")).select("doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 3. near-dup pairs -> connected components -> keep the cluster
+    // representative (min id); losers drop via keyed anti-join
+    val pairs = Dedup.ngramJaccard(filtered)
+    val losers = Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    val deduped = filtered.join(losers, Seq("doc_id"), "left_anti")
+
+    // 4. decontaminate: any 4-gram shared with the eval slice drops the doc
+    val contaminated = Decontamination.overlapWith(deduped, evalDocs)
+      .select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 5. split + 6. pack, both off the same persisted clean corpus
+    val splits = Sampling.hashSplit(clean).select(col("doc_id"), col("split"))
+    val packed = Sampling.packSequences(clean, budget = budget, shards = shards)
+    packed.join(splits, "doc_id")
+      .select(col("doc_id"), col("split"), col("shard"), col("bin"),
+        col("off"), col("n_tokens"))
+  }
+}

@@ -942,6 +942,148 @@ object DataPipeline {
       .orderBy("doc_id", "seg")
   }
 
+  // ------------------------------------------- composed pipeline (pipe1)
+  /** Planted fixture for the composed pipeline: three docs whose
+    * NORMALIZED token stream is identical — one clean, one uppercased,
+    * one whitespace-dirty — so the dedup stage provably depends on the
+    * normalize stage (un-normalized they share no shingles). Content is
+    * stopword-heavy so the quality/langid filter keeps them (score
+    * ~0.35, en profile hits), and ids are chosen so none land in the
+    * eval slice (1000003..5 % 100 >= 3) and none collide with the
+    * every-5th dirt rule (applied to organic docs only, in both
+    * engines). Expected: 1000004/1000005 collapse into 1000003's
+    * cluster and are dropped; 1000003 survives unless its stop-4-grams
+    * organically overlap the eval slice (deterministic either way,
+    * spec-pinned at sf0.001).
+    */
+  private[graft] val PipeBase =
+    "the data of a pipeline is to test and the data of a pipeline is to test " +
+      "qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8"
+  private[graft] val PipeUpper = PipeBase.toUpperCase(java.util.Locale.ROOT)
+  private[graft] val PipeDirty =
+    "  the data\tof a pipeline is to test and \nthe data of a pipeline is to test " +
+      "qq1 qq2 qq3 qq4\t qq5 qq6 qq7 qq8 "
+
+  /** DuckDB string literal for text containing tabs/newlines: control
+    * chars go through chr() so the dirt is byte-identical across
+    * engines regardless of SQL-literal escape rules.
+    */
+  private def sqlStr(s: String): String =
+    "('" + s.replace("'", "''")
+      .replace("\t", "' || chr(9) || '")
+      .replace("\r", "' || chr(13) || '")
+      .replace("\n", "' || chr(10) || '") + "')"
+
+  private val AllLangWords = TextAnalysis.LangProfiles.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Full mirror of the composed pipeline: every stage replayed in one
+    * WITH RECURSIVE chain — the normalize regex, the fused
+    * quality/language filter (identical formulas and rounding), the
+    * 3-gram Jaccard pairs with the doc-frequency cap, the recursive
+    * min-label closure, the 4-gram eval-overlap drop, the mix32 split
+    * and the per-shard packing windows (windowed sum CAST to BIGINT —
+    * the pk1 HUGEINT lesson).
+    */
+  private val Pipe1Sql: String = {
+    val planted =
+      s"""SELECT 1000003 AS doc_id, ${sqlStr(PipeBase)} AS text
+         |  UNION ALL SELECT 1000004, ${sqlStr(PipeUpper)}
+         |  UNION ALL SELECT 1000005, ${sqlStr(PipeDirty)}""".stripMargin
+    s"""WITH RECURSIVE aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN ' ' || chr(9) || upper(text) || chr(10) || chr(10) ||
+       |              'tail' || chr(13) || chr(9) || '  END '
+       |         ELSE text END AS text
+       |  FROM documents
+       |  UNION ALL
+       |  $planted),
+       |norm AS (SELECT doc_id,
+       |          trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')) AS text
+       |         FROM aug),
+       |ev AS (SELECT doc_id, text FROM norm WHERE doc_id % 100 < 3),
+       |corp AS (SELECT doc_id, text FROM norm WHERE doc_id % 100 >= 3),
+       |wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |       FROM corp),
+       |filt AS (SELECT doc_id, ws FROM (
+       |    SELECT doc_id, ws, len(ws) AS n,
+       |      len(list_filter(ws, w -> list_contains($StopList, w))) AS stops,
+       |      len(list_filter(ws, w -> list_contains($AllLangWords, w))) AS lang_hits
+       |    FROM wl)
+       |  WHERE n > 0 AND lang_hits > 0
+       |    AND round(CAST(stops AS DOUBLE)/n*0.5 + least(n,100)/100.0*0.5, 4) >= 0.2),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM filt),
+       |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |keepg AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+       |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keepg USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |          FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |prs AS (SELECT da, db FROM inter
+       |        JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |        WHERE 2*i >= (sa.n + sb.n - i)),
+       |edges AS (SELECT da AS a, db AS b FROM prs UNION SELECT db AS a, da AS b FROM prs),
+       |reach AS (SELECT a AS id, a AS lbl FROM edges
+       |          UNION
+       |          SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |dedup AS (SELECT doc_id, ws FROM filt
+       |          WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)),
+       |dtok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM dedup),
+       |g4 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || t1.w || ' ' || t2.w || ' ' || t3.w AS s
+       |       FROM dtok a JOIN dtok t1 ON t1.doc_id = a.doc_id AND t1.i = a.i + 1
+       |                   JOIN dtok t2 ON t2.doc_id = a.doc_id AND t2.i = a.i + 2
+       |                   JOIN dtok t3 ON t3.doc_id = a.doc_id AND t3.i = a.i + 3),
+       |evwl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |         FROM ev),
+       |etok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM evwl),
+       |eg4 AS (SELECT DISTINCT a.w || ' ' || t1.w || ' ' || t2.w || ' ' || t3.w AS s
+       |        FROM etok a JOIN etok t1 ON t1.doc_id = a.doc_id AND t1.i = a.i + 1
+       |                    JOIN etok t2 ON t2.doc_id = a.doc_id AND t2.i = a.i + 2
+       |                    JOIN etok t3 ON t3.doc_id = a.doc_id AND t3.i = a.i + 3),
+       |contaminated AS (SELECT DISTINCT g.doc_id FROM g4 g JOIN eg4 e ON g.s = e.s),
+       |clean AS (SELECT doc_id, ws FROM dedup
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |mx AS (SELECT doc_id, ws, xor(m2, m2 >> 13) AS hs FROM (
+       |  SELECT doc_id, ws, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT doc_id, ws, ((doc_id % 4294967296) + 4294967296) % 4294967296 AS h0
+       |    FROM clean))),
+       |t AS (SELECT doc_id, hs % 100 AS bucket, hs % 32 AS shard,
+       |       CAST(len(ws) AS BIGINT) AS n_tokens FROM mx),
+       |c AS (SELECT doc_id, bucket, shard, n_tokens,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |            AS BIGINT) AS off
+       |      FROM t)
+       |SELECT doc_id,
+       | CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test'
+       | END AS split,
+       | shard, CAST(off // 2048 AS BIGINT) AS bin, off, n_tokens
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  val pipe1_training_pipeline = QueryDef.sqlChecked(
+    "pipe1_training_pipeline", Pipe1Sql) { (s, d) =>
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // dirty every 5th organic doc (same pattern as txt_normalize) so
+    // the cleaning stage provably engages inside the composition
+    val aug = base.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" \t"), upper(col("text")), lit("\n\ntail\r\t  END ")))
+        .otherwise(col("text")).as("text"))
+    val planted = Seq(
+      (1000003L, PipeBase), (1000004L, PipeUpper), (1000005L, PipeDirty))
+      .toDF("doc_id", "text")
+    graft.operators.TrainingPipeline.run(aug.unionByName(planted))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -952,6 +1094,6 @@ object DataPipeline {
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
-    pk1_pack_sequences,
+    pk1_pack_sequences, pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio)
 }

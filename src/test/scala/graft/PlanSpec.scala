@@ -268,6 +268,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bloom_might_contain"), p)
   }
 
+  test("pipe1: corpus parquet scanned ONCE across the whole composed pipeline") {
+    // The composition evidence: six chained stages (normalize, filter,
+    // dedup, decontaminate, split, pack) fan out from the corpus many
+    // times, but the persist discipline means every consumer reads a
+    // cache — the formatted plan re-prints the cached subtree under
+    // each InMemoryTableScan, so count DISTINCT FileScan node ids, not
+    // occurrences: exactly one physical parquet scan must exist.
+    // clearCache first: a stale cross-suite cache entry matching one of
+    // the pipeline's subtrees would substitute its own stored FileScan
+    // node (the harness contract is cache-per-query anyway).
+    spark.catalog.clearCache()
+    val p = plan("pipe1_training_pipeline")
+    val scanIds = "Scan parquet[^(\\n]*\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size === 1,
+      s"expected ONE distinct corpus FileScan node, got ids $scanIds")
+    // persisted stage boundaries: norm, filtered, clean (+ operator-
+    // internal signature/shingle caches) each appear as cache reads
+    val cacheIds = "InMemoryTableScan \\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(cacheIds.size >= 3,
+      s"expected >= 3 distinct persisted stages, got ids $cacheIds")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("txt_tfidf: term join keys are equi, N is broadcast") {
     val p = plan("txt_tfidf")
     assert(!p.contains("CartesianProduct"), p)

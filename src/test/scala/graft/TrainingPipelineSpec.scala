@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, TrainingPipeline}
+
+/** End-to-end behavior of the composed training pipeline: the fused
+  * filter agrees with the composable per-signal operators, and the
+  * dedup stage provably depends on the normalize stage (the planted
+  * trio collapses only because normalization makes the copies
+  * identical).
+  */
+class TrainingPipelineSpec extends SparkSpec {
+
+  test("fused quality/langid filter agrees with the composable operators") {
+    import spark.implicits._
+    // ids chosen so the eval slice (id % 100 < 3) is empty and no two
+    // docs share shingles — the pipeline output is exactly the filter-
+    // pass set, packed
+    val docs = Seq(
+      (103L, "the the the the the"),                       // stop-heavy: keep
+      (104L, "zz1 zz2 zz3"),                               // no profile hit: und, drop
+      (105L, "the w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),        // score 0.1 < 0.2: drop
+      (106L, ((1 to 30).map(i => s"u$i") ++ Seq.fill(30)("the")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TrainingPipeline.run(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(103L, 106L))
+    // parity: the same set falls out of composing quality() + languageId()
+    val norm = docs.select(col("doc_id"),
+      TextAnalysis.normalizedText(col("text")).as("text"))
+      .withColumn("n_chars", length(col("text")))
+    val q = TextAnalysis.quality(norm)
+      .filter(col("quality_score") >= 0.2).select("doc_id")
+    val l = TextAnalysis.languageId(norm.withColumn("lang", lit("en")))
+      .filter(col("predicted_lang") =!= "und").select("doc_id")
+    val composed = q.join(l, "doc_id").collect().map(_.getLong(0)).toSet
+    assert(composed === out,
+      "fused filter must keep exactly the docs the composable operators keep")
+  }
+
+  test("pipe1 fixture: normalized copies dedup to one survivor (sf fixture)") {
+    // the full wrapped query on the test fixture: the clean planted doc
+    // survives; the uppercased and whitespace-dirty copies are dropped
+    // by the dedup stage — which can only happen if normalization ran
+    // first (un-normalized they share no 3-gram shingles)
+    val rows = SparkEntry.queries("pipe1_training_pipeline")(spark, sf)
+      .filter(col("doc_id") >= 1000000L).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1000003L),
+      "only the cluster representative of the planted trio may survive")
+  }
+
+  test("packing output is consistent: offsets are cumulative within shards") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (200L + i, s"the doc u$i of a test corpus is to have and the tokens w$i"))
+      .toDF("doc_id", "text")
+    val out = TrainingPipeline.run(docs)
+      .select("doc_id", "shard", "off", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var expected = 0L
+      sorted.foreach { case (id, _, off, n) =>
+        assert(off === expected, s"doc $id offset $off != running total $expected")
+        expected += n
+      }
+    }
+  }
+}
