@@ -230,9 +230,20 @@ object Dedup {
       }
       .toDF("doc_id", "sig", "bytes")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // bucket-size cap: mass-duplicate signature clusters would make one
-    // (band, byte) bucket quadratic, same guard as minhashLsh's bands
-    // (default is a no-op on the oracle testdata)
+    bandedHammingJoin(sigs, maxHamming, maxBucket)
+  }
+
+  /** The banded Hamming pair join shared by [[simhashPairs]] (text) and
+    * [[Multimodal.dhashPairs]] (images): `sigs` = (doc_id, sig: 64-bit
+    * long, bytes: 8 byte-bands). Any pair within Hamming distance 7
+    * shares at least one band (pigeonhole), so the (band, byte) equi
+    * join has guaranteed recall and there is no n^2 stage; the
+    * bucket-size cap guards against mass-duplicate signature clusters
+    * making one bucket quadratic (same guard as minhashLsh's bands).
+    */
+  private[operators] def bandedHammingJoin(
+      sigs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming <= 7, "banding guarantees recall only for maxHamming <= 7")
     val banded = capDocFreq(
       sigs.select(col("doc_id"), col("sig"), posexplode(col("bytes")))
         .toDF("doc_id", "sig", "band", "byte_val"),

@@ -252,6 +252,127 @@ object Multimodal {
     }
   }
 
+  /** Deterministic pattern-pool image table for perceptual near-dup
+    * testing: every `poolEvery`-th document draws its image from a pool
+    * of `poolMod` shared patterns (byte-identical PNGs — planted
+    * perceptual duplicates), every other document gets a unique pattern
+    * keyed by its own id. Pixels are a pure quadratic function of
+    * (key, x, y), so neighboring-pixel gradients vary with position and
+    * key (a linear gradient would make every image's dHash identical),
+    * and a SQL oracle can replay the DECODED pixels without a codec.
+    * Dimensions (16..20 x 12..15) comfortably cover the 9x8 dHash grid.
+    */
+  def syntheticPatternImages(
+      documents: DataFrame,
+      poolMod: Long = 23L,
+      poolEvery: Long = 7L)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val k = if (id % poolEvery == 0) (id / poolEvery) % poolMod else poolMod + id
+        val w = (16 + k % 5).toInt
+        val h = (12 + k % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((k * 31 + x * x * 7 + y * y * 13 + x * y * 5) % 256).toInt
+            val g = ((k * 17 + x * x * 11 + y * y * 3 + x * y * 7) % 256).toInt
+            val b = ((k * 29 + x * x * 5 + y * y * 17 + x * y * 3) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, MediaMeta("image", "png", bos.size.toLong))
+      }
+    }
+  }
+
+  /** dHash (difference hash) signatures over REAL decoded pixels: decode
+    * the payload with `javax.imageio`, mean-pool the grayscale (r+g+b)
+    * image onto a 9x8 cell grid (floor-map pooling, `cx = x*9 div w` —
+    * exactly SQL-mirrorable), then one bit per horizontally adjacent
+    * cell pair: `bit = mean(cx) > mean(cx+1)`, compared by integer
+    * cross-multiplication (`sumL*cntR > sumR*cntL`) so no division ever
+    * happens and the oracle replays the decision exactly. 64 bits pack
+    * into one long + the same 8 byte-bands [[Dedup.simhashPairs]] uses.
+    * Perceptual robustness comes from pooling: resized/re-encoded
+    * variants of an image keep their gradient signs.
+    */
+  def dhash(media: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gridW = 8; val gridH = 8
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        require(r.meta.kind == "image",
+          s"dhash on kind=${r.meta.kind} (doc ${r.doc_id})")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val cols = gridW + 1
+        val sums = Array.ofDim[Long](cols, gridH)
+        val cnts = Array.ofDim[Long](cols, gridH)
+        var y = 0
+        while (y < h) {
+          val cy = y * gridH / h
+          var x = 0
+          while (x < w) {
+            val cx = x * cols / w
+            val p = img.getRGB(x, y)
+            sums(cx)(cy) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            cnts(cx)(cy) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val bits = new Array[Int](gridW * gridH)
+        var cy = 0
+        while (cy < gridH) {
+          var cx = 0
+          while (cx < gridW) {
+            if (sums(cx)(cy) * cnts(cx + 1)(cy) > sums(cx + 1)(cy) * cnts(cx)(cy))
+              bits(cy * gridW + cx) = 1
+            cx += 1
+          }
+          cy += 1
+        }
+        var sig = 0L
+        var i = 0
+        while (i < bits.length) {
+          if (bits(i) == 1) sig |= 1L << i
+          i += 1
+        }
+        (r.doc_id, sig, graft.functions.TextHashing.byteBands(bits))
+      }
+    }.toDF("doc_id", "sig", "bytes")
+  }
+
+  /** Image perceptual near-dup pairs: [[dhash]] signatures into the
+    * shared byte-band pigeonhole join ([[Dedup.bandedHammingJoin]]) —
+    * guaranteed recall for Hamming <= 7, never all-pairs, bucket-capped
+    * against mass-duplicate pattern clusters. The image-side analog of
+    * text SimHash (dd4), closing the multimodal x dedup gap: decode /
+    * resize plumbing and near-dup detection meet in one operator.
+    */
+  def dhashPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 7,
+      maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+    // persist: the signature stage (decode + pool per image) feeds the
+    // cap aggregation, the anti-join side and both band-join sides
+    val sigs = dhash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.bandedHammingJoin(sigs, maxHamming, maxBucket)
+  }
+
   /** One sampled frame of a chunked media payload. */
   final case class FrameSample(
       doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int, frame_md5: String)

@@ -942,6 +942,62 @@ object DataPipeline {
       .orderBy("doc_id", "seg")
   }
 
+  /** Image perceptual near-dup mirror: DuckDB replays the ENTIRE dHash
+    * path off the generating formula — pattern-pool key, pixel
+    * channels, grayscale sum, the 9x8 floor-map mean pooling, the
+    * cross-multiplied gradient bits, the two 32-bit signature halves,
+    * the byte-band bucketing with cap, and the banded Hamming join —
+    * while the ENGINE computes the same bits from REAL decoded PNG
+    * pixels (ImageIO round-trip). PNG is lossless, so any decoder or
+    * pooling bug breaks the hash (the mm_decode trick, extended to the
+    * dedup layer).
+    */
+  private val DhashSql =
+    s"""WITH keys AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN (doc_id // 7) % 23 ELSE 23 + doc_id END AS k
+       |  FROM documents),
+       |dims AS (SELECT doc_id, k, 16 + k % 5 AS w, 12 + k % 4 AS h FROM keys),
+       |px AS (SELECT doc_id, k, w, h, unnest(range(w*h)) AS p FROM dims),
+       |gr AS (SELECT doc_id, w, h, p % w AS x, p // w AS y,
+       |        ((k*31 + (p%w)*(p%w)*7 + (p//w)*(p//w)*13 + (p%w)*(p//w)*5) % 256) +
+       |        ((k*17 + (p%w)*(p%w)*11 + (p//w)*(p//w)*3 + (p%w)*(p//w)*7) % 256) +
+       |        ((k*29 + (p%w)*(p%w)*5 + (p//w)*(p//w)*17 + (p%w)*(p//w)*3) % 256) AS gray
+       |       FROM px),
+       |cells AS (SELECT doc_id, (x*9)//w AS cx, (y*8)//h AS cy,
+       |           CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |          FROM gr GROUP BY doc_id, (x*9)//w, (y*8)//h),
+       |bits AS (SELECT l.doc_id, l.cy*8 + l.cx AS i,
+       |          CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+       |         FROM cells l JOIN cells r
+       |           ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+       |         WHERE l.cx < 8),
+       |sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit = 1 AND i < 32
+       |                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(sum(CASE WHEN bit = 1 AND i >= 32
+       |                  THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS sb
+       |   FROM bits GROUP BY doc_id),
+       |bytes AS (SELECT doc_id, i // 8 AS band,
+       |           CAST(sum(bit << (7 - (i % 8))) AS BIGINT) AS byte_val
+       |          FROM bits GROUP BY doc_id, i // 8),
+       |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
+       |         HAVING count(*) <= 1000),
+       |bk AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b JOIN keep USING (band, byte_val)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bk a JOIN bk b USING (band, byte_val) WHERE a.doc_id < b.doc_id)
+       |SELECT da, db,
+       | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
+       |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
+       |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
+       |ORDER BY da, db""".stripMargin
+
+  val mm_dhash_pairs = QueryDef.sqlChecked("mm_dhash_pairs", DhashSql) { (s, d) =>
+    implicit val spark = s
+    Multimodal.dhashPairs(
+      Multimodal.syntheticPatternImages(Tables.documents(s, d)))
+      .orderBy("da", "db")
+  }
+
   // ------------------------------------------- composed pipeline (pipe1)
   /** Planted fixture for the composed pipeline: three docs whose
     * NORMALIZED token stream is identical — one clean, one uppercased,
@@ -1095,5 +1151,5 @@ object DataPipeline {
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     pk1_pack_sequences, pipe1_training_pipeline,
-    mm_features, mm_frames, mm_resize, mm_decode, mm_audio)
+    mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs)
 }

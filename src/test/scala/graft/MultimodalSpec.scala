@@ -86,4 +86,68 @@ class MultimodalSpec extends SparkSpec {
       "mm_frames/mm_resize oracles mirror bytes with char-based substr/ascii; " +
         "that only holds for ASCII payloads")
   }
+
+  test("dhashPairs: pattern-pool duplicates pair at Hamming 0") {
+    implicit val s = spark
+    // same pool key recurs every 7*23 = 161 ids, so the window must
+    // span at least two recurrences for planted pairs to exist
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 400)
+    val pairs = Multimodal.dhashPairs(Multimodal.syntheticPatternImages(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // docs 0,7,14,... draw from the shared pattern pool; same-key docs
+    // have byte-identical PNGs, so every same-key pair must surface
+    // with distance zero
+    val poolKey = (id: Long) => (id / 7) % 23
+    val poolIds = (0L until 400L).filter(_ % 7 == 0)
+    val expected = (for {
+      a <- poolIds; b <- poolIds
+      if a < b && poolKey(a) == poolKey(b)
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty)
+    val zeroPairs = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(zeroPairs),
+      s"missing planted image dups: ${expected -- zeroPairs}")
+    assert(pairs.forall(_._3 <= 7))
+  }
+
+  test("dhash is perceptually robust: rescaled re-encodes pair with their source") {
+    implicit val s = spark
+    import s.implicits._
+    // a smooth photo-like image (strong gradients, direction flip at
+    // h/2, mild texture): rescaling + re-encoding changes every byte
+    // and the dimensions, but the pooled gradient SIGNS survive — the
+    // invariance class dHash actually promises. (The quadratic pattern
+    // fixtures are deliberately high-frequency and are NOT rescale-
+    // stable; they test exact-dup recall, not smoothness.)
+    val w = 40; val h = 32
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = if (y < h / 2) x * 220 / w else (w - 1 - x) * 220 / w
+      val c = math.min(250, base + (x * 3 + y * 2) % 9)
+      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    def enc(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos); bos.toByteArray
+    }
+    def rescaled(s: Double): Array[Byte] = {
+      val big = new java.awt.image.BufferedImage(
+        (w * s).toInt, (h * s).toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = big.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, big.getWidth, big.getHeight, null)
+      g2.dispose(); enc(big)
+    }
+    val meta = graft.operators.MediaMeta("image", "png", 0L)
+    val media = Seq(
+      graft.operators.MediaRow(1L, enc(img), meta),
+      graft.operators.MediaRow(2L, rescaled(2.0), meta),
+      graft.operators.MediaRow(3L, rescaled(0.5), meta)).toDS()
+    val pairs = Multimodal.dhashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "2x upscale must pair with its source")
+    assert(pairs.contains((1L, 3L)), "0.5x downscale must pair with its source")
+  }
 }

@@ -268,6 +268,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bloom_might_contain"), p)
   }
 
+  test("mm_dhash: banded equi-join, never all-pairs") {
+    val p = plan("mm_dhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the signature self-join must be an equi join on (band, byte_val)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pipe1: corpus parquet scanned ONCE across the whole composed pipeline") {
     // The composition evidence: six chained stages (normalize, filter,
     // dedup, decontaminate, split, pack) fan out from the corpus many
