@@ -1040,6 +1040,13 @@ object DataPipeline {
     * min-label closure, the 4-gram eval-overlap drop, the mix32 split
     * and the per-shard packing windows (windowed sum CAST to BIGINT —
     * the pk1 HUGEINT lesson).
+    *
+    * Multiply-referenced CTEs are marked MATERIALIZED: DuckDB inlines
+    * plain CTEs per reference, and this chain stacks many shared
+    * stages (dtok alone is referenced four times by g4), so without
+    * the hints the normalize/tokenize chain re-evaluates ~15x —
+    * measured 47 s -> seconds at the correctness gate SF. Semantics-
+    * neutral; the engine side gets the same sharing from persist().
     */
   private val Pipe1Sql: String = {
     val planted =
@@ -1055,31 +1062,31 @@ object DataPipeline {
        |  FROM documents
        |  UNION ALL
        |  $planted),
-       |norm AS (SELECT doc_id,
+       |norm AS MATERIALIZED (SELECT doc_id,
        |          trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')) AS text
        |         FROM aug),
        |ev AS (SELECT doc_id, text FROM norm WHERE doc_id % 100 < 3),
        |corp AS (SELECT doc_id, text FROM norm WHERE doc_id % 100 >= 3),
        |wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
        |       FROM corp),
-       |filt AS (SELECT doc_id, ws FROM (
+       |filt AS MATERIALIZED (SELECT doc_id, ws FROM (
        |    SELECT doc_id, ws, len(ws) AS n,
        |      len(list_filter(ws, w -> list_contains($StopList, w))) AS stops,
        |      len(list_filter(ws, w -> list_contains($AllLangWords, w))) AS lang_hits
        |    FROM wl)
        |  WHERE n > 0 AND lang_hits > 0
        |    AND round(CAST(stops AS DOUBLE)/n*0.5 + least(n,100)/100.0*0.5, 4) >= 0.2),
-       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM filt),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM filt),
        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
        |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
        |keepg AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
-       |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keepg USING (s)),
+       |shk AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN keepg USING (s)),
        |sz AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
        |          FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
-       |prs AS (SELECT da, db FROM inter
+       |prs AS MATERIALIZED (SELECT da, db FROM inter
        |        JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
        |        WHERE 2*i >= (sa.n + sb.n - i)),
        |edges AS (SELECT da AS a, db AS b FROM prs UNION SELECT db AS a, da AS b FROM prs),
@@ -1087,22 +1094,22 @@ object DataPipeline {
        |          UNION
        |          SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
        |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
-       |dedup AS (SELECT doc_id, ws FROM filt
+       |dedup AS MATERIALIZED (SELECT doc_id, ws FROM filt
        |          WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)),
-       |dtok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM dedup),
+       |dtok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM dedup),
        |g4 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || t1.w || ' ' || t2.w || ' ' || t3.w AS s
        |       FROM dtok a JOIN dtok t1 ON t1.doc_id = a.doc_id AND t1.i = a.i + 1
        |                   JOIN dtok t2 ON t2.doc_id = a.doc_id AND t2.i = a.i + 2
        |                   JOIN dtok t3 ON t3.doc_id = a.doc_id AND t3.i = a.i + 3),
        |evwl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
        |         FROM ev),
-       |etok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM evwl),
-       |eg4 AS (SELECT DISTINCT a.w || ' ' || t1.w || ' ' || t2.w || ' ' || t3.w AS s
+       |etok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM evwl),
+       |eg4 AS MATERIALIZED (SELECT DISTINCT a.w || ' ' || t1.w || ' ' || t2.w || ' ' || t3.w AS s
        |        FROM etok a JOIN etok t1 ON t1.doc_id = a.doc_id AND t1.i = a.i + 1
        |                    JOIN etok t2 ON t2.doc_id = a.doc_id AND t2.i = a.i + 2
        |                    JOIN etok t3 ON t3.doc_id = a.doc_id AND t3.i = a.i + 3),
        |contaminated AS (SELECT DISTINCT g.doc_id FROM g4 g JOIN eg4 e ON g.s = e.s),
-       |clean AS (SELECT doc_id, ws FROM dedup
+       |clean AS MATERIALIZED (SELECT doc_id, ws FROM dedup
        |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
        |mx AS (SELECT doc_id, ws, xor(m2, m2 >> 13) AS hs FROM (
        |  SELECT doc_id, ws, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
