@@ -115,6 +115,34 @@ object Sampling {
         col("off"), col("n_tokens"))
   }
 
+  /** Stratified rate sampling: keep each document with a per-stratum
+    * probability — the corpus REBALANCING pass (e.g. downsample
+    * over-represented languages to hit a target mix, the standard
+    * data-mixture step before training). The decision is
+    * `mix32(id) % 10000 < rate_k * 10000` — integer hash arithmetic,
+    * deterministic, independent per document, stable under
+    * re-partitioning and appends, exactly SQL-mirrorable. Strata
+    * missing from `rates` keep everything (rate 1.0). One narrow
+    * projection+filter, no shuffle — rebalancing a 100 TB corpus costs
+    * one scan.
+    */
+  def stratifiedSample(
+      documents: DataFrame,
+      rates: Seq[(String, Double)],
+      keyCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 },
+      s"rates must be in [0,1]: $rates")
+    val thresh = rates.foldLeft(lit(10000L): org.apache.spark.sql.Column) {
+      case (acc, (k, r)) =>
+        when(col(keyCol) === k, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    val bucket = pmod(mix32(col(idCol)), lit(10000L))
+    documents
+      .select(col(idCol), col(keyCol), bucket.as("bucket"), thresh.as("thresh"))
+      .filter(col("bucket") < col("thresh"))
+  }
+
   /** Weight-proportional Bernoulli downsampling: keep each document
     * with probability `min(weight, cap) / cap`, decided by integer
     * hash arithmetic — `mix32(id) % cap < min(weight, cap)` — so the

@@ -153,6 +153,28 @@ object TextAnalysis {
       (length(t) - length(cleaned)).cast("int").as("delta"))
   }
 
+  /** URL domain statistics: extract every URL, reduce to its host, and
+    * aggregate per-domain occurrence and document counts — the
+    * source-analysis pass behind domain-level curation (blocklists,
+    * per-domain quotas via [[Sampling.quotaPerKey]], provenance
+    * reporting). One narrow explode + one hash aggregation; the
+    * domain regex uses only explicit character classes (the Java/RE2-
+    * agreeing subset, like the PII patterns).
+    */
+  val DomainPattern = "https?://([^/ ]+)"
+
+  def urlDomains(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    documents
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
+      .select(col(idCol), regexp_extract(col("url"), DomainPattern, 1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   def redactPii(
       documents: DataFrame,
       idCol: String = "doc_id",

@@ -735,6 +735,63 @@ object DataPipeline {
     Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Stratified rate sampling fixture: per-language target rates that
+    * provably engage (en halved, zh cut to 10%, de untouched via the
+    * default). The decision threshold is integer arithmetic on the
+    * same mix32 chain as sp1, so the mirror replays every keep/drop.
+    */
+  private[graft] val Sp4Rates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "es" -> 0.25, "fr" -> 0.8, "zh" -> 0.1)
+
+  val sp4_stratified_sample = QueryDef.sqlChecked(
+    "sp4_stratified_sample",
+    s"""WITH mx AS ${mix32Sql("doc_id, lang")},
+       |t AS (SELECT doc_id, lang, hs % 10000 AS bucket,
+       |       CASE ${Sp4Rates.map { case (k, r) =>
+                  s"WHEN lang = '$k' THEN ${math.round(r * 10000)}" }.mkString(" ")}
+       |            ELSE 10000 END AS thresh
+       |      FROM mx)
+       |SELECT doc_id, lang, bucket, CAST(thresh AS BIGINT) AS thresh
+       |FROM t WHERE bucket < thresh ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.stratifiedSample(Tables.documents(s, d), Sp4Rates).orderBy("doc_id")
+  }
+
+  /** Domain-statistics fixture: the organic corpus has no URLs, so
+    * every 4th doc gets TWO planted URLs over a 15-domain grid
+    * (d{0..4}.ex{0..2}.org) in both engines — multi-URL docs pin
+    * n_urls vs n_docs apart, and the grid makes the aggregation
+    * non-trivial.
+    */
+  val txt_domains = QueryDef.sqlChecked(
+    "txt_domains",
+    s"""WITH aug AS (SELECT doc_id,
+       |  text || CASE WHEN doc_id % 4 = 0
+       |    THEN ' see https://d' || CAST(doc_id % 5 AS VARCHAR) || '.ex' ||
+       |         CAST(doc_id % 3 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR) ||
+       |         ' and https://d' || CAST(doc_id % 5 AS VARCHAR) || '.ex' ||
+       |         CAST(doc_id % 3 AS VARCHAR) || '.org/q/' || CAST(doc_id AS VARCHAR)
+       |    ELSE '' END AS text FROM documents),
+       |u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) AS url
+       |      FROM aug),
+       |d AS (SELECT doc_id, regexp_extract(url, '${TextAnalysis.DomainPattern}', 1) AS domain
+       |      FROM u)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM d GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" see https://d"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".ex"), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(".org/p/"), col("doc_id").cast("string"),
+            lit(" and https://d"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".ex"), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(".org/q/"), col("doc_id").cast("string")))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.urlDomains(aug).orderBy("domain")
+  }
+
   /** Duplicate-cluster fixture: organic docs 0..99 plus 5 planted
     * SLIDING-WINDOW docs (doc 3000+i = tokens qz{i}..qz{i+7}, unique
     * `qz*` vocabulary so they only pair among themselves). Adjacent
@@ -1157,6 +1214,7 @@ object DataPipeline {
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
+    sp4_stratified_sample, txt_domains,
     pk1_pack_sequences, pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs)
 }

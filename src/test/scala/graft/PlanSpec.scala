@@ -166,7 +166,9 @@ class PlanSpec extends SparkSpec {
       "TextAnalysis.quality" -> graft.operators.TextAnalysis.quality(docs),
       "TextAnalysis.tokenCounts" -> graft.operators.TextAnalysis.tokenCounts(docs),
       "TextAnalysis.fingerprint" -> graft.operators.TextAnalysis.fingerprint(docs),
-      "TextAnalysis.normalize" -> graft.operators.TextAnalysis.normalize(docs))
+      "TextAnalysis.normalize" -> graft.operators.TextAnalysis.normalize(docs),
+      "Sampling.stratifiedSample" -> graft.operators.Sampling.stratifiedSample(
+        docs, graft.queries.DataPipeline.Sp4Rates))
     bare.foreach { case (name, df) =>
       val p = df.queryExecution.explainString(fmt)
       assert(!p.contains("Exchange"), s"$name planned an exchange:\n$p")

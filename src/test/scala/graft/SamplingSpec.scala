@@ -83,4 +83,23 @@ class SamplingSpec extends SparkSpec {
     assert(keptCapped === capped, "weight >= cap must always survive")
     assert(kept.length < total, "downsampling must drop below-cap docs")
   }
+
+  test("stratifiedSample: per-stratum rates engage, default stratum untouched") {
+    val rates = Seq("en" -> 0.5, "zh" -> 0.1)
+    val kept = Sampling.stratifiedSample(docs, rates).collect()
+    assert(kept.forall(r => r.getLong(2) < r.getLong(3)),
+      "kept row violates its own threshold predicate")
+    val byLang = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // default (unlisted) strata keep EVERYTHING
+    assert(byLang("de").toLong === total("de"))
+    // rated strata drop a share consistent with the rate (hash-uniform,
+    // generous slack at this sample size)
+    assert(byLang("en") < total("en"), "en must be downsampled")
+    assert(byLang("zh") < total("zh") / 2, "zh at 10% must lose most docs")
+    // deterministic under re-partitioning (id-derived hash)
+    val again = Sampling.stratifiedSample(docs.repartition(5), rates).collect()
+    assert(kept.map(_.getLong(0)).toSet === again.map(_.getLong(0)).toSet)
+  }
 }

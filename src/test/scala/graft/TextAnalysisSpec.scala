@@ -93,6 +93,18 @@ class TextAnalysisSpec extends SparkSpec {
       "\tLine one\r\nline\ttwo\n\n end\r".length - "line one line two end".length)
   }
 
+  test("urlDomains: extracts hosts, counts urls vs distinct docs") {
+    implicit val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "see https://a.org/x and https://a.org/y plus https://b.net/z"),
+      (2L, "only https://a.org/w here"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomains(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a.org" -> ((3L, 2L)), "b.net" -> ((1L, 1L))))
+  }
+
   test("topBigrams matches a hand-computed fixture, ordered and limited") {
     import spark.implicits._
     val df = Seq(
