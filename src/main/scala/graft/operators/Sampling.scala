@@ -115,6 +115,51 @@ object Sampling {
         col("off"), col("n_tokens"))
   }
 
+  /** Document chunking: split each document's token stream into
+    * overlapping fixed-size windows — the pre-tokenization pass that
+    * turns long documents into model-sized contexts (the step BEFORE
+    * [[packSequences]] bins them). Starts advance by
+    * `chunkTokens - overlap`; the chunk count is
+    * `ceil(max(n - overlap, 1) / step)`, so every token is covered and
+    * no tail chunk is fully contained in its predecessor. Emits the
+    * chunk's token span and the md5 of its joined text (full-content
+    * check, the redactPii trick). One narrow typed flatMap — tokenize
+    * once per document, emit chunk rows; no shuffle at any corpus size.
+    */
+  def chunkDocuments(
+      documents: DataFrame,
+      chunkTokens: Int = 512,
+      overlap: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"invalid chunkTokens=$chunkTokens overlap=$overlap")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val step = chunkTokens - overlap
+    val ct = chunkTokens
+    val ov = overlap
+    Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = graft.functions.TextHashing.tokens(text)
+        val n = ws.length
+        if (n == 0) Iterator.empty
+        else {
+          val nChunks = (math.max(n - ov, 1) + step - 1) / step
+          (0 until nChunks).iterator.map { ci =>
+            val start = ci * step
+            val len = math.min(ct, n - start)
+            val body = ws.slice(start, start + len).mkString(" ")
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+            (id, ci, start.toLong, len.toLong, md)
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_md5")
+  }
+
   /** Stratified rate sampling: keep each document with a per-stratum
     * probability — the corpus REBALANCING pass (e.g. downsample
     * over-represented languages to hit a target mix, the standard

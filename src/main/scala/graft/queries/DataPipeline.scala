@@ -735,6 +735,36 @@ object DataPipeline {
     Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Chunking fixture: 32-token windows with 8-token overlap so the
+    * ~55-token organic docs split into 2-3 chunks (the 512/64 operator
+    * defaults would leave every doc single-chunk — nothing proven).
+    * The md5 is over the space-joined chunk tokens, so the mirror
+    * checks the chunk CONTENT, not just the arithmetic.
+    */
+  private val ChunkTok = 32
+  private val ChunkOv = 8
+
+  val pk2_chunk_docs = QueryDef.sqlChecked(
+    "pk2_chunk_docs", {
+      val step = ChunkTok - ChunkOv
+      s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+         |            FROM documents),
+         |p AS (SELECT doc_id, ws, len(ws) AS n FROM wl WHERE len(ws) > 0),
+         |k AS (SELECT doc_id, ws, n,
+         |       unnest(range((greatest(n - $ChunkOv, 1) + ${step - 1}) // $step)) AS ci
+         |      FROM p)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         | CAST(ci*$step AS BIGINT) AS start_tok,
+         | CAST(least($ChunkTok, n - ci*$step) AS BIGINT) AS n_tok,
+         | md5(array_to_string(
+         |   list_slice(ws, ci*$step + 1, ci*$step + least($ChunkTok, n - ci*$step)), ' '))
+         |   AS chunk_md5
+         |FROM k ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+    Sampling.chunkDocuments(Tables.documents(s, d), ChunkTok, ChunkOv)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Stratified rate sampling fixture: per-language target rates that
     * provably engage (en halved, zh cut to 10%, de untouched via the
     * default). The decision threshold is integer arithmetic on the
@@ -1215,6 +1245,6 @@ object DataPipeline {
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, txt_domains,
-    pk1_pack_sequences, pipe1_training_pipeline,
+    pk1_pack_sequences, pk2_chunk_docs, pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs)
 }

@@ -84,6 +84,24 @@ class SamplingSpec extends SparkSpec {
     assert(kept.length < total, "downsampling must drop below-cap docs")
   }
 
+  test("chunkDocuments: spans cover every token, overlap is exact, md5 checks content") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 -> step 3, chunks = ceil(9/3) = 3:
+    // [0,4) [3,7) [6,10)
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Sampling.chunkDocuments(df, chunkTokens = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(c => (c._3, c._4)).toSeq === Seq((0L, 4L), (3L, 4L), (6L, 4L)))
+    assert(doc1(1)._5 === md5("t3 t4 t5 t6"))
+    // short doc: one chunk, truncated to its length
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0L, 2L, md5("a b"))))
+    // no tail chunk fully contained in its predecessor, all tokens covered
+    assert(doc1.last._3 + doc1.last._4 === 10L)
+  }
+
   test("stratifiedSample: per-stratum rates engage, default stratum untouched") {
     val rates = Seq("en" -> 0.5, "zh" -> 0.1)
     val kept = Sampling.stratifiedSample(docs, rates).collect()
