@@ -183,15 +183,17 @@ object Bench {
       case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     // floors regeneration: only from a run the operator asserts is
-    // uncontended (judge-verified). A full run writes mins for every
-    // query so the committed file can't drift from the query surface; a
-    // SPARK_GRAFT_BENCH_ONLY-filtered run MERGES into the existing map
-    // (a focused re-floor of one flagged query must not silently drop
-    // every other query's committed floor). Locale.ROOT: under a
-    // comma-decimal default locale, %.2f would write "0,37" and
-    // parseFloors would read it as 0 — permanently flagging the query.
+    // uncontended (judge-verified). A full run writes EXACTLY the
+    // measured set, so renamed/removed queries can't leave stale keys
+    // behind; a SPARK_GRAFT_BENCH_ONLY-filtered run MERGES into the
+    // existing map (a focused re-floor of one flagged query must not
+    // silently drop every other query's committed floor). Locale.ROOT:
+    // under a comma-decimal default locale, %.2f would write "0,37"
+    // and parseFloors would read it as 0 — permanently flagging the
+    // query.
     if (writeFloors) {
-      val merged = (floors ++ results.map { case (k, v, _, _, _) => k -> v })
+      val base = if (only.nonEmpty) floors else Map.empty[String, Double]
+      val merged = (base ++ results.map { case (k, v, _, _, _) => k -> v })
         .toSeq.sortBy(_._1)
       val body = merged
         .map { case (k, v) =>

@@ -19,6 +19,16 @@ object TextHashing {
     */
   def tokens(text: String): Array[String] = text.split(' ').filter(_.nonEmpty)
 
+  /** Lowercase MD5 hex — the one definition every engine-side content
+    * hash goes through (UTF-8; parity with DuckDB/Spark `md5()`), so a
+    * hashing change can never diverge between call sites.
+    */
+  def md5Hex(s: String): String = md5Hex(s.getBytes("UTF-8"))
+
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
   /** Distinct word n-gram shingles, order-insensitive set semantics. */
   def shingles(toks: Array[String], n: Int = 3): Array[String] =
     if (toks.length < n) Array.empty

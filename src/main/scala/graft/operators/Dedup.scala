@@ -368,9 +368,19 @@ object Dedup {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(dir)
     }
+    // reliable mode: persist BEFORE checkpoint — checkpoint(eager)'s
+    // file-writing pass otherwise RECOMPUTES the round from lineage (a
+    // 2x cost the cache absorbs); the transient cache is dropped once
+    // the files exist. Deployments should also set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true so old
+    // rounds' checkpoint files are GC'd with their RDDs.
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      if (checkpointDir.isDefined) {
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        val ck = cached.checkpoint(eager = true)
+        cached.unpersist()
+        ck
+      } else df.localCheckpoint(eager = true)
     // free the materialized blocks behind a checkpointed frame no round
     // references anymore (safe: every consumer reads the NEXT, already
     // materialized, checkpoint — the freed one is unreachable)
@@ -443,10 +453,18 @@ object Dedup {
     * data in the whole plan (gated in PlanSpec). The earlier form
     * (`corpus.select(text).distinct()` as a semi-join build side)
     * re-shuffled the full corpus text per incremental batch — the exact
-    * cost the sketch exists to avoid. The matched broadcast is bounded
-    * by the corpus multiplicity of candidate texts; on a dup-heavy
-    * corpus run exact dedup ([[exact]]) once before going incremental
-    * (the release pipeline this operator serves does exactly that).
+    * cost the sketch exists to avoid.
+    *
+    * BROADCAST BOUNDS (the operator's contract is incremental batch
+    * <<< corpus): the candidates broadcast is bounded by the post-bloom
+    * share of the NEW BATCH (≈ dup fraction + fpp), and the matched
+    * broadcast by the corpus multiplicity of those candidate texts —
+    * run exact dedup ([[exact]]) on the corpus once before going
+    * incremental (the release pipeline this operator serves does
+    * exactly that) and the bound is the candidate count itself. A
+    * batch that is itself corpus-scale (a full re-ingest, mostly dups)
+    * breaks the small-broadcast premise; that job is a one-shot
+    * corpus-vs-corpus semi-join, not this operator.
     *
     * The corpus count for sizing the sketch is one parquet-metadata-
     * cheap action; pass `expectedItems` to skip it when the caller
@@ -458,15 +476,41 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       fpp: Double = 0.01,
-      expectedItems: Long = -1L): DataFrame = {
+      expectedItems: Long = -1L): DataFrame =
+    bloomPrefilterDedupWithSketch(corpus, newDocs, idCol, textCol,
+      contentSketch(corpus, textCol, fpp, expectedItems))
+
+  /** One pass over the corpus -> the serialized Bloom sketch of its
+    * content hashes. Build it ONCE and reuse across incremental
+    * batches / micro-batches (see [[bloomPrefilterDedupWithSketch]] and
+    * [[graft.streaming.StreamingDedup]]); rebuilding per batch would
+    * re-aggregate the corpus each time.
+    */
+  def contentSketch(
+      corpus: DataFrame,
+      textCol: String = "text",
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): Array[Byte] = {
     val expected =
       if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
     val bf = corpus.select(xxhash64(col(textCol)).as("h"))
       .stat.bloomFilter("h", expected, fpp)
-    val bytes = graft.functions.BloomMightContain.serialize(bf)
+    graft.functions.BloomMightContain.serialize(bf)
+  }
+
+  /** Prebuilt-sketch variant: the probe + two broadcast-candidate
+    * confirm passes, with the sketch supplied by the caller (batch
+    * loops and streaming foreachBatch reuse one sketch across calls).
+    */
+  def bloomPrefilterDedupWithSketch(
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sketch: Array[Byte]): DataFrame = {
     val candidates = newDocs.filter(
       graft.functions.GraftFunctions.bloom_might_contain(
-        lit(bytes), xxhash64(col(textCol))))
+        lit(sketch), xxhash64(col(textCol))))
     val matched = corpus.select(col(textCol))
       .join(broadcast(candidates.select(col(textCol))), Seq(textCol), "left_semi")
     candidates

@@ -304,13 +304,20 @@ object Multimodal {
     * into one long + the same 8 byte-bands [[Dedup.simhashPairs]] uses.
     * Perceptual robustness comes from pooling: resized/re-encoded
     * variants of an image keep their gradient signs.
+    *
+    * Images smaller than the 9x8 grid are EXCLUDED (no signature row):
+    * empty pooling cells would force their comparison bits to zero, so
+    * every sub-grid image (tracking pixels, favicon sprites — common
+    * in scraped corpora) would share one all-zero signature and pair
+    * as a "duplicate" of every other tiny image. They carry no
+    * gradient signal to hash; filter or route them separately.
     */
   def dhash(media: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val gridW = 8; val gridH = 8
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map { r =>
+      rows.flatMap { r =>
         require(r.meta.kind == "image",
           s"dhash on kind=${r.meta.kind} (doc ${r.doc_id})")
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
@@ -318,6 +325,7 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val cols = gridW + 1
+        if (w < cols || h < gridH) Iterator.empty else Iterator.single {
         val sums = Array.ofDim[Long](cols, gridH)
         val cnts = Array.ofDim[Long](cols, gridH)
         var y = 0
@@ -351,6 +359,7 @@ object Multimodal {
           i += 1
         }
         (r.doc_id, sig, graft.functions.TextHashing.byteBands(bits))
+        }
       }
     }.toDF("doc_id", "sig", "bytes")
   }
@@ -409,9 +418,8 @@ object Multimodal {
       (0 until nF by stride).map { i =>
         val off = i * fb
         val len = math.min(fb, n - off)
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(java.util.Arrays.copyOfRange(r.media, off, off + len))
-          .map(b => f"$b%02x").mkString
+        val md = graft.functions.TextHashing.md5Hex(
+          java.util.Arrays.copyOfRange(r.media, off, off + len))
         FrameSample(r.doc_id, i, off, len, md)
       }
     }

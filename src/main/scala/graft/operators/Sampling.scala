@@ -151,9 +151,8 @@ object Sampling {
             val start = ci * step
             val len = math.min(ct, n - start)
             val body = ws.slice(start, start + len).mkString(" ")
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-            (id, ci, start.toLong, len.toLong, md)
+            (id, ci, start.toLong, len.toLong,
+              graft.functions.TextHashing.md5Hex(body))
           }
         }
       }

@@ -112,11 +112,13 @@ object TextAnalysis {
     * `+` / `?` quantifiers — the regex subset on which Java's engine
     * (Spark) and RE2 (DuckDB) agree exactly, which is what makes the
     * pass oracle-checkable; `\s`-style perl classes differ between the
-    * two engines and are deliberately avoided (documents are
-    * single-line, space-separated — spec-asserted ASCII).
+    * two engines and are deliberately avoided. The URL terminator is
+    * the explicit whitespace class `[^ \t\r\n]` (not just space): raw
+    * corpus text carries tabs and line breaks, and a space-only class
+    * would swallow the newline plus the next word into the URL.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern = "https?://[^ ]+"
+  val UrlPattern = "https?://[^ \\t\\r\\n]+"
 
   /** Text normalization — the first pass of every cleaning pipeline:
     * lowercase, collapse whitespace runs (space/tab/CR/LF — the
@@ -161,7 +163,7 @@ object TextAnalysis {
     * domain regex uses only explicit character classes (the Java/RE2-
     * agreeing subset, like the PII patterns).
     */
-  val DomainPattern = "https?://([^/ ]+)"
+  val DomainPattern = "https?://([^/ \\t\\r\\n]+)"
 
   def urlDomains(
       documents: DataFrame,

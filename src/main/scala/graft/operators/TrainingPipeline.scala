@@ -27,7 +27,12 @@ import graft.functions.TextHashing
   *     not once per signal — the composable per-signal operators join
   *     by id, which at corpus scale would shuffle the text three
   *     times); the formulas are the same ones [[TextAnalysis.quality]]
-  *     / [[TextAnalysis.languageId]] declare, parity spec-pinned;
+  *     / [[TextAnalysis.languageId]] declare (parity spec-pinned on
+  *     fixtures), with 4-dp rounding via the languageId floor-trick —
+  *     which equals DuckDB's `round(x,4)` (the oracle the pipeline is
+  *     checked against); Spark's own `round()` re-parses the shortest
+  *     decimal representation and can differ by one ulp-step exactly
+  *     at representation boundaries;
   *   - dedup: [[Dedup.ngramJaccard]] banded pairs ->
   *     [[Dedup.duplicateClusters]] hash-min components; losers drop by
   *     keyed anti-join (id-keyed, never all-pairs);

@@ -19,13 +19,26 @@ import org.apache.spark.sql.functions._
   * positives and xxhash64 collisions) — result semantics are identical
   * to the batch operator, spec-pinned by a MemoryStream parity test.
   *
-  * Deployment notes: the static confirm side re-plans per micro-batch,
-  * so pass an already-deduplicated corpus (run [[graft.operators.Dedup.exact]]
-  * once) and persist it; the sketch goes stale as the corpus grows —
-  * restart the query with a rebuilt sketch on corpus releases (false
-  * negatives cannot occur for the corpus the sketch was built from,
-  * and new-corpus misses only ever ADMIT a candidate to the exact
-  * confirm, never produce a wrong result).
+  * Two forms, same result semantics (both parity spec-pinned):
+  *   - [[knownDuplicates]] — fully declarative stream-static form. The
+  *     confirm is a stream-static semi-join whose static side re-plans
+  *     per micro-batch: fine while the corpus text column is modest
+  *     (it is scanned, and for a large corpus SHUFFLED, each batch) —
+  *     the simple form for small reference corpora.
+  *   - [[foreachBatchDedup]] — the SCALE form: each micro-batch runs
+  *     the batch operator's broadcast-candidate confirm
+  *     ([[graft.operators.Dedup.bloomPrefilterDedupWithSketch]]), so
+  *     the corpus is scanned narrowly but NEVER shuffled per batch —
+  *     the same plan shape the batch dd7 fix established, with the
+  *     sketch still built exactly once at query setup.
+  *
+  * Deployment notes: pass an already-deduplicated corpus (run
+  * [[graft.operators.Dedup.exact]] once) and persist it; the sketch
+  * goes stale as the corpus grows — restart the query with a rebuilt
+  * sketch on corpus releases (false negatives cannot occur for the
+  * corpus the sketch was built from, and new-corpus misses only ever
+  * ADMIT a candidate to the exact confirm, never produce a wrong
+  * result).
   */
 object StreamingDedup {
 
@@ -36,16 +49,30 @@ object StreamingDedup {
       textCol: String = "text",
       fpp: Double = 0.01,
       expectedItems: Long = -1L): DataFrame = {
-    val expected =
-      if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
-    val bf = corpus.select(xxhash64(col(textCol)).as("h"))
-      .stat.bloomFilter("h", expected, fpp)
-    val bytes = graft.functions.BloomMightContain.serialize(bf)
+    val sketch = graft.operators.Dedup.contentSketch(corpus, textCol, fpp, expectedItems)
     val candidates = stream.filter(
       graft.functions.GraftFunctions.bloom_might_contain(
-        lit(bytes), xxhash64(col(textCol))))
+        lit(sketch), xxhash64(col(textCol))))
     candidates
       .join(corpus.select(col(textCol)), Seq(textCol), "left_semi")
       .select(col(idCol), md5(col(textCol)).as("h"))
+  }
+
+  /** The corpus-never-shuffled form: returns a foreachBatch body that
+    * applies the batch confirm to every micro-batch and hands the
+    * result to `sink`. The sketch is built ONCE, here; use as
+    * `stream.writeStream.foreachBatch(StreamingDedup.foreachBatchDedup(corpus)(sink))`.
+    */
+  def foreachBatchDedup(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val sketch = graft.operators.Dedup.contentSketch(corpus, textCol, fpp, expectedItems)
+    (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.bloomPrefilterDedupWithSketch(
+        corpus, batch, idCol, textCol, sketch), batchId)
   }
 }

@@ -150,4 +150,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), "2x upscale must pair with its source")
     assert(pairs.contains((1L, 3L)), "0.5x downscale must pair with its source")
   }
+
+  test("dhash excludes sub-grid images instead of hashing them to all-zero sigs") {
+    implicit val s = spark
+    import s.implicits._
+    // two unrelated tracking-pixel-sized PNGs: without the guard both
+    // get empty pooling cells -> identical all-zero signatures -> a
+    // false Hamming-0 "duplicate" pair
+    def tiny(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4)
+        img.setRGB(x, y, (seed * 37 + x * 50 + y * 90) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val meta = graft.operators.MediaMeta("image", "png", 0L)
+    val media = Seq(
+      graft.operators.MediaRow(1L, tiny(1), meta),
+      graft.operators.MediaRow(2L, tiny(999), meta)).toDS()
+    assert(Multimodal.dhash(media).count() === 0L,
+      "sub-grid images carry no gradient signal and must be excluded")
+    assert(Multimodal.dhashPairs(media).count() === 0L)
+  }
 }

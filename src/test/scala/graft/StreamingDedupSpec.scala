@@ -42,4 +42,31 @@ class StreamingDedupSpec extends SparkSpec {
       assert(streamed.map(_._1) === Set(2005L, 2017L, 2123L))
     } finally q.stop()
   }
+
+  test("foreachBatch form (corpus never shuffled) matches the declarative form") {
+    import spark.implicits._
+    val corpus = (0 until 300).map(i => (i.toLong, s"corpus doc $i unique words"))
+      .toDF("doc_id", "text")
+    val batch1 = (1000 until 1100).map(i => (i.toLong, s"new doc $i other words")) ++
+      Seq(7L, 42L).map(i => (3000L + i, s"corpus doc $i unique words"))
+    val batch2 = Seq(250L).map(i => (3000L + i, s"corpus doc $i unique words"))
+    val got = scala.collection.mutable.Set[(Long, String)]()
+    val body = StreamingDedup.foreachBatchDedup(corpus) { (out, _) =>
+      got ++= out.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 1)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(body).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val batchRes = Dedup.bloomPrefilterDedup(
+        corpus, (batch1 ++ batch2).toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got.toSet === batchRes)
+      assert(got.map(_._1).toSet === Set(3007L, 3042L, 3250L))
+    } finally q.stop()
+  }
 }

@@ -50,12 +50,19 @@ class TrainingPipelineSpec extends SparkSpec {
 
   test("packing output is consistent: offsets are cumulative within shards") {
     import spark.implicits._
-    val docs = (0 until 40).map(i =>
-      (200L + i, s"the doc u$i of a test corpus is to have and the tokens w$i"))
-      .toDF("doc_id", "text")
+    // ids 310.. stay clear of the eval slice (id % 100 < 3) and every
+    // doc interleaves unique tokens between the stopwords, so no two
+    // docs share a 3-gram shingle (no dedup losses) or a 4-gram with
+    // anything (no decontamination losses): ALL 40 docs must reach the
+    // packing stage — guarded below so this test can never go vacuous.
+    val docs = (0 until 40).map { i =>
+      (310L + i,
+        s"the x$i a y$i of z$i in w$i to v$i is u$i and q$i the r$i")
+    }.toDF("doc_id", "text")
     val out = TrainingPipeline.run(docs)
       .select("doc_id", "shard", "off", "n_tokens").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 40, s"expected all 40 docs to survive, got ${out.length}")
     out.groupBy(_._2).foreach { case (_, rows) =>
       val sorted = rows.sortBy(_._1)
       var expected = 0L
