@@ -462,6 +462,66 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
   }
 
+  /** Paragraph-level dedup — the pass document-level dedup misses:
+    * boilerplate paragraphs (navigation, subscribe prompts, license
+    * blocks) repeat across thousands of otherwise-unique documents, and
+    * real corpus cleaning (the C4 / RefinedWeb line-dedup idea, public
+    * literature) removes the REPEATED PARAGRAPH, not the document.
+    *
+    * Semantics: paragraphs are newline-run-separated spans, space-
+    * trimmed, empties dropped; a paragraph whose distinct-document
+    * frequency exceeds `maxDocFreq` is boilerplate and is removed from
+    * every document. Output is one row per document that has at least
+    * one non-empty paragraph: the cleaned text (kept paragraphs
+    * re-joined with a blank line, original order), the paragraph count
+    * and the removed count — docs whose every paragraph was boilerplate
+    * surface with empty `clean_text`, so the caller can drop them.
+    *
+    * Scale shape: one narrow explode, one hash aggregation keyed on the
+    * paragraph digest (md5 — 128-bit, content-exact like dd1; the
+    * digest crosses the shuffle instead of the paragraph body), and the
+    * hot set (paragraphs in > maxDocFreq docs) is tiny by construction
+    * so the flagging join BROADCASTS; reassembly is one groupBy on
+    * doc_id. Same shape as [[exact]] plus a keyed regroup — no
+    * all-pairs stage, nothing driver-sided, at any corpus size.
+    */
+  def paragraphDedup(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Int = 1000): DataFrame = {
+    // the exploded paragraph frame feeds the hot-set aggregation AND
+    // the flagging join: persist, same multi-consumer discipline as
+    // the signature stages above
+    val paras = spread(documents.select(col(idCol).cast("long").as("doc_id"), col(textCol)))
+      .select(col("doc_id"), posexplode(split(col(textCol), "\\n+")))
+      .toDF("doc_id", "idx", "para_raw")
+      .select(col("doc_id"), col("idx"), trim(col("para_raw")).as("para"))
+      .filter(length(col("para")) > 0)
+      .withColumn("h", md5(col("para")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = paras.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("h"), lit(true).as("boiler"))
+    paras.join(broadcast(hot), Seq("h"), "left")
+      .select(col("doc_id"), col("idx"), col("para"),
+        coalesce(col("boiler"), lit(false)).as("boiler"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("boiler").cast("long")).as("n_removed"),
+        // collect_list drops nulls, so removed paragraphs vanish here;
+        // array_sort on (idx, para) structs restores original order
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("idx"), col("para"))))),
+            s => s.getField("para")),
+          "\n\n").as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_paras"), col("n_removed"))
+  }
+
   /** Incremental exact dedup against an existing corpus with a Bloom
     * prefilter — the "is this new document already in the released
     * dataset" pass of an append-only corpus pipeline, where the naive

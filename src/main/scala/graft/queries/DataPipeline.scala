@@ -874,6 +874,56 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-dedup fixture: the organic docs are single-paragraph, so
+    * boilerplate is planted IN-QUERY in both engines — every 3rd doc
+    * gets a "subscribe" paragraph (df ~ N/3, always over the cap),
+    * every 5th a "copyright" paragraph (df ~ N/5, over the cap), and
+    * every doc_id % 100 == 1 a rare repeated paragraph (df = N/100 =
+    * 5..50, UNDER the cap of 60 at every SF) — so the oracle pins both
+    * the drop and the keep side of the frequency rule, plus the
+    * reassembly order (doc 0 loses two paragraphs, md5 checks the
+    * rejoined text byte-for-byte).
+    */
+  private val Dd9Boiler1 = "please subscribe to our newsletter for weekly updates"
+  private val Dd9Boiler2 = "copyright twenty twenty six example site all rights reserved"
+  private val Dd9Rare = "this rare paragraph repeats in only a few documents"
+  private val Dd9Cap = 60
+
+  val dd9_paragraph_dedup = QueryDef.sqlChecked(
+    "dd9_paragraph_dedup",
+    s"""WITH aug AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || '$Dd9Boiler1' ELSE '' END
+       |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || '$Dd9Boiler2' ELSE '' END
+       |  || CASE WHEN doc_id % 100 = 1 THEN chr(10) || chr(10) || '$Dd9Rare' ELSE '' END
+       |  AS text FROM documents),
+       |pl AS (SELECT doc_id,
+       |        list_filter(list_transform(string_split_regex(text, '\\n+'),
+       |                                   x -> trim(x)), x -> x <> '') AS ps
+       |       FROM aug),
+       |p AS (SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps,1) AS i FROM pl),
+       |hot AS (SELECT md5(para) AS h FROM p
+       |        GROUP BY 1 HAVING count(DISTINCT doc_id) > $Dd9Cap),
+       |f AS (SELECT doc_id, i, para,
+       |       md5(para) IN (SELECT h FROM hot) AS boiler FROM p)
+       |SELECT doc_id,
+       | md5(coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
+       |                         chr(10) || chr(10) ORDER BY i), '')) AS clean_md5,
+       | CAST(count(*) AS BIGINT) AS n_paras,
+       | CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("\n\n" + Dd9Boiler1)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("\n\n" + Dd9Boiler2)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(100)) === 1, lit("\n\n" + Dd9Rare)).otherwise(lit("")))
+        .as("text"))
+    Dedup.paragraphDedup(aug, maxDocFreq = Dd9Cap)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_paras"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted Bernoulli downsampling — integer hash arithmetic only, so
     * the mirror replays the decision exactly (no float/rand drift).
     */
@@ -1238,7 +1288,7 @@ object DataPipeline {
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
-    dd8_dup_clusters,
+    dd8_dup_clusters, dd9_paragraph_dedup,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,

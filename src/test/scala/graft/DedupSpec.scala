@@ -223,6 +223,41 @@ class DedupSpec extends SparkSpec {
       10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
   }
 
+  test("paragraphDedup drops over-cap boilerplate, keeps rare repeats, preserves order") {
+    import spark.implicits._
+    val boiler = "subscribe to the newsletter"
+    // 10 docs all carrying the boilerplate middle paragraph; two also
+    // share a rare paragraph (df = 2, under the cap); unique heads/tails
+    val docs = (1 to 10).map { i =>
+      val rare = if (i <= 2) "\n\nrare shared paragraph" else ""
+      (i.toLong, s"head $i\n\n$boiler$rare\n\ntail $i")
+    }.toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, maxDocFreq = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 10)
+    // boilerplate (df=10 > 5) removed everywhere; rare (df=2) kept
+    assert(out(1L) === (("head 1\n\nrare shared paragraph\n\ntail 1", 4L, 1L)))
+    assert(out(3L) === (("head 3\n\ntail 3", 3L, 1L)))
+    // a doc that is ALL boilerplate surfaces with empty clean_text
+    val allBoiler = docs.unionByName(
+      Seq((99L, s"$boiler\n\n$boiler")).toDF("doc_id", "text"))
+    val out99 = Dedup.paragraphDedup(allBoiler, maxDocFreq = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out99(99L) === (("", 2L, 2L)))
+  }
+
+  test("paragraphDedup: whitespace-only and empty paragraphs never count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one\n\n   \n\ntwo"), // middle paragraph is whitespace-only
+      (2L, "\n\nsolo\n\n")       // leading/trailing empties
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, maxDocFreq = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("one\n\ntwo", 2L, 0L)))
+    assert(out(2L) === (("solo", 1L, 0L)))
+  }
+
   test("bloom prefilter prunes: candidate count is fpp-bounded, no false negatives") {
     import spark.implicits._
     val corpus = (0 until 1000).map(i => (i.toLong, s"member $i")).toDF("doc_id", "text")

@@ -270,6 +270,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bloom_might_contain"), p)
   }
 
+  test("dd9: hot-paragraph set broadcasts; no cartesian; one explode") {
+    val p = plan("dd9_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the flagging join's build side is the tiny over-cap set — it must
+    // broadcast, never shuffle the corpus-sized paragraph frame into a
+    // keyed join against it
+    assert(p.contains("BroadcastHashJoin"), s"hot-set join must broadcast:\n$p")
+    // one paragraph explode feeding everything (persist discipline)
+    spark.catalog.clearCache()
+    val p2 = plan("dd9_paragraph_dedup")
+    val explodes = "Generate posexplode \\((\\d+)\\)".r
+      .findAllMatchIn(p2).map(_.group(1)).toSet
+    assert(explodes.size <= 1, s"expected one distinct explode node, got $explodes")
+  }
+
   test("mm_dhash: banded equi-join, never all-pairs") {
     val p = plan("mm_dhash_pairs")
     assert(!p.contains("CartesianProduct"), p)
