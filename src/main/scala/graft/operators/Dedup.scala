@@ -172,18 +172,30 @@ object Dedup {
       maxDocFreq: Int = 1000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    // persist: the capped shingle set feeds the size aggregation AND the
-    // self-join (plus the cap's own hot-key aggregation upstream)
-    val sh = capDocFreq(spread(documents.select(col(idCol).cast("long"), col(textCol)))
+    keyedSetJaccard(spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         TextHashing.shingles(TextHashing.tokens(text)).map(s => (id, s))
       }
-      .toDF("doc_id", "s"), Seq("s"), maxDocFreq)
+      .toDF("doc_id", "s"), threshold, maxDocFreq)
+  }
+
+  /** Exact set-Jaccard pairs over any keyed signature frame (doc_id, s)
+    * — the shared core of [[ngramJaccard]] (s = text shingle) and
+    * [[Multimodal.videoFramePairs]] (s = frame signature). Rows must be
+    * distinct per (doc_id, s); the join shuffles on the signature value
+    * so co-occurring docs meet without an n^2 stage, with the
+    * [[capDocFreq]] guard against ubiquitous signatures.
+    */
+  private[operators] def keyedSetJaccard(
+      keyed: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
+    // persist: the capped signature set feeds the size aggregation AND
+    // the self-join (plus the cap's own hot-key aggregation upstream)
+    val sh = capDocFreq(keyed, Seq("s"), maxDocFreq)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // alias after the join -> identical canonical exchanges -> Spark's
-    // ReuseExchange computes the shingle stage once for both sides
+    // ReuseExchange computes the signature stage once for both sides
     val inter = sh.as("l")
       .join(sh.as("r"), col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))

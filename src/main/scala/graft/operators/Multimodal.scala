@@ -382,6 +382,52 @@ object Multimodal {
     Dedup.bandedHammingJoin(sigs, maxHamming, maxBucket)
   }
 
+  /** Deterministic synthetic video table, as fixed-width-frame text
+    * payloads: every `poolEvery`-th document draws its frame WINDOW from
+    * a sliding pool (video with pool key k = frames k..k+nFrames-1), so
+    * pool neighbors share most frames — near-duplicate cuts of the same
+    * footage — while every other document gets a disjoint unique frame
+    * range. Frames are `frameBytes`-wide ASCII cells, so
+    * [[frameSample]]'s byte slicing recovers exactly the planted frames
+    * and a SQL oracle can replay frame identity from the formula alone.
+    */
+  def syntheticVideoDocs(
+      documents: DataFrame,
+      poolMod: Long = 23L,
+      poolEvery: Long = 50L,
+      nFrames: Int = 8,
+      frameBytes: Int = 16): DataFrame = {
+    val base = when(pmod(col("doc_id"), lit(poolEvery)) === 0,
+      pmod(floor(col("doc_id") / lit(poolEvery)).cast("long"), lit(poolMod)))
+      .otherwise(lit(1000L) + col("doc_id") * 10L)
+    documents.select(col("doc_id").cast("long").as("doc_id"),
+      concat((0 until nFrames).map(i =>
+        rpad(concat(lit("vf"), (base + i).cast("long").cast("string")),
+          frameBytes, " ")): _*).as("text"))
+  }
+
+  /** Video near-duplicate pairs via frame-signature set overlap: two
+    * videos are near-dups when the Jaccard of their FRAME SIGNATURE
+    * SETS clears the threshold — shared footage, re-cut or trimmed,
+    * keeps most frame signatures. `frames` is any (doc_id, sigCol)
+    * frame: [[frameSample]]'s byte-exact frame_md5 for container-level
+    * dups, or [[dhash]] signatures of sampled frames for perceptual
+    * ones. Same scale shape as text n-gram Jaccard (the signature
+    * equi-join core is SHARED — [[Dedup.keyedSetJaccard]]): shuffle on
+    * the signature value, doc-frequency cap against ubiquitous frames
+    * (intro cards, black frames), never all-pairs.
+    */
+  def videoFramePairs(
+      frames: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "frame_md5",
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 1000): DataFrame =
+    Dedup.keyedSetJaccard(
+      frames.select(col(idCol).cast("long").as("doc_id"), col(sigCol).as("s"))
+        .distinct(),
+      threshold, maxDocFreq)
+
   /** One sampled frame of a chunked media payload. */
   final case class FrameSample(
       doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int, frame_md5: String)

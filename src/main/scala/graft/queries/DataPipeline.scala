@@ -1135,6 +1135,41 @@ object DataPipeline {
       .orderBy("da", "db")
   }
 
+  /** Video near-dup mirror: the synthetic videos are fixed-width-frame
+    * text payloads whose frame CONTENT is a pure function of a frame id
+    * (pool videos = sliding windows over a shared pool, others unique),
+    * so the oracle replays frame identity from the formula — equal fid
+    * <=> equal 16-byte frame <=> equal frame_md5 — and re-derives the
+    * same capped set-Jaccard the engine computes over md5s. Sliding
+    * windows make the pair set non-trivial: pool neighbors at window
+    * distance 1 share 7 of 9 (J=0.778), distance 2 share 6 of 10
+    * (J=0.6), distance 3 is 5/11 < 0.5 — below threshold.
+    */
+  private val VideoSql =
+    """WITH b AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 50 = 0 THEN (doc_id // 50) % 23
+      |         ELSE 1000 + doc_id * 10 END AS base
+      |  FROM documents),
+      |f AS (SELECT doc_id, base + t.k AS fid FROM b, range(8) t(k)),
+      |keep AS (SELECT fid FROM f GROUP BY fid HAVING count(*) <= 1000),
+      |fk AS (SELECT f.doc_id, f.fid FROM f JOIN keep USING (fid)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM fk GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b2.doc_id AS db, count(*) AS i
+      |          FROM fk a JOIN fk b2 ON a.fid = b2.fid AND a.doc_id < b2.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da, db, round(i*1.0/(sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE 2*i >= (sa.n + sb.n - i)
+      |ORDER BY da, db""".stripMargin
+
+  val mm_video_pairs = QueryDef.sqlChecked("mm_video_pairs", VideoSql) { (s, d) =>
+    implicit val spark = s
+    val vids = Multimodal.syntheticVideoDocs(Tables.documents(s, d))
+    Multimodal.videoFramePairs(
+      Multimodal.frameSample(vids, frameBytes = 16, targetFrames = 64).toDF())
+      .orderBy("da", "db")
+  }
+
   // ------------------------------------------- composed pipeline (pipe1)
   /** Planted fixture for the composed pipeline: three docs whose
     * NORMALIZED token stream is identical — one clean, one uppercased,
@@ -1296,5 +1331,6 @@ object DataPipeline {
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, txt_domains,
     pk1_pack_sequences, pk2_chunk_docs, pipe1_training_pipeline,
-    mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs)
+    mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
+    mm_video_pairs)
 }

@@ -173,4 +173,43 @@ class MultimodalSpec extends SparkSpec {
       "sub-grid images carry no gradient signal and must be excluded")
     assert(Multimodal.dhashPairs(media).count() === 0L)
   }
+
+  test("videoFramePairs: shared-footage cuts pair by Jaccard, disjoint videos never") {
+    import spark.implicits._
+    // A and B are one-frame-shifted cuts of the same footage (7 of 8
+    // frames shared -> J = 7/9); C is disjoint; D repeats A's frames
+    // out of order and duplicated (set semantics: J(A, D) = 1.0)
+    val frames = (
+      (1 to 8).map(i => (1L, s"sig$i")) ++
+      (2 to 9).map(i => (2L, s"sig$i")) ++
+      (100 to 107).map(i => (3L, s"sig$i")) ++
+      ((8 to 1 by -1) ++ (1 to 8)).map(i => (4L, s"sig$i"))
+    ).toDF("doc_id", "frame_md5")
+    val out = Multimodal.videoFramePairs(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(math.abs(out((1L, 2L)) - 7.0 / 9.0) < 1e-3)
+    assert(out((1L, 4L)) === 1.0)
+  }
+
+  test("synthetic videos + frameSample recover planted sliding-window structure") {
+    implicit val s = spark
+    import spark.implicits._
+    // pool keys 0,1,2,3 (docs 0,50,100,150 at poolEvery=50) are sliding
+    // windows: distance 1 -> J=7/9, distance 2 -> J=0.6, distance 3 ->
+    // 5/11 < 0.5 (dropped); unique-range docs never pair
+    val docs = (0L to 199L).map(i => (i, "x")).toDF("doc_id", "text")
+    val vids = Multimodal.syntheticVideoDocs(docs)
+    val frames = Multimodal.frameSample(vids, frameBytes = 16, targetFrames = 64).toDF()
+    // every video yields exactly 8 full-width frames
+    val fc = frames.groupBy("doc_id").count().collect()
+    assert(fc.forall(_.getLong(1) === 8L))
+    val pairs = Multimodal.videoFramePairs(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet === Set(
+      (0L, 50L), (50L, 100L), (100L, 150L), // window distance 1
+      (0L, 100L), (50L, 150L)))             // window distance 2
+    assert(math.abs(pairs((0L, 50L)) - 7.0 / 9.0) < 1e-3)
+    assert(math.abs(pairs((0L, 100L)) - 0.6) < 1e-3)
+  }
 }

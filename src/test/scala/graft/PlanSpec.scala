@@ -295,6 +295,14 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("mm_video: frame-signature equi-join, never all-pairs") {
+    val p = plan("mm_video_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pipe1: corpus parquet scanned ONCE across the whole composed pipeline") {
     // The composition evidence: six chained stages (normalize, filter,
     // dedup, decontaminate, split, pack) fan out from the corpus many
