@@ -128,4 +128,36 @@ object TrainingPipeline {
       .select(col("doc_id"), col("split"), col("shard"), col("bin"),
         col("off"), col("n_tokens"))
   }
+
+  /** The physical layout a release write uses: one keyed exchange
+    * co-locating each shard (the `shard` column is [[Sampling
+    * .packSequences]]'s stable `mix32(id) % shards` assignment, so the
+    * layout is reproducible across runs, re-partitioning and appends),
+    * then a partition-local sort on (split, shard, id). The sort leads
+    * with the partition columns so `partitionBy`'s writer sees its
+    * required ordering already satisfied — no second sort, no
+    * spilled-writer fallback — and the id tiebreak makes every file's
+    * row order deterministic. Exactly ONE exchange, no range exchange
+    * (a global ORDER BY here would range-partition the corpus for no
+    * layout benefit).
+    */
+  def releaseLayout(release: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    require(release.columns.contains("split") && release.columns.contains("shard"),
+      s"release layout needs split+shard columns, got ${release.columns.mkString(",")}")
+    release
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("split"), col("shard"), col(idCol))
+  }
+
+  /** Write a corpus release as deterministic sharded parquet:
+    * `path/split=…/shard=…/` directories, one file per (split, shard)
+    * (each shard lands in one task), rows id-sorted within every file.
+    * Byte-stable layout given the same input — the property a dataset
+    * release needs for diffing, resumable consumption and content
+    * addressing. Read back with `spark.read.parquet(path)`; the
+    * partition columns return as directory keys.
+    */
+  def writeRelease(release: DataFrame, path: String, idCol: String = "doc_id"): Unit =
+    releaseLayout(release, idCol)
+      .write.mode("overwrite").partitionBy("split", "shard").parquet(path)
 }

@@ -72,4 +72,86 @@ class TrainingPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("writeRelease: read-back parity, one file per (split,shard), id-sorted files") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")).limit(200)
+    // a release frame = packing output joined with the split assignment
+    // (the same columns TrainingPipeline.run emits), 8 shards so every
+    // (split, shard) cell is populated at 200 docs
+    val release = graft.operators.Sampling.packSequences(docs, shards = 8)
+      .join(graft.operators.Sampling.hashSplit(docs).select("doc_id", "split"), "doc_id")
+      .select("doc_id", "split", "shard", "bin", "off", "n_tokens")
+      .cache()
+    val expected = release.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("release").toString
+    TrainingPipeline.writeRelease(release, dir)
+    // read-back parity: every row survives byte-exactly (partition
+    // columns come back from the directory keys; shard infers as int)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("split"), col("shard").cast("long"),
+        col("bin"), col("off"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(back === expected)
+    // layout: one parquet file per (split, shard) directory, rows
+    // id-sorted within each file (the determinism contract)
+    val root = new java.io.File(dir)
+    val cells = for {
+      split <- root.listFiles().toSeq if split.getName.startsWith("split=")
+      shard <- split.listFiles().toSeq if shard.getName.startsWith("shard=")
+    } yield shard
+    assert(cells.nonEmpty)
+    cells.foreach { cell =>
+      val parts = cell.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"${cell.getPath} must hold exactly one file, got ${parts.length}")
+      val ids = spark.read.parquet(parts.head.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"${cell.getPath} rows not id-sorted")
+    }
+    // the write is reproducible: a second write yields identical bytes
+    // per data file (same layout, same order, same encoding)
+    val dir2 = java.nio.file.Files.createTempDirectory("release2").toString
+    TrainingPipeline.writeRelease(release, dir2)
+    def fileMap(d: String): Map[String, String] = {
+      val base = java.nio.file.Paths.get(d)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = base.relativize(p).getParent.toString
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          rel -> md.map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    assert(fileMap(dir) === fileMap(dir2), "release write must be byte-stable")
+    release.unpersist()
+  }
+
+  test("releaseLayout plans exactly one exchange (the shard partitioning)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")).limit(50)
+    val release = graft.operators.Sampling.packSequences(docs, shards = 4)
+      .join(graft.operators.Sampling.hashSplit(docs).select("doc_id", "split"), "doc_id")
+    // count exchanges ABOVE the release frame: explain the layout and
+    // subtract the exchanges the input plan already carries
+    // formatted mode prints the partitioning in the node's Arguments
+    // detail line ("Arguments: hashpartitioning(shard, ...)"), not in
+    // the "Exchange" header itself
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("Arguments: rangepartitioning"), p)
+      "Arguments: hashpartitioning".r.findAllIn(p).length
+    }
+    val layered = TrainingPipeline.releaseLayout(release)
+    assert(exchanges(layered) === exchanges(release) + 1,
+      "the layout must add exactly the one shard exchange")
+  }
 }
