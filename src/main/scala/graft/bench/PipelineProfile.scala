@@ -68,8 +68,8 @@ object PipelineProfile {
           if (langSet(t)) langHits += 1
         }
         val score = if (n == 0) 0.0
-          else math.floor((stops.toDouble / n * 0.5 +
-            math.min(n, 100).toDouble / 100.0 * 0.5) * 1e4 + 0.5) / 1e4
+          else graft.functions.TextHashing.round4(stops.toDouble / n * 0.5 +
+            math.min(n, 100).toDouble / 100.0 * 0.5)
         (id, text, n > 0 && langHits > 0 && score >= 0.2)
       }.toDF("doc_id", "text", "keep")
         .filter(col("keep")).select("doc_id", "text")

@@ -108,4 +108,17 @@ object GraftFunctions {
     org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
     org.apache.spark.sql.functions.call_function("bloom_might_contain", bloomBytes, value)
   }
+
+  /** Column form of [[TextHashing.round4]] — round half away from zero
+    * at 4 dp via the floor trick, as built-in codegen'd functions
+    * performing the IDENTICAL double operations as the scalar helper,
+    * so a typed-map stage and a Column stage can never disagree on a
+    * rounded score. (Spark's `round(c, 4)` is BigDecimal HALF_UP on
+    * the exact binary value — one ulp-step off at representation
+    * boundaries.) `floor` yields LongType, exact for |x| < 2^53/1e4.
+    */
+  def round4(c: Column): Column = {
+    import org.apache.spark.sql.functions.{abs, floor, lit, signum}
+    signum(c) * floor(abs(c) * lit(1e4) + lit(0.5)) / lit(1e4)
+  }
 }

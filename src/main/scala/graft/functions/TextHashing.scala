@@ -29,6 +29,20 @@ object TextHashing {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map(b => f"$b%02x").mkString
 
+  /** Round half away from zero at 4 dp via the floor trick — the ONE
+    * definition every engine-side score rounding goes through (DuckDB
+    * `round(double, 4)` parity: scale, add half, floor, unscale, in
+    * plain double arithmetic). Spark's `round(col, 4)` is BigDecimal
+    * HALF_UP on the exact binary value and can differ by one ulp-step
+    * at representation boundaries; fused/typed stages and the Column
+    * sites must share THIS definition or a pipeline can disagree with
+    * its composed parts on borderline values (see
+    * [[graft.functions.GraftFunctions.round4]] for the Column form,
+    * which performs the identical double ops under codegen).
+    */
+  def round4(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
+
   /** Distinct word n-gram shingles, order-insensitive set semantics. */
   def shingles(toks: Array[String], n: Int = 3): Array[String] =
     if (toks.length < n) Array.empty

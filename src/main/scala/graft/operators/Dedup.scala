@@ -615,11 +615,26 @@ object Dedup {
       idCol: String,
       textCol: String,
       sketch: Array[Byte]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val candidates = newDocs.filter(
       graft.functions.GraftFunctions.bloom_might_contain(
         lit(sketch), xxhash64(col(textCol))))
-    val matched = corpus.select(col(textCol))
-      .join(broadcast(candidates.select(col(textCol))), Seq(textCol), "left_semi")
+    // the first confirm pass keeps one row per matching CORPUS copy;
+    // on a corpus that was not pre-deduped, a hot duplicated text
+    // would multiply the driver-collected broadcast below. A
+    // partition-local distinct (narrow mapPartitions — NO exchange,
+    // the zero-shuffle plan gate stays intact) bounds the broadcast
+    // by (distinct matched texts x partitions), in practice the
+    // candidate-set size, regardless of corpus duplication.
+    val matched = corpus.select(col(textCol).as("t"))
+      .join(broadcast(candidates.select(col(textCol).as("t"))), Seq("t"), "left_semi")
+      .as[String]
+      .mapPartitions { it =>
+        val seen = new java.util.HashSet[String]()
+        it.filter(seen.add)
+      }
+      .toDF(textCol)
     candidates
       .join(broadcast(matched), Seq(textCol), "left_semi")
       .select(col(idCol), md5(col(textCol)).as("h"))

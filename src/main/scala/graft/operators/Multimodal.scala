@@ -435,15 +435,15 @@ object Multimodal {
   /** One cell of a fixed-size "thumbnail" (byte-level downsample). */
   final case class ThumbCell(doc_id: Long, seg: Int, value: Double)
 
-  /** Round half AWAY FROM ZERO at 4 dp — the DuckDB/Spark `round(x,4)`
-    * convention. The naive `floor(x*1e4+0.5)` form rounds half UP,
-    * which agrees only for non-negative values; audio means are the
-    * one signed caller, and the exact-half negative case (n a power of
-    * two makes the mean division exact in binary) diverges — caught by
-    * the sf0.1 oracle, invisible at sf0.01.
+  /** Round half AWAY FROM ZERO at 4 dp — delegates to the shared
+    * [[graft.functions.TextHashing.round4]] definition. Audio means are
+    * the one SIGNED caller in the repo (the exact-half negative case —
+    * n a power of two makes the mean division exact in binary —
+    * diverges under a naive half-UP floor trick; caught by the sf0.1
+    * oracle, invisible at sf0.01), which is why the shared helper
+    * carries the signum.
     */
-  private def rnd4(x: Double): Double =
-    math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
+  private def rnd4(x: Double): Double = graft.functions.TextHashing.round4(x)
 
   /** Frame sampling: treat the payload as fixed-size frames and keep a
     * uniform-stride sample (the video keyframe-sampling shape). A real

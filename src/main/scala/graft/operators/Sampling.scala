@@ -177,6 +177,10 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     require(rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 },
       s"rates must be in [0,1]: $rates")
+    // duplicate keys would silently diverge from a SQL CASE mirror:
+    // the foldLeft makes the LAST entry win, a CASE chain the FIRST
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate stratum keys in rates: ${rates.map(_._1)}")
     val thresh = rates.foldLeft(lit(10000L): org.apache.spark.sql.Column) {
       case (acc, (k, r)) =>
         when(col(keyCol) === k, lit(math.round(r * 10000))).otherwise(acc)

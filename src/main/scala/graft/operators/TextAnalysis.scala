@@ -23,23 +23,30 @@ object TextAnalysis {
 
   /** Quality signals: length ratios, stopword ratio, a bounded composite
     * score. Pure integer/rational arithmetic so an SQL oracle matches
-    * exactly.
+    * exactly. All rounding goes through the shared
+    * [[graft.functions.GraftFunctions.round4]] floor-trick definition —
+    * the same double operations [[TrainingPipeline]]'s fused filter
+    * performs in its typed map — so `quality()>=minQuality` composed
+    * and the fused pipeline filter agree on EVERY document, including
+    * representation-boundary scores where Spark's BigDecimal `round`
+    * would drift one ulp-step.
     */
   def quality(documents: DataFrame): DataFrame = {
+    val r4 = graft.functions.GraftFunctions.round4 _
     val words = tokens(col("text"))
     documents.select(
       col("doc_id"),
       col("n_chars"),
       size(words).as("n_words"),
-      round(col("n_chars").cast("double") / size(words), 4).as("chars_per_word"),
-      round(aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(words), 4)
+      r4(col("n_chars").cast("double") / size(words)).as("chars_per_word"),
+      r4(aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(words))
         .as("avg_word_len"),
       size(filter(words, w => w.isin(Stopwords: _*))).as("n_stop"),
-      round(size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words), 4)
+      r4(size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words))
         .as("stop_ratio"),
-      round(
+      r4(
         size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words) * 0.5
-          + least(size(words), lit(100)).cast("double") / 100 * 0.5, 4)
+          + least(size(words), lit(100)).cast("double") / 100 * 0.5)
         .as("quality_score"))
   }
 
@@ -216,9 +223,8 @@ object TextAnalysis {
           i += 1
         }
         val d = seen.size
-        // round half away from zero at 4 dp (Spark/DuckDB round parity)
         val ratio =
-          if (n > 0) math.floor((1.0 - d.toDouble / n) * 1e4 + 0.5) / 1e4 else 0.0
+          if (n > 0) graft.functions.TextHashing.round4(1.0 - d.toDouble / n) else 0.0
         (id, n, d, ratio)
       }
       .toDF("doc_id", "n_grams", "n_distinct", "rep_ratio")
@@ -307,8 +313,7 @@ object TextAnalysis {
           else {
             var h = 0
             toks.foreach(t => if (set(t)) h += 1)
-            // round half away from zero at 4 dp (SQL round parity)
-            math.floor(h.toDouble / toks.length * 1e4 + 0.5) / 1e4
+            graft.functions.TextHashing.round4(h.toDouble / toks.length)
           }
         }
         val best = scores.max

@@ -96,12 +96,12 @@ object TrainingPipeline {
           if (stopSet(t)) stops += 1
           if (langSet(t)) langHits += 1
         }
-        // round half away from zero at 4 dp (SQL round parity, same
-        // trick as languageId's scores)
+        // shared round4 so this fused score can never diverge from the
+        // composed TextAnalysis.quality()>=minQuality path at boundaries
         val score =
           if (n == 0) 0.0
-          else math.floor((stops.toDouble / n * 0.5 +
-            math.min(n, 100).toDouble / 100.0 * 0.5) * 1e4 + 0.5) / 1e4
+          else TextHashing.round4(stops.toDouble / n * 0.5 +
+            math.min(n, 100).toDouble / 100.0 * 0.5)
         (id, text, n > 0 && langHits > 0 && score >= minQ)
       }
       .toDF("doc_id", "text", "keep")

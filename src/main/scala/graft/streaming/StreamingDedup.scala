@@ -42,14 +42,29 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
+  /** Declarative stream-static form. SCALE GUARD: Structured Streaming
+    * re-plans the stream-static semi-join every micro-batch, and the
+    * STATIC side shuffles each time — acceptable for a small reference
+    * corpus, a scale-killer for a large one. The guard refuses a
+    * static side above `maxStaticRows` (measured from the same count
+    * the sketch sizing already takes; pass `expectedItems` to skip the
+    * count) and steers to [[foreachBatchDedup]], whose confirm
+    * broadcasts the candidate set and never shuffles the corpus.
+    */
   def knownDuplicates(
       corpus: DataFrame,
       stream: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       fpp: Double = 0.01,
-      expectedItems: Long = -1L): DataFrame = {
-    val sketch = graft.operators.Dedup.contentSketch(corpus, textCol, fpp, expectedItems)
+      expectedItems: Long = -1L,
+      maxStaticRows: Long = 10000000L): DataFrame = {
+    val n = if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
+    require(n <= maxStaticRows,
+      s"knownDuplicates shuffles its $n-row static corpus on EVERY micro-batch " +
+        s"(> maxStaticRows=$maxStaticRows); use foreachBatchDedup, whose " +
+        "broadcast-candidate confirm never shuffles the corpus")
+    val sketch = graft.operators.Dedup.contentSketch(corpus, textCol, fpp, n)
     val candidates = stream.filter(
       graft.functions.GraftFunctions.bloom_might_contain(
         lit(sketch), xxhash64(col(textCol))))

@@ -120,4 +120,13 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.stratifiedSample(docs.repartition(5), rates).collect()
     assert(kept.map(_.getLong(0)).toSet === again.map(_.getLong(0)).toSet)
   }
+
+  test("stratifiedSample: duplicate stratum keys are rejected") {
+    // engine foldLeft would let the LAST duplicate win while a SQL
+    // CASE mirror takes the FIRST — refuse the ambiguous input
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, Seq("en" -> 0.5, "en" -> 0.1))
+    }
+    assert(ex.getMessage.contains("duplicate stratum keys"))
+  }
 }

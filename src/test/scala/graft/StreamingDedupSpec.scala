@@ -43,6 +43,26 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knownDuplicates refuses a static corpus above maxStaticRows") {
+    import spark.implicits._
+    val corpus = (0 until 50).map(i => (i.toLong, s"corpus doc $i"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 1)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDedup.knownDuplicates(
+        corpus, input.toDF().toDF("doc_id", "text"), maxStaticRows = 10L)
+    }
+    assert(ex.getMessage.contains("foreachBatchDedup"),
+      "the guard must steer to the corpus-never-shuffled form")
+    // expectedItems skips the count but still trips the guard
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingDedup.knownDuplicates(
+        corpus, input.toDF().toDF("doc_id", "text"),
+        expectedItems = 100L, maxStaticRows = 10L)
+    }
+    assert(ex2.getMessage.contains("micro-batch"))
+  }
+
   test("foreachBatch form (corpus never shuffled) matches the declarative form") {
     import spark.implicits._
     val corpus = (0 until 300).map(i => (i.toLong, s"corpus doc $i unique words"))
