@@ -52,7 +52,12 @@ object Dedup {
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // toRdd, NOT .rdd: same partition count, skips building the
+    // deserialization RDD — and crucially does not fire a
+    // QueryExecutionListener "rdd" completion, which would latch any
+    // upstream Dataset.observe Observation with never-run (all-zero)
+    // accumulators before a real action can report the true counts
+    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** Whitespace tokens with empty strings dropped — expression form for

@@ -57,6 +57,41 @@ import graft.functions.TextHashing
   */
 object TrainingPipeline {
 
+  /** Per-stage row counts, harvested from `Dataset.observe` metric
+    * accumulators — ZERO extra Spark jobs or scans (the counts ride the
+    * jobs the pipeline runs anyway; a naive `stage.count()` audit would
+    * re-run every stage). `nDocs`/`nEval`/`nFiltered` land while
+    * [[TrainingPipeline.run]] materializes its internal stages;
+    * `nDeduped`/`nClean`/`nPacked` land with the CALLER's first action
+    * on the returned frame — `counts` blocks until then, so call it
+    * only after acting on the result.
+    */
+  final class PipelineMetrics private[operators] (
+      normObs: org.apache.spark.sql.Observation,
+      filteredObs: org.apache.spark.sql.Observation,
+      dedupedObs: org.apache.spark.sql.Observation,
+      cleanObs: org.apache.spark.sql.Observation,
+      packedObs: org.apache.spark.sql.Observation) {
+    private def l(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get(k).asInstanceOf[Long]
+    /** docs in (post-normalize == input; normalize never drops). */
+    def nDocs: Long = l(normObs, "n_docs")
+    /** held-out eval slice size (decontamination target). */
+    def nEval: Long = l(normObs, "n_eval")
+    /** survivors of the fused quality/language filter. */
+    def nFiltered: Long = l(filteredObs, "n_filtered")
+    /** survivors after near-dup cluster keep-one. */
+    def nDeduped: Long = l(dedupedObs, "n_deduped")
+    /** survivors after decontamination. */
+    def nClean: Long = l(cleanObs, "n_clean")
+    /** packed output rows (== nClean; packing assigns, never drops). */
+    def nPacked: Long = l(packedObs, "n_packed")
+    /** All stage counts, in pipeline order. */
+    def counts: Map[String, Long] = Map(
+      "n_docs" -> nDocs, "n_eval" -> nEval, "n_filtered" -> nFiltered,
+      "n_deduped" -> nDeduped, "n_clean" -> nClean, "n_packed" -> nPacked)
+  }
+
   def run(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -65,15 +100,47 @@ object TrainingPipeline {
       evalBuckets: Int = 3,
       minQuality: Double = 0.2,
       budget: Int = 2048,
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32): DataFrame =
+    runObserved(documents, idCol, textCol, evalMod, evalBuckets,
+      minQuality, budget, shards)._1
+
+  /** [[run]] plus per-stage observability (the release-audit surface:
+    * how many docs each cleaning stage dropped). Metrics are
+    * `Dataset.observe` accumulator folds on the stage frames the
+    * pipeline builds anyway — no extra action, scan or job (job-audit
+    * spec-pinned); observed nodes sit below the stage persists, so each
+    * fires exactly once, when its stage first materializes. Fresh
+    * auto-named `Observation`s per call keep concurrent pipelines in
+    * one session from colliding.
+    */
+  def runObserved(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      evalMod: Int = 100,
+      evalBuckets: Int = 3,
+      minQuality: Double = 0.2,
+      budget: Int = 2048,
+      shards: Int = 32): (DataFrame, PipelineMetrics) = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val normObs = org.apache.spark.sql.Observation()
+    val filteredObs = org.apache.spark.sql.Observation()
+    val dedupedObs = org.apache.spark.sql.Observation()
+    val cleanObs = org.apache.spark.sql.Observation()
+    val packedObs = org.apache.spark.sql.Observation()
 
     // 1. normalize — all later tokenization splits on single spaces,
-    // which is exactly what the cleaning pass guarantees
+    // which is exactly what the cleaning pass guarantees. The observe
+    // rides the same node both branches (eval slice + corpus) read;
+    // n_eval folds the branch predicate into the one pass.
     val norm = Dedup.spread(documents.select(
       col(idCol).cast("long").as("doc_id"),
       TextAnalysis.normalizedText(col(textCol)).as("text")))
+      .observe(normObs,
+        count(lit(1)).as("n_docs"),
+        count(when(pmod(col("doc_id"), lit(evalMod.toLong)) < evalBuckets, 1))
+          .as("n_eval"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // the eval slice is held OUT of the released corpus and used only
@@ -106,6 +173,7 @@ object TrainingPipeline {
       }
       .toDF("doc_id", "text", "keep")
       .filter(col("keep")).select("doc_id", "text")
+      .observe(filteredObs, count(lit(1)).as("n_filtered"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup pairs -> connected components -> keep the cluster
@@ -113,20 +181,28 @@ object TrainingPipeline {
     val pairs = Dedup.ngramJaccard(filtered)
     val losers = Dedup.duplicateClusters(pairs)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    // the deduped observe node appears TWICE in the final query (once
+    // under the decontamination probe, once on the kept side) — exact
+    // duplicate CollectMetrics subtrees are legal and both fold the
+    // full frame, so the count is well-defined either way
     val deduped = filtered.join(losers, Seq("doc_id"), "left_anti")
+      .observe(dedupedObs, count(lit(1)).as("n_deduped"))
 
     // 4. decontaminate: any 4-gram shared with the eval slice drops the doc
     val contaminated = Decontamination.overlapWith(deduped, evalDocs)
       .select("doc_id")
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .observe(cleanObs, count(lit(1)).as("n_clean"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 5. split + 6. pack, both off the same persisted clean corpus
     val splits = Sampling.hashSplit(clean).select(col("doc_id"), col("split"))
     val packed = Sampling.packSequences(clean, budget = budget, shards = shards)
-    packed.join(splits, "doc_id")
+    val out = packed.join(splits, "doc_id")
       .select(col("doc_id"), col("split"), col("shard"), col("bin"),
         col("off"), col("n_tokens"))
+      .observe(packedObs, count(lit(1)).as("n_packed"))
+    (out, new PipelineMetrics(normObs, filteredObs, dedupedObs, cleanObs, packedObs))
   }
 
   /** The physical layout a release write uses: one keyed exchange

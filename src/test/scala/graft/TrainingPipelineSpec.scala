@@ -73,6 +73,57 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("runObserved: per-stage counts pin the planted drops, at zero extra jobs") {
+    import spark.implicits._
+    // one planted casualty per stage:
+    //   102  -> eval slice (102 % 100 = 2 < 3): held out, decon target
+    //   104  -> no profile hit ('und'): fused filter drop
+    //   105  -> quality 0.1 < 0.2: fused filter drop
+    //   111  -> exact copy of 110: dedup loser
+    //   120  -> shares 4-gram 'alpha beta gamma delta' with eval 102:
+    //           decontamination drop
+    //   103, 110 survive to the packed release
+    val docs = Seq(
+      (102L, "the alpha beta gamma delta epsilon"),
+      (103L, "the the the the the"),
+      (104L, "zz1 zz2 zz3"),
+      (105L, "the w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (110L, "the dup1 dup2 dup3 dup4 and dup5 the dup6"),
+      (111L, "the dup1 dup2 dup3 dup4 and dup5 the dup6"),
+      (120L, "the alpha beta gamma delta zeta of the xx1"))
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val (out, m) = TrainingPipeline.runObserved(docs)
+      val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors === Set(103L, 110L))
+      // every metric is already bound once the action above finished:
+      // harvesting them must launch NOTHING (the audit a per-stage
+      // .count() chain would fail by construction). The listener bus
+      // posts asynchronously — poll until quiet (dd8's audit idiom).
+      def quietJobs(): Int = {
+        var last = -1; var spins = 0
+        while (last != jobs.get() && spins < 50) {
+          last = jobs.get(); Thread.sleep(100); spins += 1
+        }
+        last
+      }
+      val jobsBefore = quietJobs()
+      assert(m.counts === Map(
+        "n_docs" -> 7L, "n_eval" -> 1L, "n_filtered" -> 4L,
+        "n_deduped" -> 3L, "n_clean" -> 2L, "n_packed" -> 2L))
+      assert(quietJobs() === jobsBefore,
+        "harvesting observe metrics must not launch any Spark job")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("writeRelease: read-back parity, one file per (split,shard), id-sorted files") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)
