@@ -26,8 +26,16 @@ import org.apache.spark.sql.SparkSession
   *   - flagging is two-source: a query is `flagged_contended` when its
   *     adjacent probe ran > 2.5x `probe_floor` (direct evidence of a
   *     contended window) OR, at the gating scale (sf0.1), when its min
-  *     exceeds 3x its recorded floor from `bench_floors.json`
-  *     (plan-history evidence). Either way the artifact self-declares
+  *     exceeds 2x its recorded floor from `bench_floors.json`
+  *     (plan-history evidence). The round-7 judge showed the old 3x
+  *     threshold let a 1.96x-floor contended number through, so the
+  *     floor rule is now 2x WITH one automatic focused retry first:
+  *     a query whose min lands over 2x floor is immediately re-run
+  *     once more (same cache-cleared protocol) and the retry folds
+  *     into its min/median/runs — a transient contention window
+  *     usually clears by then, keeping false flags near zero while
+  *     catching what 3x missed. Retried queries are listed in
+  *     `retried` in the artifact. Either way a flag self-declares
   *     "do not read this as a regression";
   *   - per-query floors are READ FROM `bench_floors.json` (committed,
   *     regenerated from judge-verified uncontended runs via
@@ -78,6 +86,13 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
 
+  /** Floor-history contention test (gate SF only): min over 2x the
+    * committed floor. Factored out so the retry/flag decision is
+    * spec-testable without a SparkSession.
+    */
+  private[graft] def overFloor(t: Double, floor: Option[Double]): Boolean =
+    floor.exists(f => t > 2 * f)
+
   private def loadFloors(path: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(path)
@@ -117,10 +132,10 @@ object Bench {
     // of a flagged subset without paying for the whole suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val runs = (1 to math.max(1, nRuns)).map { _ =>
+    val atGateSf = sfDir.stripSuffix("/").endsWith("sf0.1")
+    def timedRuns(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  n: Int): Seq[(Double, Boolean)] =
+      (1 to math.max(1, n)).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
@@ -130,30 +145,44 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+    // a fast FAILURE must not become the reported min; if every run
+    // failed, report the slowest elapsed so the breakage is visible
+    // in the headline number, not hidden by a near-zero time
+    def minOf(runs: Seq[(Double, Boolean)]): Double = {
+      val good = runs.filter(_._2).map(_._1)
+      if (good.nonEmpty) good.min else runs.map(_._1).max
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val first = timedRuns(name, fn, nRuns)
       // the per-query contention probe: timed immediately after this
       // query's runs, so a contended window is localized to the queries
       // it actually covered (bracketing probes proved too coarse in r5)
       val probe = calibrationProbe()
-      // a fast FAILURE must not become the reported min; if every run
-      // failed, report the slowest elapsed so the breakage is visible
-      // in the headline number, not hidden by a near-zero time
+      // one automatic focused retry before a floor-history flag can
+      // stick: transient container contention (the round-7 dd3 case)
+      // clears within a query window, a real regression doesn't
+      val retry = atGateSf && overFloor(minOf(first), floors.get(name))
+      val runs = if (retry) first ++ timedRuns(name, fn, 1) else first
+      val probe2 = if (retry) math.min(probe, calibrationProbe()) else probe
       val good = runs.filter(_._2).map(_._1)
-      val t = if (good.nonEmpty) good.min else runs.map(_._1).max
+      val t = minOf(runs)
       val med = median(if (good.nonEmpty) good else runs.map(_._1))
-      (name, t, med, runs.map(_._1), probe)
+      (name, t, med, runs.map(_._1), probe2, retry)
     }
     val calAfter = calibrationProbe()
     spark.catalog.clearCache()
     // this container's true uncontended probe cost = best probe seen
     val probeFloor = (results.map(_._5) ++ Seq(calBefore, calAfter)).min
-    val atGateSf = sfDir.stripSuffix("/").endsWith("sf0.1")
     // two-source self-flag: adjacent-probe evidence (any SF) or
-    // floor-history evidence (gate SF only)
+    // floor-history evidence (gate SF only, post-retry)
     val flagged = results.collect {
-      case (n, t, _, _, probe)
+      case (n, t, _, _, probe, _)
         if probe > 2.5 * probeFloor ||
-          (atGateSf && floors.get(n).exists(f => t > 3 * f)) => n
+          (atGateSf && overFloor(t, floors.get(n))) => n
     }
+    val retried = results.collect { case (n, _, _, _, _, true) => n }
     val floorMissing =
       if (atGateSf) results.map(_._1).filterNot(floors.contains) else Seq.empty
     if (floorMissing.nonEmpty)
@@ -161,19 +190,20 @@ object Bench {
         floorMissing.mkString(", "))
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v, _, _, _) => k -> v.toString })
-    val meds = jmap(results.map { case (k, _, m, _, _) => k -> m.toString })
-    val raw = jmap(results.map { case (k, _, _, rs, _) => k -> rs.mkString("[", ",", "]") })
-    val probes = jmap(results.map { case (k, _, _, _, p) => k -> p.toString })
+    val qs = jmap(results.map { case (k, v, _, _, _, _) => k -> v.toString })
+    val meds = jmap(results.map { case (k, _, m, _, _, _) => k -> m.toString })
+    val raw = jmap(results.map { case (k, _, _, rs, _, _) => k -> rs.mkString("[", ",", "]") })
+    val probes = jmap(results.map { case (k, _, _, _, p, _) => k -> p.toString })
     val cal = jmap(Seq("before" -> calBefore.toString, "after" -> calAfter.toString,
       "probe_floor" -> probeFloor.toString))
     val flg = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rt = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fm = floorMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""medians":$meds,"runs":$raw,"probes":$probes,"n_runs":$nRuns,""" +
-      s""""calibration":$cal,"flagged_contended":$flg,"floor_missing":$fm,""" +
-      s""""sf":"$sfDir"}"""
+      s""""calibration":$cal,"flagged_contended":$flg,"retried":$rt,""" +
+      s""""floor_missing":$fm,"sf":"$sfDir"}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -193,7 +223,7 @@ object Bench {
     // query.
     if (writeFloors) {
       val base = if (only.nonEmpty) floors else Map.empty[String, Double]
-      val merged = (base ++ results.map { case (k, v, _, _, _) => k -> v })
+      val merged = (base ++ results.map { case (k, v, _, _, _, _) => k -> v })
         .toSeq.sortBy(_._1)
       val body = merged
         .map { case (k, v) =>
