@@ -136,6 +136,74 @@ object IvfSearch {
     centroids
   }
 
+  /** Semantic (embedding-space) deduplication, SemDeDup-style: cluster
+    * the corpus with the same deterministic IVF quantizer, then prune
+    * WITHIN each cell — any vector whose cell holds a lower-id vector
+    * with cosine similarity above `threshold` is marked dropped, the
+    * lowest id of each near-dup group survives. The public SemDeDup
+    * recipe (cluster, then intra-cluster pairwise pruning) re-expressed
+    * as Spark relational ops; complements [[Dedup.embeddingNearDup]]
+    * (brute pairs) and [[Similarity.lshNearDupPairs]] (sign-LSH pairs)
+    * with the clustered formulation whose pair work is bounded by cell
+    * size, never corpus size.
+    *
+    * Returns ONE ROW PER INPUT VECTOR: (vec_id, cell, kept) — both
+    * sides of the decision are visible, so the oracle pins keeps and
+    * drops alike.
+    *
+    * Scale shape: one narrow assignment pass (nClusters distances per
+    * row), one shuffle keyed on the cell id shared by the cap window
+    * and the intra-cell pair join, one keyed left-anti-shaped join for
+    * the verdict — never an all-pairs product. The quadratic term is
+    * sum over cells of |cell|^2: size nClusters ~ corpusRows /
+    * targetCellSize at scale (SemDeDup uses tens of thousands of
+    * clusters at billion-doc scale), and `maxCellSize` hard-bounds a
+    * runaway hot cell by hash-rank — rows past the cap are
+    * conservatively KEPT (never silently dropped), documented
+    * analogous to [[Dedup.capDocFreq]]'s candidate cap.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      threshold: Double = 0.45,
+      nClusters: Int = 16,
+      lloydIter: Int = 3,
+      fitSampleMod: Long = 1,
+      fitMaxRows: Int = 4096,
+      maxCellSize: Int = 100000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"invalid threshold=$threshold")
+    require(maxCellSize > 0, s"invalid maxCellSize=$maxCellSize")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // persist: the projection feeds the fit sample and the assignment
+    val e = Dedup.spread(embeddings
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .as[(Long, Array[Double])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cs = fitCentroids(e, nClusters, lloydIter, fitSampleMod, fitMaxRows)
+    // persist: assignment feeds both pair-join sides and the verdict
+    val assigned = e.map { case (id, v) => (id, v, nearestCell(v, cs)) }
+      .toDF("id", "v", "cell")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hash-rank cap within the cell: the window's cell partitioning is
+    // the same key the pair join shuffles on
+    val wCell = Window.partitionBy("cell").orderBy(mix32(col("id")), col("id"))
+    val part = assigned.withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= maxCellSize)
+      .select(col("id"), col("v"), col("cell"))
+    val removed = part.select(col("id").as("ka"), col("v").as("x"), col("cell"))
+      .join(part.select(col("id").as("kb"), col("v").as("y"), col("cell")), Seq("cell"))
+      .filter(col("ka") < col("kb"))
+      .filter(graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y"))
+        > threshold)
+      .select(col("kb")).distinct()
+    assigned.select(col("id").as(idCol), col("cell"))
+      .join(removed, col(idCol) === col("kb"), "left")
+      .select(col(idCol), col("cell"), col("kb").isNull.as("kept"))
+  }
+
   /** Top-k probe search over the IVF cells.
     *
     * CACHE OWNERSHIP (same contract as Dedup's signature stages): the

@@ -191,6 +191,60 @@ object Sampling {
       .filter(col("bucket") < col("thresh"))
   }
 
+  /** Largest feasible downsample-only domain mixture: given integer
+    * target weights per domain (e.g. web 3 : code 1), keep a hash-rate
+    * sample of each targeted domain so the OUTPUT proportions match the
+    * weights, scaled to the largest total the data supports without
+    * upsampling any domain. Domains absent from `weights` are dropped —
+    * the mixture is exactly the targeted set.
+    *
+    * All arithmetic is integer (exact, engine-independent):
+    *   smin  = min over targeted d of  floor(count_d * W / w_d)
+    *           (the largest mixture total any single domain permits;
+    *            the argmin domain is kept ~whole, the rest downsample)
+    *   thr_d = floor(w_d * smin * 1e6 / (W * count_d))
+    *   keep  = mix32(id) % 1e6 < thr_d
+    * so the decision is deterministic, stable under re-partitioning and
+    * appends, and exactly SQL-mirrorable. Realized counts are
+    * hash-approximate (rate sampling, not exact quota — use
+    * [[quotaPerKey]] when exactness beats a shuffle-free plan).
+    *
+    * Scale shape: one column-pruned count aggregation (output rows =
+    * #domains, tiny — collected to the driver like any dimension
+    * lookup) + one narrow projection+filter over the corpus. Two scans,
+    * zero corpus shuffles. Weights should be small integers: the
+    * threshold math needs w_d * smin * 1e6 to fit in a long, which
+    * holds for weights up to ~9000 even at 1e12-row corpora.
+    */
+  def domainMixture(
+      documents: DataFrame,
+      weights: Seq[(String, Long)],
+      keyCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "domainMixture needs at least one target weight")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate domain keys in weights: ${weights.map(_._1)}")
+    val wSum = weights.map(_._2).sum
+    val counts = documents.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val absent = weights.collect { case (k, _) if counts.getOrElse(k, 0L) == 0L => k }
+    require(absent.isEmpty,
+      s"targeted domains have no rows (mixture total would be zero): $absent")
+    val smin = weights.map { case (k, w) => counts(k) * wSum / w }.min
+    val thresholds = weights.map { case (k, w) =>
+      k -> (w * smin * 1000000L) / (wSum * counts(k))
+    }
+    val thresh = thresholds.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+      case (acc, (k, t)) => when(col(keyCol) === k, lit(t)).otherwise(acc)
+    }
+    val bucket = pmod(mix32(col(idCol)), lit(1000000L))
+    documents
+      .select(col(idCol), col(keyCol), bucket.as("bucket"), thresh.as("thr"))
+      .filter(col("bucket") < col("thr"))
+      .select(col(idCol), col(keyCol), col("thr"))
+  }
+
   /** Weight-proportional Bernoulli downsampling: keep each document
     * with probability `min(weight, cap) / cap`, decided by integer
     * hash arithmetic — `mix32(id) % cap < min(weight, cap)` — so the

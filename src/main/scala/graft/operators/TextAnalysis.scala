@@ -162,6 +162,53 @@ object TextAnalysis {
       (length(t) - length(cleaned)).cast("int").as("delta"))
   }
 
+  /** C4-style heuristic line cleaning (the public C4 corpus recipe,
+    * Raffel et al. 2020 §2.2, scaled down to SQL-mirrorable rules): a
+    * line survives only if it has at least `minWords` words, ends in a
+    * terminal punctuation mark (`. ! ? "`), contains no blocklisted
+    * phrase (case-insensitive), and contains no curly brace (the
+    * leaked-code/JSON tell). Emits the cleaned document plus per-doc
+    * line counts — the line-level companion to
+    * [[graft.operators.Dedup.paragraphDedup]]'s cross-document
+    * frequency rule: these rules are row-LOCAL, so unlike
+    * paragraphDedup there is no corpus aggregation at all.
+    *
+    * One narrow typed map — split, judge, rejoin per document, zero
+    * shuffles at any corpus size. Word counting splits on single
+    * spaces (exactly SQL-mirrorable, the [[Sampling.packSequences]]
+    * convention).
+    */
+  val C4BadPhrases: Seq[String] = Seq("lorem ipsum", "javascript")
+  private val C4Terminal = Set('.', '!', '?', '"')
+
+  def c4LineFilter(
+      documents: DataFrame,
+      minWords: Int = 3,
+      badPhrases: Seq[String] = C4BadPhrases,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minWords > 0, s"invalid minWords=$minWords")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mw = minWords
+    val bad = badPhrases.map(_.toLowerCase)
+    Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+        val kept = lines.filter { ln =>
+          val lower = ln.toLowerCase
+          ln.split(" ").count(_.nonEmpty) >= mw &&
+            C4Terminal.contains(ln.charAt(ln.length - 1)) &&
+            !bad.exists(lower.contains) &&
+            ln.indexOf('{') < 0 && ln.indexOf('}') < 0
+        }
+        (id, kept.mkString("\n"), lines.length.toLong,
+          (lines.length - kept.length).toLong)
+      }
+      .toDF(idCol, "clean_text", "n_lines", "n_removed")
+  }
+
   /** URL domain statistics: extract every URL, reduce to its host, and
     * aggregate per-domain occurrence and document counts — the
     * source-analysis pass behind domain-level curation (blocklists,

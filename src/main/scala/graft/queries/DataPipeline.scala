@@ -361,8 +361,15 @@ object DataPipeline {
     * cosine top-k. Rounding at every cross-engine comparison point
     * absorbs summation-order FP noise (see IvfSearch scaladoc).
     */
-  private val AnnIvfSql: String = {
-    val K = 16; val Iter = 3; val NProbe = 4; val Dim = 64; val Mod = 1L; val MaxRows = 4096
+  /** Shared IVF mirror prefix: the Lloyd-fit + corpus-assignment CTE
+    * chain (`e` .. `asg`), replayed from `rel` with the operator's
+    * fixed constants. Used by both the IVF top-k and the semantic-dedup
+    * mirrors; `matAsg` adds a MATERIALIZED hint when `asg` is
+    * referenced more than once downstream (DuckDB inlines non-recursive
+    * CTEs per reference — the pipe1 lesson).
+    */
+  private def ivfAsgCtes(rel: String, matAsg: Boolean): String = {
+    val K = 16; val Iter = 3; val Dim = 64; val Mod = 1L; val MaxRows = 4096
     def d2(v: String, c: String) =
       s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
     val iters = (1 to Iter).map { i =>
@@ -379,7 +386,7 @@ object DataPipeline {
          |    SELECT cell, list(round(m, 6) ORDER BY dim) AS c FROM m$i GROUP BY cell) n
          |  ON n.cell = p.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $rel),
        |samp AS (SELECT vec_id, v FROM (
        |  SELECT vec_id, v, xor(m2, m2 >> 13) AS hs FROM (
        |    SELECT vec_id, v, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
@@ -389,10 +396,17 @@ object DataPipeline {
        |        list_transform(v, x -> round(x, 6)) AS c
        |       FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $K)),
        |$iters,
-       |asg AS (SELECT vec_id, v, cell FROM (
+       |asg AS ${if (matAsg) "MATERIALIZED " else ""}(SELECT vec_id, v, cell FROM (
        |  SELECT e.vec_id, e.v, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.v", "c.c")}, c.cell) AS rn
-       |  FROM e CROSS JOIN c$Iter c) WHERE rn = 1),
+       |  FROM e CROSS JOIN c$Iter c) WHERE rn = 1)""".stripMargin
+  }
+
+  private val AnnIvfSql: String = {
+    val NProbe = 4; val Dim = 64; val Iter = 3
+    def d2(v: String, c: String) =
+      s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    s"""WITH ${ivfAsgCtes("embeddings", matAsg = false)},
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
        |pc AS (SELECT qid, qv, cell FROM (
        |  SELECT q.qid, q.qv, c.cell,
@@ -410,6 +424,48 @@ object DataPipeline {
     graft.operators.IvfSearch.ivfTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
       .orderBy("qid", "rnk")
+  }
+
+  /** Semantic-dedup fixture: 40 exact copies of organic vectors are
+    * planted in-query in BOTH engines (re-keyed +10000) — an identical
+    * vector lands in the identical cell and scores cosine 1.0, so every
+    * planted copy is deterministically dropped (its original has the
+    * lower id) while organic within-cell near-dups above the dd5
+    * threshold exercise the non-trivial branch. The mirror replays the
+    * full Lloyd fit + assignment (shared `ivfAsgCtes` chain, asg
+    * MATERIALIZED because it feeds the cap ranking AND the verdict),
+    * the hash-rank cell cap, the intra-cell pair join, and the verdict
+    * — scale-true like the other LSH/IVF mirrors. NOTE: pins the
+    * operator defaults (threshold=0.45, nClusters=16, maxCellSize
+    * 100000).
+    */
+  private val Dd10Sql: String = {
+    val rel = """(SELECT vec_id, embedding FROM embeddings
+                 | UNION ALL
+                 | SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+                 | WHERE vec_id < 40)""".stripMargin
+    s"""WITH ${ivfAsgCtes(rel, matAsg = true)},
+       |ax AS (SELECT vec_id, v, cell, xor(m2, m2 >> 13) AS hs FROM (
+       |  SELECT vec_id, v, cell, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT vec_id, v, cell, ((vec_id % 4294967296) + 4294967296) % 4294967296 AS h0
+       |    FROM asg))),
+       |pt AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+       |  SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY hs, vec_id) AS rk FROM ax)
+       |  WHERE rk <= 100000),
+       |rm AS (SELECT DISTINCT b.vec_id AS kb
+       |       FROM pt a JOIN pt b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       WHERE list_cosine_similarity(a.v, b.v) > 0.45)
+       |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       |       a.vec_id NOT IN (SELECT kb FROM rm) AS kept
+       |FROM asg a ORDER BY vec_id""".stripMargin
+  }
+
+  val dd10_semantic_dedup = QueryDef.sqlChecked("dd10_semantic_dedup", Dd10Sql) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val aug = emb.unionByName(emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    graft.operators.IvfSearch.semanticDedup(aug).orderBy("vec_id")
   }
 
   // ------------------------------------------------------ text analysis
@@ -784,6 +840,91 @@ object DataPipeline {
        |SELECT doc_id, lang, bucket, CAST(thresh AS BIGINT) AS thresh
        |FROM t WHERE bucket < thresh ORDER BY doc_id""".stripMargin) { (s, d) =>
     Sampling.stratifiedSample(Tables.documents(s, d), Sp4Rates).orderBy("doc_id")
+  }
+
+  /** Domain-mixture fixture: sources src0..src4 targeted at weight 3,
+    * src5..src9 at weight 1 (a 3:1 web:code-style mix), the other ten
+    * sources untargeted (dropped). Every count, the feasible mixture
+    * total `smin`, and each per-domain threshold is BIGINT arithmetic
+    * replayed by the mirror — uniform 250-per-source data still
+    * exercises the math because weight-3 domains keep ~100% and
+    * weight-1 domains keep ~33%.
+    */
+  private[graft] val Sp5Weights: Seq[(String, Long)] =
+    (0 until 5).map(i => s"src$i" -> 3L) ++ (5 until 10).map(i => s"src$i" -> 1L)
+
+  val sp5_domain_mixture = QueryDef.sqlChecked(
+    "sp5_domain_mixture", {
+      val w3 = (0 until 5).map(i => s"'src$i'").mkString(",")
+      val w1 = (5 until 10).map(i => s"'src$i'").mkString(",")
+      val wSum = Sp5Weights.map(_._2).sum
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, n, CASE WHEN source IN ($w3) THEN 3
+         |                             WHEN source IN ($w1) THEN 1 END AS wt FROM c),
+         |s AS (SELECT min(n * $wSum // wt) AS smin FROM w WHERE wt IS NOT NULL),
+         |t AS (SELECT source, (wt * (SELECT smin FROM s) * 1000000) // ($wSum * n) AS thr
+         |      FROM w WHERE wt IS NOT NULL),
+         |mx AS ${mix32Sql("doc_id, source")}
+         |SELECT m.doc_id, m.source, t.thr FROM mx m JOIN t ON t.source = m.source
+         |WHERE m.hs % 1000000 < t.thr ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    Sampling.domainMixture(Tables.documents(s, d), Sp5Weights).orderBy("doc_id")
+  }
+
+  /** C4 line-filter fixture: the organic docs are single-line with no
+    * terminal punctuation, so the base line gets '.' appended (keepable)
+    * and planted junk lines exercise each rule branch — a javascript
+    * phrase line (phrase rule), a punctuation-less nav line, a braced
+    * code line, a too-short line, plus one long well-formed keeper.
+    * Both engines build the identical augmented text; the md5 pins the
+    * rejoined clean text byte-for-byte like dd9.
+    */
+  private val C4Junk1 = "enable javascript for the full experience here."
+  private val C4Junk2 = "home about contact"
+  private val C4Junk3 = "function render netdata { return menu }"
+  private val C4Keep1 = "this planted sentence is long enough and ends with a period."
+  private val C4Junk4 = "ok."
+
+  val txt_c4_filter = QueryDef.sqlChecked(
+    "txt_c4_filter",
+    s"""WITH aug AS (SELECT doc_id, text || '.'
+       |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$C4Junk1' ELSE '' END
+       |  || CASE WHEN doc_id % 4 = 1 THEN chr(10) || '$C4Junk2' ELSE '' END
+       |  || CASE WHEN doc_id % 5 = 2 THEN chr(10) || '$C4Junk3' ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 3 THEN chr(10) || '$C4Keep1' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 4 THEN chr(10) || '$C4Junk4' ELSE '' END
+       |  AS text FROM documents),
+       |pl AS (SELECT doc_id,
+       |        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+       |                    x -> x <> '') AS ls
+       |       FROM aug),
+       |p AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS i FROM pl),
+       |f AS (SELECT doc_id, i, line,
+       |       (len(list_filter(string_split(line, ' '), x -> x <> '')) >= 3
+       |        AND substr(line, length(line), 1) IN ('.', '!', '?', '"')
+       |        AND NOT contains(lower(line), 'lorem ipsum')
+       |        AND NOT contains(lower(line), 'javascript')
+       |        AND NOT contains(line, '{') AND NOT contains(line, '}')) AS keep
+       |      FROM p)
+       |SELECT doc_id,
+       | md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i), ''))
+       |   AS clean_md5,
+       | CAST(count(*) AS BIGINT) AS n_lines,
+       | CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit("."),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("\n" + C4Junk1)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 1, lit("\n" + C4Junk2)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 2, lit("\n" + C4Junk3)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 3, lit("\n" + C4Keep1)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 4, lit("\n" + C4Junk4)).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.c4LineFilter(aug)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_lines"), col("n_removed"))
+      .orderBy("doc_id")
   }
 
   /** Domain-statistics fixture: the organic corpus has no URLs, so
@@ -1323,13 +1464,14 @@ object DataPipeline {
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
-    dd8_dup_clusters, dd9_paragraph_dedup,
+    dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
+    txt_c4_filter,
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
-    sp4_stratified_sample, txt_domains,
+    sp4_stratified_sample, sp5_domain_mixture, txt_domains,
     pk1_pack_sequences, pk2_chunk_docs, pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_video_pairs)

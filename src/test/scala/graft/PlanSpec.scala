@@ -241,6 +241,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sp3 planned an exchange:\n$p")
   }
 
+  test("sp5: domain mixture corpus pass is a pure narrow projection+filter (no exchange)") {
+    // the counts aggregation runs once at build time (dimension-sized);
+    // the RETURNED corpus plan must be scan+project+filter only
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.Sampling.domainMixture(
+        docs, graft.queries.DataPipeline.Sp5Weights)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"sp5 planned an exchange:\n$p")
+  }
+
+  test("txt_c4: line filter is one narrow typed map — no hash or range exchange") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.c4LineFilter(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange hashpartitioning"), s"txt_c4 planned a shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"txt_c4 planned a sort:\n$p")
+  }
+
+  test("dd10: semantic dedup pair work is cell-bucketed — no cartesian, no nested loop") {
+    val p = plan("dd10_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"dd10 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"dd10 planned a nested loop:\n$p")
+  }
+
   test("dd7: bloom probe prefilters BEFORE the confirm join; equi semi-join; no cartesian") {
     val p = plan("dd7_bloom_dedup")
     assert(p.contains("bloom_might_contain"), s"prefilter probe missing from plan:\n$p")

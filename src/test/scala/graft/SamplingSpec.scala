@@ -129,4 +129,57 @@ class SamplingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("duplicate stratum keys"))
   }
+
+  test("domainMixture: output proportions track the weights, untargeted domains drop") {
+    val weights = Seq("src0" -> 3L, "src1" -> 1L)
+    val out = Sampling.domainMixture(docs, weights, keyCol = "source")
+    val byDomain = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only the targeted domains survive
+    assert(byDomain.keySet === Set("src0", "src1"))
+    // uniform per-source counts -> src0 keeps ~everything, src1 ~1/3;
+    // the realized ratio is hash-approximate, so generous slack
+    val ratio = byDomain("src0").toDouble / byDomain("src1")
+    assert(ratio > 2.0 && ratio < 4.5, s"mixture ratio $ratio should be ~3")
+    // deterministic under re-partitioning (id-derived hash)
+    val again = Sampling.domainMixture(docs.repartition(5), weights, keyCol = "source")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("domainMixture: threshold math is the exact integer formula") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 60 'a' docs, 20 'b' docs, weights 1:1 -> smin = min(60*2/1, 20*2/1)
+    // = 40; thr_a = 1*40*1e6/(2*60) = 333333, thr_b = 1*40*1e6/(2*20)
+    // = 1000000 (b kept whole, a downsampled to match)
+    val df = (0 until 60).map(i => (i.toLong, "a")) ++
+      (100 until 120).map(i => (i.toLong, "b"))
+    val out = Sampling.domainMixture(df.toDF("doc_id", "source"),
+      Seq("a" -> 1L, "b" -> 1L), keyCol = "source")
+    val thr = out.select("source", "thr").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr("a") === 333333L)
+    assert(thr("b") === 1000000L)
+    // every b row survives at threshold 1e6 (hash bucket < 1e6 always)
+    assert(out.filter(col("source") === "b").count() === 20L)
+  }
+
+  test("domainMixture: invalid inputs are rejected loudly") {
+    assert(intercept[IllegalArgumentException] {
+      Sampling.domainMixture(docs, Seq.empty, keyCol = "source")
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.domainMixture(docs, Seq("src0" -> 0L), keyCol = "source")
+    }.getMessage.contains("positive"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.domainMixture(docs, Seq("src0" -> 1L, "src0" -> 2L), keyCol = "source")
+    }.getMessage.contains("duplicate"))
+    // a targeted domain with zero rows would force the whole mixture to
+    // zero — refuse instead of silently emptying the corpus
+    assert(intercept[IllegalArgumentException] {
+      Sampling.domainMixture(docs, Seq("src0" -> 1L, "no_such_source" -> 1L),
+        keyCol = "source")
+    }.getMessage.contains("no rows"))
+  }
 }

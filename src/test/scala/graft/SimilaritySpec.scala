@@ -93,4 +93,34 @@ class SimilaritySpec extends SparkSpec {
     assert(engine.toSeq === ids.map(mirror),
       "mix32 column diverges from the positive-modulo SQL mirror")
   }
+
+  test("semanticDedup: planted copies drop, originals survive, one row per vector") {
+    import org.apache.spark.sql.functions._
+    // plant exact copies of vec_ids 0..9 at 5000+: identical vectors
+    // land in the identical cell, cosine 1.0 > any threshold, and the
+    // copy (higher id) must be the dropped side
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val aug = emb.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val out = graft.operators.IvfSearch.semanticDedup(aug)
+    assert(out.count() === aug.count(), "verdict must cover every input vector")
+    val dropped = out.filter(!col("kept")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert((5000L until 5010L).forall(dropped.contains),
+      s"every planted copy must drop; dropped=$dropped")
+    assert((0L until 10L).forall(id => !dropped.contains(id)),
+      "originals (lower id of each pair) must survive")
+  }
+
+  test("semanticDedup: maxCellSize cap bounds pair work and over-cap rows are kept") {
+    import org.apache.spark.sql.functions._
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val aug = emb.select(col("vec_id"), col("embedding")).unionByName(copies)
+    // cap of 1: at most one participant per cell -> no pairs can form,
+    // so even exact copies survive (conservatively KEPT, never dropped)
+    val capped = graft.operators.IvfSearch.semanticDedup(aug, maxCellSize = 1)
+    assert(capped.filter(!col("kept")).count() === 0L,
+      "a cap of 1 leaves no pairable participants — nothing may drop")
+  }
 }

@@ -200,4 +200,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.feature_vec.length === 4)
     assert(math.abs(f.feature_vec.sum - 1.0f) < 1e-6) // 'a','b','c' all in bucket 3
   }
+
+  test("c4LineFilter: each rule branch drops exactly its line, keepers survive in order") {
+    import spark.implicits._
+    val text = Seq(
+      "this first line ends with a period.",   // kept
+      "enable javascript to continue",          // dropped: phrase + no punct
+      "home about contact",                     // dropped: no terminal punct
+      "var cfg = { a: 1 }",                     // dropped: braces
+      "no!",                                    // dropped: < 3 words
+      "is this a question?",                    // kept (ends '?')
+      "   ",                                    // blank after trim: not a line
+      "they said \"stop\"")                     // kept (ends '"')
+      .mkString("\n")
+    val out = TextAnalysis.c4LineFilter(Seq((7L, text)).toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long)].head()
+    assert(out._3 === 7L, "blank line must not count")
+    assert(out._4 === 4L)
+    assert(out._2 === Seq(
+      "this first line ends with a period.",
+      "is this a question?",
+      "they said \"stop\"").mkString("\n"))
+  }
+
+  test("c4LineFilter: minWords and custom blocklist are honored; empty doc safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four all kept here okay."),
+      (2L, "tiny line here."),
+      (3L, "this mentions cookies policy terms.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(df, minWords = 4,
+        badPhrases = Seq("cookies policy"))
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 1L, "three words < minWords=4 must drop")
+    assert(out(3L) === 1L, "custom blocklist phrase must drop")
+  }
 }
