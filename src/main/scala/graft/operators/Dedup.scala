@@ -387,13 +387,31 @@ object Dedup {
     * appears in at least one pair; cluster = min doc id of the
     * component (deterministic canonical representative; the kept doc),
     * singletons are absent (they were never duplicate evidence).
+    *
+    * SMALL-GRAPH FAST PATH: when the (symmetrized, distinct) edge count
+    * is at most `smallGraphMaxEdges`, the component computation runs as
+    * a driver-side union-find over the collected edge list instead of
+    * the iterative loop — the same size-based strategy choice Spark
+    * itself makes between broadcast-hash and sort-merge joins. The
+    * near-dup graph of a corpus is orders of magnitude smaller than the
+    * corpus (it holds only documents with duplicate EVIDENCE), so even
+    * 100 TB inputs routinely produce fast-path-sized graphs; when they
+    * don't, the count check routes to the loop and nothing row-shaped
+    * reaches the driver. The default cap (2^20 edges ≈ 16 MB collected,
+    * union-find arrays a few hundred MB worst-case) is far under
+    * driver headroom, the result is bit-identical to the loop (min-id
+    * labels either way), and the edge count is read off the already-
+    * persisted edge frame, so the check costs one cheap action. Pass
+    * `smallGraphMaxEdges = 0` to force the distributed loop (the
+    * job-audit specs do, to pin the loop's action shape).
     */
   def duplicateClusters(
       pairs: DataFrame,
       aCol: String = "da",
       bCol: String = "db",
       maxIters: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     checkpointDir.foreach { dir =>
@@ -432,6 +450,39 @@ object Dedup {
       .unionByName(pairsC.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the count materializes the persisted edge frame — the work the
+    // loop's init aggregation would spend anyway — so routing costs one
+    // cheap cache-read action, never a second pair computation
+    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+      // one direction carries the full graph (src <= dst keeps
+      // defensive self-loop nodes); the symmetric twin adds nothing
+      val ePairs = edges.filter(col("src") <= col("dst")).as[(Long, Long)].collect()
+      edges.unpersist()
+      pairsC.unpersist()
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = Option(parent.get(x)).fold(x)(_.longValue)
+        while (p != x) {
+          val gp = Option(parent.get(p)).fold(p)(_.longValue)
+          parent.put(x, gp) // path halving
+          x = gp
+          p = Option(parent.get(x)).fold(x)(_.longValue)
+        }
+        x
+      }
+      ePairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // min-id root: the canonical representative falls out of the
+        // union order, no second relabel pass needed
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val members = ePairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+      val roots = members.map(find)
+      val sizes = roots.groupBy(identity).map { case (r, g) => (r, g.length.toLong) }
+      val rows = members.indices.map(k => (members(k), roots(k), sizes(roots(k))))
+      return spark.createDataset(rows).toDF("doc_id", "cluster", "cluster_size")
+    }
     val changes = spark.sparkContext.longAccumulator("graft.cc.labelChanges")
     // initial labels fold the would-be first round in: min(id, min
     // neighbor) is ONE aggregation over the symmetric edge frame — the

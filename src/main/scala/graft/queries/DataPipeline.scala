@@ -1011,7 +1011,11 @@ object DataPipeline {
       .select((col("id") + 3000L).as("doc_id"),
         concat_ws(" ", (0 until Dd8Window).map(k =>
           concat(lit("qz"), col("id") + k)): _*).as("text"))
-    Dedup.duplicateClusters(Dedup.ngramJaccard(base.unionByName(planted)))
+    // smallGraphMaxEdges = 0: dd8 is the SCALE-path benchmark — it pins
+    // the distributed hash-min loop's cost every round. (The default
+    // small-graph fast path is exercised, and benched, through pipe1.)
+    Dedup.duplicateClusters(Dedup.ngramJaccard(base.unionByName(planted)),
+        smallGraphMaxEdges = 0L)
       .orderBy("doc_id")
   }
 

@@ -144,12 +144,57 @@ class DedupSpec extends SparkSpec {
 
   test("duplicateClusters: a longer chain still converges to one component") {
     import spark.implicits._
-    // 8-node path: worst-case diameter for the propagation loop
+    // 8-node path: worst-case diameter for the propagation loop —
+    // forced onto the distributed path (the default would take the
+    // small-graph fast path and skip the loop under test)
     val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("da", "db")
-    val out = Dedup.duplicateClusters(pairs).collect()
+    val out = Dedup.duplicateClusters(pairs, smallGraphMaxEdges = 0L).collect()
     assert(out.length === 8)
     assert(out.forall(_.getLong(1) === 1L), "all nodes must take the min label")
     assert(out.forall(_.getLong(2) === 8L))
+  }
+
+  test("duplicateClusters small-graph fast path matches the distributed loop") {
+    import spark.implicits._
+    // chains + a triangle + an isolated pair + a self-loop: every
+    // structural case, compared label-for-label across the two paths
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (20L, 20L)) ++
+      (30L to 36L).map(i => (i + 1, i))).toDF("da", "db")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fast = asMap(Dedup.duplicateClusters(pairs))
+    val loop = asMap(Dedup.duplicateClusters(pairs, smallGraphMaxEdges = 0L))
+    assert(fast === loop)
+    assert(fast(20L) === ((20L, 1L)), "self-loop node is its own singleton cluster")
+    assert(fast(36L) === ((30L, 8L)), "reversed chain takes the min label")
+  }
+
+  test("duplicateClusters fast path runs no iterative checkpoint actions") {
+    import spark.implicits._
+    // the strategy choice is the point: under the edge cap the CC must
+    // collapse to count + collect — no per-round checkpoint jobs
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("da", "db")
+    val resultStages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.stageInfos.nonEmpty)
+          resultStages.add(js.stageInfos.maxBy(_.stageId).name)
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      Dedup.duplicateClusters(pairs)
+      var last = -1
+      var spins = 0
+      while (last != resultStages.size && spins < 50) {
+        last = resultStages.size; Thread.sleep(100); spins += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val names = resultStages.asScala.toSeq
+      assert(names.count(_.startsWith("localCheckpoint at")) === 0,
+        s"fast path must not run loop checkpoints, saw $names")
+    } finally sc.removeSparkListener(listener)
   }
 
   test("duplicateClusters runs ONE action per round — convergence is folded in") {
@@ -189,7 +234,7 @@ class DedupSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.addSparkListener(listener)
     try {
-      Dedup.duplicateClusters(chain)
+      Dedup.duplicateClusters(chain, smallGraphMaxEdges = 0L)
       // the listener bus posts asynchronously — poll until quiet
       var last = -1
       var spins = 0
@@ -216,7 +261,8 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dd8ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
-    val out = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir)).collect()
+    val out = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir),
+        smallGraphMaxEdges = 0L).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out === Map(
       1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
