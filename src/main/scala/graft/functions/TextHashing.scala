@@ -48,6 +48,46 @@ object TextHashing {
     if (toks.length < n) Array.empty
     else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
 
+  /** Scala twin of [[graft.operators.TextAnalysis.normalizedText]] —
+    * lowercase, collapse `[ \t\r\n]+` runs to one space, trim — for
+    * fused typed stages that normalize and score in one pass (parity
+    * spec-pinned against the Column form on real data). Two Spark
+    * details are mirrored exactly, not approximated:
+    *   - `lower()` lowercases pure-ASCII strings bytewise ('A'..'Z'
+    *     only) and falls back to JDK default-locale toLowerCase
+    *     otherwise (UTF8String's fast/slow paths) — a plain
+    *     Locale.ROOT toLowerCase would agree on ASCII but can differ
+    *     under exotic default locales, and a plain default-locale call
+    *     would BREAK the ASCII case under tr_TR;
+    *   - `trim()` strips 0x20 spaces ONLY (Java's String.trim strips
+    *     every control char <= 0x20 — wrong twin).
+    */
+  def normalize(text: String): String = {
+    var ascii = true
+    var k = 0
+    while (ascii && k < text.length) {
+      if (text.charAt(k) >= 0x80) ascii = false
+      k += 1
+    }
+    val lowered =
+      if (ascii) {
+        val a = new Array[Char](text.length)
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          a(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          i += 1
+        }
+        new String(a)
+      } else text.toLowerCase()
+    val s = lowered.replaceAll("[ \\t\\r\\n]+", " ")
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
   private val MersennePrime = (1L << 61) - 1
 
   /** Universal-hash parameter table for MinHash (fixed seed). */

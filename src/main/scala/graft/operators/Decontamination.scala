@@ -85,6 +85,43 @@ object Decontamination {
     finish(sh.filter(!col("is_eval")), sh.filter(col("is_eval")).select("s").distinct())
   }
 
+  /** Contaminated-id form: just the training doc_ids sharing at least
+    * one `gramSize`-gram with the eval corpus — the decision the
+    * cleaning pipeline actually consumes (drop the doc), without
+    * [[overlapWith]]'s per-doc ratio bookkeeping.
+    *
+    * Scale shape: the eval shingle set is collected (it is DISTINCT
+    * shingles of the small eval corpus — the same "eval is orders of
+    * magnitude smaller" contract that justifies overlapWith's
+    * broadcast) and broadcast as a hash set; the corpus side is then
+    * ONE narrow typed pass — tokenize, slide, membership-test — with
+    * no explode, no shuffle, no aggregation. Where overlapWith
+    * materializes every corpus shingle to count them, this form
+    * short-circuits on the first hit per document, so it is strictly
+    * cheaper whenever only the drop decision is needed.
+    */
+  def contaminatedIds(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramSize: Int = 4): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val k = gramSize
+    val evalSet = evalDocs.select(col(textCol)).as[String]
+      .flatMap(t => TextHashing.shingles(TextHashing.tokens(t), k))
+      .distinct().collect().toSet
+    val evalB = spark.sparkContext.broadcast(evalSet)
+    Dedup.spread(train.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .filter { case (_, text) =>
+        TextHashing.shingles(TextHashing.tokens(text), k).exists(evalB.value)
+      }
+      .map(_._1)
+      .toDF(idCol)
+  }
+
   private def finish(trainSh: DataFrame, evalSh: DataFrame): DataFrame = {
     val hits = trainSh.join(broadcast(evalSh), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))

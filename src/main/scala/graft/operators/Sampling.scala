@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.IvfSearch.mix32
@@ -57,9 +57,20 @@ object Sampling {
     documents.select(
       col(idCol),
       bucket.as("bucket"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+      splitLabel(col(idCol), trainPct, valPct).as("split"))
+  }
+
+  /** The split-label expression [[hashSplit]] assigns, as a reusable
+    * Column — being a pure function of the id, a pipeline that already
+    * carries the id can compute the label in place instead of joining
+    * against a hashSplit frame (one source of truth, so the two can't
+    * drift; [[graft.operators.TrainingPipeline]] does exactly this).
+    */
+  def splitLabel(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val bucket = pmod(mix32(id), lit(100L))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** Per-stratum quota sampling: keep at most `quota` documents per

@@ -19,28 +19,33 @@ import graft.functions.TextHashing
   * in PlanSpec).
   *
   * Scale shape per stage:
-  *   - normalize: one narrow projection over the single corpus scan,
-  *     persisted because both the eval slice and the training corpus
-  *     branch read it;
-  *   - filter: ONE fused typed pass computes token count, the quality
-  *     score and the language-evidence flag together (tokenize once,
-  *     not once per signal — the composable per-signal operators join
-  *     by id, which at corpus scale would shuffle the text three
-  *     times); the formulas are the same ones [[TextAnalysis.quality]]
-  *     / [[TextAnalysis.languageId]] declare (parity spec-pinned on
-  *     fixtures), with 4-dp rounding via the languageId floor-trick —
-  *     which equals DuckDB's `round(x,4)` (the oracle the pipeline is
-  *     checked against); Spark's own `round()` re-parses the shortest
-  *     decimal representation and can differ by one ulp-step exactly
-  *     at representation boundaries;
+  *   - normalize + filter: ONE fused typed pass over the single corpus
+  *     scan computes the normalized text ([[graft.functions.TextHashing
+  *     .normalize]], the spec-pinned Scala twin of [[TextAnalysis
+  *     .normalizedText]]), the eval-slice flag, token count, quality
+  *     score and language-evidence flag together (tokenize once, not
+  *     once per signal — the composable per-signal operators join by
+  *     id, which at corpus scale would shuffle the text three times);
+  *     persisted because every later branch (eval shingles, training
+  *     filter) reads it. The formulas are the same ones [[TextAnalysis
+  *     .quality]] / [[TextAnalysis.languageId]] declare (parity
+  *     spec-pinned on fixtures), with 4-dp rounding via the languageId
+  *     floor-trick — which equals DuckDB's `round(x,4)` (the oracle
+  *     the pipeline is checked against); Spark's own `round()`
+  *     re-parses the shortest decimal representation and can differ by
+  *     one ulp-step exactly at representation boundaries;
   *   - dedup: [[Dedup.ngramJaccard]] banded pairs ->
   *     [[Dedup.duplicateClusters]] hash-min components; losers drop by
   *     keyed anti-join (id-keyed, never all-pairs);
-  *   - decontamination: [[Decontamination.overlapWith]] — eval shingles
-  *     broadcast, corpus never shuffled by shingle;
-  *   - split/pack: [[Sampling.hashSplit]] (narrow) +
-  *     [[Sampling.packSequences]] (per-shard windows, no global sort),
-  *     joined by id off the same persisted clean corpus.
+  *   - decontamination: the [[Decontamination.contaminatedIds]] shape —
+  *     eval shingle set broadcast, corpus checked in ONE narrow typed
+  *     pass (no explode, no shuffle; the pipeline needs the drop
+  *     decision, not overlapWith's per-doc ratios);
+  *   - split/pack: [[Sampling.packSequences]] (per-shard windows, no
+  *     global sort) off the persisted clean corpus, with the
+  *     [[Sampling.splitLabel]] expression computed in place (the label
+  *     is a pure function of the id — a join against a hashSplit frame
+  *     would buy nothing but an exchange).
   *
   * Quality/langid semantics in the fused filter: keep a document iff it
   * has at least one token, at least one function-word hit from ANY
@@ -130,31 +135,29 @@ object TrainingPipeline {
     val cleanObs = org.apache.spark.sql.Observation()
     val packedObs = org.apache.spark.sql.Observation()
 
-    // 1. normalize — all later tokenization splits on single spaces,
-    // which is exactly what the cleaning pass guarantees. The observe
-    // rides the same node both branches (eval slice + corpus) read;
-    // n_eval folds the branch predicate into the one pass.
-    val norm = Dedup.spread(documents.select(
-      col(idCol).cast("long").as("doc_id"),
-      TextAnalysis.normalizedText(col(textCol)).as("text")))
-      .observe(normObs,
-        count(lit(1)).as("n_docs"),
-        count(when(pmod(col("doc_id"), lit(evalMod.toLong)) < evalBuckets, 1))
-          .as("n_eval"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // the eval slice is held OUT of the released corpus and used only
-    // as the decontamination target (id-hash split, deterministic)
-    val isEval = pmod(col("doc_id"), lit(evalMod.toLong)) < evalBuckets
-    val evalDocs = norm.filter(isEval)
-    val corpus = norm.filter(!isEval)
-
-    // 2. fused quality + language filter (one tokenization per doc)
+    // 1+2. fused prep: normalize + eval-slice flag + quality/language
+    // keep flag, ONE typed pass over the single corpus scan (normalize
+    // via TextHashing.normalize, the spec-pinned Scala twin of
+    // TextAnalysis.normalizedText; tokenize once per doc, not once per
+    // signal — the composable per-signal operators join by id, which
+    // at corpus scale would shuffle the text three times). The
+    // persisted prep frame is the one node every later branch (eval
+    // shingle set, training filter) reads, so the corpus parquet is
+    // scanned exactly once however many stages fan out (plan-gated).
+    // The observes ride this node: n_docs/n_eval fold the branch
+    // predicate into the pass, n_filtered counts training survivors.
     val stopSet = TextAnalysis.Stopwords.toSet
     val langSet = TextAnalysis.LangProfiles.flatMap(_._2).toSet
     val minQ = minQuality
-    val filtered = corpus.as[(Long, String)]
-      .map { case (id, text) =>
+    val eMod = evalMod.toLong
+    val eBuckets = evalBuckets.toLong
+    val prep = Dedup.spread(documents.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
+      .as[(Long, String)]
+      .map { case (id, raw) =>
+        val text = TextHashing.normalize(raw)
+        // pmod semantics: non-negative remainder, like the Column form
+        val isEval = (id % eMod + eMod) % eMod < eBuckets
         val toks = TextHashing.tokens(text)
         val n = toks.length
         var stops = 0
@@ -169,10 +172,19 @@ object TrainingPipeline {
           if (n == 0) 0.0
           else TextHashing.round4(stops.toDouble / n * 0.5 +
             math.min(n, 100).toDouble / 100.0 * 0.5)
-        (id, text, n > 0 && langHits > 0 && score >= minQ)
+        (id, text, isEval, n > 0 && langHits > 0 && score >= minQ)
       }
-      .toDF("doc_id", "text", "keep")
-      .filter(col("keep")).select("doc_id", "text")
+      .toDF("doc_id", "text", "is_eval", "keep")
+      .observe(normObs,
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_eval"), 1)).as("n_eval"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // the eval slice is held OUT of the released corpus and used only
+    // as the decontamination target (id-hash split, deterministic)
+    val evalDocs = prep.filter(col("is_eval")).select("doc_id", "text")
+    val filtered = prep.filter(!col("is_eval") && col("keep"))
+      .select("doc_id", "text")
       .observe(filteredObs, count(lit(1)).as("n_filtered"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -188,17 +200,36 @@ object TrainingPipeline {
     val deduped = filtered.join(losers, Seq("doc_id"), "left_anti")
       .observe(dedupedObs, count(lit(1)).as("n_deduped"))
 
-    // 4. decontaminate: any 4-gram shared with the eval slice drops the doc
-    val contaminated = Decontamination.overlapWith(deduped, evalDocs)
-      .select("doc_id")
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. decontaminate: any 4-gram shared with the eval slice drops the
+    // doc. The drop decision is computed the cheap way — the eval
+    // shingle set (distinct 4-grams of the tiny held-out slice, the
+    // same smallness contract that justifies Decontamination's
+    // broadcast join) collected and broadcast, then ONE narrow typed
+    // filter over the deduped corpus: no shingle explode, no shuffle,
+    // no anti-join. Semantically identical to
+    // `Decontamination.overlapWith(...).select("doc_id")` as the drop
+    // set (parity spec-pinned); use overlapWith when the per-doc
+    // overlap ratios themselves are the product.
+    val evalSet = evalDocs.select(col("text")).as[String]
+      .flatMap(t => TextHashing.shingles(TextHashing.tokens(t), 4))
+      .distinct().collect().toSet
+    val evalB = spark.sparkContext.broadcast(evalSet)
+    val clean = deduped.as[(Long, String)]
+      .filter { case (_, text) =>
+        !TextHashing.shingles(TextHashing.tokens(text), 4).exists(evalB.value)
+      }
+      .toDF("doc_id", "text")
       .observe(cleanObs, count(lit(1)).as("n_clean"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 5. split + 6. pack, both off the same persisted clean corpus
-    val splits = Sampling.hashSplit(clean).select(col("doc_id"), col("split"))
+    // 5. split + 6. pack off the persisted clean corpus. The split
+    // label is a pure function of the id ([[Sampling.splitLabel]], the
+    // same expression hashSplit assigns), so it is computed in place on
+    // the packed frame — joining against a hashSplit frame would buy
+    // nothing but an exchange.
     val packed = Sampling.packSequences(clean, budget = budget, shards = shards)
-    val out = packed.join(splits, "doc_id")
+    val out = packed
+      .withColumn("split", Sampling.splitLabel(col("doc_id")))
       .select(col("doc_id"), col("split"), col("shard"), col("bin"),
         col("off"), col("n_tokens"))
       .observe(packedObs, count(lit(1)).as("n_packed"))

@@ -132,13 +132,26 @@ class MultimodalSpec extends SparkSpec {
       javax.imageio.ImageIO.write(i, "png", bos); bos.toByteArray
     }
     def rescaled(s: Double): Array[Byte] = {
-      val big = new java.awt.image.BufferedImage(
-        (w * s).toInt, (h * s).toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g2 = big.createGraphics()
-      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g2.drawImage(img, 0, 0, big.getWidth, big.getHeight, null)
-      g2.dispose(); enc(big)
+      // hand-rolled bilinear resample: Java2D's drawImage pipeline is
+      // not pixel-exact-specified across JVM vendors/headless modes;
+      // plain IEEE double arithmetic is, so the fixture is
+      // deterministic by construction
+      val nw = (w * s).toInt; val nh = (h * s).toInt
+      val out = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      def lum(xx: Int, yy: Int): Double = (img.getRGB(xx, yy) & 0xFF).toDouble
+      for (y <- 0 until nh; x <- 0 until nw) {
+        val sx = math.min(w - 1.0, math.max(0.0, (x + 0.5) / s - 0.5))
+        val sy = math.min(h - 1.0, math.max(0.0, (y + 0.5) / s - 0.5))
+        val x0 = sx.toInt; val y0 = sy.toInt
+        val x1 = math.min(w - 1, x0 + 1); val y1 = math.min(h - 1, y0 + 1)
+        val fx = sx - x0; val fy = sy - y0
+        val v = lum(x0, y0) * (1 - fx) * (1 - fy) + lum(x1, y0) * fx * (1 - fy) +
+          lum(x0, y1) * (1 - fx) * fy + lum(x1, y1) * fx * fy
+        val c = math.max(0, math.min(255, math.round(v).toInt))
+        out.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      enc(out)
     }
     val meta = graft.operators.MediaMeta("image", "png", 0L)
     val media = Seq(

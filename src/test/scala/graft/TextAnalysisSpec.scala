@@ -31,6 +31,61 @@ class TextAnalysisSpec extends SparkSpec {
       ((1L, 2L, 2L, 1.0)))
   }
 
+  test("TextHashing.normalize is the exact twin of normalizedText") {
+    import spark.implicits._
+    // planted mess: every whitespace kind the widened class covers,
+    // non-ASCII to exercise lower()'s slow path, empties, no-op input
+    val messy = Seq(
+      "  Foo\tBAR\r\nbaz  ",
+      "\n\nA  B\t\tC\r",
+      "ünÏçØdé MIXED Case",
+      "already clean",
+      "",
+      " \t\r\n ",
+      "trailingvtab stays")  // \v is NOT in the class: must survive
+    val planted = messy.toDF("text")
+    val viaColumn = planted
+      .select(TextAnalysis.normalizedText(col("text"))).as[String].collect()
+    val viaScala = messy.map(graft.functions.TextHashing.normalize)
+    assert(viaColumn.toSeq === viaScala)
+    // organic cross-check: byte-identical on every gate-SF document
+    val diff = docs.select(
+      TextAnalysis.normalizedText(col("text")).as("a"), col("text"))
+      .as[(String, String)]
+      .filter { case (a, t) => a != graft.functions.TextHashing.normalize(t) }
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("decontamination contaminatedIds matches overlapWith's drop set") {
+    import spark.implicits._
+    // doc 1 overlaps fully, doc 3 shares exactly one 4-gram spanning a
+    // boundary, docs 2/4 are clean — the id form must flag exactly the
+    // docs the ratio form reports, on organic data too
+    val train = Seq(
+      (1L, "one two three four five"),
+      (2L, "alpha beta gamma delta eps"),
+      (3L, "zz one two three four qq"),
+      (4L, "one two three only")).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val ids = Decontamination.contaminatedIds(train, evalDocs)
+      .collect().map(_.getLong(0)).toSet
+    val ratioIds = Decontamination.overlapWith(train, evalDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ratioIds)
+    assert(ids === Set(1L, 3L))
+    // organic cross-check at the gate SF: same drop set on real docs
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val ev = docs.filter(pmod(col("doc_id"), lit(100L)) < 3)
+    val tr = docs.filter(pmod(col("doc_id"), lit(100L)) >= 3)
+    val a = Decontamination.contaminatedIds(tr, ev).collect().map(_.getLong(0)).toSet
+    val b = Decontamination.overlapWith(tr, ev)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.nonEmpty, "fixture should produce at least one organic contamination")
+  }
+
   test("decontamination flags a train doc that duplicates an eval doc") {
     import spark.implicits._
     // mix32(0) = 0 -> doc 0 lands in the eval split (0 % 19 == 0);
