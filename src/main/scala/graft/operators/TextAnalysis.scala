@@ -50,6 +50,71 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** Gopher-style rule filtering (the public Gopher paper's document
+    * quality heuristics, Rae et al. 2021 §A1.1): per document, the rule
+    * signals and a composite pass flag —
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [3, 10];
+    *   - symbol-to-word ratio ('#' or '...' occurrences / words) <= 0.1;
+    *   - fraction of lines starting with a bullet < 0.9;
+    *   - fraction of lines ending with '...' < 0.3;
+    *   - at least `minStopKinds` DISTINCT stopwords present (the
+    *     "contains 2 of the, be, to, of, and, that, have, with" rule,
+    *     over the engine's stopword list).
+    * Unlike [[c4LineFilter]] (which rewrites the text line by line),
+    * this is the document-level accept/reject gate; emitting the
+    * signals alongside the flag keeps the decision auditable (threshold
+    * sweeps without recomputation). Pure rational arithmetic + explicit
+    * character classes, so an SQL oracle replays it exactly; one narrow
+    * codegen'd projection, no shuffle, at any corpus size.
+    */
+  def gopherRules(
+      documents: DataFrame,
+      minWords: Int = 25,
+      maxWords: Int = 100000,
+      minStopKinds: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minWords > 0 && maxWords > minWords,
+      s"invalid word bounds [$minWords, $maxWords]")
+    val r4 = graft.functions.GraftFunctions.round4 _
+    val t = col(textCol)
+    val words = tokens(t)
+    val nWords = size(words)
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    // '#' plus non-overlapping '...' runs — both regex engines scan
+    // left to right, so the counts agree by construction
+    val nSymbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val nEllipsis = size(filter(lines, l => l.endsWith("...")))
+    // distinct-presence count over the fixed stopword list, expanded
+    // term by term (array_intersect/list_intersect dedup semantics
+    // differ between engines; the explicit sum can't)
+    val nStopKinds = Stopwords.map(w =>
+      array_contains(words, w).cast("int")).reduce(_ + _)
+    documents.select(
+      col(idCol),
+      nWords.as("n_words"),
+      r4(when(nWords > 0, meanLen).otherwise(0.0)).as("mean_word_len"),
+      r4(when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(0.0))
+        .as("symbol_ratio"),
+      r4(when(nLines > 0, nBullet.cast("double") / nLines).otherwise(0.0))
+        .as("bullet_ratio"),
+      r4(when(nLines > 0, nEllipsis.cast("double") / nLines).otherwise(0.0))
+        .as("ellipsis_ratio"),
+      nStopKinds.as("n_stop_kinds"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        nSymbols.cast("double") / nWords <= 0.1 &&
+        (nLines === 0 || nBullet.cast("double") / nLines < 0.9) &&
+        (nLines === 0 || nEllipsis.cast("double") / nLines < 0.3) &&
+        nStopKinds >= minStopKinds).as("pass"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other chars).
     */

@@ -927,6 +927,75 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** Gopher-rules fixture: the organic docs are single-line, so the
+    * line-shape rules (bullets, trailing ellipsis) are planted in-query
+    * in both engines over coprime moduli — pass-compatible signal
+    * plants (3 bullets of 4 lines; 1 ellipsis of 4) and rule-violating
+    * plants (9 filler bullets -> ratio 0.9; 2 of 3 ellipsis lines;
+    * a '#' barrage that also drags mean word length under 3). The
+    * word-count bound engages organically: the corpus spans 10..99
+    * words around the minWords=25 threshold.
+    */
+  val txt_gopher = QueryDef.sqlChecked(
+    "txt_gopher",
+    """WITH aug AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 6 = 0 THEN chr(10)||'- bullet one'||chr(10)||'- bullet two'||chr(10)||'- bullet three' ELSE '' END
+       |  || CASE WHEN doc_id % 10 = 1 THEN repeat(chr(10)||'- filler bullet line', 9) ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 2 THEN chr(10)||'plain line of words here'||chr(10)||'another plain line here'||chr(10)||'and the story goes on...' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 3 THEN chr(10)||'first trailing dots...'||chr(10)||'second trailing dots...' ELSE '' END
+       |  || CASE WHEN doc_id % 9 = 4 THEN ' # one # two ...' ELSE '' END
+       |  || CASE WHEN doc_id % 17 = 5 THEN ' ' || repeat('# ', 15) || '...' ELSE '' END
+       |  AS text FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+       |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+       |              x -> x <> '') AS ls,
+       |  len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
+       |  FROM aug),
+       |m AS (SELECT doc_id, len(ws) AS nw,
+       |  CASE WHEN len(ws) > 0
+       |       THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)/len(ws)
+       |       ELSE 0.0 END AS mwl,
+       |  n_sym, len(ls) AS nl,
+       |  len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+       |                        OR starts_with(l, '•'))) AS nb,
+       |  len(list_filter(ls, l -> ends_with(l, '...'))) AS ne,
+       |  CAST(list_contains(ws,'the') AS INT) + CAST(list_contains(ws,'a') AS INT)
+       |   + CAST(list_contains(ws,'of') AS INT) + CAST(list_contains(ws,'and') AS INT)
+       |   + CAST(list_contains(ws,'in') AS INT) + CAST(list_contains(ws,'to') AS INT)
+       |   + CAST(list_contains(ws,'is') AS INT) AS nsk
+       | FROM sig)
+       |SELECT doc_id,
+       | CAST(nw AS INTEGER) AS n_words,
+       | round(mwl, 4) AS mean_word_len,
+       | round(CASE WHEN nw > 0 THEN CAST(n_sym AS DOUBLE)/nw ELSE 0.0 END, 4) AS symbol_ratio,
+       | round(CASE WHEN nl > 0 THEN CAST(nb AS DOUBLE)/nl ELSE 0.0 END, 4) AS bullet_ratio,
+       | round(CASE WHEN nl > 0 THEN CAST(ne AS DOUBLE)/nl ELSE 0.0 END, 4) AS ellipsis_ratio,
+       | CAST(nsk AS INTEGER) AS n_stop_kinds,
+       | (nw >= 25 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+       |  AND CAST(n_sym AS DOUBLE)/nw <= 0.1
+       |  AND (nl = 0 OR CAST(nb AS DOUBLE)/nl < 0.9)
+       |  AND (nl = 0 OR CAST(ne AS DOUBLE)/nl < 0.3)
+       |  AND nsk >= 2) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit("\n- bullet one\n- bullet two\n- bullet three")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(10)) === 1,
+          repeat(lit("\n- filler bullet line"), 9)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 2,
+          lit("\nplain line of words here\nanother plain line here\nand the story goes on..."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 3,
+          lit("\nfirst trailing dots...\nsecond trailing dots...")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 4, lit(" # one # two ...")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 5,
+          concat(lit(" "), repeat(lit("# "), 15), lit("..."))).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.gopherRules(aug).orderBy("doc_id")
+  }
+
   /** Domain-statistics fixture: the organic corpus has no URLs, so
     * every 4th doc gets TWO planted URLs over a 15-domain grid
     * (d{0..4}.ex{0..2}.org) in both engines — multi-URL docs pin
@@ -1472,7 +1541,7 @@ object DataPipeline {
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
-    txt_c4_filter,
+    txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, txt_domains,

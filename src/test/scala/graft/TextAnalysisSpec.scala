@@ -31,6 +31,31 @@ class TextAnalysisSpec extends SparkSpec {
       ((1L, 2L, 2L, 1.0)))
   }
 
+  test("gopherRules: each rule flips the pass flag on a planted violator") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over the lazy dog and then " * 3).trim
+    val docs = Seq(
+      (1L, good),                                       // all rules pass
+      (2L, "too few words here"),                       // word-count floor
+      (3L, good + " " + Seq.fill(8)("#").mkString(" ")),  // symbol ratio 8/41 > 0.1
+      (4L, (1 to 30).map(i => s"- bullet $i").mkString("\n")), // all-bullet doc
+      (5L, good + "\nto be continued...\nmore dots follow..."), // 2/3 ellipsis
+      (6L, ("zz yy xx ww vv " * 6).trim))               // zero stopword kinds
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 10).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+    val sig = TextAnalysis.gopherRules(docs, minWords = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // hand-checked signals: doc 1 repeats an 11-word sentence 3x,
+    // bullet doc 4 is 30/30 bullet lines, doc 5 is 2 of 3 ellipsis
+    assert(sig(1L).getInt(1) === 33)
+    assert(sig(4L).getDouble(4) === 1.0)
+    assert(sig(5L).getDouble(5) === 0.6667)
+    assert(sig(6L).getInt(6) === 0)
+  }
+
   test("TextHashing.normalize is the exact twin of normalizedText") {
     import spark.implicits._
     // planted mess: every whitespace kind the widened class covers,
