@@ -428,6 +428,129 @@ object Multimodal {
         .distinct(),
       threshold, maxDocFreq)
 
+  /** Deterministic pool-keyed synthetic audio for near-dup testing:
+    * every `poolEvery`-th document draws its PCM formula from a shared
+    * pool key (planted perceptual duplicates), every other document a
+    * unique key — and each document applies its own amplitude scale
+    * (1-3x). Scaling changes every sample byte but preserves the
+    * energy-envelope gradient signs, which is exactly the invariance
+    * class [[audioEnvelopeHash]] promises — so pool members must pair
+    * at Hamming 0 despite byte-distinct payloads. Pure integer sample
+    * formula (same family as [[syntheticAudio]]'s), so a SQL oracle
+    * replays the decoded samples, the windowed energies and the bits.
+    */
+  def syntheticPatternAudio(
+      documents: DataFrame,
+      poolEvery: Int = 7,
+      poolMod: Int = 23)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      ids.map { id =>
+        val key = if (id % poolEvery == 0) (id / poolEvery) % poolMod
+                  else poolMod + id
+        val scale = (1 + id % 3).toInt
+        val n = (80 + key % 40).toInt
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val v = (((key * 131L + t.toLong * t * 7 + t * 13L) % 20001L - 10000L)
+            * scale).toInt
+          pcm(2 * t) = (v & 0xff).toByte
+          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+          t += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray, MediaMeta("audio", "wav", bos.size.toLong))
+      }
+    }
+  }
+
+  /** Audio perceptual fingerprint: the energy-envelope hash — dHash's
+    * gradient trick in the time domain. The REAL-decoded 16-bit mono
+    * PCM stream is cut into 65 contiguous windows (`w = t*65/n`, the
+    * same integer mean-pool mapping [[dhash]] uses spatially), each
+    * window's energy is the exact integer sum of squared samples, and
+    * bit i says `energy(i+1) > energy(i)` — 64 bits into one long plus
+    * the shared 8 byte-bands. Invariance class: any per-document
+    * amplitude scaling (gain normalization, 8->16 bit re-encodes)
+    * multiplies every window energy by the same factor and leaves all
+    * 64 signs unchanged; additive noise flips only near-tie bits, which
+    * the Hamming threshold absorbs. No FFT — the envelope is the
+    * fingerprint, integer-exact and SQL-mirrorable.
+    *
+    * Clips shorter than 65 samples are EXCLUDED (no signature row) for
+    * dhash's sub-grid reason: empty windows would pin their bits and
+    * pool degenerate "duplicates".
+    */
+  def audioEnvelopeHash(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val windows = 65
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        require(r.meta.kind == "audio",
+          s"audioEnvelopeHash on kind=${r.meta.kind} (doc ${r.doc_id})")
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt (doc ${r.doc_id})")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        if (n < windows) Iterator.empty
+        else {
+          val energy = new Array[Long](windows)
+          var t = 0
+          while (t < n) {
+            val v =
+              if (fmt.isBigEndian) (bytes(2 * t).toInt << 8) | (bytes(2 * t + 1) & 0xff)
+              else (bytes(2 * t + 1).toInt << 8) | (bytes(2 * t) & 0xff)
+            energy(t * windows / n) += v.toLong * v
+            t += 1
+          }
+          val bits = new Array[Int](windows - 1)
+          var i = 0
+          while (i < windows - 1) {
+            if (energy(i + 1) > energy(i)) bits(i) = 1
+            i += 1
+          }
+          var sig = 0L
+          i = 0
+          while (i < bits.length) {
+            if (bits(i) == 1) sig |= 1L << i
+            i += 1
+          }
+          Iterator.single((r.doc_id, sig, graft.functions.TextHashing.byteBands(bits)))
+        }
+      }
+    }.toDF("doc_id", "sig", "bytes")
+  }
+
+  /** Audio near-dup pairs: [[audioEnvelopeHash]] signatures into the
+    * shared byte-band pigeonhole join ([[Dedup.bandedHammingJoin]]) —
+    * guaranteed recall for Hamming <= 7, never all-pairs, bucket-capped.
+    * Completes the near-dup family across modalities: text (dd2-dd4),
+    * image (mm_dhash), video (mm_video), audio here — all four feed the
+    * same banded-join / cluster / keep-one decision layer.
+    */
+  def audioEnvelopePairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 7,
+      maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+    // persist: the signature stage (decode + window per clip) feeds the
+    // cap aggregation, the anti-join side and both band-join sides
+    val sigs = audioEnvelopeHash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.bandedHammingJoin(sigs, maxHamming, maxBucket)
+  }
+
   /** One sampled frame of a chunked media payload. */
   final case class FrameSample(
       doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int, frame_md5: String)

@@ -1349,6 +1349,55 @@ object DataPipeline {
       .orderBy("da", "db")
   }
 
+  /** Audio near-dup mirror: the pool-keyed synthetic WAVs are a pure
+    * integer sample formula times a per-doc amplitude scale, so the
+    * oracle replays the decoded PCM, the 65 windowed integer energies,
+    * the 64 gradient bits, the byte bands and the capped pigeonhole
+    * join — the full engine pipeline in SQL (the dhash mirror's shape,
+    * one dimension down). Pool members share the formula but differ in
+    * scale: every sample byte differs, yet all 64 energy-gradient
+    * signs survive — the pairs the mirror must find at Hamming 0.
+    */
+  private val AudioPairsSql =
+    """WITH keys AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN (doc_id // 7) % 23 ELSE 23 + doc_id END AS k,
+      |    1 + doc_id % 3 AS sc
+      |  FROM documents),
+      |dims AS (SELECT doc_id, k, sc, 80 + k % 40 AS n FROM keys),
+      |samp AS (SELECT doc_id, n, ti.tt AS t,
+      |          ((k*131 + ti.tt*ti.tt*7 + ti.tt*13) % 20001 - 10000) * sc AS v
+      |         FROM dims, range(120) ti(tt) WHERE ti.tt < n),
+      |win AS (SELECT doc_id, (t * 65) // n AS w, sum(v*v) AS e FROM samp GROUP BY 1, 2),
+      |bits AS (SELECT a.doc_id, a.w AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |         FROM win a JOIN win b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |         WHERE a.w < 64),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND i < 32
+      |                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(sum(CASE WHEN bit = 1 AND i >= 32
+      |                  THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS sb
+      |   FROM bits GROUP BY doc_id),
+      |bytes AS (SELECT doc_id, i // 8 AS band,
+      |           CAST(sum(bit << (7 - (i % 8))) AS BIGINT) AS byte_val
+      |          FROM bits GROUP BY doc_id, i // 8),
+      |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
+      |         HAVING count(*) <= 1000),
+      |bk AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b JOIN keep USING (band, byte_val)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bk a JOIN bk b USING (band, byte_val) WHERE a.doc_id < b.doc_id)
+      |SELECT da, db,
+      | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
+      |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
+      |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
+      |ORDER BY da, db""".stripMargin
+
+  val mm_audio_pairs = QueryDef.sqlChecked("mm_audio_pairs", AudioPairsSql) { (s, d) =>
+    implicit val spark = s
+    Multimodal.audioEnvelopePairs(
+      Multimodal.syntheticPatternAudio(Tables.documents(s, d)))
+      .orderBy("da", "db")
+  }
+
   /** Video near-dup mirror: the synthetic videos are fixed-width-frame
     * text payloads whose frame CONTENT is a pure function of a frame id
     * (pool videos = sliding windows over a shared pool, others unique),
@@ -1547,5 +1596,5 @@ object DataPipeline {
     sp4_stratified_sample, sp5_domain_mixture, txt_domains,
     pk1_pack_sequences, pk2_chunk_docs, pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
-    mm_video_pairs)
+    mm_video_pairs, mm_audio_pairs)
 }

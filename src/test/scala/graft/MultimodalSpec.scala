@@ -164,6 +164,39 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)), "0.5x downscale must pair with its source")
   }
 
+  test("audioEnvelopePairs: amplitude-scaled pool twins pair at Hamming 0") {
+    implicit val s = spark
+    import s.implicits._
+    // ids 0 and 161 share pool key 0 (161/7 = 23 ≡ 0 mod 23) but carry
+    // scales 1 vs 3 — every PCM byte differs, the envelope must not;
+    // the other ids are unique-key clips
+    val docs = Seq(0L, 161L, 3L, 4L, 5L).toDF("doc_id")
+    val media = graft.operators.Multimodal.syntheticPatternAudio(docs)
+    // payload sanity: the twins are byte-distinct
+    val payloads = media.collect().map(r => r.doc_id -> r.media).toMap
+    assert(!java.util.Arrays.equals(payloads(0L), payloads(161L)))
+    val pairs = graft.operators.Multimodal.audioEnvelopePairs(media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((0L, 161L)), s"pool twins must pair, got ${pairs.keySet}")
+    assert(pairs((0L, 161L)) === 0, "amplitude scaling must preserve every gradient sign")
+  }
+
+  test("audioEnvelopeHash excludes clips shorter than the window grid") {
+    implicit val s = spark
+    import s.implicits._
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](30 * 2) // 30 samples < 65 windows
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 30L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(graft.operators.MediaRow(
+      1L, bos.toByteArray, graft.operators.MediaMeta("audio", "wav", bos.size.toLong))).toDS()
+    assert(graft.operators.Multimodal.audioEnvelopeHash(media).count() === 0L,
+      "sub-grid clips carry no envelope signal and must be excluded, not zero-hashed")
+  }
+
   test("dhash excludes sub-grid images instead of hashing them to all-zero sigs") {
     implicit val s = spark
     import s.implicits._
