@@ -126,6 +126,114 @@ object Sampling {
         col("off"), col("n_tokens"))
   }
 
+  /** Whole-document bin packing, next-fit in id order: where
+    * [[packSequences]] assigns span offsets that let a document
+    * STRADDLE a bin boundary (the concat-then-slice training layout),
+    * this packs each document WHOLE into capacity-`budget` bins — the
+    * layout for context-window batching where an example must not be
+    * split. Within each hash shard, documents are placed in id order by
+    * the greedy next-fit rule: open a new bin when the current one
+    * can't fit the next document. Over-budget documents get a bin of
+    * their own. (Next-fit's placement depends only on the running fill,
+    * which is what makes the assignment exactly SQL-replayable — the
+    * oracle walks the same recurrence; [[packBinsFirstFit]] is the
+    * tighter-packing refinement whose open-bin state puts it beyond a
+    * SQL mirror.)
+    *
+    * Scale shape: one keyed exchange (repartition by shard) + a
+    * partition-local SORT (Spark's spillable sorter — no group is ever
+    * materialized in memory, unlike a flatMapGroups array) + one
+    * streaming sequential pass. The per-shard sequential dependence is
+    * inherent to bin packing; sharding is what parallelizes it, the
+    * same way [[packSequences]]'s windows do.
+    */
+  def packBinsWholeDoc(
+      documents: DataFrame,
+      budget: Int = 2048,
+      shards: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0 && shards > 0, s"invalid budget=$budget shards=$shards")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val b = budget.toLong
+    documents
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        pmod(mix32(col(idCol)), lit(shards.toLong)).as("shard"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, shard, m) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+          else if (fill > 0L && fill + m > b) { bin += 1L; fill = 0L }
+          val off = fill
+          fill += m
+          (id, shard, bin, off, m)
+        }
+      }
+      .toDF(idCol, "shard", "bin", "off", "n_tokens")
+  }
+
+  /** Whole-document bin packing, first-fit-decreasing: the classic
+    * offline refinement — place documents in descending token order,
+    * each into the FIRST open bin with room, else open a new one. For
+    * any fixed placement order first-fit never opens a bin next-fit
+    * would not (it only ever places earlier), so this is spec-pinned
+    * never-looser than [[packBinsWholeDoc]]'s recurrence run on the
+    * same order, and in practice packs the small-doc tail into the
+    * gaps big documents leave.
+    *
+    * The open-bin fill table is per-shard mutable state (O(bins per
+    * shard) longs — size the shard count so a shard's token mass over
+    * `budget` stays driver-of-thousands, not millions), which is
+    * exactly what puts first-fit beyond a SQL window/recurrence mirror:
+    * it is library surface with property specs, not an oracle query.
+    */
+  def packBinsFirstFit(
+      documents: DataFrame,
+      budget: Int = 2048,
+      shards: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0 && shards > 0, s"invalid budget=$budget shards=$shards")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val b = budget.toLong
+    documents
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        pmod(mix32(col(idCol)), lit(shards.toLong)).as("shard"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var fills = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.map { case (id, shard, m) =>
+          if (shard != curShard) {
+            curShard = shard
+            fills = new scala.collection.mutable.ArrayBuffer[Long]()
+          }
+          // descending order makes a linear first-fit scan cheap: most
+          // docs land in the last few bins; over-budget docs fit nowhere
+          // and open their own
+          var bin = 0
+          while (bin < fills.length && fills(bin) + m > b) bin += 1
+          val off = if (bin < fills.length) fills(bin) else 0L
+          if (bin < fills.length) fills(bin) += m else fills += m
+          (id, shard, bin.toLong, off, m)
+        }
+      }
+      .toDF(idCol, "shard", "bin", "off", "n_tokens")
+  }
+
   /** Document chunking: split each document's token stream into
     * overlapping fixed-size windows — the pre-tokenization pass that
     * turns long documents into model-sized contexts (the step BEFORE

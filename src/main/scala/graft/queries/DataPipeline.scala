@@ -791,6 +791,41 @@ object DataPipeline {
     Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Whole-doc bin-packing fixture: budget 256 so the ~16-doc shards
+    * (10-99 tokens each) genuinely open 3-5 bins — the operator's 2048
+    * default would leave every shard single-bin, proving nothing. The
+    * mirror replays the greedy next-fit placement with a per-shard
+    * WITH RECURSIVE walk over the id-ordered docs — bin packing is
+    * inherently sequential, which is exactly why the engine shards it;
+    * the recursion depth is the max shard size.
+    */
+  val pk3_pack_whole_docs = QueryDef.sqlChecked(
+    "pk3_pack_whole_docs",
+    s"""WITH RECURSIVE mx AS ${mix32Sql("doc_id, text")},
+       |t AS (SELECT doc_id, hs % 32 AS shard,
+       |       CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)
+       |         AS n_tokens
+       |      FROM mx),
+       |r AS (SELECT doc_id, shard, n_tokens,
+       |       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       |      FROM t),
+       |p AS (
+       |  SELECT doc_id, shard, n_tokens, rn,
+       |         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+       |    CASE WHEN p.off + p.n_tokens + r.n_tokens <= 256
+       |         THEN p.bin ELSE p.bin + 1 END,
+       |    CASE WHEN p.off + p.n_tokens + r.n_tokens <= 256
+       |         THEN p.off + p.n_tokens ELSE CAST(0 AS BIGINT) END
+       |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+       |SELECT doc_id, shard, bin, off, n_tokens FROM p
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.packBinsWholeDoc(Tables.documents(s, d), budget = 256)
+      .orderBy("doc_id")
+  }
+
   /** Chunking fixture: 32-token windows with 8-token overlap so the
     * ~55-token organic docs split into 2-3 chunks (the 512/64 operator
     * defaults would leave every doc single-chunk — nothing proven).
@@ -1594,7 +1629,8 @@ object DataPipeline {
     dc1_decontaminate, dc2_overlap_with,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, txt_domains,
-    pk1_pack_sequences, pk2_chunk_docs, pipe1_training_pipeline,
+    pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
+    pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_video_pairs, mm_audio_pairs)
 }

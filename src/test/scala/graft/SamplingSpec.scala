@@ -56,6 +56,69 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packBinsWholeDoc: whole docs, budget respected, contiguous fills") {
+    val budget = 256L
+    val p = Sampling.packBinsWholeDoc(docs, budget = 256, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p.nonEmpty)
+    assert(p.length === docs.count(), "every doc placed exactly once")
+    p.groupBy(r => (r._2, r._3)).foreach { case ((shard, bin), rows) =>
+      val total = rows.map(_._5).sum
+      // a bin only exceeds budget when a single over-budget doc owns it
+      assert(total <= budget || rows.length === 1,
+        s"shard $shard bin $bin over budget with ${rows.length} docs")
+      // offsets tile the bin contiguously in placement (id) order
+      val ordered = rows.sortBy(_._1)
+      var off = 0L
+      ordered.foreach { case (id, _, _, o, n) =>
+        assert(o === off, s"doc $id offset $o != running fill $off")
+        off += n
+      }
+    }
+    // bins are consumed in order within a shard: no index gaps
+    p.groupBy(_._2).foreach { case (shard, rows) =>
+      val bins = rows.map(_._3).distinct.sorted
+      assert(bins === (0L until bins.length).toArray.toSeq.toArray,
+        s"shard $shard bin ids not contiguous: ${bins.mkString(",")}")
+    }
+    // determinism under re-partitioning (id-derived shard + id order)
+    val q = Sampling.packBinsWholeDoc(docs.repartition(7), budget = 256, shards = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(q.toSet === p.toSet)
+  }
+
+  test("packBinsFirstFit: capacity kept, never looser than whole-doc next-fit") {
+    val budget = 256L
+    val ff = Sampling.packBinsFirstFit(docs, budget = 256, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(ff.length === docs.count())
+    ff.groupBy(r => (r._2, r._3)).foreach { case ((shard, bin), rows) =>
+      val total = rows.map(_._5).sum
+      assert(total <= budget || rows.length === 1,
+        s"shard $shard bin $bin over budget")
+    }
+    // first-fit on the SAME (descending) order can only place earlier
+    // than next-fit would — replay next-fit on that order and compare
+    val nfDesc = ff.map(r => (r._1, r._2, r._5)).groupBy(_._2)
+      .map { case (_, rows) =>
+        var bins = 1L; var fill = 0L
+        rows.sortBy(r => (-r._3, r._1)).foreach { case (_, _, n) =>
+          if (fill > 0 && fill + n > budget) { bins += 1; fill = 0 }
+          fill += n
+        }
+        bins
+      }.sum
+    val ffBins = ff.map(r => (r._2, r._3)).distinct.length
+    assert(ffBins <= nfDesc, s"first-fit used $ffBins bins vs next-fit $nfDesc")
+    // and on this organic fixture it should genuinely pack tighter than
+    // the id-order packing (the refinement has to buy something)
+    val nfId = Sampling.packBinsWholeDoc(docs, budget = 256, shards = 8)
+      .select("shard", "bin").distinct().count()
+    assert(ffBins <= nfId,
+      s"first-fit-decreasing used $ffBins bins vs id-order next-fit $nfId")
+  }
+
   test("packSequences: total tokens are conserved across shards") {
     val p = Sampling.packSequences(docs, budget = 256, shards = 8)
     val packed = p.agg(sum("n_tokens")).head().getLong(0)
