@@ -122,6 +122,40 @@ object Decontamination {
       .toDF(idCol)
   }
 
+  /** The reverse report: per EVAL document, how badly it leaked into
+    * the training corpus — distinct leaked grams, distinct train docs
+    * carrying them, total grams, leak ratio. [[overlapWith]] answers
+    * "which training docs must I drop"; this answers "which benchmark
+    * items are compromised" (the score-inflation audit a leaked eval
+    * set needs). Only eval docs with at least one leak appear.
+    *
+    * Scale shape: same contract as the sibling forms — the eval
+    * shingle table is small and BROADCAST into the hit join, the
+    * corpus side is one narrow shingle explode, never shuffled by
+    * shingle; only HIT rows (bounded by the actual overlap) reach the
+    * per-eval-doc aggregation.
+    */
+  def evalLeakReport(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramSize: Int = 4): DataFrame = {
+    val trainSh = shingleTable(train, idCol, textCol, gramSize)
+    val evalSh = shingleTable(evalDocs, idCol, textCol, gramSize)
+      .withColumnRenamed("doc_id", "eval_id")
+    val sizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    trainSh.join(broadcast(evalSh), "s")
+      .groupBy("eval_id").agg(
+        countDistinct(col("s")).as("n_leaked_grams"),
+        countDistinct(col("doc_id")).as("n_train_docs"))
+      .join(broadcast(sizes), "eval_id")
+      .select(col("eval_id"), col("n_leaked_grams"), col("n_train_docs"),
+        col("n_grams"),
+        round(col("n_leaked_grams").cast("double") / col("n_grams"), 4)
+          .as("leak_ratio"))
+  }
+
   private def finish(trainSh: DataFrame, evalSh: DataFrame): DataFrame = {
     val hits = trainSh.join(broadcast(evalSh), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))

@@ -234,6 +234,27 @@ object Sampling {
       .toDF(idCol, "shard", "bin", "off", "n_tokens")
   }
 
+  /** Deterministic fixed-size uniform sample: the first `n` documents
+    * in avalanche-hash order (id tiebreak) — "give me 10k random docs"
+    * without randomness, stable across runs, re-partitioning and
+    * appends-that-don't-displace. Plans as TakeOrderedAndProject (a
+    * bounded heap per partition + driver merge of n-row heads), NOT a
+    * full sort — the only way a global "random N" is affordable on a
+    * corpus-scale table. The mix32 order makes it unbiased wrt any
+    * content correlate of the id.
+    */
+  def sampleN(
+      documents: DataFrame,
+      n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"invalid sample size n=$n")
+    documents
+      .select(col(idCol), pmod(mix32(col(idCol)), lit(1000000L)).as("rk"))
+      .orderBy(col("rk"), col(idCol))
+      .limit(n)
+      .select(col(idCol), col("rk"))
+  }
+
   /** Document chunking: split each document's token stream into
     * overlapping fixed-size windows — the pre-tokenization pass that
     * turns long documents into model-sized contexts (the step BEFORE

@@ -256,6 +256,44 @@ object TrainingPipeline {
       .sortWithinPartitions(col("split"), col("shard"), col(idCol))
   }
 
+  /** Release-to-release diff: which documents were added, removed or
+    * changed between two corpus releases — the audit a versioned
+    * dataset needs (what did this cleaning-rule change actually do?)
+    * and the input to incremental re-processing (only `added`/`changed`
+    * docs need re-embedding). Content identity is the md5 of the
+    * `contentCols` tuple (unit-separator joined, null-marked, so
+    * ("a",null) can't alias ("a","") or a shifted tuple); docs present
+    * in both releases with equal digests are dropped from the output —
+    * at corpus scale the diff is small and the unchanged mass is the
+    * last thing to materialize.
+    *
+    * Scale shape: one narrow digest projection per side + ONE keyed
+    * full-outer join on the id; nothing else shuffles. Digests cross
+    * the exchange instead of document bodies.
+    */
+  def releaseDiff(
+      oldRelease: DataFrame,
+      newRelease: DataFrame,
+      idCol: String = "doc_id",
+      contentCols: Seq[String] = Seq("text")): DataFrame = {
+    require(contentCols.nonEmpty, "releaseDiff needs at least one content column")
+    def digested(df: DataFrame, md5Name: String): DataFrame =
+      df.select(
+        col(idCol).cast("long").as(idCol),
+        md5(concat_ws("\u0001",
+          contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+          .as(md5Name))
+    digested(oldRelease, "old_md5")
+      .join(digested(newRelease, "new_md5"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"), col("old_md5"), col("new_md5"))
+  }
+
   /** Write a corpus release as deterministic sharded parquet:
     * `path/split=…/shard=…/` directories, one file per (split, shard)
     * (each shard lands in one task), rows id-sorted within every file.

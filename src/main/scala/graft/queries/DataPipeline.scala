@@ -670,6 +670,42 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** The reverse report over the same split: which EVAL docs leaked,
+    * into how many train docs, over what fraction of their grams —
+    * the benchmark-compromise audit (dc2 names the train docs to drop;
+    * dc3 names the eval items whose scores are inflated).
+    */
+  private val LeakReportSql: String = {
+    val K = 4
+    val joins = (1 until K)
+      .map(j => s"JOIN tok t$j ON t$j.doc_id = a.doc_id AND t$j.i = a.i + $j")
+      .mkString(" ")
+    val gram = "a.w" + (1 until K).map(j => s" || ' ' || t$j.w").mkString
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |sh AS (SELECT DISTINCT a.doc_id, $gram AS s FROM tok a $joins),
+       |evs AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 100 < 3),
+       |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 >= 3),
+       |hit AS (SELECT e.eval_id,
+       |         CAST(count(DISTINCT e.s) AS BIGINT) AS n_leaked_grams,
+       |         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs
+       |        FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1),
+       |sz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams FROM evs GROUP BY 1)
+       |SELECT eval_id, n_leaked_grams, n_train_docs, n_grams,
+       | round(n_leaked_grams*1.0/n_grams, 4) AS leak_ratio
+       |FROM hit JOIN sz USING (eval_id) ORDER BY eval_id""".stripMargin
+  }
+
+  val dc3_eval_leak_report = QueryDef.sqlChecked(
+    "dc3_eval_leak_report", LeakReportSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Decontamination.evalLeakReport(
+      train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3),
+      evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
+      .orderBy("eval_id")
+  }
+
   /** PII redaction over documents with deterministic in-query pattern
     * injection (every 7th doc gets a synthetic email + URL appended, in
     * both engines) so the redaction provably ENGAGES — the organic
@@ -789,6 +825,53 @@ object DataPipeline {
        |SELECT doc_id, shard, CAST(off // 2048 AS BIGINT) AS bin, off, n_tokens
        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
     Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Fixed-size deterministic sample: 137 docs in mix32-hash order.
+    * TakeOrdered semantics (bounded heap, no full sort) are the engine
+    * side; the mirror is the literal ORDER BY + LIMIT. The odd size
+    * avoids accidentally matching any round fixture constant.
+    */
+  val sp7_sample_n = QueryDef.sqlChecked(
+    "sp7_sample_n",
+    s"""WITH mx AS ${mix32Sql("doc_id")}
+       |SELECT doc_id, hs % 1000000 AS rk
+       |FROM mx ORDER BY rk, doc_id LIMIT 137""".stripMargin) { (s, d) =>
+    Sampling.sampleN(Tables.documents(s, d), 137)
+    // already deterministically ordered by construction (rk, id)
+  }
+
+  /** Release-diff fixture: two releases derived in-query from the one
+    * documents table — the old release drops every 7th doc, the new
+    * release drops every 5th and rewrites every 11th — so all three
+    * statuses appear, interleaved, with exact md5 evidence. Both
+    * engines build the identical pair of frames.
+    */
+  val rl1_release_diff = QueryDef.sqlChecked(
+    "rl1_release_diff",
+    """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |new AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN text || ' amended' ELSE text END AS text
+      |        FROM documents WHERE doc_id % 5 <> 0),
+      |j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+      |        md5(old.text) AS old_md5, md5(new.text) AS new_md5
+      |      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+      |SELECT doc_id,
+      | CASE WHEN old_md5 IS NULL THEN 'added'
+      |      WHEN new_md5 IS NULL THEN 'removed'
+      |      WHEN old_md5 <> new_md5 THEN 'changed' END AS status,
+      | old_md5, new_md5
+      |FROM j
+      |WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val oldR = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val newR = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit(" amended")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.TrainingPipeline.releaseDiff(oldR, newR)
+      .orderBy("doc_id")
   }
 
   /** Whole-doc bin-packing fixture: budget 256 so the ~16-doc shards
@@ -1626,9 +1709,10 @@ object DataPipeline {
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
-    dc1_decontaminate, dc2_overlap_with,
+    dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
-    sp4_stratified_sample, sp5_domain_mixture, txt_domains,
+    sp4_stratified_sample, sp5_domain_mixture, sp7_sample_n,
+    rl1_release_diff, txt_domains,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,

@@ -119,6 +119,40 @@ class SamplingSpec extends SparkSpec {
       s"first-fit-decreasing used $ffBins bins vs id-order next-fit $nfId")
   }
 
+  test("sampleN: deterministic, hash-ordered, TakeOrdered plan (no full sort)") {
+    val a = Sampling.sampleN(docs, 137).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.length === 137)
+    // deterministic across runs and input partitioning
+    val b = Sampling.sampleN(docs.repartition(7), 137).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+    // ordered by (rk, id): the first n of the global hash order
+    assert(a.toSeq === a.sortBy(r => (r._2, r._1)).toSeq)
+    // growing n only APPENDS (prefix stability — the property that lets
+    // a pinned sample grow without resampling)
+    val bigger = Sampling.sampleN(docs, 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bigger.take(137).toSeq === a.toSeq)
+    // plan: TakeOrdered, not a global Sort exchange
+    val plan = Sampling.sampleN(docs, 137).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("releaseDiff: added/removed/changed statuses with md5 evidence") {
+    import spark.implicits._
+    val oldR = Seq((1L, "same"), (2L, "dropped"), (3L, "before")).toDF("doc_id", "text")
+    val newR = Seq((1L, "same"), (3L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val d = graft.operators.TrainingPipeline.releaseDiff(oldR, newR).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(2L -> "removed", 3L -> "changed", 4L -> "added"))
+    // unchanged docs are absent, both digests present on changes
+    val full = graft.operators.TrainingPipeline.releaseDiff(oldR, newR).collect()
+    assert(!full.exists(_.getLong(0) == 1L))
+    val ch = full.find(_.getLong(0) == 3L).get
+    assert(ch.getString(2) != null && ch.getString(3) != null && ch.getString(2) != ch.getString(3))
+  }
+
   test("packSequences: total tokens are conserved across shards") {
     val p = Sampling.packSequences(docs, budget = 256, shards = 8)
     val packed = p.agg(sum("n_tokens")).head().getLong(0)

@@ -111,6 +111,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.nonEmpty, "fixture should produce at least one organic contamination")
   }
 
+  test("evalLeakReport: per-eval-doc leak counts on a planted leak") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "one two three four five"),        // leaks eval 100 fully
+      (11L, "zz one two three four qq"),       // leaks 1 gram of eval 100
+      (12L, "alpha beta gamma delta eps")).toDF("doc_id", "text") // clean
+    val evalDocs = Seq(
+      (100L, "one two three four five"),       // 2 grams, both leaked
+      (101L, "untouched words stay here safe") // never leaked -> absent
+    ).toDF("doc_id", "text")
+    val out = Decontamination.evalLeakReport(train, evalDocs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(100L))
+    // 2 of 2 grams leaked, carried by 2 distinct train docs
+    assert(out(100L) === ((2L, 2L, 2L, 1.0)))
+  }
+
   test("decontamination flags a train doc that duplicates an eval doc") {
     import spark.implicits._
     // mix32(0) = 0 -> doc 0 lands in the eval split (0 % 19 == 0);
