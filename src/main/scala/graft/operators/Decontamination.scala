@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch.BloomFilter
 import graft.functions.TextHashing
 
 /** Benchmark decontamination: flag training documents that share word
@@ -12,20 +14,45 @@ import graft.functions.TextHashing
   * is part of the engine's declared training-pipeline surface
   * (SURVEY.md §2.b north-star slots).
   *
-  * Scale design: the corpus side is one narrow shingle explode. The
-  * eval side reduces to a DISTINCT shingle set and BROADCASTS, so the
-  * hit join is map-side — the corpus is never shuffled by shingle, and
-  * the output is bounded by the corpus shingle count (eval shingles are
-  * distinct, so each corpus shingle matches at most once). The
-  * broadcast is justified by the deployment contract: real benchmark
-  * eval sets are orders of magnitude smaller than the training corpus.
-  * [[overlapWith]] is that deployment API (explicit eval corpus);
-  * [[overlap]] derives a hash-split from one table so the WHOLE
-  * pipeline, split included, replays in the DuckDB oracle — at real
-  * scale its 1/evalMod "eval" side would grow with the corpus, so it
-  * is the oracle-checkable demo, not the deployment form.
+  * Scale design — the eval side is GUARDED, not assumed small: every
+  * entry point routes through [[evalSide]], which counts the distinct
+  * eval shingle set first.
+  *   - Under [[MaxCollectedEvalShingles]] (the normal case: real
+  *     benchmark eval suites are orders of magnitude smaller than the
+  *     training corpus) the set is collected and broadcast, and the
+  *     corpus side runs as ONE narrow typed pass — tokenize, slide,
+  *     membership-test — no explode, no shuffle.
+  *   - Over the cap (a fat eval suite, or a mis-pointed `evalDocs`
+  *     argument) the driver NEVER materializes the set. Instead a
+  *     Bloom sketch of the eval shingle hashes is built distributed
+  *     (`stat.bloomFilter`, a treeAggregate — bounded bytes regardless
+  *     of eval cardinality) and broadcast; the corpus is prefiltered by
+  *     the sketch in the same narrow typed pass (no false negatives, so
+  *     non-candidates are definitively clean), and only the surviving
+  *     candidates — dup fraction + fpp stragglers — pay the exact
+  *     shingle-explode confirm join against the distinct eval shingle
+  *     frame. The full corpus is never exploded and never shuffled by
+  *     shingle; the confirm exchange carries candidate rows only.
+  *
+  * Both paths produce the identical result (parity spec-pinned on
+  * planted + organic data); the cap is purely a physical-strategy
+  * switch, the same way Spark itself picks broadcast vs shuffle joins.
   */
 object Decontamination {
+
+  /** Driver-collect cap on the distinct eval shingle count. Under it,
+    * the set is collected and broadcast (~40 B/shingle -> low hundreds
+    * of MB worst case, inside driver/executor headroom); over it, the
+    * sketch fallback engages. Callers can tighten or (deliberately)
+    * raise it per call.
+    */
+  val MaxCollectedEvalShingles: Long = 2L * 1000 * 1000
+
+  /** Sketch fpp for the over-cap fallback — same operating point as
+    * [[Dedup.bloomPrefilterDedup]]: ~1% of clean docs become confirm
+    * candidates, everything else never reaches the join.
+    */
+  private val SketchFpp: Double = 0.01
 
   /** Distinct `k`-gram shingles per doc, as a (doc_id, s) table. */
   private def shingleTable(
@@ -40,29 +67,121 @@ object Decontamination {
       .toDF("doc_id", "s")
   }
 
+  /** The guarded eval side: count the distinct eval shingles, then
+    * either collect them (Left: the broadcast-set narrow path) or keep
+    * them distributed behind a Bloom sketch of their [[TextHashing
+    * .poly63]] hashes (Right: frame + sketch, for the exact confirm
+    * join + narrow prefilter). The sketch hash is OURS on both the
+    * insert and probe side — no dependence on engine-internal string
+    * hashing — and the confirm is exact on strings, so sketch quality
+    * only affects candidate count, never results.
+    */
+  private def evalSide(
+      evalDocs: DataFrame,
+      textCol: String,
+      k: Int,
+      maxCollected: Long):
+      Either[Broadcast[Set[String]], (DataFrame, Broadcast[BloomFilter])] = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    // persist: the distinct shingle frame feeds the count AND then
+    // either the collect or the sketch build + confirm join
+    val evalSh = evalDocs.select(col(textCol)).as[String]
+      .flatMap(t => TextHashing.shingles(TextHashing.tokens(t), k))
+      .toDF("s").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = evalSh.count()
+    if (n <= maxCollected) {
+      val set = evalSh.as[String].collect().toSet
+      evalSh.unpersist()
+      Left(spark.sparkContext.broadcast(set))
+    } else {
+      val hashes = evalSh.as[String].map(TextHashing.poly63).toDF("h")
+      val bf = hashes.stat.bloomFilter("h", math.max(n, 1L), SketchFpp)
+      Right((evalSh, spark.sparkContext.broadcast(bf)))
+    }
+  }
+
+  /** Narrow candidate prefilter for the sketch path: training docs with
+    * at least one shingle the sketch might contain. No false negatives:
+    * every genuinely contaminated doc survives; ~fpp of clean docs ride
+    * along and are cleared by the exact confirm.
+    */
+  private def sketchCandidates(
+      train: DataFrame,
+      bfB: Broadcast[BloomFilter],
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.Dataset[(Long, String)] = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    Dedup.spread(train.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .filter { case (_, text) =>
+        TextHashing.shingles(TextHashing.tokens(text), k)
+          .exists(s => bfB.value.mightContainLong(TextHashing.poly63(s)))
+      }
+  }
+
   /** Deployment form: explicit (small) eval corpus vs the training
     * corpus. Per contaminated training doc: overlapping distinct grams,
     * total distinct grams, and the ratio.
+    *
+    * Under the collect cap this is ONE narrow corpus pass with zero
+    * joins: per doc, the distinct shingle array is counted against the
+    * broadcast set in place (docs with no hit are dropped before any
+    * aggregation exists to pay for). Only the over-cap fallback pays
+    * the explode + counting join, and only candidate docs reach it.
+    * Ratio rounding is [[TextHashing.round4]] — the engine's one
+    * DuckDB-parity rounding definition.
     */
   def overlapWith(
       train: DataFrame,
       evalDocs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      gramSize: Int = 4): DataFrame = {
-    // persist: the train shingles feed the per-doc size aggregation AND
-    // the hit join (no shared exchange)
-    val trainSh = shingleTable(train, idCol, textCol, gramSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val evalSh = shingleTable(evalDocs, idCol, textCol, gramSize)
-      .select("s").distinct()
-    finish(trainSh, evalSh)
+      gramSize: Int = 4,
+      maxCollectedShingles: Long = MaxCollectedEvalShingles): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val k = gramSize
+    evalSide(evalDocs, textCol, k, maxCollectedShingles) match {
+      case Left(evalB) =>
+        Dedup.spread(train.select(col(idCol).cast("long"), col(textCol)))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val sh = TextHashing.shingles(TextHashing.tokens(text), k)
+            var hits = 0
+            var i = 0
+            while (i < sh.length) {
+              if (evalB.value.contains(sh(i))) hits += 1
+              i += 1
+            }
+            if (hits == 0) Iterator.empty
+            else Iterator((id, hits.toLong, sh.length.toLong,
+              TextHashing.round4(hits.toDouble / sh.length)))
+          }
+          .toDF("doc_id", "n_hits", "n_shingles", "overlap_ratio")
+      case Right((evalSh, bfB)) =>
+        val cand = sketchCandidates(train, bfB, idCol, textCol, k)
+        // only candidates pay the explode; persist because the shingle
+        // frame feeds the hit join AND the per-doc size aggregation
+        val candSh = cand.flatMap { case (id, text) =>
+            TextHashing.shingles(TextHashing.tokens(text), k).map(s => (id, s))
+          }
+          .toDF("doc_id", "s")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        finish(candSh, evalSh, hintBroadcast = false)
+    }
   }
 
   /** Oracle-checkable single-table form: the eval split is selected by
     * a deterministic hash of the id (`mix32(doc_id) % evalMod == 0`),
     * so split + overlap replay exactly in the SQL mirror. One corpus
-    * scan feeds both sides.
+    * scan feeds both sides. This is the oracle DEMO of the counting
+    * join (its 1/evalMod "eval" side grows with the corpus, so the
+    * broadcast is justified by the demo's fixed scale, not the
+    * deployment contract — use [[overlapWith]] in a real pipeline).
     */
   def overlap(
       documents: DataFrame,
@@ -82,44 +201,116 @@ object Decontamination {
       }
       .toDF("doc_id", "s", "is_eval")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    finish(sh.filter(!col("is_eval")), sh.filter(col("is_eval")).select("s").distinct())
+    finish(sh.filter(!col("is_eval")),
+      sh.filter(col("is_eval")).select("s").distinct(), hintBroadcast = true)
   }
 
   /** Contaminated-id form: just the training doc_ids sharing at least
     * one `gramSize`-gram with the eval corpus — the decision the
     * cleaning pipeline actually consumes (drop the doc), without
-    * [[overlapWith]]'s per-doc ratio bookkeeping.
+    * [[overlapWith]]'s per-doc ratio bookkeeping. Short-circuits on the
+    * first hit per document, so it is strictly cheaper whenever only
+    * the drop decision is needed.
     *
-    * Scale shape: the eval shingle set is collected (it is DISTINCT
-    * shingles of the small eval corpus — the same "eval is orders of
-    * magnitude smaller" contract that justifies overlapWith's
-    * broadcast) and broadcast as a hash set; the corpus side is then
-    * ONE narrow typed pass — tokenize, slide, membership-test — with
-    * no explode, no shuffle, no aggregation. Where overlapWith
-    * materializes every corpus shingle to count them, this form
-    * short-circuits on the first hit per document, so it is strictly
-    * cheaper whenever only the drop decision is needed.
+    * Guarded like every entry point (see object scaladoc): broadcast
+    * set + narrow first-hit pass under the cap; sketch prefilter +
+    * candidate-only exact confirm over it.
     */
   def contaminatedIds(
       train: DataFrame,
       evalDocs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      gramSize: Int = 4): DataFrame = {
+      gramSize: Int = 4,
+      maxCollectedShingles: Long = MaxCollectedEvalShingles): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     val k = gramSize
-    val evalSet = evalDocs.select(col(textCol)).as[String]
-      .flatMap(t => TextHashing.shingles(TextHashing.tokens(t), k))
-      .distinct().collect().toSet
-    val evalB = spark.sparkContext.broadcast(evalSet)
-    Dedup.spread(train.select(col(idCol).cast("long"), col(textCol)))
-      .as[(Long, String)]
-      .filter { case (_, text) =>
-        TextHashing.shingles(TextHashing.tokens(text), k).exists(evalB.value)
-      }
-      .map(_._1)
-      .toDF(idCol)
+    evalSide(evalDocs, textCol, k, maxCollectedShingles) match {
+      case Left(evalB) =>
+        Dedup.spread(train.select(col(idCol).cast("long"), col(textCol)))
+          .as[(Long, String)]
+          .filter { case (_, text) =>
+            TextHashing.shingles(TextHashing.tokens(text), k).exists(evalB.value)
+          }
+          .map(_._1)
+          .toDF(idCol)
+      case Right((evalSh, bfB)) =>
+        val candSh = sketchCandidates(train, bfB, idCol, textCol, k)
+          .flatMap { case (id, text) =>
+            TextHashing.shingles(TextHashing.tokens(text), k).map(s => (id, s))
+          }
+          .toDF("doc_id", "s")
+        candSh.join(evalSh, Seq("s"), "left_semi")
+          .select(col("doc_id").as(idCol)).distinct()
+    }
+  }
+
+  /** Keep-side form: the training docs that SURVIVE decontamination,
+    * with id + text preserved — the stage shape a composed pipeline
+    * consumes ([[TrainingPipeline]] stage 4). Same guarded eval side:
+    * under the cap one narrow no-hit filter; over it, the no-hit mass
+    * passes narrowly (sketch has no false negatives) and only
+    * candidates pay the exact confirm, rejoining via an anti-join that
+    * is bounded by the candidate count, never the corpus.
+    */
+  def decontaminate(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramSize: Int = 4,
+      maxCollectedShingles: Long = MaxCollectedEvalShingles): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    keepFilter(
+      Dedup.spread(train.select(col(idCol).cast("long"), col(textCol)))
+        .as[(Long, String)],
+      evalDocs, idCol, textCol, gramSize, maxCollectedShingles)
+  }
+
+  /** [[decontaminate]]'s core over an already-shaped (id, text) typed
+    * dataset, WITHOUT the [[Dedup.spread]] fan-out — for pipeline
+    * stages whose input already descends from a spread source (spread's
+    * partition-count probe plans its input, which under AQE eagerly
+    * materializes any shuffle stages the frame contains — wrong for a
+    * mid-pipeline frame full of joins).
+    */
+  private[operators] def keepFilter(
+      base: org.apache.spark.sql.Dataset[(Long, String)],
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int,
+      maxCollectedShingles: Long): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val k = gramSize
+    evalSide(evalDocs, textCol, k, maxCollectedShingles) match {
+      case Left(evalB) =>
+        base
+          .filter { case (_, text) =>
+            !TextHashing.shingles(TextHashing.tokens(text), k).exists(evalB.value)
+          }
+          .toDF(idCol, textCol)
+      case Right((evalSh, bfB)) =>
+        def mightHit(text: String): Boolean =
+          TextHashing.shingles(TextHashing.tokens(text), k)
+            .exists(s => bfB.value.mightContainLong(TextHashing.poly63(s)))
+        // no sketch hit -> definitively clean (no false negatives),
+        // passes through narrowly without ever touching a join
+        val clean = base.filter { case (_, text) => !mightHit(text) }
+          .toDF(idCol, textCol)
+        val cand = base.filter { case (_, text) => mightHit(text) }
+          .toDF(idCol, textCol)
+        val candSh = cand.as[(Long, String)].flatMap { case (id, text) =>
+            TextHashing.shingles(TextHashing.tokens(text), k).map(s => (id, s))
+          }
+          .toDF("doc_id", "s")
+        val confirmed = candSh.join(evalSh, Seq("s"), "left_semi")
+          .select(col("doc_id").as(idCol)).distinct()
+        clean.union(cand.join(confirmed, Seq(idCol), "left_anti"))
+    }
   }
 
   /** The reverse report: per EVAL document, how badly it leaked into
@@ -129,35 +320,45 @@ object Decontamination {
     * items are compromised" (the score-inflation audit a leaked eval
     * set needs). Only eval docs with at least one leak appear.
     *
-    * Scale shape: same contract as the sibling forms — the eval
-    * shingle table is small and BROADCAST into the hit join, the
-    * corpus side is one narrow shingle explode, never shuffled by
-    * shingle; only HIT rows (bounded by the actual overlap) reach the
-    * per-eval-doc aggregation.
+    * Scale shape: the eval shingle table is counted first; under
+    * `maxBroadcastShingleRows` it BROADCASTS into the hit join (the
+    * normal case) and the corpus side is one narrow shingle explode,
+    * never shuffled by shingle. Over the cap the hint is simply
+    * omitted — the join degrades to a keyed shuffle, the honest cost
+    * of auditing a corpus-scale "eval" set, instead of an executor
+    * OOM from force-broadcasting it.
     */
   def evalLeakReport(
       train: DataFrame,
       evalDocs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      gramSize: Int = 4): DataFrame = {
+      gramSize: Int = 4,
+      maxBroadcastShingleRows: Long = MaxCollectedEvalShingles): DataFrame = {
     val trainSh = shingleTable(train, idCol, textCol, gramSize)
+    // persist: feeds the count guard, the per-eval-doc sizes AND the
+    // hit join
     val evalSh = shingleTable(evalDocs, idCol, textCol, gramSize)
       .withColumnRenamed("doc_id", "eval_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val small = evalSh.count() <= maxBroadcastShingleRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val sizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
-    trainSh.join(broadcast(evalSh), "s")
+    trainSh.join(hinted(evalSh), "s")
       .groupBy("eval_id").agg(
         countDistinct(col("s")).as("n_leaked_grams"),
         countDistinct(col("doc_id")).as("n_train_docs"))
-      .join(broadcast(sizes), "eval_id")
+      .join(hinted(sizes), "eval_id")
       .select(col("eval_id"), col("n_leaked_grams"), col("n_train_docs"),
         col("n_grams"),
         round(col("n_leaked_grams").cast("double") / col("n_grams"), 4)
           .as("leak_ratio"))
   }
 
-  private def finish(trainSh: DataFrame, evalSh: DataFrame): DataFrame = {
-    val hits = trainSh.join(broadcast(evalSh), "s")
+  private def finish(
+      trainSh: DataFrame, evalSh: DataFrame, hintBroadcast: Boolean): DataFrame = {
+    val evalSide = if (hintBroadcast) broadcast(evalSh) else evalSh
+    val hits = trainSh.join(evalSide, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     hits.join(sizes, "doc_id")

@@ -201,24 +201,19 @@ object TrainingPipeline {
       .observe(dedupedObs, count(lit(1)).as("n_deduped"))
 
     // 4. decontaminate: any 4-gram shared with the eval slice drops the
-    // doc. The drop decision is computed the cheap way — the eval
-    // shingle set (distinct 4-grams of the tiny held-out slice, the
-    // same smallness contract that justifies Decontamination's
-    // broadcast join) collected and broadcast, then ONE narrow typed
-    // filter over the deduped corpus: no shingle explode, no shuffle,
-    // no anti-join. Semantically identical to
+    // doc. [[Decontamination.keepFilter]] — the GUARDED form: the eval
+    // shingle set is counted first; under the cap it is collected and
+    // broadcast for one narrow typed filter (no shingle explode, no
+    // shuffle, no anti-join — the normal case, eval is 3% of the
+    // corpus), and an over-cap eval slice falls back to the distributed
+    // Bloom-sketch prefilter + candidate-only exact confirm instead of
+    // silently OOMing the driver. Semantically identical to
     // `Decontamination.overlapWith(...).select("doc_id")` as the drop
     // set (parity spec-pinned); use overlapWith when the per-doc
     // overlap ratios themselves are the product.
-    val evalSet = evalDocs.select(col("text")).as[String]
-      .flatMap(t => TextHashing.shingles(TextHashing.tokens(t), 4))
-      .distinct().collect().toSet
-    val evalB = spark.sparkContext.broadcast(evalSet)
-    val clean = deduped.as[(Long, String)]
-      .filter { case (_, text) =>
-        !TextHashing.shingles(TextHashing.tokens(text), 4).exists(evalB.value)
-      }
-      .toDF("doc_id", "text")
+    val clean = Decontamination.keepFilter(
+        deduped.as[(Long, String)], evalDocs, "doc_id", "text",
+        gramSize = 4, maxCollectedShingles = Decontamination.MaxCollectedEvalShingles)
       .observe(cleanObs, count(lit(1)).as("n_clean"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontamination
+
+/** The eval-side guard: both physical strategies (collected broadcast
+  * set vs distributed Bloom sketch + candidate-only exact confirm) must
+  * emit the IDENTICAL result on planted and organic data, and the
+  * fallback's plan must keep the corpus out of shingle-keyed shuffles
+  * and never force-broadcast the over-cap eval frame.
+  */
+class DecontaminationGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plantedTrain = Seq(
+    (1L, "one two three four five"),
+    (2L, "alpha beta gamma delta eps"),
+    (3L, "zz one two three four qq"),
+    (4L, "one two three only"),
+    (5L, "totally unrelated words here now")).toDF("doc_id", "text")
+  private def plantedEval =
+    Seq((100L, "one two three four five")).toDF("doc_id", "text")
+
+  private def organic = {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    (docs.filter(pmod(col("doc_id"), lit(100L)) >= 3),
+      docs.filter(pmod(col("doc_id"), lit(100L)) < 3))
+  }
+
+  test("contaminatedIds: sketch fallback emits the collect path's exact drop set") {
+    val small = Decontamination.contaminatedIds(plantedTrain, plantedEval,
+      maxCollectedShingles = Long.MaxValue).collect().map(_.getLong(0)).toSet
+    val large = Decontamination.contaminatedIds(plantedTrain, plantedEval,
+      maxCollectedShingles = 0L).collect().map(_.getLong(0)).toSet
+    assert(small === Set(1L, 3L))
+    assert(large === small)
+
+    val (tr, ev) = organic
+    val a = Decontamination.contaminatedIds(tr, ev, maxCollectedShingles = Long.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    val b = Decontamination.contaminatedIds(tr, ev, maxCollectedShingles = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.nonEmpty, "organic fixture should contaminate at least one doc")
+  }
+
+  test("overlapWith: sketch fallback emits the narrow path's exact ratio rows") {
+    def rows(cap: Long) =
+      Decontamination.overlapWith(plantedTrain, plantedEval, maxCollectedShingles = cap)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Long.MaxValue) === rows(0L))
+
+    val (tr, ev) = organic
+    def orows(cap: Long) =
+      Decontamination.overlapWith(tr, ev, maxCollectedShingles = cap)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = orows(Long.MaxValue)
+    assert(a === orows(0L))
+    assert(a.nonEmpty)
+  }
+
+  test("decontaminate (keep side): both paths keep the identical survivors") {
+    def kept(cap: Long) =
+      Decontamination.decontaminate(plantedTrain, plantedEval, maxCollectedShingles = cap)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = kept(Long.MaxValue)
+    assert(a.map(_._1) === Set(2L, 4L, 5L))
+    assert(kept(0L) === a)
+
+    val (tr, ev) = organic
+    def okept(cap: Long) =
+      Decontamination.decontaminate(tr, ev, maxCollectedShingles = cap)
+        .collect().map(_.getLong(0)).toSet
+    assert(okept(Long.MaxValue) === okept(0L))
+  }
+
+  test("keep side + drop side partition the training corpus exactly") {
+    val (tr, ev) = organic
+    val all = tr.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = Decontamination.contaminatedIds(tr, ev, maxCollectedShingles = 0L)
+      .collect().map(_.getLong(0)).toSet
+    val kept = Decontamination.decontaminate(tr, ev, maxCollectedShingles = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert((kept ++ dropped) === all)
+    assert(kept.intersect(dropped) === Set.empty)
+  }
+
+  test("fallback plan: exact semi confirm, no cartesian, eval side never force-broadcast") {
+    // static plan inspection needs the planner's own size estimates out
+    // of the way (a tiny test fixture would legitimately auto-broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (tr, ev) = organic
+      val p = Decontamination.contaminatedIds(tr, ev, maxCollectedShingles = 0L)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("LeftSemi"), s"confirm must be an exact semi-join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // the over-cap eval frame must not carry a broadcast hint: with
+      // auto-broadcast off, a hint-free plan has zero broadcast joins
+      assert(!p.contains("BroadcastHashJoin"),
+        s"over-cap eval side was force-broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("evalLeakReport: over-cap eval side degrades to a keyed shuffle, same rows") {
+    val (tr, ev) = organic
+    def rows(cap: Long) =
+      Decontamination.evalLeakReport(tr, ev, maxBroadcastShingleRows = cap)
+        .orderBy("eval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSeq
+    val a = rows(Long.MaxValue)
+    assert(a === rows(0L))
+    assert(a.nonEmpty)
+  }
+}

@@ -132,13 +132,20 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("dc1/dc2: eval shingle set broadcasts (map-side hit join), no cartesian") {
-    Seq("dc1_decontaminate", "dc2_overlap_with").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
-      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
-    }
+  test("dc1: eval shingle set broadcasts (map-side hit join), no cartesian") {
+    val p = plan("dc1_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dc2: under-cap deployment form is ONE narrow corpus pass — zero joins") {
+    // overlapWith's broadcast-set path counts hits against the set in
+    // place: no shingle explode, no hit join, no per-doc aggregation.
+    // The only exchange is the QueryDef wrapper's oracle-edge sort.
+    val p = plan("dc2_overlap_with")
+    assert(!p.contains("Exchange hashpartitioning"), s"dc2 planned a shuffle:\n$p")
+    assert(!p.contains("Join"), s"dc2 planned a join:\n$p")
   }
 
   test("txt_repetition, mm_decode, txt_redact stay narrow: no hash shuffle anywhere") {
