@@ -23,7 +23,7 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.overFloor(6.51, None))       // no floor: never flaggable
   }
 
-  test("parseFloors reads a flat name->seconds map and ignores junk") {
+  test("parseFloors reads the legacy flat name->seconds map (no prev)") {
     val floors = Bench.parseFloors(
       """{
         |  "q1_agg": 0.45,
@@ -31,8 +31,41 @@ class BenchSpec extends AnyFunSuite {
         |  "pipe1_training_pipeline": 6.0
         |}""".stripMargin)
     assert(floors == Map(
-      "q1_agg" -> 0.45, "dd3_ngram_jaccard" -> 2.17,
-      "pipe1_training_pipeline" -> 6.0))
+      "q1_agg" -> Bench.Floor(0.45, None),
+      "dd3_ngram_jaccard" -> Bench.Floor(2.17, None),
+      "pipe1_training_pipeline" -> Bench.Floor(6.0, None)))
     assert(Bench.parseFloors("") == Map.empty)
+  }
+
+  test("parseFloors reads the v2 floor/floor_prev format") {
+    val floors = Bench.parseFloors(
+      """{
+        |  "q1_agg": {"floor": 0.45},
+        |  "dd4_simhash": {"floor": 1.54, "floor_prev": 1.01}
+        |}""".stripMargin)
+    assert(floors == Map(
+      "q1_agg" -> Bench.Floor(0.45, None),
+      "dd4_simhash" -> Bench.Floor(1.54, Some(1.01))))
+  }
+
+  test("floorFlag: retry informs the decision, never the reported numbers") {
+    val floor = Some(1.0)
+    // first-pass min over 2x, retry clears it -> transient, no flag
+    assert(!Bench.floorFlag(2.5, retry = Some(1.2), floor))
+    // retry also over -> the flag sticks
+    assert(Bench.floorFlag(2.5, retry = Some(2.3), floor))
+    // under floor never flags, retry or not
+    assert(!Bench.floorFlag(1.5, retry = None, floor))
+    // no committed floor: never flaggable
+    assert(!Bench.floorFlag(9.9, retry = Some(9.9), None))
+  }
+
+  test("floorDrift fires when a committed floor is >1.5x its predecessor") {
+    // the round-8 case: dd5b re-floored 0.91 -> 1.65 in the round its
+    // family's numbers slowed — must self-report
+    assert(Bench.floorDrift(Bench.Floor(1.65, Some(0.91))))
+    assert(!Bench.floorDrift(Bench.Floor(1.20, Some(0.91))))
+    assert(!Bench.floorDrift(Bench.Floor(1.65, None)))
+    assert(!Bench.floorDrift(Bench.Floor(1.65, Some(0.0))))
   }
 }
