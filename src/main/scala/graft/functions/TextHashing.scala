@@ -25,9 +25,21 @@ object TextHashing {
     */
   def md5Hex(s: String): String = md5Hex(s.getBytes("UTF-8"))
 
-  def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map(b => f"$b%02x").mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    // table-driven hex: a per-byte format interpolator here cost ~40%
+    // of frameSample's wall (one format-string parse per byte)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Round half away from zero at 4 dp via the floor trick — the ONE
     * definition every engine-side score rounding goes through (DuckDB

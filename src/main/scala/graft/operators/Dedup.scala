@@ -195,7 +195,13 @@ object Dedup {
   private[operators] def keyedSetJaccard(
       keyed: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
     // persist: the capped signature set feeds the size aggregation AND
-    // the self-join (plus the cap's own hot-key aggregation upstream)
+    // the self-join (plus the cap's own hot-key aggregation upstream).
+    // The UNCAPPED input is deliberately not persisted here: its one
+    // extra computation (the cap's hot-key scan) is a narrow replay for
+    // the callers that pass a scan+flatMap (dd3), and callers whose
+    // input embeds a shuffle persist it themselves (mm_video's distinct
+    // frame set) — caching the full uncapped table cost more than the
+    // replay it saved (measured at sf0.1: dd3 2.2 -> 3.6 s).
     val sh = capDocFreq(keyed, Seq("s"), maxDocFreq)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -422,11 +422,42 @@ object Multimodal {
       idCol: String = "doc_id",
       sigCol: String = "frame_md5",
       threshold: Double = 0.5,
-      maxDocFreq: Int = 1000): DataFrame =
-    Dedup.keyedSetJaccard(
-      frames.select(col(idCol).cast("long").as("doc_id"), col(sigCol).as("s"))
-        .distinct(),
-      threshold, maxDocFreq)
+      maxDocFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE keyed exchange builds the per-video distinct signature SET
+    // (collect_set subsumes what a row-level distinct + later per-doc
+    // size aggregation each paid a shuffle for), persisted because the
+    // doc-frequency cap reads it twice (hot keys + capped rows). The
+    // frame bytes are digested exactly once, upstream of this persist.
+    val sets = frames
+      .select(col(idCol).cast("long").as("doc_id"), col(sigCol).as("s"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh0 = sets.select(col("doc_id"), explode(col("sigs")).as("s"))
+    val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("s")
+    // explode + broadcast anti-join are narrow, so the capped rows stay
+    // hash-partitioned by doc_id — the POST-CAP per-doc size is a
+    // zero-exchange window count, carried through the signature join as
+    // a column (keyedSetJaccard's separate size aggregation + two size
+    // joins disappear)
+    // persisted as well: the l/r sides of the signature join project
+    // DIFFERENT carried columns (na vs nb), so their exchanges do not
+    // canonicalize to one — without the persist the cap + window chain
+    // (hot-key aggregation included) executes once per side
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = sh.select(col("doc_id").as("da"), col("s"), col("n").as("na"))
+    val r = sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb"))
+    l.join(r, l("s") === r("s") && l("da") < r("db"))
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      // 2*inter >= union <=> J >= 0.5 in exact integer arithmetic
+      .filter(col("inter") * lit((1 / threshold).toLong) >= col("uni"))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
 
   /** Deterministic pool-keyed synthetic audio for near-dup testing:
     * every `poolEvery`-th document draws its PCM formula from a shared
