@@ -1,13 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe: per-stage wall times for the composed training pipeline
   * at a given SF dir — the profiling surface behind pipe1 bench work.
-  * Each stage is timed by forcing it through the noop count; stages are
-  * cumulative (stage N includes N-1's plan) so the DELTA column is the
-  * stage's own cost. Not part of the driver contract.
+  * Stages replay [[TrainingPipeline.runObserved]]'s CURRENT shape —
+  * fused prep (normalize + eval flag + quality/langid keep in one typed
+  * pass), broadcast-set decontamination via the guarded
+  * [[Decontamination.decontaminate]] keep-side form, and the in-place
+  * [[Sampling.splitLabel]] — so per-stage deltas attribute cost to the
+  * stages the pipeline actually runs. Each stage is forced through a
+  * count; stages persist exactly where the pipeline persists. Not part
+  * of the driver contract.
   */
 object Pipe1Probe {
   def main(args: Array[String]): Unit = {
@@ -28,31 +33,32 @@ object Pipe1Probe {
     }
 
     val documents = graft.sources.Tables.documents(spark, sfDir)
-    // mirror TrainingPipeline.runObserved stage by stage
-    val norm = time("normalize+persist") {
-      val n = Dedup.spread(documents.select(
-        col("doc_id").cast("long").as("doc_id"),
-        TextAnalysis.normalizedText(col("text")).as("text")))
-        .persist()
-      n.count(); n
-    }
-    val isEval = pmod(col("doc_id"), lit(100L)) < 3
-    val evalDocs = norm.filter(isEval)
-    val corpus = norm.filter(!isEval)
-    val filtered = time("fused filter+persist") {
+    // stage 1+2: the pipeline's fused prep — normalize (Scala twin),
+    // eval flag, tokenize-once quality/langid keep — one typed pass
+    val prep = time("fused prep+persist") {
       val stopSet = TextAnalysis.Stopwords.toSet
       val langSet = TextAnalysis.LangProfiles.flatMap(_._2).toSet
-      val f = corpus.as[(Long, String)].map { case (id, text) =>
-        val toks = graft.functions.TextHashing.tokens(text)
-        val n = toks.length
-        var stops = 0; var langHits = 0
-        toks.foreach { t => if (stopSet(t)) stops += 1; if (langSet(t)) langHits += 1 }
-        val score = if (n == 0) 0.0
-          else graft.functions.TextHashing.round4(
-            stops.toDouble / n * 0.5 + math.min(n, 100).toDouble / 100.0 * 0.5)
-        (id, text, n > 0 && langHits > 0 && score >= 0.2)
-      }.toDF("doc_id", "text", "keep").filter(col("keep")).select("doc_id", "text")
-        .persist()
+      val p = Dedup.spread(documents.select(
+        col("doc_id").cast("long").as("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, raw) =>
+          val text = graft.functions.TextHashing.normalize(raw)
+          val isEval = (id % 100 + 100) % 100 < 3
+          val toks = graft.functions.TextHashing.tokens(text)
+          val n = toks.length
+          var stops = 0; var langHits = 0
+          toks.foreach { t => if (stopSet(t)) stops += 1; if (langSet(t)) langHits += 1 }
+          val score = if (n == 0) 0.0
+            else graft.functions.TextHashing.round4(
+              stops.toDouble / n * 0.5 + math.min(n, 100).toDouble / 100.0 * 0.5)
+          (id, text, isEval, n > 0 && langHits > 0 && score >= 0.2)
+        }.toDF("doc_id", "text", "is_eval", "keep").persist()
+      p.count(); p
+    }
+    val evalDocs = prep.filter(col("is_eval")).select("doc_id", "text")
+    val filtered = time("training filter+persist") {
+      val f = prep.filter(!col("is_eval") && col("keep"))
+        .select("doc_id", "text").persist()
       f.count(); f
     }
     val pairs = time("ngramJaccard pairs (count)") {
@@ -68,18 +74,17 @@ object Pipe1Probe {
       val d = filtered.join(losers, Seq("doc_id"), "left_anti").persist()
       d.count(); d
     }
-    val contaminated = time("decontaminate (count)") {
-      val c = Decontamination.overlapWith(deduped, evalDocs).select("doc_id").persist()
+    // stage 4: the pipeline's guarded keep-side decontamination (the
+    // broadcast-set narrow pass under the cap, sketch fallback over it)
+    val clean = time("decontaminate keep (count)") {
+      val c = Decontamination.decontaminate(deduped, evalDocs).persist()
       c.count(); c
     }
-    val clean = time("clean anti-join+persist") {
-      val c = deduped.join(contaminated, Seq("doc_id"), "left_anti").persist()
-      c.count(); c
-    }
-    time("split+pack+join (count)") {
-      val splits = Sampling.hashSplit(clean).select(col("doc_id"), col("split"))
-      val packed = Sampling.packSequences(clean, budget = 2048, shards = 32)
-      packed.join(splits, "doc_id").count()
+    // stage 5+6: pack + in-place split label, exactly the output shape
+    time("pack+split-in-place (count)") {
+      Sampling.packSequences(clean, budget = 2048, shards = 32)
+        .withColumn("split", Sampling.splitLabel(col("doc_id")))
+        .count()
     }
     time("full pipe1 fresh (cache cleared)") {
       spark.catalog.clearCache()

@@ -53,7 +53,10 @@ object TextAnalysis {
   /** Gopher-style rule filtering (the public Gopher paper's document
     * quality heuristics, Rae et al. 2021 §A1.1): per document, the rule
     * signals and a composite pass flag —
-    *   - word count within [minWords, maxWords];
+    *   - word count within [minWords, maxWords] — NOTE the default
+    *     minWords=25 deliberately deviates from the paper's 50-word
+    *     rule (the synthetic fixture corpus skews shorter than web
+    *     text; a Gopher-faithful run passes minWords = 50);
     *   - mean word length within [3, 10];
     *   - symbol-to-word ratio ('#' or '...' occurrences / words) <= 0.1;
     *   - fraction of lines starting with a bullet < 0.9;

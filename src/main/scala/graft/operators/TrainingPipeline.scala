@@ -289,6 +289,78 @@ object TrainingPipeline {
       .select(col(idCol), col("status"), col("old_md5"), col("new_md5"))
   }
 
+  /** Incremental corpus refresh — the weekly job a live 100 TB corpus
+    * runs: take a new crawl batch, drop what the released corpus
+    * already has, drop within-batch copies, decontaminate against the
+    * eval suite, and emit the surviving docs with their release
+    * placement (split + shard) ready for an append-shard write
+    * ([[writeRelease]] with mode append, or a per-shard file add).
+    * Composes the engine's own incremental pieces; nothing here is new
+    * machinery:
+    *
+    *   1. corpus-dup drop: [[Dedup.bloomPrefilterDedupWithSketch]] —
+    *      the released corpus is ONE treeAggregate pass into a Bloom
+    *      sketch ([[Dedup.contentSketch]]; build it once per release
+    *      and pass it in via `corpusSketch` to amortize across
+    *      batches), the batch is prefiltered NARROWLY (no false
+    *      negatives — a miss is definitively new), and only sketch
+    *      hits pay the exact broadcast confirm. The corpus is never
+    *      shuffled; the drop anti-join is id-keyed on the batch.
+    *      This runs FIRST so every later stage sees the smaller frame.
+    *   2. within-batch exact dedup: digest-keyed min-id winners
+    *      ([[Dedup.exact]]'s shape), rejoined by id — only (digest,
+    *      id) pairs cross the winners exchange, never text.
+    *   3. decontamination: the guarded [[Decontamination.decontaminate]]
+    *      keep-side form (broadcast eval set + narrow pass under the
+    *      cap, Bloom-sketch fallback over it).
+    *   4. placement: [[Sampling.splitLabel]] + the packSequences shard
+    *      assignment (`mix32(id) % shards`), computed IN PLACE — pure
+    *      functions of the id, no join — plus the md5 content digest
+    *      ([[releaseDiff]]'s identity), so the output diffs cleanly
+    *      against the next release and appends deterministically.
+    *
+    * Output: one row per genuinely-new clean doc — (idCol, h, split,
+    * shard). Everything after the sketch confirm is narrow on the
+    * batch side except the one winners exchange; the released corpus
+    * contributes exactly its sketch pass + the narrow confirm scan,
+    * regardless of batch count.
+    */
+  def refresh(
+      released: DataFrame,
+      newBatch: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramSize: Int = 4,
+      shards: Int = 32,
+      fpp: Double = 0.01,
+      corpusSketch: Option[Array[Byte]] = None,
+      maxCollectedShingles: Long = Decontamination.MaxCollectedEvalShingles): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val batch = newBatch.select(col(idCol).cast("long").as(idCol), col(textCol))
+    // 1. drop docs the released corpus already has (exact text match;
+    // the sketch is a pure performance layer, see bloomPrefilterDedup)
+    val sketch = corpusSketch.getOrElse(Dedup.contentSketch(released, textCol, fpp))
+    val dupIds = Dedup.bloomPrefilterDedupWithSketch(
+      released, batch, idCol, textCol, sketch).select(idCol)
+    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+    // 2. within-batch exact dedup: winners carry (digest, min id) only
+    val winners = fresh
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val repr = fresh.join(winners, Seq(idCol), "left_semi")
+    // 3. decontaminate survivors vs the eval suite (guarded eval side)
+    val clean = Decontamination.decontaminate(
+      repr, evalDocs, idCol, textCol, gramSize, maxCollectedShingles)
+    // 4. in-place placement + content digest — no joins, pure id/text
+    clean.select(
+      col(idCol),
+      md5(col(textCol)).as("h"),
+      Sampling.splitLabel(col(idCol)).as("split"),
+      pmod(IvfSearch.mix32(col(idCol)), lit(shards.toLong)).as("shard"))
+  }
+
   /** Write a corpus release as deterministic sharded parquet:
     * `path/split=…/shard=…/` directories, one file per (split, shard)
     * (each shard lands in one task), rows id-sorted within every file.

@@ -874,6 +874,63 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** Incremental corpus-refresh fixture, all three frames derived
+    * in-query from the one documents table: released drops every 5th
+    * doc, the new batch is every 3rd doc PLUS planted exact clones
+    * (doc_id + 2000000) of every 30th doc — ids that are NOT in
+    * released (divisible by 5), so the clones survive the corpus-dup
+    * drop and the within-batch min-id dedup must eliminate them — and
+    * eval is the `% 100 < 3` slice. The mirror replays the corpus
+    * text drop (NOT EXISTS on text), the digest-keyed min-id winners,
+    * the 4-gram decontamination and the in-place mix32 split + shard
+    * placement. Exercises every refresh stage with real drops at each.
+    */
+  private val RefreshSql: String = {
+    val K = 4
+    val joins = (1 until K)
+      .map(j => s"JOIN tok t$j ON t$j.doc_id = a.doc_id AND t$j.i = a.i + $j")
+      .mkString(" ")
+    val gram = "a.w" + (1 until K).map(j => s" || ' ' || t$j.w").mkString
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |sh AS (SELECT DISTINCT a.doc_id, $gram AS s FROM tok a $joins),
+       |evs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 < 3),
+       |rel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |        UNION ALL
+       |        SELECT doc_id + 2000000 AS doc_id, text FROM documents
+       |        WHERE doc_id % 30 = 0),
+       |s0 AS (SELECT b.doc_id, b.text FROM bat b
+       |       WHERE NOT EXISTS (SELECT 1 FROM rel r WHERE r.text = b.text)),
+       |w AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY md5(text)),
+       |s1 AS (SELECT s0.doc_id, s0.text FROM s0 JOIN w USING (doc_id)),
+       |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+       |       WHERE NOT EXISTS (SELECT 1 FROM sh JOIN evs USING (s)
+       |                         WHERE sh.doc_id = s1.doc_id)),
+       |mx AS (SELECT doc_id, text, xor(m2, m2 >> 13) AS hs FROM (
+       |  SELECT doc_id, text, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT doc_id, text, ((doc_id % 4294967296) + 4294967296) % 4294967296 AS h0
+       |    FROM s2)))
+       |SELECT doc_id, md5(text) AS h,
+       | CASE WHEN hs % 100 < 90 THEN 'train'
+       |      WHEN hs % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+       | hs % 32 AS shard
+       |FROM mx ORDER BY doc_id""".stripMargin
+  }
+
+  val rf1_corpus_refresh = QueryDef.sqlChecked(
+    "rf1_corpus_refresh", RefreshSql) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val released = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val clones = docs.filter(pmod(col("doc_id"), lit(30)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(clones)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3)
+    graft.operators.TrainingPipeline.refresh(released, batch, evalDocs)
+      .orderBy("doc_id")
+  }
+
   /** Whole-doc bin-packing fixture: budget 256 so the ~16-doc shards
     * (10-99 tokens each) genuinely open 3-5 bins — the operator's 2048
     * default would leave every shard single-bin, proving nothing. The
@@ -1712,7 +1769,7 @@ object DataPipeline {
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp7_sample_n,
-    rl1_release_diff, txt_domains,
+    rl1_release_diff, rf1_corpus_refresh, txt_domains,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,

@@ -336,6 +336,24 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("rf1: refresh never shuffles the released corpus — sketch probe + broadcast confirm") {
+    // The incremental contract: a weekly batch must not pay a
+    // corpus-scale exchange. The released side contributes its sketch
+    // (a treeAggregate, not in this plan) and the narrow confirm scan;
+    // every Exchange in the refresh plan is keyed on the batch's id or
+    // digest, never on a text column (a text-keyed exchange would mean
+    // corpus rows crossing the wire).
+    val p = plan("rf1_corpus_refresh")
+    assert(p.contains("bloom_might_contain"),
+      s"corpus-dup drop must prefilter through the sketch probe:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val textExchanges = "Exchange hashpartitioning\\((?:text|t)#"
+      .r.findAllIn(p).toSeq
+    assert(textExchanges.isEmpty,
+      s"refresh shuffled document text: $textExchanges\n$p")
+  }
+
   test("pipe1: corpus parquet scanned ONCE across the whole composed pipeline") {
     // The composition evidence: six chained stages (normalize, filter,
     // dedup, decontaminate, split, pack) fan out from the corpus many

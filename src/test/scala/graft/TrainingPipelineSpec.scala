@@ -37,6 +37,37 @@ class TrainingPipelineSpec extends SparkSpec {
       "fused filter must keep exactly the docs the composable operators keep")
   }
 
+  test("refresh: planted drops at every stage; prebuilt sketch gives identical output") {
+    import spark.implicits._
+    // released corpus: two docs; eval suite: one doc
+    val released = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (900L, "held out eval question about physics")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"),        // exact corpus dup -> drop
+      (11L, "brand new document body here"),           // clean -> keep
+      (12L, "brand new document body here"),           // within-batch dup of 11 -> drop
+      (13L, "this mentions eval question about physics verbatim"), // contaminated -> drop
+      (14L, "another clean fresh text entirely"))      // clean -> keep
+      .toDF("doc_id", "text")
+    val out = TrainingPipeline.refresh(released, batch, evalDocs)
+    val kept = out.collect().map(r => r.getLong(0)).toSet
+    assert(kept === Set(11L, 14L),
+      s"expected corpus-dup, batch-dup and contaminated drops, got $kept")
+    // placement columns are pure functions of id/text — spot-check shape
+    val row = out.filter(col("doc_id") === 11L).collect().head
+    assert(Set("train", "val", "test").contains(row.getString(2)))
+    assert(row.getLong(3) >= 0L && row.getLong(3) < 32L)
+    // sketch reuse parity: build the release sketch once, pass it in —
+    // the weekly-batch amortization path must emit the identical frame
+    val sketch = graft.operators.Dedup.contentSketch(released)
+    val out2 = TrainingPipeline.refresh(released, batch, evalDocs,
+      corpusSketch = Some(sketch))
+    assert(out2.collect().toSet === out.collect().toSet)
+  }
+
   test("pipe1 fixture: normalized copies dedup to one survivor (sf fixture)") {
     // the full wrapped query on the test fixture: the clean planted doc
     // survives; the uppercased and whitespace-dirty copies are dropped
