@@ -155,6 +155,63 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("refresh append cycle: write release, append refresh output, diff shows exactly the additions") {
+    import spark.implicits._
+    // initial release: 100 fixture docs, written sharded
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val released = docs.filter(col("doc_id") < 100)
+    val relFrame = released
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        graft.operators.Sampling.splitLabel(col("doc_id")).as("split"),
+        pmod(graft.operators.IvfSearch.mix32(col("doc_id")), lit(8L)).as("shard"))
+    val dir = java.nio.file.Files.createTempDirectory("refresh").toString
+    TrainingPipeline.writeRelease(relFrame, dir)
+    // weekly batch: 30 new docs + 10 exact re-crawls of released docs
+    val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 130)
+      .unionByName(released.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    val evalDocs = docs.filter(col("doc_id") >= 400)
+    val add = TrainingPipeline.refresh(released, batch, evalDocs, shards = 8)
+    val addRows = add.collect()
+    val addIds = addRows.map(_.getLong(0)).toSet
+    // re-crawled texts never survive; survivors are genuinely new ids
+    assert(addIds.forall(id => id >= 100 && id < 130))
+    assert(addRows.nonEmpty)
+    // append the refresh output into the same sharded layout — the
+    // weekly write is an append of new (split, shard) files, existing
+    // cells untouched semantically
+    TrainingPipeline.releaseLayout(add)
+      .write.mode("append").partitionBy("split", "shard").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (relFrame.select("doc_id", "h").collect() ++
+      addRows.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getString(1))))
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === expected, "appended release must hold old + new rows exactly")
+    // releaseDiff(old, appended) reports exactly the refresh additions
+    val diff = TrainingPipeline.releaseDiff(
+      relFrame.select("doc_id", "h"),
+      spark.read.parquet(dir).select("doc_id", "h"),
+      contentCols = Seq("h"))
+    val diffRows = diff.collect()
+    assert(diffRows.forall(_.getString(1) == "added"))
+    assert(diffRows.map(_.getLong(0)).toSet === addIds)
+  }
+
+  test("refresh: empty batch and empty eval degrade gracefully") {
+    import spark.implicits._
+    val released = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((2L, "fresh new text here")).toDF("doc_id", "text")
+    // empty batch -> empty output (the no-new-crawl week)
+    assert(TrainingPipeline.refresh(released, empty, batch).count() === 0L)
+    // empty eval -> nothing contaminated, batch survives
+    val out = TrainingPipeline.refresh(released, batch, empty)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("writeRelease: read-back parity, one file per (split,shard), id-sorted files") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)
