@@ -385,6 +385,60 @@ object Sampling {
       .select(col(idCol), col(keyCol), col("thr"))
   }
 
+  /** Temperature-scaled domain sampling — the corpus-flattening recipe
+    * multilingual/multi-source LLM corpora use (sample domain d with
+    * probability proportional to count_d^alpha, alpha < 1, so head
+    * domains shrink toward the tail; the alpha-sampling idea from the
+    * public mC4/XLM-R line of work). Under the no-upsampling
+    * constraint (every kept doc exists; the smallest domain is kept
+    * whole) the normalizer cancels and the per-domain keep probability
+    * closes to
+    *
+    *   p_d = (n_min / n_d)^(1 - alpha)
+    *
+    * decided per doc by the engine's standard integer hash test
+    * `mix32(id) % 1e6 < floor(p_d * 1e6)` — deterministic, stable
+    * under re-partitioning and appends.
+    *
+    * ORACLE PARITY: the default alpha = 0.5 computes p_d via
+    * `math.sqrt`, which IEEE 754 requires to be CORRECTLY ROUNDED —
+    * DuckDB's `sqrt` and the JVM's agree bit for bit on identical
+    * inputs, so the thresholds mirror exactly (no cross-domain float
+    * sums exist to reorder: the closed form needs only n_min / n_d).
+    * Other alphas go through `math.pow`, which carries no such
+    * guarantee — spec-covered, not oracle-pinned.
+    *
+    * Scale shape: one column-pruned count aggregation (dimension-sized,
+    * collected like any lookup) + one narrow projection+filter. Two
+    * scans, zero corpus shuffles — [[domainMixture]]'s shape with
+    * derived rather than declared weights.
+    */
+  def temperatureSample(
+      documents: DataFrame,
+      alpha: Double = 0.5,
+      keyCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val counts = documents.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample needs at least one domain")
+    val nMin = counts.values.min
+    def pd(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(nMin.toDouble / n.toDouble)
+      else math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha)
+    val thresholds = counts.toSeq.map { case (k, n) =>
+      k -> math.floor(pd(n) * 1000000.0).toLong
+    }
+    val thresh = thresholds.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+      case (acc, (k, t)) => when(col(keyCol) === k, lit(t)).otherwise(acc)
+    }
+    val bucket = pmod(mix32(col(idCol)), lit(1000000L))
+    documents
+      .select(col(idCol), col(keyCol), bucket.as("bucket"), thresh.as("thr"))
+      .filter(col("bucket") < col("thr"))
+      .select(col(idCol), col(keyCol), col("thr"))
+  }
+
   /** Weight-proportional Bernoulli downsampling: keep each document
     * with probability `min(weight, cap) / cap`, decided by integer
     * hash arithmetic — `mix32(id) % cap < min(weight, cap)` — so the

@@ -827,6 +827,25 @@ object DataPipeline {
     Sampling.packSequences(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Temperature sampling mirror at the oracle-safe alpha = 1/2: both
+    * engines compute thr = floor(sqrt(nmin/n) * 1e6) — sqrt is IEEE
+    * correctly-rounded on both sides, and the closed form has no
+    * cross-domain float sum whose association order could differ.
+    */
+  val sp6_temperature_sample = QueryDef.sqlChecked(
+    "sp6_temperature_sample",
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+       |m AS (SELECT min(n) AS nmin FROM c),
+       |t AS (SELECT lang, CAST(floor(sqrt(CAST(nmin AS DOUBLE)/n) * 1000000) AS BIGINT) AS thr
+       |      FROM c, m),
+       |mx AS ${mix32Sql("doc_id, lang")}
+       |SELECT doc_id, lang, thr
+       |FROM mx JOIN t USING (lang)
+       |WHERE hs % 1000000 < thr
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.temperatureSample(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   /** Fixed-size deterministic sample: 137 docs in mix32-hash order.
     * TakeOrdered semantics (bounded heap, no full sort) are the engine
     * side; the mirror is the literal ORDER BY + LIMIT. The odd size
@@ -1768,7 +1787,8 @@ object DataPipeline {
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
-    sp4_stratified_sample, sp5_domain_mixture, sp7_sample_n,
+    sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
+    sp7_sample_n,
     rl1_release_diff, rf1_corpus_refresh, txt_domains,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pipe1_training_pipeline,

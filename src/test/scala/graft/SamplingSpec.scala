@@ -162,6 +162,36 @@ class SamplingSpec extends SparkSpec {
     assert(packed === direct)
   }
 
+  test("temperatureSample: smallest domain kept whole, larger thinned at the alpha ratio") {
+    import spark.implicits._
+    // planted domains: a=100 docs, b=400, c=10000 -> at alpha=0.5 the
+    // keep probs are 1, sqrt(1/4)=0.5, sqrt(1/100)=0.1
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (1000 to 1399).map(i => (i.toLong, "b")) ++
+      (10000 until 20000).map(i => (i.toLong, "c"))
+    val docs = rows.toDF("doc_id", "lang")
+    val out = Sampling.temperatureSample(docs)
+    val thr = out.select("lang", "thr").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr("a") === 1000000L)
+    assert(thr("b") === 500000L)
+    assert(thr("c") === 100000L)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest domain whole; others hash-approximate their rate
+    assert(kept("a") === 100L)
+    assert(math.abs(kept("b") - 200L) < 60, s"b kept ${kept("b")}")
+    assert(math.abs(kept("c") - 1000L) < 150, s"c kept ${kept("c")}")
+    // determinism under re-partitioning (id-derived, not partition)
+    assert(Sampling.temperatureSample(docs.repartition(7)).collect().toSet
+      === out.collect().toSet)
+    // general-alpha path (pow): higher temperature flattens less —
+    // alpha near 1 approaches proportional (keeps nearly everything)
+    val nearOne = Sampling.temperatureSample(docs, alpha = 0.999)
+    assert(nearOne.count() > out.count() && nearOne.count() >=
+      (docs.count() * 0.98).toLong, s"kept ${nearOne.count()}")
+  }
+
   test("weightedDownsample: decision is hash-deterministic and weight-consistent") {
     val kept = Sampling.weightedDownsample(docs).collect()
     assert(kept.nonEmpty)
