@@ -67,6 +67,30 @@ object Decontamination {
       .toDF("doc_id", "s")
   }
 
+  /** Prepared decontamination target: the guarded eval side built ONCE
+    * and reusable across calls — batch loops and streaming micro-batches
+    * pass it back in so the eval corpus is not re-counted/re-collected
+    * (or re-sketched) per invocation. Opaque outside the operators
+    * package; obtain via [[prepareEval]].
+    */
+  final class PreparedEval private[operators] (
+      private[operators] val side:
+        Either[Broadcast[Set[String]], (DataFrame, Broadcast[BloomFilter])],
+      private[operators] val gramSize: Int)
+
+  /** Build the guarded eval side once (see [[evalSide]] for the two
+    * physical strategies). Reuse the returned handle across refresh
+    * batches / streaming micro-batches; rebuild when the eval corpus
+    * changes.
+    */
+  def prepareEval(
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      gramSize: Int = 4,
+      maxCollectedShingles: Long = MaxCollectedEvalShingles): PreparedEval =
+    new PreparedEval(
+      evalSide(evalDocs, textCol, gramSize, maxCollectedShingles), gramSize)
+
   /** The guarded eval side: count the distinct eval shingles, then
     * either collect them (Left: the broadcast-set narrow path) or keep
     * them distributed behind a Bloom sketch of their [[TextHashing
@@ -282,11 +306,37 @@ object Decontamination {
       idCol: String,
       textCol: String,
       gramSize: Int,
-      maxCollectedShingles: Long): DataFrame = {
+      maxCollectedShingles: Long): DataFrame =
+    keepFilterSide(base,
+      evalSide(evalDocs, textCol, gramSize, maxCollectedShingles),
+      gramSize, idCol, textCol)
+
+  /** [[decontaminate]] against a [[PreparedEval]] handle — the reusable
+    * form for batch loops and streaming micro-batches (the eval side is
+    * neither re-counted nor re-collected per call).
+    */
+  def decontaminatePrepared(
+      train: DataFrame,
+      prepared: PreparedEval,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    keepFilterSide(
+      train.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)],
+      prepared.side, prepared.gramSize, idCol, textCol)
+  }
+
+  private def keepFilterSide(
+      base: org.apache.spark.sql.Dataset[(Long, String)],
+      side: Either[Broadcast[Set[String]], (DataFrame, Broadcast[BloomFilter])],
+      gramSize: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val k = gramSize
-    evalSide(evalDocs, textCol, k, maxCollectedShingles) match {
+    side match {
       case Left(evalB) =>
         base
           .filter { case (_, text) =>

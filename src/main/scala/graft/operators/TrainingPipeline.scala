@@ -312,7 +312,10 @@ object TrainingPipeline {
     *      id) pairs cross the winners exchange, never text.
     *   3. decontamination: the guarded [[Decontamination.decontaminate]]
     *      keep-side form (broadcast eval set + narrow pass under the
-    *      cap, Bloom-sketch fallback over it).
+    *      cap, Bloom-sketch fallback over it); pass a
+    *      [[Decontamination.prepareEval]] handle via `preparedEval` to
+    *      amortize the eval side across batches the way `corpusSketch`
+    *      amortizes the corpus side.
     *   4. placement: [[Sampling.splitLabel]] + the packSequences shard
     *      assignment (`mix32(id) % shards`), computed IN PLACE — pure
     *      functions of the id, no join — plus the md5 content digest
@@ -335,6 +338,7 @@ object TrainingPipeline {
       shards: Int = 32,
       fpp: Double = 0.01,
       corpusSketch: Option[Array[Byte]] = None,
+      preparedEval: Option[Decontamination.PreparedEval] = None,
       maxCollectedShingles: Long = Decontamination.MaxCollectedEvalShingles): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     val batch = newBatch.select(col(idCol).cast("long").as(idCol), col(textCol))
@@ -350,9 +354,13 @@ object TrainingPipeline {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
     val repr = fresh.join(winners, Seq(idCol), "left_semi")
-    // 3. decontaminate survivors vs the eval suite (guarded eval side)
-    val clean = Decontamination.decontaminate(
-      repr, evalDocs, idCol, textCol, gramSize, maxCollectedShingles)
+    // 3. decontaminate survivors vs the eval suite (guarded eval side;
+    // a prebuilt handle skips re-counting/re-collecting it per batch)
+    val clean = preparedEval match {
+      case Some(prep) => Decontamination.decontaminatePrepared(repr, prep, idCol, textCol)
+      case None => Decontamination.decontaminate(
+        repr, evalDocs, idCol, textCol, gramSize, maxCollectedShingles)
+    }
     // 4. in-place placement + content digest — no joins, pure id/text
     clean.select(
       col(idCol),

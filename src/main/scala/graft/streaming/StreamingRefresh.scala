@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Decontamination, Dedup, TrainingPipeline}
+
+/** Continuous corpus refresh: the streaming form of
+  * [[graft.operators.TrainingPipeline.refresh]] — every micro-batch of
+  * newly crawled documents is deduplicated against the released corpus,
+  * deduplicated within itself, decontaminated against the eval suite,
+  * and emitted with its release placement (split + shard + content
+  * digest), ready for an append-shard write from the sink.
+  *
+  * Amortization is the point of this wrapper: the two expensive
+  * one-time artifacts — the corpus content sketch (a treeAggregate over
+  * the released corpus) and the guarded eval side (count + collect or
+  * distributed Bloom sketch) — are built ONCE at query setup and reused
+  * by every micro-batch, so the per-batch plan touches the released
+  * corpus only through the narrow sketch probe + broadcast-candidate
+  * confirm (never a corpus shuffle) and never re-scans the eval corpus
+  * on the under-cap path. Same shape discipline as
+  * [[StreamingDedup.foreachBatchDedup]].
+  *
+  * Semantics note (same contract a periodic batch refresh has): each
+  * micro-batch dedups against the RELEASED corpus and against itself,
+  * not against earlier micro-batches — the released corpus advances on
+  * release boundaries, at which point the query restarts with a rebuilt
+  * sketch. A cross-batch duplicate admitted between releases is removed
+  * by the release-time exact dedup, and the sketch's no-false-negative
+  * property guarantees nothing already released is ever re-admitted.
+  *
+  * Use as:
+  * {{{
+  * stream.writeStream.foreachBatch(
+  *   StreamingRefresh.foreachBatchRefresh(released, evalDocs) {
+  *     (additions, batchId) => additions.write.mode("append")...
+  *   })
+  * }}}
+  */
+object StreamingRefresh {
+
+  def foreachBatchRefresh(
+      released: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramSize: Int = 4,
+      shards: Int = 32,
+      fpp: Double = 0.01,
+      maxCollectedShingles: Long = Decontamination.MaxCollectedEvalShingles)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    // one-time artifacts, closed over by every micro-batch invocation
+    val sketch = Dedup.contentSketch(released, textCol, fpp)
+    val prepared = Decontamination.prepareEval(
+      evalDocs, textCol, gramSize, maxCollectedShingles)
+    (batch: DataFrame, batchId: Long) =>
+      sink(TrainingPipeline.refresh(
+        released, batch, evalDocs, idCol, textCol, gramSize, shards, fpp,
+        corpusSketch = Some(sketch), preparedEval = Some(prepared)), batchId)
+  }
+}
