@@ -64,7 +64,8 @@ object Similarity {
   /** Sub-quadratic embedding near-duplicate PAIRS (the scale path whose
     * oracle baseline is [[Dedup.embeddingNearDup]]'s brute force): a
     * 64-bit random-hyperplane signature per vector, byte-banded like
-    * SimHash (8 bands of 8 bits), bucket-size-capped candidate equi-join,
+    * SimHash (8 bands of 8 bits), bucket-size-capped candidate pairs
+    * generated per bucket (one groupBy shuffle, narrow pair fan-out),
     * then exact cosine verification of candidates only. Recall at
     * sim s is 1-(1-p^8)^8 with p = 1 - arccos(s)/pi (e.g. ~0.94 at
     * s = 0.9); every candidate is verified, so precision is exact.
@@ -112,15 +113,27 @@ object Similarity {
       }
       (id, graft.functions.TextHashing.byteBands(bits))
     }.toDF("id", "bytes")
-    val banded = Dedup.capDocFreq(
-      sigs.select(col("id"), posexplode(col("bytes"))).toDF("id", "band", "byte_val"),
-      Seq("band", "byte_val"), maxBucket)
-    val cand = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.byte_val") === col("r.byte_val") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("va"), col("r.id").as("vb")).distinct()
+    // Candidate generation is ONE shuffle: group the banded rows by
+    // bucket, collect the member ids, and emit each bucket's pairs with
+    // a narrow flatMap — the classic LSH bucket-pair shape. The cap is
+    // the same keep rule as [[Dedup.capDocFreq]] (buckets with more than
+    // `maxBucket` members drop entirely), enforced on the collected
+    // list, which also bounds both the collect_list memory and the
+    // pair fan-out (<= cap^2/2 per bucket) at any corpus size. This
+    // replaces the banded self-join, whose bucket-keyed exchange Spark
+    // planned TWICE (no exchange reuse once one side broadcast).
+    val cand = sigs
+      .select(col("id"), posexplode(col("bytes"))).toDF("id", "band", "byte_val")
+      .groupBy("band", "byte_val").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket && size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted
+        for { i <- sorted.indices; j <- i + 1 until sorted.length }
+          yield (sorted(i), sorted(j))
+      }
+      .toDF("va", "vb").distinct()
     val ea = e.toDF("va", "x")
     val eb = e.toDF("vb", "y")
     // (ea/eb scan the persisted projection, not the source table)
