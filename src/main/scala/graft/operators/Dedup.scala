@@ -701,6 +701,51 @@ object Dedup {
       .join(broadcast(matched), Seq(textCol), "left_semi")
       .select(col(idCol), md5(col(textCol)).as("h"))
   }
+
+  /** URL canonical form for crawl-level dedup: lowercase scheme+host,
+    * strip `www.`, default ports, fragments and tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`), sort the surviving query params, and
+    * drop trailing slashes — the normalization a crawler applies before
+    * "have I fetched this page already". Pure string expression (regex
+    * + array ops, no UDF), so it stays inside whole-stage codegen and
+    * is exactly replayable in the SQL oracle. Parameter ORDER is
+    * canonicalized by sorting (a?b=1&a=2 == a?a=2&b=1), which plain
+    * regex stripping cannot do.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val base = split_part(noFrag, lit("?"), lit(1))
+    val query = split_part(noFrag, lit("?"), lit(2))
+    val prefix = regexp_extract(base, "^[a-zA-Z]+://[^/]*", 0)
+    val path = base.substr(length(prefix) + 1, length(base))
+    val prefixC = regexp_replace(
+      regexp_replace(lower(prefix), "://www\\.", "://"), ":(80|443)$", "")
+    val pathC = regexp_replace(path, "/+$", "")
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
+    val queryC = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(prefixC, pathC, queryC)
+  }
+
+  /** URL-level dedup: group raw URLs by [[canonicalUrl]] and keep one
+    * representative per canonical page — the crawl-frontier companion
+    * of content-level [[exact]] (same keyed-agg shape: one shuffle on
+    * the canonical key, map-side partial agg, no joins). `n_urls` is
+    * the group's raw multiplicity, `n_variants` the distinct raw
+    * spellings that collapsed, `keep_id` the min id representative.
+    */
+  def urlDedup(
+      documents: DataFrame,
+      urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    documents
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"),
+        col(urlCol))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(urlCol)).as("n_variants"),
+        min(col(idCol)).as("keep_id"))
 }
 
 /** MinHash parameter table, computed once per JVM per size. */

@@ -462,4 +462,82 @@ object Sampling {
       .select(col(idCol), w.as("w"), bucket.as("bucket"))
       .filter(col("bucket") < col("w"))
   }
+
+  /** Per-domain token-budget selection: keep documents, in unbiased
+    * hash order within each `keyCol` stratum, until the stratum's
+    * cumulative token count reaches `budget` — the "N billion tokens
+    * per source" mixture-building pass (the token-denominated
+    * counterpart of [[quotaPerKey]]'s row quota, which is what data
+    * mixes are actually specified in). A document is kept only if it
+    * fits WHOLLY under the remaining budget of its prefix (inclusive
+    * running sum <= budget), so the selection is a deterministic
+    * prefix of the stratum's hash-ordered stream: stable under
+    * re-partitioning and incremental re-runs.
+    *
+    * Scale shape: one keyed exchange on the stratum + a partitioned
+    * window cumsum — never a global sort; the per-stratum sort is
+    * Spark's spillable window sorter. Skew caveat as on
+    * [[quotaPerKey]]: a pathologically hot stratum serializes its own
+    * window; pre-thin with [[weightedDownsample]] if one domain is
+    * orders of magnitude over budget.
+    */
+  def tokenBudgetPerKey(
+      documents: DataFrame,
+      budget: Long = 2000L,
+      keyCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"invalid budget=$budget")
+    val w = Window.partitionBy(keyCol).orderBy(mix32(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col(idCol), col(keyCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, arXiv:
+    * 2207.14255): for a hash-selected `fimPct`% of documents, split the
+    * token stream at two hash-derived cut points into prefix / middle /
+    * suffix and re-emit in PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — so an autoregressive
+    * model learns infilling; the rest pass through in natural order.
+    * All decisions (selection, both cuts) derive from `mix32(id)`, so
+    * the transform is deterministic, stable under re-partitioning, and
+    * exactly SQL-mirrorable — no rand() anywhere, unlike the paper's
+    * sampler, by the family's reproducible-release rule.
+    *
+    * Cut derivation: `lo = h % (n+1)`, `hi = lo + (h div 97) % (n-lo+1)`
+    * — every (lo, hi) with 0 <= lo <= hi <= n is reachable, including
+    * empty prefix/middle/suffix edges. Output carries the cuts and the
+    * md5 of the transformed text (full-content check, the redactPii
+    * trick — the oracle verifies the actual reordered string, not just
+    * the arithmetic). One narrow projection: no shuffle at any corpus
+    * size, tokenize-once per document.
+    */
+  def fimTransform(
+      documents: DataFrame,
+      fimPct: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, s"invalid fimPct=$fimPct")
+    val join = (a: Column) => array_join(a, " ")
+    documents
+      .select(col(idCol), mix32(col(idCol)).as("hs"),
+        Dedup.tokens(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("lo", pmod(col("hs"), col("n") + 1L))
+      .withColumn("hi",
+        col("lo") + pmod(expr("hs div 97"), col("n") - col("lo") + 1L))
+      .withColumn("fim", pmod(col("hs"), lit(100L)) < fimPct)
+      .select(
+        col(idCol), col("fim"), col("n").as("n_tokens"),
+        col("lo").as("cut_lo"), col("hi").as("cut_hi"),
+        md5(when(col("fim"),
+          concat(lit("<PRE>"), join(slice(col("ws"), lit(1), col("lo"))),
+            lit("<SUF>"), join(slice(col("ws"), col("hi") + 1, col("n") - col("hi"))),
+            lit("<MID>"), join(slice(col("ws"), col("lo") + 1, col("hi") - col("lo")))))
+          .otherwise(join(col("ws")))).as("out_md5"))
+  }
 }

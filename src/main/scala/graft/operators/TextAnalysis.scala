@@ -442,4 +442,41 @@ object TextAnalysis {
           col("scores")(i).as(s"score_$l")
         }: _*)
   }
+
+  /** Mojibake artifacts of UTF-8 text decoded as Latin-1/cp1252: the
+    * lead bytes C3/E2-80/C2 become `Ã`/`â€`/`Â ` sequences. The
+    * alternation covers the most common casualties (accented Latin
+    * vowels, curly quote, non-breaking space); written with escapes so
+    * the source file itself stays ASCII.
+    */
+  private val MojibakePattern =
+    "\u00C3[\u00A9\u00A8\u00A4\u00BC]|\u00E2\u20AC[\u2122\u201C]|\u00C2 "
+
+  /** Encoding-quality screen — the corpus pass that catches decode
+    * damage before it trains in: per document, counts of U+FFFD
+    * replacement characters (lossy decode), C0 control characters
+    * (binary contamination; tab/newline/CR excluded), mojibake
+    * sequences ([[MojibakePattern]]), and non-ASCII codepoints (the
+    * denominator signal — legitimate for non-Latin scripts, which is
+    * why it is reported, not flagged). `bad_encoding` marks documents
+    * any lossy/contamination counter hits; a pipeline drops or
+    * re-decodes those. Pure regexp_count projections — narrow,
+    * codegen'd, zero-exchange, and exactly mirrorable (RE2 and Java
+    * regex agree on every class used here).
+    */
+  def encodingQuality(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cnt = (pat: String) => regexp_count(t, lit(pat)).cast("long")
+    documents.select(
+      col(idCol),
+      cnt("\\uFFFD").as("n_replacement"),
+      cnt("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"),
+      cnt(MojibakePattern).as("n_mojibake"),
+      cnt("[^\\x00-\\x7F]").as("n_nonascii"))
+      .withColumn("bad_encoding",
+        col("n_replacement") + col("n_control") + col("n_mojibake") > 0)
+  }
 }

@@ -1776,6 +1776,153 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** FIM fixture: the operator's own hash decides selection and both
+    * cuts, so the mirror replays `mix32` and the `(hs % (n+1),
+    * +((hs//97) % (n-lo+1)))` cut arithmetic and md5-checks the actual
+    * reordered PSM string (content check, not just the cut indices).
+    */
+  val pk4_fim_transform = QueryDef.sqlChecked(
+    "pk4_fim_transform",
+    s"""WITH mx AS ${mix32Sql("doc_id, text")},
+       |t AS (SELECT doc_id, hs, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |      FROM mx),
+       |c AS (SELECT doc_id, hs, ws, CAST(len(ws) AS BIGINT) AS n,
+       |       hs % (len(ws) + 1) AS lo FROM t),
+       |c2 AS (SELECT doc_id, hs, ws, n, lo,
+       |        lo + ((hs // 97) % (n - lo + 1)) AS hi FROM c)
+       |SELECT doc_id, hs % 100 < 50 AS fim, n AS n_tokens,
+       | CAST(lo AS BIGINT) AS cut_lo, CAST(hi AS BIGINT) AS cut_hi,
+       | md5(CASE WHEN hs % 100 < 50
+       |     THEN '<PRE>' || coalesce(array_to_string(list_slice(ws, 1, lo), ' '), '')
+       |       || '<SUF>' || coalesce(array_to_string(list_slice(ws, hi + 1, n), ' '), '')
+       |       || '<MID>' || coalesce(array_to_string(list_slice(ws, lo + 1, hi), ' '), '')
+       |     ELSE coalesce(array_to_string(ws, ' '), '') END) AS out_md5
+       |FROM c2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.fimTransform(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Token-budget fixture: budget 600 against ~1400 organic tokens per
+    * source, so every stratum genuinely truncates (~11 of 25 docs kept)
+    * — the operator's full default budget would keep everything and
+    * prove nothing. The mirror replays the hash-ordered window cumsum.
+    */
+  val sp8_token_budget = QueryDef.sqlChecked(
+    "sp8_token_budget",
+    s"""WITH mx AS ${mix32Sql("doc_id, source, text")},
+       |t AS (SELECT doc_id, source, hs,
+       |       CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)
+       |         AS n_tokens
+       |      FROM mx),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hs, doc_id
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |      FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.tokenBudgetPerKey(Tables.documents(s, d), budget = 600L)
+      .orderBy("doc_id")
+  }
+
+  /** URL-dedup fixture: raw URLs synthesized in-query (the corpus has
+    * no url column) over coprime moduli so every canonicalization rule
+    * engages — scheme case (%3), www./host case/default port (%4),
+    * trailing slash (%2), tracking params + param order (%5), fragment
+    * (%7). 500 raw spellings collapse to 80 canonical pages (page id
+    * %40 x http/https); the mirror replays both the synthesis and the
+    * canonicalization CTE by CTE.
+    */
+  val dd11_url_dedup = QueryDef.sqlChecked(
+    "dd11_url_dedup",
+    """WITH u AS (SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+      |    ELSE 'HTTPS://' END
+      |  || CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'www.example.com'
+      |       WHEN 2 THEN 'Example.COM' ELSE 'www.Example.com:443' END
+      |  || '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+      |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      |  || CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed'
+      |       WHEN 2 THEN '?id=7&utm_campaign=x' WHEN 3 THEN '?utm_medium=a&id=7'
+      |       ELSE '?id=7' END
+      |  || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u1 FROM u),
+      |s2 AS (SELECT doc_id, url, split_part(u1, '?', 1) AS base,
+      |        split_part(u1, '?', 2) AS q FROM s1),
+      |s3 AS (SELECT doc_id, url, base, q,
+      |        regexp_extract(base, '^[a-zA-Z]+://[^/]*') AS prefix FROM s2),
+      |s4 AS (SELECT doc_id, url,
+      |        regexp_replace(regexp_replace(lower(prefix), '://www\.', '://'),
+      |                       ':(80|443)$', '')
+      |        || regexp_replace(substr(base, length(prefix) + 1), '/+$', '')
+      |        || CASE WHEN len(plist) > 0 THEN '?' || array_to_string(plist, '&')
+      |             ELSE '' END AS canon
+      |       FROM (SELECT *, list_sort(list_filter(string_split(q, '&'),
+      |              p -> p <> '' AND NOT regexp_matches(p,
+      |                '^(utm_[a-z]+|fbclid|gclid)='))) AS plist FROM s3))
+      |SELECT canon AS canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+      | CAST(count(DISTINCT url) AS BIGINT) AS n_variants, min(doc_id) AS keep_id
+      |FROM s4 GROUP BY canon ORDER BY canonical_url""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val urls = Tables.documents(s, d).select(id,
+      concat(
+        when(pmod(id, lit(3)) === 0, lit("http://"))
+          .when(pmod(id, lit(3)) === 1, lit("https://")).otherwise(lit("HTTPS://")),
+        when(pmod(id, lit(4)) === 0, lit("example.com"))
+          .when(pmod(id, lit(4)) === 1, lit("www.example.com"))
+          .when(pmod(id, lit(4)) === 2, lit("Example.COM"))
+          .otherwise(lit("www.Example.com:443")),
+        lit("/articles/"), pmod(id, lit(40)).cast("string"),
+        when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(5)) === 0, lit(""))
+          .when(pmod(id, lit(5)) === 1, lit("?utm_source=feed"))
+          .when(pmod(id, lit(5)) === 2, lit("?id=7&utm_campaign=x"))
+          .when(pmod(id, lit(5)) === 3, lit("?utm_medium=a&id=7"))
+          .otherwise(lit("?id=7")),
+        when(pmod(id, lit(7)) === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+    Dedup.urlDedup(urls).orderBy("canonical_url")
+  }
+
+  /** Encoding-quality fixture: the organic corpus is clean ASCII, so
+    * decode damage is planted in-query in both engines over coprime
+    * moduli — mojibake 'caf<C3><A9>' (%13) and 'don<E2><20AC><2122>t'
+    * (%17), a U+FFFD replacement char (%19), a C0 control char (%23).
+    * The DuckDB pattern builds the same alternation from chr() so the
+    * mirror file stays ASCII; RE2 and Java agree on every class used.
+    */
+  val txt_encoding = QueryDef.sqlChecked(
+    "txt_encoding",
+    """WITH aug AS (SELECT doc_id, text
+      | || CASE WHEN doc_id % 13 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+      | || CASE WHEN doc_id % 17 = 0
+      |      THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't' ELSE '' END
+      | || CASE WHEN doc_id % 19 = 0 THEN ' bad' || chr(65533) ELSE '' END
+      | || CASE WHEN doc_id % 23 = 0 THEN ' ctl' || chr(7) ELSE '' END
+      | AS text FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_replacement,
+      |  CAST(len(regexp_extract_all(text, '[\x01-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT)
+      |    AS n_control,
+      |  CAST(len(regexp_extract_all(text,
+      |    chr(195) || '[' || chr(169) || chr(168) || chr(164) || chr(188) || ']|'
+      |    || chr(226) || chr(8364) || '[' || chr(8482) || chr(8220) || ']|'
+      |    || chr(194) || ' ')) AS BIGINT) AS n_mojibake,
+      |  CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT) AS n_nonascii
+      | FROM aug)
+      |SELECT doc_id, n_replacement, n_control, n_mojibake, n_nonascii,
+      | n_replacement + n_control + n_mojibake > 0 AS bad_encoding
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val aug = Tables.documents(s, d).select(id,
+      concat(col("text"),
+        when(pmod(id, lit(13)) === 0, lit(" caf\u00C3\u00A9")).otherwise(lit("")),
+        when(pmod(id, lit(17)) === 0, lit(" don\u00E2\u20AC\u2122t")).otherwise(lit("")),
+        when(pmod(id, lit(19)) === 0, lit(" bad\uFFFD")).otherwise(lit("")),
+        when(pmod(id, lit(23)) === 0, lit(" ctl\u0007")).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.encodingQuality(aug).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -1789,8 +1936,10 @@ object DataPipeline {
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
     sp7_sample_n,
-    rl1_release_diff, rf1_corpus_refresh, txt_domains,
+    rl1_release_diff, rf1_corpus_refresh, txt_domains, txt_encoding,
+    dd11_url_dedup, sp8_token_budget,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
+    pk4_fim_transform,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_video_pairs, mm_audio_pairs)

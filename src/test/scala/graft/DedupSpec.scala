@@ -328,4 +328,37 @@ class DedupSpec extends SparkSpec {
     // both the codegen and interpreted paths must agree: null in -> null out
     assert(df.collect().forall(_.isNullAt(0)))
   }
+
+  test("canonicalUrl: every normalization rule engages; non-tracking params survive sorted") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/A/B/?b=2&utm_source=x&a=1#frag",
+        "https://example.com/A/B?a=1&b=2"),
+      ("http://example.com:80/page", "http://example.com/page"),
+      ("https://example.com/page/", "https://example.com/page"),
+      ("https://example.com/page?utm_campaign=c&fbclid=f&gclid=g",
+        "https://example.com/page"),
+      // path case is preserved (path semantics are server-defined)
+      ("https://Example.com/CaseSensitive", "https://example.com/CaseSensitive"),
+      ("https://example.com/", "https://example.com"))
+    val out = cases.map(_._1).toDF("url")
+      .select(Dedup.canonicalUrl(col("url")).as("c")).as[String].collect()
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got === want, s"canonicalUrl($in)")
+    }
+  }
+
+  test("urlDedup: variants collapse to one canonical row with min-id representative") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "https://www.example.com/p?utm_source=a"),
+      (3L, "HTTPS://example.com/p/"),
+      (7L, "https://example.com/p"),
+      (5L, "https://other.com/q")).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("https://example.com/p") === ((3L, 3L, 3L)),
+      "3 raw spellings, 3 distinct variants, min id 3")
+    assert(out("https://other.com/q") === ((1L, 1L, 5L)))
+  }
 }

@@ -446,4 +446,36 @@ class PlanSpec extends SparkSpec {
         s"$q must not plan a global (single-task) window")
     }
   }
+
+  test("pk4/txt_encoding: FIM transform and encoding screen are pure narrow passes") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Seq(
+      "pk4" -> graft.operators.Sampling.fimTransform(docs),
+      "txt_encoding" -> graft.operators.TextAnalysis.encodingQuality(docs)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), s"$name planned an exchange:\n$p")
+    }
+  }
+
+  test("sp8: token-budget window is partitioned by the stratum, never global") {
+    val windows = logicalWindows("sp8_token_budget")
+    assert(windows.nonEmpty, "sp8 should plan a window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "sp8 must not plan a global (single-task) window")
+  }
+
+  test("dd11: url dedup is keyed hash aggs with map-side partials, no join") {
+    val p = plan("dd11_url_dedup")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), s"dd11 must not plan any join:\n$p")
+    // exact countDistinct plans the standard two-phase distinct agg:
+    // shuffle on (canonical, url) then on canonical — both keyed, both
+    // with map-side partials; anything beyond that (or a range exchange
+    // before the oracle edge sort) is a regression
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashEx <= 2, s"dd11 grew extra shuffles:\n$p")
+  }
 }

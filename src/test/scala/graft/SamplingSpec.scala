@@ -309,4 +309,57 @@ class SamplingSpec extends SparkSpec {
         keyCol = "source")
     }.getMessage.contains("no rows"))
   }
+
+  test("tokenBudgetPerKey: inclusive cumsum respects budget; kept set is a hash-order prefix") {
+    val out = Sampling.tokenBudgetPerKey(docs, budget = 600L, keyCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.forall(_._4 <= 600L), s"over budget in $src")
+      // cum must equal the running sum of n_tokens in cum order (prefix, no gaps)
+      val ordered = rows.sortBy(_._4)
+      var run = 0L
+      ordered.foreach { case (_, _, n, cum) =>
+        run += n
+        assert(cum === run, s"non-contiguous prefix in $src")
+      }
+    }
+    // stability under re-partitioning
+    val b = Sampling.tokenBudgetPerKey(docs.repartition(7), budget = 600L, keyCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(b.toSet === out.toSet)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerKey(docs, budget = 0L)
+    }.getMessage.contains("budget"))
+  }
+
+  test("fimTransform: cuts in bounds, PSM segments reassemble the document, edges reachable") {
+    import spark.implicits._
+    val out = Sampling.fimTransform(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.length === docs.count())
+    out.foreach { case (id, _, n, lo, hi, _) =>
+      assert(0 <= lo && lo <= hi && hi <= n, s"cuts out of order for doc $id")
+    }
+    assert(out.exists(_._2) && out.exists(!_._2), "both branches must occur")
+    // content check: recompute the expected md5 from the raw text + cuts
+    val raw = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s0: String): String =
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { case (id, fim, _, lo, hi, got) =>
+      val ws = raw(id).split(" ").filter(_.nonEmpty)
+      val expected =
+        if (fim)
+          "<PRE>" + ws.take(lo.toInt).mkString(" ") +
+            "<SUF>" + ws.drop(hi.toInt).mkString(" ") +
+            "<MID>" + ws.slice(lo.toInt, hi.toInt).mkString(" ")
+        else ws.mkString(" ")
+      assert(got === md5hex(expected), s"PSM content mismatch for doc $id")
+    }
+    // fimPct edges: 0 transforms nothing, 100 transforms everything
+    assert(Sampling.fimTransform(docs, fimPct = 0).filter(col("fim")).count() === 0L)
+    assert(Sampling.fimTransform(docs, fimPct = 100).filter(!col("fim")).count() === 0L)
+  }
 }

@@ -335,4 +335,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === 1L, "three words < minWords=4 must drop")
     assert(out(3L) === 1L, "custom blocklist phrase must drop")
   }
+
+  test("encodingQuality: clean ASCII scores zero; each damage class is counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "perfectly clean ascii text."),
+      (2L, "lossy \uFFFD decode \uFFFD here"),
+      (3L, "binary\u0007junk\u0001"),            // C0 controls (not \t\n\r)
+      (4L, "tabs\tand\nnewlines are fine"),
+      (5L, "caf\u00C3\u00A9 mojibake don\u00E2\u20AC\u2122t"),
+      (6L, "legit accents caf\u00E9 na\u00EFve")) // non-ascii but NOT flagged
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingQuality(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L, false)))
+    assert(out(2L) === ((2L, 0L, 0L, 2L, true)))
+    assert(out(3L) === ((0L, 2L, 0L, 0L, true)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L, false)), "tab/newline are not contamination")
+    assert(out(5L)._3 === 2L)
+    assert(out(5L)._5 === true)
+    assert(out(6L) === ((0L, 0L, 0L, 2L, false)),
+      "legitimate non-ASCII must be reported but never flagged")
+  }
 }
