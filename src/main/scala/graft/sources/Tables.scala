@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -26,15 +26,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * convert to a microsecond TimestampType (the generator only produces
-    * µs precision, so the truncation is lossless).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (which Spark's vectorized reader rejects,
+    * [PARQUET_TYPE_ILLEGAL] — read nanos as long, truncate losslessly to
+    * µs) and plain timestamp[us] (TIMESTAMP_NTZ) in others. Normalize
+    * either shape to a microsecond TimestampType so every downstream
+    * query and oracle mirror sees one schema.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
