@@ -746,6 +746,115 @@ object Dedup {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(urlCol)).as("n_variants"),
         min(col(idCol)).as("keep_id"))
+
+  /** Repeated-SPAN detection — the substring-granularity dedup between
+    * whole-document ([[exact]]/[[minhashLsh]]) and paragraph ([[
+    * paragraphDedup]]) levels, after Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better"), which removes
+    * verbatim token runs repeated across a corpus (license headers,
+    * navigation chrome, quoted chain-mails) that are too short to make
+    * the whole documents near-duplicates. Their suffix-array scan is a
+    * single-machine algorithm; the Spark-first equivalent detects every
+    * run of >= k tokens shared by >= minDf docs via positional
+    * k-shingles:
+    *
+    *   1. one typed pass emits (doc, start, k-gram) for every token
+    *      position — narrow, no shuffle;
+    *   2. corpus document-frequency per k-gram — ONE shuffle keyed by
+    *      the gram (map-side partial agg; a hot gram costs one count,
+    *      never a pair fan-out);
+    *   3. positions of duplicated grams survive a left-semi join keyed
+    *      by the gram (semi = zero fan-out on hot grams, each position
+    *      row emitted at most once);
+    *   4. surviving positions merge into maximal spans with a
+    *      gaps-and-islands window PARTITIONED BY doc (lag + running
+    *      sum) — per-doc state only, no global sort.
+    *
+    * Every duplicated token run of length L >= k appears as L-k+1
+    * consecutive duplicated starts, so islands reconstruct the full
+    * run exactly; two runs merge iff their duplicated starts are
+    * adjacent (gap <= 1), i.e. the text between them is itself covered
+    * by duplicated grams. Spans are reported as 1-based inclusive
+    * token indices; trimming is the caller's policy (report-only here,
+    * matching the reference pipelines that log spans before cutting).
+    */
+  def repeatedSpans(
+      documents: DataFrame,
+      k: Int = 8,
+      minDf: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2 && minDf >= 2, s"invalid repeatedSpans params k=$k minDf=$minDf")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val kk = k
+    // positional k-grams: unlike TextHashing.shingles this keeps every
+    // START INDEX (1-based) and does not distinct — positions are the
+    // payload here
+    val pos = spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = TextHashing.tokens(text)
+        val n = toks.length - kk + 1
+        val out = new Array[(Long, Long, String)](math.max(n, 0))
+        var i = 0
+        while (i < n) {
+          out(i) = (id, (i + 1).toLong, toks.slice(i, i + kk).mkString(" "))
+          i += 1
+        }
+        out
+      }
+      .toDF("doc_id", "i", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // document frequency per gram; the distinct collapses within-doc
+    // repeats so minDf counts DOCS (a gram repeated inside one doc is
+    // not corpus-duplicated)
+    val dup = pos.select(col("doc_id"), col("s")).distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("s"))
+    val hits = pos.join(dup, Seq("s"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val flagged = hits
+      .withColumn("gap", col("i") - lag(col("i"), 1, null).over(byDoc))
+      .withColumn("f", when(col("gap").isNull || col("gap") <= 1, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("f")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("span_start"), (max(col("i")) + (kk - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** Duplicate-cluster CANONICALIZATION — the step a pipeline runs
+    * after [[duplicateClusters]]: per connected component keep exactly
+    * one member and drop the rest. The keep rule is the common
+    * production one (longest member wins, ties to the smallest id —
+    * "longest" because near-dup clusters usually contain truncated
+    * variants of one original). One row per cluster.
+    *
+    * Scale shape: token counts are a narrow projection of the already-
+    * clustered frame joined back on doc id (one keyed join), and the
+    * argmax is a window PARTITIONED BY cluster — no global sort, no
+    * driver-side group materialization.
+    */
+  def canonicalize(
+      clusters: DataFrame,
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = documents.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_toks"))
+    val ranked = clusters.join(lens, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("n_toks").desc, col("doc_id"))))
+    ranked.filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"),
+        col("n_toks").as("keep_toks"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped"))
+  }
 }
 
 /** MinHash parameter table, computed once per JVM per size. */

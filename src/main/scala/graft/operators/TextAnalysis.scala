@@ -479,4 +479,94 @@ object TextAnalysis {
       .withColumn("bad_encoding",
         col("n_replacement") + col("n_control") + col("n_mojibake") > 0)
   }
+
+  /** Unigram language-model score — the deterministic core of a
+    * CCNet-style perplexity filter (Wenzek et al. 2020 bucket web text
+    * by LM perplexity and keep the head; here the LM is a Laplace-
+    * smoothed unigram model estimated from the corpus itself, so the
+    * operator is self-contained and exactly SQL-mirrorable, where a
+    * KenLM binary would not be). Output per doc: token count and
+    * `bits_per_token` = mean -log2 p(w) — low bits = typical text,
+    * high bits = rare-token soup (gibberish, OCR noise, exotic
+    * boilerplate). p(w) = (c(w)+1)/(N+V) over corpus token count N and
+    * vocab size V.
+    *
+    * Scale shape: token counts are ONE shuffle keyed by token
+    * (map-side partial agg); (N, V) reduce to a single broadcast row;
+    * scoring joins the token stream to the count table keyed by token —
+    * a broadcast join while the vocab fits (natural-language vocab
+    * grows ~ sublinearly, Heaps' law), degrading to a shuffle join
+    * beyond, which AQE picks per-run; the per-doc mean is one more
+    * keyed agg. Nothing driver-side, no pair blowup anywhere.
+    */
+  def unigramLogProb(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = documents
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val scored = tok
+      .join(cnt, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        log((col("c") + lit(1.0)) / (col("n") + col("v"))).as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(col("lp")) / count(lit(1)) / log(lit(2.0))).as("bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("bits"), 4).as("bits_per_token"))
+  }
+
+  /** Hashed-feature linear quality classifier — the Spark plumbing of a
+    * fasttext-style filter (hash each token into a D-bucket weight
+    * table, average the weights, threshold), the shape used for e.g.
+    * Wikipedia-vs-CommonCrawl quality models. Real deployments load
+    * trained weights; weights here are derived DETERMINISTICALLY from
+    * the bucket index by an LCG step, which keeps the operator
+    * self-contained and oracle-checkable while exercising the exact
+    * runtime path a trained table would use (swap `weightOf` for a
+    * broadcast lookup and nothing else changes).
+    *
+    * Everything is integer hashing + one average: a single narrow
+    * codegen'd pass over the corpus, ZERO exchanges before the final
+    * agg — the cheapest possible model-based filter at 100 TB.
+    * Hashing reuses [[graft.functions.TextHashing.poly32]]'s avalanche
+    * (via the SQL-mirrorable expression form used by the signature
+    * mirrors).
+    */
+  def linearQualityScore(
+      documents: DataFrame,
+      dim: Int = 1024,
+      threshold: Double = 0.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(dim > 0, s"invalid dim=$dim")
+    val d = dim
+    val th = threshold
+    val scored = Dedup.spread(
+      documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.functions.TextHashing.tokens(text)
+        var s = 0.0
+        var i = 0
+        while (i < toks.length) {
+          val bucket = graft.functions.TextHashing.poly32(toks(i), 97L) % d
+          // LCG-derived weight in [-1, 1): deterministic stand-in for a
+          // trained table, identical in the SQL mirror
+          val w = ((bucket * 1103515245L + 12345L) % (2L * d)).toDouble / d - 1.0
+          s += w
+          i += 1
+        }
+        val margin = if (toks.isEmpty) 0.0 else s / toks.length
+        (id, toks.length.toLong, graft.functions.TextHashing.round4(margin))
+      }
+      .toDF("doc_id", "n_tokens", "margin")
+    scored.withColumn("keep", col("margin") > lit(th))
+  }
 }

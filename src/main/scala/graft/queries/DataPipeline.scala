@@ -1923,6 +1923,137 @@ object DataPipeline {
     TextAnalysis.encodingQuality(aug).orderBy("doc_id")
   }
 
+  /** Repeated-span fixture: organic docs rarely share verbatim 8-grams,
+    * so two boilerplate runs are planted IN-QUERY in both engines —
+    * every 7th doc gets a 12-token run (5 consecutive duplicated
+    * starts → one 12-token span), every 11th a 20-token run. Docs
+    * divisible by 77 get BOTH, adjacent: the 8-grams crossing the
+    * boundary appear in every %77 doc (>= 2 of them at the gate SF),
+    * so those docs' two runs MERGE into one long island — pinning the
+    * gaps-and-islands merge rule itself, not just single-run recall.
+    * Span starts stay exact because the grams crossing from the
+    * organic tail into the boilerplate are unique per doc (df = 1).
+    */
+  private val Dd12Run7 =
+    "zz alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+  private val Dd12Run11 =
+    "yy one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+
+  val dd12_span_dedup = QueryDef.sqlChecked(
+    "dd12_span_dedup",
+    s"""WITH aug AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 7 = 0 THEN ' $Dd12Run7' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN ' $Dd12Run11' ELSE '' END
+       |  AS text FROM documents),
+       |wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |       FROM aug),
+       |pos AS (SELECT doc_id, unnest(range(1, len(ws) - 6)) AS i, ws
+       |        FROM wl WHERE len(ws) >= 8),
+       |sh AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS s FROM pos),
+       |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+       |        GROUP BY s HAVING count(*) >= 2),
+       |hit AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (s)),
+       |flg AS (SELECT doc_id, i,
+       |         CASE WHEN i - lag(i, 1, i) OVER (PARTITION BY doc_id ORDER BY i) > 1
+       |           THEN 1 ELSE 0 END AS f FROM hit),
+       |isl AS (SELECT doc_id, i,
+       |         sum(f) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+       |           AS island FROM flg),
+       |sp AS (SELECT doc_id, island, min(i) AS span_start, max(i) + 7 AS span_end
+       |       FROM isl GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       | CAST(span_end AS BIGINT) AS span_end,
+       | CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val aug = Tables.documents(s, d).select(id,
+      concat(col("text"),
+        when(pmod(id, lit(7)) === 0, lit(s" $Dd12Run7")).otherwise(lit("")),
+        when(pmod(id, lit(11)) === 0, lit(s" $Dd12Run11")).otherwise(lit("")))
+        .as("text"))
+    Dedup.repeatedSpans(aug).orderBy("doc_id", "span_start")
+  }
+
+  /** Canonicalization over the SAME planted cluster fixture as dd8 (the
+    * 5-doc sliding-window chain), so the oracle pins the keep rule
+    * against clusters whose members genuinely differ in length (every
+    * planted doc has 8 tokens → the id tiebreak decides; organic
+    * near-dup clusters, when present, exercise the length rule).
+    */
+  val dd8c_canonical = QueryDef.sqlChecked(
+    "dd8c_canonical",
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardSqlFor(Dd8Rel, 1000)}),
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION SELECT db AS a, da AS b FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+       |),
+       |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster),
+       |wl AS (SELECT doc_id,
+       |        len(list_filter(string_split(text,' '), x -> x <> '')) AS n_toks
+       |       FROM $Dd8Rel t),
+       |m AS (SELECT cl.id AS doc_id, cl.cluster, sz.cluster_size, wl.n_toks
+       |      FROM cl JOIN sz USING (cluster) JOIN wl ON wl.doc_id = cl.id),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY cluster ORDER BY n_toks DESC, doc_id) AS rn FROM m)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(doc_id AS BIGINT) AS keep_id,
+       | CAST(n_toks AS BIGINT) AS keep_toks,
+       | CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 100)
+    val planted = s.range(5L)
+      .select((col("id") + 3000L).as("doc_id"),
+        concat_ws(" ", (0 until Dd8Window).map(k =>
+          concat(lit("qz"), col("id") + k)): _*).as("text"))
+    val fixture = base.unionByName(planted)
+    val clusters = Dedup.duplicateClusters(Dedup.ngramJaccard(fixture))
+    Dedup.canonicalize(clusters, fixture).orderBy("cluster")
+  }
+
+  val txt_ppl = QueryDef.sqlChecked(
+    "txt_ppl",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+      |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      |        FROM cnt),
+      |sc AS (SELECT doc_id, ln((c + 1.0) / (n + v)) AS lp
+      |       FROM tok JOIN cnt USING (w) CROSS JOIN tot),
+      |ag AS (SELECT doc_id, count(*) AS n_tokens, -sum(lp)/count(*)/ln(2) AS bits
+      |       FROM sc GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | round(bits, 4) AS bits_per_token
+      |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  val txt_clf = QueryDef.sqlChecked(
+    "txt_clf",
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+       |h0 AS (SELECT doc_id, ${polySql("w", 97)} AS hv FROM tok),
+       |${mixCtes("h0", "hm", keep = Seq("doc_id"), cols = Seq("hv"))},
+       |wt AS (SELECT doc_id,
+       |        (((hv % 1024) * 1103515245 + 12345) % 2048) / 1024.0 - 1.0 AS w
+       |       FROM hm),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        round(sum(w)/count(*), 4) AS margin FROM wt GROUP BY doc_id)
+       |SELECT wl.doc_id, coalesce(ag.n_tokens, 0) AS n_tokens,
+       | coalesce(ag.margin, 0.0) AS margin,
+       | coalesce(ag.margin, 0.0) > 0.0 AS keep
+       |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin) {
+    (s, d) =>
+      TextAnalysis.linearQualityScore(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -1938,6 +2069,7 @@ object DataPipeline {
     sp7_sample_n,
     rl1_release_diff, rf1_corpus_refresh, txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
+    dd12_span_dedup, dd8c_canonical, txt_ppl, txt_clf,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
     pipe1_training_pipeline,

@@ -361,4 +361,61 @@ class DedupSpec extends SparkSpec {
       "3 raw spellings, 3 distinct variants, min id 3")
     assert(out("https://other.com/q") === ((1L, 1L, 5L)))
   }
+
+  test("repeatedSpans: recovers planted runs, merges adjacent islands, 1-based bounds") {
+    import spark.implicits._
+    // ua/ub: a 10-token shared run embedded at different offsets;
+    // uc: unrelated filler; ud/ue: two runs separated by ONE unique
+    // token in ud — the k-grams crossing the unique token are df=1, so
+    // the islands must NOT merge (gap > 1)
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val run2 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),
+      (2L, s"b1 $run b2 b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+      (4L, s"$run gapx $run2"),
+      (5L, s"$run gapy $run2")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, k = 8, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc1: run at tokens 4..13; doc2: run at 2..11
+    assert(spans.contains((1L, 4L, 13L, 10L)), spans)
+    assert(spans.contains((2L, 2L, 11L, 10L)), spans)
+    // docs 4/5: both runs duplicated but separated by a unique token —
+    // two DISTINCT spans each (run at 1..10, run2 at 12..19)
+    assert(spans.contains((4L, 1L, 10L, 10L)), spans)
+    assert(spans.contains((4L, 12L, 19L, 8L)), spans)
+    assert(spans.contains((5L, 1L, 10L, 10L)), spans)
+    assert(spans.contains((5L, 12L, 19L, 8L)), spans)
+    assert(!spans.exists(_._1 == 3L), "unique doc has no spans")
+  }
+
+  test("repeatedSpans: a run shared verbatim INCLUDING the junction merges into one span") {
+    import spark.implicits._
+    // the full 19-token junction run appears in both docs, so the
+    // crossing 8-grams are df=2 and the two halves merge into ONE span
+    val joint = "j1 j2 j3 j4 j5 j6 j7 j8 j9 j10 j11 j12 j13 j14 j15 j16 j17 j18 j19"
+    val df = Seq(
+      (1L, s"x1 x2 $joint x3"),
+      (2L, s"y1 $joint y2 y3")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, k = 8, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans === Set((1L, 3L, 21L, 19L), (2L, 2L, 20L, 19L)), spans)
+  }
+
+  test("canonicalize: longest member kept, id tiebreak, per-cluster row") {
+    import spark.implicits._
+    val clusters = Seq(
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L)).toDF("doc_id", "cluster", "cluster_size")
+    val docs = Seq(
+      (10L, "a b c"), (11L, "a b c d e"), (12L, "a b"),
+      (20L, "x y z"), (21L, "x y w")).toDF("doc_id", "text")
+    val out = Dedup.canonicalize(clusters, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) === ((11L, 5L, 2L)), "longest member wins")
+    assert(out(20L) === ((20L, 3L, 1L)), "equal length -> min id wins")
+  }
 }

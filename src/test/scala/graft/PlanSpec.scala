@@ -478,4 +478,37 @@ class PlanSpec extends SparkSpec {
       .count(l => l.contains("Arguments: hashpartitioning"))
     assert(hashEx <= 2, s"dd11 grew extra shuffles:\n$p")
   }
+
+  test("dd12: span detection is semi-join + per-doc window — no cartesian, no unpartitioned window") {
+    val p = plan("dd12_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // duplicated-gram positions survive via LeftSemi: hot grams must
+    // never fan positions out (a plain inner join against a gram with
+    // df copies would)
+    assert(p.contains("LeftSemi"), s"dd12 hit filter must be a semi-join:\n$p")
+    // the islands window runs per-doc; a missing partitionBy plans a
+    // single-partition window over the whole corpus
+    assert(!p.contains("SinglePartition"),
+      s"dd12 planned a single-partition (global) window or exchange:\n$p")
+  }
+
+  test("txt_ppl: LM scoring joins stay equi/broadcast — no cartesian pair work") {
+    val p = plan("txt_ppl")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the (N, V) single-row broadcast; the
+    // token-count join itself must be hash-based
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("txt_clf: hashed classifier is one narrow typed pass — zero hash/range exchange") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.linearQualityScore(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange hashpartitioning"), s"txt_clf planned a shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"txt_clf planned a sort:\n$p")
+    assert(!p.contains("Join"), s"txt_clf planned a join:\n$p")
+  }
 }

@@ -359,4 +359,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L) === ((0L, 0L, 0L, 2L, false)),
       "legitimate non-ASCII must be reported but never flagged")
   }
+
+  test("unigramLogProb: hand-computed Laplace bits on a 3-doc corpus") {
+    import spark.implicits._
+    // corpus: N=6 tokens, V=3 vocab {a:3, b:2, c:1}
+    val df = Seq((1L, "a a b"), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Spark's round() is BigDecimal HALF_UP — mirror it exactly
+    def bits(ps: Seq[Double]) =
+      BigDecimal(ps.map(p => -math.log(p) / math.log(2)).sum / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pa, pb, pc) = (4.0 / 9, 3.0 / 9, 2.0 / 9) // (c+1)/(N+V)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - bits(Seq(pa, pa, pb))) < 1e-9)
+    assert(math.abs(out(2L)._2 - bits(Seq(pa, pb, pc))) < 1e-9)
+    // rare-token docs score strictly more bits than common-token docs
+    assert(out(2L)._2 > out(1L)._2)
+    assert(!out.contains(3L), "empty docs have no tokens and no LM score")
+  }
+
+  test("linearQualityScore: deterministic margins, keep rule, empty-doc zero") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, ""), (4L, "delta")).toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityScore(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L)._3 === m(2L)._3, "same text -> same margin")
+    assert(m(1L)._4 === (m(1L)._3 > 0.0))
+    assert(m(3L) === ((3L, 0L, 0.0, false)), "empty doc: zero margin, dropped")
+    // single-token margin equals that token's bucket weight
+    val bucket = graft.functions.TextHashing.poly32("delta", 97L) % 1024
+    val w = ((bucket * 1103515245L + 12345L) % 2048L).toDouble / 1024 - 1.0
+    assert(math.abs(m(4L)._3 - math.floor(math.abs(w) * 1e4 + 0.5) / 1e4 * math.signum(w)) < 1e-9)
+  }
 }
