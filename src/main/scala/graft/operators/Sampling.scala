@@ -540,4 +540,38 @@ object Sampling {
             lit("<MID>"), join(slice(col("ws"), col("lo") + 1, col("hi") - col("lo")))))
           .otherwise(join(col("ws")))).as("out_md5"))
   }
+
+  /** Curriculum phase assignment — the two-phase schedule modern
+    * pretraining runs use (bulk pretrain corpus, then an "anneal" /
+    * mid-training tail drawn from the highest-quality slice): a doc
+    * joins the anneal set iff its [[TextAnalysis.quality]] score clears
+    * `qualityMin` AND its hash bucket falls under `annealPct` (so the
+    * anneal set is an unbiased, deterministic sample of the
+    * high-quality slice, not "the first N"). `order_key` is a SECOND
+    * independent avalanche (id offset by a large odd constant before
+    * mixing) giving the data-loader shuffle order — independent of the
+    * phase-decision hash, so anneal membership does not bias position.
+    *
+    * Pure per-row integer/rational arithmetic over the id and token
+    * stats: one narrow codegen'd pass, zero exchanges, any corpus size.
+    */
+  def curriculum(
+      documents: DataFrame,
+      qualityMin: Double = 0.5,
+      annealPct: Int = 30,
+      idCol: String = "doc_id"): DataFrame = {
+    require(annealPct >= 0 && annealPct <= 100, s"invalid annealPct=$annealPct")
+    val r4 = graft.functions.GraftFunctions.round4 _
+    val words = Dedup.tokens(col("text"))
+    val nw = size(words)
+    val score = r4(
+      size(filter(words, w => w.isin(TextAnalysis.Stopwords: _*))).cast("double") / nw * 0.5
+        + least(nw, lit(100)).cast("double") / 100 * 0.5)
+    documents.select(
+      col(idCol),
+      score.as("quality_score"),
+      when(score >= qualityMin && pmod(mix32(col(idCol)), lit(100L)) < annealPct,
+        lit("anneal")).otherwise(lit("pretrain")).as("phase"),
+      mix32(col(idCol) + lit(1000003L)).as("order_key"))
+  }
 }

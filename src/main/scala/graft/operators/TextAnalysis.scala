@@ -569,4 +569,44 @@ object TextAnalysis {
       .toDF("doc_id", "n_tokens", "margin")
     scored.withColumn("keep", col("margin") > lit(th))
   }
+
+  /** Per-source corpus card — the summary table a corpus release ships
+    * (the "datasheet" row per source: volume, vocabulary, quality,
+    * short-doc exposure). One row per source:
+    *   - `n_docs`, `n_tokens`: volume in both units;
+    *   - `n_langs`: distinct language tags;
+    *   - `vocab`: distinct whitespace tokens (exact — the per-source
+    *     type count Heaps'-law sizing reads off);
+    *   - `mean_quality`: mean of the per-doc [[quality]] score;
+    *   - `n_short`: docs under the Gopher 25-word floor (how much of
+    *     the source a length rule would drop).
+    *
+    * Scale shape: the doc-level signals are one narrow pass feeding a
+    * source-keyed agg (map-side partials; #sources rows out); vocab is
+    * a (source, token)-keyed distinct then a source-keyed count — the
+    * standard two-exchange exact-distinct, joined back broadcast
+    * because the card is dimension-sized by construction.
+    */
+  def corpusCard(documents: DataFrame): DataFrame = {
+    val r4 = graft.functions.GraftFunctions.round4 _
+    val words = tokens(col("text"))
+    val nw = size(words)
+    val score = r4(
+      size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / nw * 0.5
+        + least(nw, lit(100)).cast("double") / 100 * 0.5)
+    val perDoc = documents.select(
+      col("source"), col("lang"), nw.cast("long").as("nw"), score.as("score"))
+    val agg = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nw")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(avg(col("score")), 4).as("mean_quality"),
+      sum(when(col("nw") < 25, 1L).otherwise(0L)).as("n_short"))
+    val vocab = documents.select(col("source"), explode(words).as("w"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("vocab"))
+    agg.join(broadcast(vocab), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("n_langs"), col("mean_quality"), col("n_short"))
+  }
 }

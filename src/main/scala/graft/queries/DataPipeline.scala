@@ -2054,6 +2054,48 @@ object DataPipeline {
       TextAnalysis.linearQualityScore(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  val rl2_corpus_card = QueryDef.sqlChecked(
+    "rl2_corpus_card",
+    s"""WITH wl AS (SELECT doc_id, source, lang,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |m AS (SELECT source, lang, len(ws) AS nw,
+       |  round(CAST(len(list_filter(ws, w -> list_contains($StopList, w))) AS DOUBLE)
+       |     /len(ws)*0.5 + least(len(ws), 100)/100.0*0.5, 4) AS score FROM wl),
+       |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  round(avg(score), 4) AS mean_quality,
+       |  CAST(sum(CASE WHEN nw < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+       | FROM m GROUP BY source),
+       |vc AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM
+       |  (SELECT DISTINCT source, unnest(ws) AS w FROM wl) GROUP BY source)
+       |SELECT ag.source, n_docs, n_tokens, vocab, n_langs, mean_quality, n_short
+       |FROM ag JOIN vc USING (source) ORDER BY ag.source""".stripMargin) { (s, d) =>
+    TextAnalysis.corpusCard(Tables.documents(s, d)).orderBy("source")
+  }
+
+  val sp9_curriculum = QueryDef.sqlChecked(
+    "sp9_curriculum",
+    s"""WITH wl AS (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |q AS (SELECT doc_id,
+       |  round(CAST(len(list_filter(ws, w -> list_contains($StopList, w))) AS DOUBLE)
+       |     /len(ws)*0.5 + least(len(ws), 100)/100.0*0.5, 4) AS quality_score FROM wl),
+       |mx AS ${mix32Sql("doc_id")},
+       |h2 AS (SELECT doc_id, xor(m2, m2 >> 13) AS hs2 FROM (
+       |  SELECT doc_id, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT doc_id,
+       |      (((doc_id + 1000003) % 4294967296) + 4294967296) % 4294967296 AS h0
+       |    FROM documents)))
+       |SELECT q.doc_id, q.quality_score,
+       | CASE WHEN q.quality_score >= 0.5 AND mx.hs % 100 < 30
+       |   THEN 'anneal' ELSE 'pretrain' END AS phase,
+       | CAST(h2.hs2 AS BIGINT) AS order_key
+       |FROM q JOIN mx USING (doc_id) JOIN h2 USING (doc_id)
+       |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+    Sampling.curriculum(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -2070,6 +2112,7 @@ object DataPipeline {
     rl1_release_diff, rf1_corpus_refresh, txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_clf,
+    rl2_corpus_card, sp9_curriculum,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
     pipe1_training_pipeline,

@@ -502,6 +502,21 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("sp9: curriculum assignment is a pure narrow projection — zero exchanges bare") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.Sampling.curriculum(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"sp9 planned an exchange:\n$p")
+  }
+
+  test("rl2: corpus card joins the dimension-sized vocab side broadcast — no cartesian") {
+    val p = plan("rl2_corpus_card")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("txt_clf: hashed classifier is one narrow typed pass — zero hash/range exchange") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.linearQualityScore(docs)

@@ -362,4 +362,34 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.fimTransform(docs, fimPct = 0).filter(col("fim")).count() === 0L)
     assert(Sampling.fimTransform(docs, fimPct = 100).filter(!col("fim")).count() === 0L)
   }
+
+  test("curriculum: anneal only above quality floor, hash-stable, independent order key") {
+    val out = Sampling.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    assert(out.length === docs.count())
+    // anneal ⊆ high-quality slice, and never the whole slice (annealPct < 100)
+    val anneal = out.filter(_._3 == "anneal")
+    val highQ = out.filter(_._2 >= 0.5)
+    assert(anneal.nonEmpty && anneal.length < highQ.length)
+    anneal.foreach { case (id, q, _, _) => assert(q >= 0.5, s"doc $id") }
+    // below the floor NOTHING anneals regardless of hash bucket
+    out.filter(_._2 < 0.5).foreach { case (id, _, p, _) =>
+      assert(p === "pretrain", s"doc $id")
+    }
+    // determinism under re-partition
+    val again = Sampling.curriculum(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(again === out.map(r => (r._1, r._3, r._4)).toSet)
+    // the order key is a different avalanche than the phase-decision
+    // hash (mix32 of the raw id) — scalar twin of IvfSearch.mix32
+    def mix32(x: Long): Long = {
+      val h0 = ((x % 4294967296L) + 4294967296L) % 4294967296L
+      val m2 = ((h0 ^ (h0 >>> 16)) * 40503L) % 4294967296L
+      m2 ^ (m2 >>> 13)
+    }
+    assert(out.exists { case (id, _, _, key) => key != mix32(id) })
+    out.foreach { case (id, _, _, key) =>
+      assert(key === mix32(id + 1000003L), s"order_key mismatch for doc $id")
+    }
+  }
 }

@@ -394,4 +394,22 @@ class TextAnalysisSpec extends SparkSpec {
     val w = ((bucket * 1103515245L + 12345L) % 2048L).toDouble / 1024 - 1.0
     assert(math.abs(m(4L)._3 - math.floor(math.abs(w) * 1e4 + 0.5) / 1e4 * math.signum(w)) < 1e-9)
   }
+
+  test("corpusCard: hand-checked per-source volume, vocab, langs, short-doc count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "en", "web", 25L),
+      (2L, "the quick red fox", "en", "web", 17L),
+      (3L, "der schnelle fuchs", "de", "web", 18L),
+      (4L, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "books", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.corpusCard(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))))
+      .toMap
+    // web: 3 docs, 5+4+3=12 tokens, vocab {the,quick,brown,fox,jumps,red,
+    // der,schnelle,fuchs}=9, 2 langs, all 3 under 25 words
+    assert(out("web") === ((3L, 12L, 9L, 2L, 3L)))
+    assert(out("books") === ((1L, 26L, 26L, 1L, 0L)))
+  }
 }
