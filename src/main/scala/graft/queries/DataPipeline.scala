@@ -1975,15 +1975,28 @@ object DataPipeline {
     Dedup.repeatedSpans(aug).orderBy("doc_id", "span_start")
   }
 
-  /** Canonicalization over the SAME planted cluster fixture as dd8 (the
-    * 5-doc sliding-window chain), so the oracle pins the keep rule
-    * against clusters whose members genuinely differ in length (every
-    * planted doc has 8 tokens → the id tiebreak decides; organic
-    * near-dup clusters, when present, exercise the length rule).
+  /** Canonicalization over the dd8 chain fixture (8-token docs — the id
+    * tiebreak decides) PLUS a second planted cluster of prefix-extended
+    * docs with 10/12/11 tokens (`qv` vocabulary, pairwise J >= 0.73, so
+    * a clique) whose longest member is the MIDDLE id 4001 — the oracle
+    * pins the length rule itself, not just the tiebreak.
     */
+  private val Dd8cRel = {
+    val chain = (0 until Dd8Window).map(k => s"'qz' || (t.i + $k)").mkString(", ")
+    s"""(SELECT doc_id, text FROM documents WHERE doc_id < 100
+       | UNION ALL
+       | SELECT 3000 + t.i AS doc_id, concat_ws(' ', $chain) AS text
+       | FROM range(5) t(i)
+       | UNION ALL
+       | SELECT 4000 + u.j AS doc_id, string_agg('qv' || v.k, ' ' ORDER BY v.k) AS text
+       | FROM range(3) u(j) JOIN range(12) v(k)
+       |   ON v.k < CASE u.j WHEN 0 THEN 10 WHEN 1 THEN 12 ELSE 11 END
+       | GROUP BY u.j)""".stripMargin
+  }
+
   val dd8c_canonical = QueryDef.sqlChecked(
     "dd8c_canonical",
-    s"""WITH RECURSIVE pairs AS (${ngramJaccardSqlFor(Dd8Rel, 1000)}),
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardSqlFor(Dd8cRel, 1000)}),
        |edges AS (SELECT da AS a, db AS b FROM pairs
        |          UNION SELECT db AS a, da AS b FROM pairs),
        |reach AS (
@@ -1995,7 +2008,7 @@ object DataPipeline {
        |sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster),
        |wl AS (SELECT doc_id,
        |        len(list_filter(string_split(text,' '), x -> x <> '')) AS n_toks
-       |       FROM $Dd8Rel t),
+       |       FROM $Dd8cRel t),
        |m AS (SELECT cl.id AS doc_id, cl.cluster, sz.cluster_size, wl.n_toks
        |      FROM cl JOIN sz USING (cluster) JOIN wl ON wl.doc_id = cl.id),
        |r AS (SELECT *, row_number() OVER
@@ -2007,10 +2020,17 @@ object DataPipeline {
     val base = Tables.documents(s, d)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .filter(col("doc_id") < 100)
-    val planted = s.range(5L)
+    val chain = s.range(5L)
       .select((col("id") + 3000L).as("doc_id"),
         concat_ws(" ", (0 until Dd8Window).map(k =>
           concat(lit("qz"), col("id") + k)): _*).as("text"))
+    // prefix-extension clique: 10/12/11 tokens, longest is the middle id
+    val lens = Seq(0 -> 10, 1 -> 12, 2 -> 11)
+    val clique = lens.map { case (j, n) =>
+      (4000L + j, (0 until n).map(k => s"qv$k").mkString(" "))
+    }
+    import s.implicits._
+    val planted = chain.unionByName(clique.toDF("doc_id", "text"))
     val fixture = base.unionByName(planted)
     val clusters = Dedup.duplicateClusters(Dedup.ngramJaccard(fixture))
     Dedup.canonicalize(clusters, fixture).orderBy("cluster")
