@@ -827,6 +827,37 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
   }
 
+  /** The DROP-DECISION form of [[repeatedSpans]] (the relationship
+    * [[Decontamination.contaminatedIds]] has to `overlapWith`): per doc,
+    * the fraction of tokens covered by corpus-duplicated spans, and the
+    * keep/drop flag a pipeline consumes (RefinedWeb drops documents
+    * whose duplicated fraction crosses a threshold rather than
+    * surgically trimming them). Islands are disjoint by construction,
+    * so summing span lengths never double-counts a token.
+    *
+    * Scale shape: [[repeatedSpans]]'s shuffles plus ONE doc-keyed left
+    * join of the span aggregate onto the narrow token-count projection
+    * — span-free docs surface with fraction 0 and keep=true.
+    */
+  def spanDupFraction(
+      documents: DataFrame,
+      k: Int = 8,
+      minDf: Int = 2,
+      maxDupFrac: Double = 0.3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = repeatedSpans(documents, k, minDf, idCol, textCol)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("n_tokens")).as("dup_tokens"))
+    val lens = documents.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    lens.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+      .withColumn("drop", col("dup_frac") > maxDupFrac)
+  }
+
   /** Duplicate-cluster CANONICALIZATION — the step a pipeline runs
     * after [[duplicateClusters]]: per connected component keep exactly
     * one member and drop the rest. The keep rule is the common

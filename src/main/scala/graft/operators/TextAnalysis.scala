@@ -570,6 +570,49 @@ object TextAnalysis {
     scored.withColumn("keep", col("margin") > lit(th))
   }
 
+  /** Character-level statistics screen — the cheap "is this text or
+    * noise" signals a pipeline runs before any token-level work:
+    *   - `entropy_bits`: Shannon entropy of the character distribution
+    *     (≈4.1 for English prose; ≪ for repeated filler like
+    *     "aaaa...", ≈lg(charset) for random bytes — both tails are
+    *     drop candidates);
+    *   - `gram4_distinct / gram4_total` (`gram4_ratio`): distinct
+    *     4-char-gram fraction, a deterministic stand-in for the gzip
+    *     compression-ratio screen (low ratio = highly compressible =
+    *     templated/repetitive text) that needs no codec dependency.
+    * One narrow typed pass with native loops; empty/short docs get
+    * entropy 0 and ratio 1 (nothing repeats in them).
+    */
+  def charStats(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val L = text.length
+        val counts = new scala.collection.mutable.HashMap[Char, Int]
+        var i = 0
+        while (i < L) { counts(text.charAt(i)) = counts.getOrElse(text.charAt(i), 0) + 1; i += 1 }
+        val e =
+          if (L == 0) 0.0
+          else -counts.valuesIterator.map { f =>
+            val p = f.toDouble / L; p * math.log(p) / math.log(2)
+          }.sum
+        val total = math.max(L - 3, 0)
+        val seen = new scala.collection.mutable.HashSet[String]
+        var j = 0
+        while (j < total) { seen += text.substring(j, j + 4); j += 1 }
+        val ratio = if (total == 0) 1.0 else seen.size.toDouble / total
+        (id, L.toLong, graft.functions.TextHashing.round4(e),
+          total.toLong, seen.size.toLong, graft.functions.TextHashing.round4(ratio))
+      }
+      .toDF("doc_id", "n_chars_obs", "entropy_bits",
+        "gram4_total", "gram4_distinct", "gram4_ratio")
+  }
+
   /** Per-source corpus card — the summary table a corpus release ships
     * (the "datasheet" row per source: volume, vocabulary, quality,
     * short-doc exposure). One row per source:

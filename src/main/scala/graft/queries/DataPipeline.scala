@@ -2074,6 +2074,76 @@ object DataPipeline {
       TextAnalysis.linearQualityScore(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** dd12's drop-decision form over the SAME planted-boilerplate aug:
+    * short docs that pick up both runs cross the 0.3 duplicated-token
+    * threshold, long docs don't — both branches live at the gate SF.
+    */
+  val dd12b_span_drop = QueryDef.sqlChecked(
+    "dd12b_span_drop",
+    s"""WITH aug AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 7 = 0 THEN ' $Dd12Run7' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN ' $Dd12Run11' ELSE '' END
+       |  AS text FROM documents),
+       |wl0 AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |        FROM aug),
+       |pos AS (SELECT doc_id, unnest(range(1, len(ws) - 6)) AS i, ws
+       |        FROM wl0 WHERE len(ws) >= 8),
+       |sh AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS s FROM pos),
+       |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+       |        GROUP BY s HAVING count(*) >= 2),
+       |hit AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (s)),
+       |flg AS (SELECT doc_id, i,
+       |         CASE WHEN i - lag(i, 1, i) OVER (PARTITION BY doc_id ORDER BY i) > 1
+       |           THEN 1 ELSE 0 END AS f FROM hit),
+       |isl AS (SELECT doc_id, i,
+       |         sum(f) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+       |           AS island FROM flg),
+       |sp AS (SELECT doc_id, island, min(i) AS span_start, max(i) + 7 AS span_end
+       |       FROM isl GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id,
+       |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+       |        FROM sp GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       | coalesce(agg.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       | round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)/len(w.ws), 4) AS dup_frac,
+       | round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)/len(w.ws), 4) > 0.3 AS drop
+       |FROM wl0 w LEFT JOIN agg USING (doc_id)
+       |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val aug = Tables.documents(s, d).select(id,
+      concat(col("text"),
+        when(pmod(id, lit(7)) === 0, lit(s" $Dd12Run7")).otherwise(lit("")),
+        when(pmod(id, lit(11)) === 0, lit(s" $Dd12Run11")).otherwise(lit("")))
+        .as("text"))
+    Dedup.spanDupFraction(aug).orderBy("doc_id")
+  }
+
+  val txt_entropy = QueryDef.sqlChecked(
+    "txt_entropy",
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |cf AS (SELECT doc_id, c, count(*) AS f FROM ch GROUP BY doc_id, c),
+      |cl AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS L FROM cf GROUP BY doc_id),
+      |ent AS (SELECT cf.doc_id,
+      |         -sum((CAST(f AS DOUBLE)/L) * ln(CAST(f AS DOUBLE)/L)/ln(2)) AS e
+      |        FROM cf JOIN cl USING (doc_id) GROUP BY cf.doc_id),
+      |g AS (SELECT doc_id, unnest(range(1, length(text) - 2)) AS i, text
+      |      FROM documents WHERE length(text) >= 4),
+      |gr AS (SELECT doc_id, substr(text, CAST(i AS INT), 4) AS s FROM g),
+      |ga AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total,
+      |        CAST(count(DISTINCT s) AS BIGINT) AS dist FROM gr GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_obs,
+      | round(coalesce(ent.e, 0.0), 4) AS entropy_bits,
+      | coalesce(ga.total, CAST(0 AS BIGINT)) AS gram4_total,
+      | coalesce(ga.dist, CAST(0 AS BIGINT)) AS gram4_distinct,
+      | round(CASE WHEN coalesce(ga.total, 0) = 0 THEN 1.0
+      |        ELSE CAST(ga.dist AS DOUBLE)/ga.total END, 4) AS gram4_ratio
+      |FROM documents d
+      |LEFT JOIN ent ON ent.doc_id = d.doc_id
+      |LEFT JOIN ga ON ga.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.charStats(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val rl2_corpus_card = QueryDef.sqlChecked(
     "rl2_corpus_card",
     s"""WITH wl AS (SELECT doc_id, source, lang,
@@ -2132,7 +2202,7 @@ object DataPipeline {
     rl1_release_diff, rf1_corpus_refresh, txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_clf,
-    rl2_corpus_card, sp9_curriculum,
+    rl2_corpus_card, sp9_curriculum, dd12b_span_drop, txt_entropy,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
     pipe1_training_pipeline,

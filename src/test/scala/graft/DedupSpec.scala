@@ -405,6 +405,25 @@ class DedupSpec extends SparkSpec {
     assert(spans === Set((1L, 3L, 21L, 19L), (2L, 2L, 20L, 19L)), spans)
   }
 
+  test("spanDupFraction: full-dup docs drop, partial dups keep, span-free zero") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val df = Seq(
+      (1L, run),                                   // 100% duplicated -> drop
+      (2L, run),                                   // its twin -> drop
+      (3L, s"$run f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 " +
+        "f16 f17 f18 f19 f20 f21 f22 f23 f24 f25"), // 10/35 = 0.2857 -> keep
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val out = Dedup.spanDupFraction(df, k = 8, minDf = 2, maxDupFrac = 0.3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((10L, 10L, 1.0, true)))
+    assert(out(2L) === ((10L, 10L, 1.0, true)))
+    assert(out(3L) === ((35L, 10L, 0.2857, false)))
+    assert(out(4L) === ((9L, 0L, 0.0, false)), "span-free doc keeps with zero")
+  }
+
   test("canonicalize: longest member kept, id tiebreak, per-cluster row") {
     import spark.implicits._
     val clusters = Seq(

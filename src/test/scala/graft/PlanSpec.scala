@@ -517,6 +517,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dd12b: drop decision inherits dd12's shape — semi-join hits, no cartesian") {
+    val p = plan("dd12b_span_drop")
+    assert(p.contains("LeftSemi"), s"dd12b hit filter must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("txt_entropy: char stats are one narrow typed pass — zero hash/range exchange") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.charStats(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange hashpartitioning"), s"txt_entropy planned a shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"txt_entropy planned a sort:\n$p")
+  }
+
   test("txt_clf: hashed classifier is one narrow typed pass — zero hash/range exchange") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.linearQualityScore(docs)

@@ -395,6 +395,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(m(4L)._3 - math.floor(math.abs(w) * 1e4 + 0.5) / 1e4 * math.signum(w)) < 1e-9)
   }
 
+  test("charStats: hand-computed entropy and 4-gram ratio, degenerate edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),      // one symbol: entropy 0; one gram, ratio 1
+      (2L, "abababab"),  // two symbols 50/50: entropy 1; grams cycle with period 2
+      (3L, ""),          // empty: entropy 0, no grams, ratio 1 by convention
+      (4L, "abcd")).toDF("doc_id", "text")
+    val out = TextAnalysis.charStats(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out(1L) === ((4L, 0.0, 1L, 1L, 1.0)))
+    // "abababab": grams at 5 starts = {abab, baba, abab, baba, abab} -> 2 distinct
+    assert(out(2L) === ((8L, 1.0, 5L, 2L, 0.4)))
+    assert(out(3L) === ((0L, 0.0, 0L, 0L, 1.0)))
+    assert(out(4L) === ((4L, 2.0, 1L, 1L, 1.0)))
+  }
+
   test("corpusCard: hand-checked per-source volume, vocab, langs, short-doc count") {
     import spark.implicits._
     val df = Seq(
