@@ -56,6 +56,11 @@ object StatefulOperator {
               Payload.ErrorMsg(s"no stateless function ${p.method}"))), state)
         }
 
+      // Keyless liveness probe (reference Ping, fastapi.py:62-82): must
+      // dispatch BEFORE the state-existence guard - ping has no key.
+      case EventType.Ping =>
+        (Seq(reply(EventType.Pong, Payload.Empty)), state)
+
       // Everything below requires existing state (stateful_operator.py:102-111).
       case _ if state.isEmpty =>
         (Seq(reply(EventType.KeyNotFound,
@@ -94,9 +99,6 @@ object StatefulOperator {
       case EventType.EventFlow =>
         val fs = ev.payload.asInstanceOf[Payload.FlowPayload].flow
         stepFlow(ev.eventId, fs, state.get)
-
-      case EventType.Ping =>
-        (Seq(reply(EventType.Pong, Payload.Empty)), state)
 
       case other =>
         (Seq(reply(EventType.FailedInvocation,

@@ -1,0 +1,96 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.TestEntities
+import graft.runtime.local.LocalRuntime
+import graft.serving.HttpGateway
+
+/** End-to-end HTTP serving over the LocalRuntime — the O35 surface: a
+  * real HTTP client (JDK java.net.http) drives every route against a
+  * live server socket, mirroring the reference FastAPI client's
+  * endpoint behaviors (ping, create, find, method invocation, error
+  * paths; stateflow/client/fastapi/fastapi.py:25-147).
+  */
+class HttpGatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val gateway = new HttpGateway(TestEntities.registry, new LocalRuntime(TestEntities.registry))
+  private val http = HttpClient.newHttpClient()
+  private def base = s"http://127.0.0.1:${gateway.boundPort}"
+
+  override def beforeAll(): Unit = gateway.start()
+  override def afterAll(): Unit = gateway.stop()
+
+  private def get(path: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(path: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def put(path: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(base + path))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("ping round-trips through the runtime") {
+    val r = get("/ping")
+    assert(r.statusCode() === 200, r.body())
+    assert(r.body() === """{"pong":true}""")
+  }
+
+  test("create -> find -> attr read/write -> invoke, full lifecycle over HTTP") {
+    val c = post("/User/create", """{"username":"alice"}""")
+    assert(c.statusCode() === 200)
+    assert(c.body() === """{"entity":"User","key":"alice"}""")
+
+    assert(get("/User/alice/find").body() === """{"found":true}""")
+    assert(get("/User/ghost/find").body() === """{"found":false}""")
+
+    assert(get("/User/alice/attr/balance").body() === """{"value":0}""")
+
+    val call = post("/User/alice/call/update_balance", """{"x":42}""")
+    assert(call.statusCode() === 200)
+    assert(get("/User/alice/attr/balance").body() === """{"value":42}""")
+
+    assert(put("/User/alice/attr/balance", """{"value":7}""").statusCode() === 200)
+    assert(get("/User/alice/attr/balance").body() === """{"value":7}""")
+  }
+
+  test("method result values cross the wire (read-only invocation)") {
+    post("/ExperimentalB/create", """{"name":"b1"}""")
+    post("/ExperimentalB/b1/call/set_balance", """{"balance":10}""")
+    val eq = post("/ExperimentalB/b1/call/balance_equal_to", """{"equal_balance":10}""")
+    assert(eq.body() === """{"value":true}""")
+    val ne = post("/ExperimentalB/b1/call/balance_equal_to", """{"equal_balance":11}""")
+    assert(ne.body() === """{"value":false}""")
+  }
+
+  test("stateless functions are callable without a key") {
+    val r = post("/stateless/echo", """{"msg":"hi"}""")
+    assert(r.body() === """{"value":"hi"}""")
+    val b = post("/stateless/magnitude_bucket", """{"n":12345}""")
+    assert(b.body() === """{"value":4}""")
+  }
+
+  test("error mapping: 404 unknown routes/entities/methods, 409 duplicates, 400 bad JSON") {
+    assert(post("/Nope/create", """{"x":1}""").statusCode() === 404)
+    assert(post("/User/alice/call/no_such_method", "{}").statusCode() === 404)
+    assert(get("/no/such/route/at/all").statusCode() === 404)
+    assert(post("/stateless/nope", "{}").statusCode() === 404)
+    // duplicate create: idempotent-create guard surfaces as 409 (O9)
+    post("/Item/create", """{"item_name":"hammer","price":5}""")
+    assert(post("/Item/create", """{"item_name":"hammer","price":5}""").statusCode() === 409)
+    assert(post("/User/create", """not json at all""").statusCode() === 400)
+    assert(post("/User/create", """[1,2,3]""").statusCode() === 400)
+  }
+
+  test("entity-valued attributes serialize through the shared wire model") {
+    // User.items is a Seq[EntityRef] — the $ref wire form, same as Kafka
+    assert(get("/User/alice/attr/items").body() === """{"value":[]}""")
+  }
+}
