@@ -94,3 +94,41 @@ class HttpGatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/User/alice/attr/items").body() === """{"value":[]}""")
   }
 }
+
+/** The same gateway over the Structured Streaming runtime — HTTP request
+  * -> MemoryStream ingress -> flatMapGroupsWithState -> reply future ->
+  * HTTP response, the reference's full serving stack shape
+  * (fastapi -> kafka -> flink in stateflow terms) in one process.
+  * `StreamingEntityRuntime` IS an [[graft.runtime.EventTransport]], so
+  * the gateway composes with zero adapter code.
+  */
+class HttpGatewayStreamingSpec extends SparkSpec {
+
+  test("HTTP lifecycle end-to-end over the streaming runtime") {
+    val rt = new graft.streaming.StreamingEntityRuntime(TestEntities.registry, spark)
+    val gw = new HttpGateway(TestEntities.registry, rt)
+    gw.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      def get(path: String) =
+        http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def post(path: String, body: String) =
+        http.send(HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      assert(get("/ping").body() === """{"pong":true}""")
+      assert(post("/User/create", """{"username":"streamer"}""").body()
+        === """{"entity":"User","key":"streamer"}""")
+      post("/User/streamer/call/update_balance", """{"x":5}""")
+      post("/User/streamer/call/update_balance", """{"x":8}""")
+      assert(get("/User/streamer/attr/balance").body() === """{"value":13}""")
+      assert(get("/User/streamer/find").body() === """{"found":true}""")
+    } finally {
+      gw.stop()
+      rt.close()
+    }
+  }
+}
