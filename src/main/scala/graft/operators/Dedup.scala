@@ -858,6 +858,40 @@ object Dedup {
       .withColumn("drop", col("dup_frac") > maxDupFrac)
   }
 
+  /** Two-signal near-duplicate CONSENSUS: keep only pairs flagged by
+    * BOTH the lexical path (any (da, db, ...) pair frame — MinHash-LSH,
+    * n-gram Jaccard, SimHash) and embedding cosine similarity. The
+    * precision pass production dedup runs before destructive drops:
+    * lexical LSH alone false-positives on shared boilerplate with
+    * different content, embedding similarity alone on paraphrases that
+    * are legitimately distinct documents — demanding both signals cuts
+    * each family's false positives with the other's evidence.
+    *
+    * Scale shape: the pair frame is (by construction of its producers)
+    * already sub-quadratic; the consensus adds two keyed joins against
+    * the narrow (id, vector) projection and a row-local cosine — no new
+    * pair generation anywhere. Pairs where either side lacks an
+    * embedding drop out (consensus is only defined where both signals
+    * exist); run the lexical verdict alone for coverage of the rest.
+    */
+  def consensusNearDup(
+      lexPairs: DataFrame,
+      embeddings: DataFrame,
+      simThreshold: Double = 0.5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(
+      col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+    val ea = e.toDF("da", "x")
+    val eb = e.toDF("db", "y")
+    val rest = lexPairs.columns.filterNot(c => c == "da" || c == "db").toSeq
+    lexPairs.join(ea, "da").join(eb, "db")
+      .withColumn("cos_sim",
+        round(graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")), 4))
+      .filter(col("cos_sim") > simThreshold)
+      .select(("da" +: "db" +: rest :+ "cos_sim").map(col): _*)
+  }
+
   /** Duplicate-cluster CANONICALIZATION — the step a pipeline runs
     * after [[duplicateClusters]]: per connected component keep exactly
     * one member and drop the rest. The keep rule is the common

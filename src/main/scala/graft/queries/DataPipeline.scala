@@ -2144,6 +2144,71 @@ object DataPipeline {
     TextAnalysis.charStats(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Consensus fixture: the organic slice is restricted to docs that
+    * HAVE embeddings (vec_id 0..1999 aligns with doc_id), then two
+    * planted twin pairs separate the signals — 9000/9001 share text AND
+    * near-identical vectors (cos 0.8 -> consensus keeps), 9100/9101
+    * share text but orthogonal vectors (cos 0 -> lexical-only, dropped).
+    * Organic lexical pairs ride along and are filtered by their real
+    * (synthetic-random, ~orthogonal) embedding cosine in both engines.
+    */
+  private def dd14Vec(hot: Int, scale: Double): (String, Array[Double]) = {
+    val v = Array.fill(64)(0.0)
+    v(hot) = scale
+    (v.map(x => if (x == 0.0) "0.0" else x.toString).mkString("[", ",", "]"), v)
+  }
+
+  private val Dd14Docs = Seq(
+    (9000L, "qc zero qc one qc two qc three qc four"),
+    (9001L, "qc zero qc one qc two qc three qc four"),
+    (9100L, "qd zero qd one qd two qd three qd four"),
+    (9101L, "qd zero qd one qd two qd three qd four"))
+
+  private val Dd14DocsRel = {
+    val planted = Dd14Docs
+      .map { case (id, t) => s"SELECT $id AS doc_id, '$t' AS text" }
+      .mkString(" UNION ALL ")
+    s"(SELECT doc_id, text FROM documents WHERE doc_id < 2000 UNION ALL $planted)"
+  }
+
+  val dd14_consensus_neardup = QueryDef.sqlChecked(
+    "dd14_consensus_neardup", {
+      val e9000 = dd14Vec(0, 1.0)._1
+      val e9001 = { // 0.8*e0 + 0.6*e1 -> cos vs e0 = 0.8 exactly
+        val v = Array.fill(64)("0.0"); v(0) = "0.8"; v(1) = "0.6"
+        v.mkString("[", ",", "]")
+      }
+      val e9100 = dd14Vec(62, 1.0)._1
+      val e9101 = dd14Vec(63, 1.0)._1
+      s"""WITH pairs AS (${minhashLshSqlFor(Dd14DocsRel, 1000)}),
+         |em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |       UNION ALL SELECT 9000, $e9000
+         |       UNION ALL SELECT 9001, $e9001
+         |       UNION ALL SELECT 9100, $e9100
+         |       UNION ALL SELECT 9101, $e9101),
+         |j AS (SELECT p.da, p.db, p.jaccard,
+         |       round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+         |      FROM pairs p JOIN em x ON x.vec_id = p.da
+         |                   JOIN em y ON y.vec_id = p.db)
+         |SELECT da, db, jaccard, cos_sim FROM j WHERE cos_sim > 0.5
+         |ORDER BY da, db""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 2000)
+    val docs = base.unionByName(Dd14Docs.toDF("doc_id", "text"))
+    val pv9001 = { val v = Array.fill(64)(0.0); v(0) = 0.8; v(1) = 0.6; v }
+    val plantedVecs = Seq(
+      (9000L, dd14Vec(0, 1.0)._2), (9001L, pv9001),
+      (9100L, dd14Vec(62, 1.0)._2), (9101L, dd14Vec(63, 1.0)._2))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(plantedVecs.toDF("vec_id", "embedding"))
+    Dedup.consensusNearDup(Dedup.minhashLsh(docs), emb).orderBy("da", "db")
+  }
+
   val rl2_corpus_card = QueryDef.sqlChecked(
     "rl2_corpus_card",
     s"""WITH wl AS (SELECT doc_id, source, lang,
@@ -2203,6 +2268,7 @@ object DataPipeline {
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_clf,
     rl2_corpus_card, sp9_curriculum, dd12b_span_drop, txt_entropy,
+    dd14_consensus_neardup,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
     pipe1_training_pipeline,

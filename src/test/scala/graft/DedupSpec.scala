@@ -424,6 +424,19 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((9L, 0L, 0.0, false)), "span-free doc keeps with zero")
   }
 
+  test("consensusNearDup: both signals required; missing embeddings drop out") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 1.0), (3L, 4L, 0.9), (5L, 6L, 0.8)).toDF("da", "db", "jaccard")
+    val e = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.8, 0.6)),   // cos 0.8 -> consensus
+      (3L, Array(1.0, 0.0)), (4L, Array(0.0, 1.0)))   // cos 0   -> lexical-only
+      .toDF("vec_id", "embedding")                     // 5/6: no embeddings
+    val out = Dedup.consensusNearDup(pairs, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0, 0.8)))
+  }
+
   test("canonicalize: longest member kept, id tiebreak, per-cluster row") {
     import spark.implicits._
     val clusters = Seq(

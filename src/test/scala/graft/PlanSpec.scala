@@ -524,6 +524,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dd14: consensus adds only keyed joins to the banded pair frame — no cartesian") {
+    val p = plan("dd14_consensus_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the lexical-only planted pair must actually exist and be filtered
+    // BY THE COSINE, not by fixture accident — asserted on results:
+    val rows = SparkEntry.queries("dd14_consensus_neardup")(spark, sf).collect()
+    assert(rows.exists(r => r.getLong(0) == 9000L && r.getLong(1) == 9001L))
+    assert(!rows.exists(r => r.getLong(0) == 9100L),
+      "orthogonal-embedding twins must fail consensus")
+    import spark.implicits._
+    val lex = graft.operators.Dedup.minhashLsh(
+      Seq((9100L, "qd zero qd one qd two qd three qd four"),
+        (9101L, "qd zero qd one qd two qd three qd four"))
+        .toDF("doc_id", "text"))
+      .collect()
+    assert(lex.exists(r => r.getLong(0) == 9100L && r.getLong(1) == 9101L),
+      "the twins ARE a lexical pair — consensus is what excludes them")
+  }
+
   test("txt_entropy: char stats are one narrow typed pass — zero hash/range exchange") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.charStats(docs)
