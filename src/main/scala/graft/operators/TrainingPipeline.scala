@@ -328,6 +328,56 @@ object TrainingPipeline {
     * contributes exactly its sketch pass + the narrow confirm scan,
     * regardless of batch count.
     */
+  /** Second composed pipeline — the MODEL-SIGNAL screening chain that
+    * complements [[run]]'s heuristic chain, built entirely from the
+    * round-9 operators:
+    *
+    *   1. [[TextAnalysis.linearQualityScore]]: hashed linear classifier
+    *      keep (narrow typed pass);
+    *   2. [[Dedup.spanDupFraction]] over the SURVIVORS: drop docs whose
+    *      corpus-duplicated span coverage exceeds `maxDupFrac` (the
+    *      span df is computed on the screened corpus — order matters
+    *      and is pinned by the oracle);
+    *   3. [[Sampling.curriculum]]: pretrain/anneal phase assignment on
+    *      what remains;
+    *   4. phase-level summary (docs, tokens, mean quality) — the
+    *      dimension-sized report a mix designer reads.
+    *
+    * Scale shape: two narrow passes + dd12's gram-keyed df shuffle on
+    * the (smaller) screened corpus + one keyed semi/left join per
+    * stage boundary + a 2-row final agg. No stage widens the data.
+    */
+  def screenAndPhase(
+      documents: DataFrame,
+      clfThreshold: Double = -0.2,
+      maxDupFrac: Double = 0.3,
+      qualityMin: Double = 0.5,
+      annealPct: Int = 30,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // clfThreshold default: the deterministic LCG weight table skews
+    // negative (mean margin ~ -0.14 on the fixture corpus), so the
+    // screen cut sits below the mass center and drops the worst tail
+    // rather than the majority - a trained table would recalibrate this
+    val clfKeep = TextAnalysis.linearQualityScore(documents,
+        threshold = clfThreshold, idCol = idCol, textCol = textCol)
+      .filter(col("keep")).select(col("doc_id"))
+    val screened = documents
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol))
+      .join(clfKeep, Seq("doc_id"), "left_semi")
+    val spanKeep = Dedup.spanDupFraction(screened, maxDupFrac = maxDupFrac,
+        idCol = "doc_id", textCol = textCol)
+      .filter(!col("drop"))
+      .select(col("doc_id"), col("n_tokens"))
+    val survivors = screened.join(spanKeep, Seq("doc_id"), "inner")
+    val phased = Sampling.curriculum(survivors, qualityMin, annealPct, "doc_id")
+    phased.join(survivors.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("quality_score")), 4).as("mean_quality"))
+  }
+
   def refresh(
       released: DataFrame,
       newBatch: DataFrame,

@@ -2209,6 +2209,62 @@ object DataPipeline {
     Dedup.consensusNearDup(Dedup.minhashLsh(docs), emb).orderBy("da", "db")
   }
 
+  /** pipe2: the oracle replays all four stages IN ORDER — classifier
+    * screen, span-coverage drop computed on the screened corpus (the
+    * df base matters), curriculum phases, phase summary — so any stage
+    * reordering or threshold drift breaks the hash, not just the row
+    * counts.
+    */
+  val pipe2_screen_and_phase = QueryDef.sqlChecked(
+    "pipe2_screen_and_phase",
+    s"""WITH wl AS (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+       |h0 AS (SELECT doc_id, ${polySql("w", 97)} AS hv FROM tok),
+       |${mixCtes("h0", "hm", keep = Seq("doc_id"), cols = Seq("hv"))},
+       |wt AS (SELECT doc_id,
+       |        (((hv % 1024) * 1103515245 + 12345) % 2048) / 1024.0 - 1.0 AS w
+       |       FROM hm),
+       |mg AS (SELECT doc_id, round(sum(w)/count(*), 4) AS margin FROM wt
+       |       GROUP BY doc_id),
+       |d1 AS (SELECT wl.doc_id, wl.ws FROM wl JOIN mg USING (doc_id)
+       |       WHERE mg.margin > -0.2),
+       |pos AS (SELECT doc_id, unnest(range(1, len(ws) - 6)) AS i, ws
+       |        FROM d1 WHERE len(ws) >= 8),
+       |sh AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS s FROM pos),
+       |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+       |        GROUP BY s HAVING count(*) >= 2),
+       |hit AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (s)),
+       |flg AS (SELECT doc_id, i,
+       |         CASE WHEN i - lag(i, 1, i) OVER (PARTITION BY doc_id ORDER BY i) > 1
+       |           THEN 1 ELSE 0 END AS f FROM hit),
+       |isl AS (SELECT doc_id, i,
+       |         sum(f) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+       |           AS island FROM flg),
+       |sp AS (SELECT doc_id, island, min(i) AS s0, max(i) + 7 AS s1
+       |       FROM isl GROUP BY doc_id, island),
+       |dt AS (SELECT doc_id, CAST(sum(s1 - s0 + 1) AS BIGINT) AS dup_tokens
+       |       FROM sp GROUP BY doc_id),
+       |d2 AS (SELECT d1.doc_id, d1.ws FROM d1 LEFT JOIN dt USING (doc_id)
+       |       WHERE round(CAST(coalesce(dt.dup_tokens, 0) AS DOUBLE)/len(d1.ws), 4)
+       |             <= 0.3),
+       |q AS (SELECT doc_id,
+       |  round(CAST(len(list_filter(ws, w -> list_contains($StopList, w))) AS DOUBLE)
+       |     /len(ws)*0.5 + least(len(ws), 100)/100.0*0.5, 4) AS score FROM d2),
+       |mx AS ${mix32Sql("doc_id")},
+       |ph AS (SELECT q.doc_id, q.score,
+       |        CASE WHEN q.score >= 0.5 AND mx.hs % 100 < 30
+       |          THEN 'anneal' ELSE 'pretrain' END AS phase
+       |       FROM q JOIN mx USING (doc_id))
+       |SELECT ph.phase, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(len(d2.ws)) AS BIGINT) AS n_tokens,
+       | round(avg(ph.score), 4) AS mean_quality
+       |FROM ph JOIN d2 USING (doc_id)
+       |GROUP BY ph.phase ORDER BY ph.phase""".stripMargin) { (s, d) =>
+    graft.operators.TrainingPipeline.screenAndPhase(Tables.documents(s, d))
+      .orderBy("phase")
+  }
+
   val rl2_corpus_card = QueryDef.sqlChecked(
     "rl2_corpus_card",
     s"""WITH wl AS (SELECT doc_id, source, lang,
@@ -2268,7 +2324,7 @@ object DataPipeline {
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_clf,
     rl2_corpus_card, sp9_curriculum, dd12b_span_drop, txt_entropy,
-    dd14_consensus_neardup,
+    dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
     pipe1_training_pipeline,

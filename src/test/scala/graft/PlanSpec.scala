@@ -544,6 +544,14 @@ class PlanSpec extends SparkSpec {
       "the twins ARE a lexical pair — consensus is what excludes them")
   }
 
+  test("pipe2: screen-and-phase composition plans no cartesian and no global sort") {
+    val p = plan("pipe2_screen_and_phase")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"),
+      s"pipe2 planned a single-partition window or exchange:\n$p")
+  }
+
   test("txt_entropy: char stats are one narrow typed pass — zero hash/range exchange") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.charStats(docs)

@@ -293,4 +293,25 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(exchanges(layered) === exchanges(release) + 1,
       "the layout must add exactly the one shard exchange")
   }
+
+  test("screenAndPhase: stage composition agrees with the component operators run in order") {
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = TrainingPipeline.screenAndPhase(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet.subsetOf(Set("pretrain", "anneal")) && out.nonEmpty)
+    // replay the chain with the component operators directly
+    val clfKeep = TextAnalysis.linearQualityScore(docs, threshold = -0.2)
+      .filter(col("keep")).select("doc_id")
+    val screened = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(clfKeep, Seq("doc_id"), "left_semi")
+    val survivors = Dedup.spanDupFraction(screened).filter(!col("drop"))
+    val phased = Sampling.curriculum(screened.join(
+      survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val expected = phased.groupBy("phase").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._1).toMap === expected)
+    // anneal members all clear the quality floor (and exist at gate SF)
+    assert(out.contains("anneal") && out("anneal")._3 >= 0.5)
+  }
 }
