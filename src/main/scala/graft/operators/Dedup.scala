@@ -832,8 +832,16 @@ object Dedup {
     * the fraction of tokens covered by corpus-duplicated spans, and the
     * keep/drop flag a pipeline consumes (RefinedWeb drops documents
     * whose duplicated fraction crosses a threshold rather than
-    * surgically trimming them). Islands are disjoint by construction,
-    * so summing span lengths never double-counts a token.
+    * surgically trimming them).
+    *
+    * Island STARTS are disjoint, but each span extends k-1 tokens past
+    * its last duplicated start, so two islands whose start-gap is in
+    * [2, k-1] (the bridging grams fell under minDf) produce OVERLAPPING
+    * spans. dup_tokens is therefore the UNION coverage, not the sum of
+    * span lengths: span_end is strictly increasing per doc (islands
+    * partition the sorted starts), so clamping each span's start to the
+    * previous span's end + 1 before summing counts every covered token
+    * exactly once and dup_frac can never exceed 1.0.
     *
     * Scale shape: [[repeatedSpans]]'s shuffles plus ONE doc-keyed left
     * join of the span aggregate onto the narrow token-count projection
@@ -846,9 +854,14 @@ object Dedup {
       maxDupFrac: Double = 0.3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spans = repeatedSpans(documents, k, minDf, idCol, textCol)
-    val perDoc = spans.groupBy("doc_id")
-      .agg(sum(col("n_tokens")).as("dup_tokens"))
+    val bySpan = Window.partitionBy("doc_id").orderBy("span_start")
+    val perDoc = spans
+      .withColumn("cov_start", greatest(col("span_start"),
+        coalesce(lag(col("span_end"), 1).over(bySpan) + 1, col("span_start"))))
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("cov_start") + 1).as("dup_tokens"))
     val lens = documents.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
     lens.join(perDoc, Seq("doc_id"), "left")

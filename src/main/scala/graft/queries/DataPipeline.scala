@@ -2100,9 +2100,14 @@ object DataPipeline {
        |           AS island FROM flg),
        |sp AS (SELECT doc_id, island, min(i) AS span_start, max(i) + 7 AS span_end
        |       FROM isl GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, span_end,
+       |         greatest(span_start, coalesce(lag(span_end) OVER
+       |           (PARTITION BY doc_id ORDER BY span_start) + 1, span_start))
+       |           AS cov_start
+       |        FROM sp),
        |agg AS (SELECT doc_id,
-       |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
-       |        FROM sp GROUP BY doc_id)
+       |         CAST(sum(span_end - cov_start + 1) AS BIGINT) AS dup_tokens
+       |        FROM cov GROUP BY doc_id)
        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
        | coalesce(agg.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
        | round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)/len(w.ws), 4) AS dup_frac,
@@ -2243,8 +2248,11 @@ object DataPipeline {
        |           AS island FROM flg),
        |sp AS (SELECT doc_id, island, min(i) AS s0, max(i) + 7 AS s1
        |       FROM isl GROUP BY doc_id, island),
-       |dt AS (SELECT doc_id, CAST(sum(s1 - s0 + 1) AS BIGINT) AS dup_tokens
-       |       FROM sp GROUP BY doc_id),
+       |cv AS (SELECT doc_id, s1, greatest(s0, coalesce(lag(s1) OVER
+       |        (PARTITION BY doc_id ORDER BY s0) + 1, s0)) AS c0
+       |       FROM sp),
+       |dt AS (SELECT doc_id, CAST(sum(s1 - c0 + 1) AS BIGINT) AS dup_tokens
+       |       FROM cv GROUP BY doc_id),
        |d2 AS (SELECT d1.doc_id, d1.ws FROM d1 LEFT JOIN dt USING (doc_id)
        |       WHERE round(CAST(coalesce(dt.dup_tokens, 0) AS DOUBLE)/len(d1.ws), 4)
        |             <= 0.3),

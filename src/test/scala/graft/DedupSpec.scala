@@ -424,6 +424,30 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((9L, 0L, 0.0, false)), "span-free doc keeps with zero")
   }
 
+  test("spanDupFraction: overlapping spans count union coverage, frac capped at 1.0") {
+    import spark.implicits._
+    // doc1's duplicated starts are 1 (w1..w8, shared with doc2) and 3
+    // (w3..w10, shared with doc3); the bridging gram at start 2 is
+    // df=1, so islands stay separate with start-gap 2 in [2, k-1] and
+    // spans [1,8] / [3,10] OVERLAP on [3,8]. dup_tokens must be the
+    // union (10), not the sum of span lengths (16): frac 1.0, not 1.6.
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, k = 8, minDf = 2)
+      .filter($"doc_id" === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 8L), (3L, 10L)), "two overlapping spans expected")
+    val out = Dedup.spanDupFraction(df, k = 8, minDf = 2, maxDupFrac = 0.3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((10L, 10L, 1.0, true)), s"union coverage, got ${out(1L)}")
+    assert(out(2L) === ((8L, 8L, 1.0, true)))
+    assert(out(3L) === ((8L, 8L, 1.0, true)))
+  }
+
   test("consensusNearDup: both signals required; missing embeddings drop out") {
     import spark.implicits._
     val pairs = Seq(
