@@ -559,10 +559,11 @@ object Sampling {
       documents: DataFrame,
       qualityMin: Double = 0.5,
       annealPct: Int = 30,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(annealPct >= 0 && annealPct <= 100, s"invalid annealPct=$annealPct")
     val r4 = graft.functions.GraftFunctions.round4 _
-    val words = Dedup.tokens(col("text"))
+    val words = Dedup.tokens(col(textCol))
     val nw = size(words)
     val score = r4(
       size(filter(words, w => w.isin(TextAnalysis.Stopwords: _*))).cast("double") / nw * 0.5

@@ -592,21 +592,38 @@ object TextAnalysis {
     Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val L = text.length
-        val counts = new scala.collection.mutable.HashMap[Char, Int]
+        // CODEPOINT semantics throughout (not UTF-16 code units) — the
+        // DuckDB mirror's string_split(text,'')/substr/length are all
+        // codepoint-based, so astral-plane chars (emoji, supplementary
+        // CJK) must count as ONE character here too
+        val n = text.codePointCount(0, text.length)
+        val counts = new scala.collection.mutable.HashMap[Int, Int]
         var i = 0
-        while (i < L) { counts(text.charAt(i)) = counts.getOrElse(text.charAt(i), 0) + 1; i += 1 }
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          counts(cp) = counts.getOrElse(cp, 0) + 1
+          i += Character.charCount(cp)
+        }
         val e =
-          if (L == 0) 0.0
+          if (n == 0) 0.0
           else -counts.valuesIterator.map { f =>
-            val p = f.toDouble / L; p * math.log(p) / math.log(2)
+            val p = f.toDouble / n; p * math.log(p) / math.log(2)
           }.sum
-        val total = math.max(L - 3, 0)
+        val total = math.max(n - 3, 0)
         val seen = new scala.collection.mutable.HashSet[String]
-        var j = 0
-        while (j < total) { seen += text.substring(j, j + 4); j += 1 }
+        if (total > 0) {
+          // UTF-16 offset of each codepoint start, so 4-codepoint grams
+          // slice by offset without re-scanning
+          val off = new Array[Int](n + 1)
+          var k = 0
+          var o = 0
+          while (k < n) { off(k) = o; o = text.offsetByCodePoints(o, 1); k += 1 }
+          off(n) = text.length
+          var j = 0
+          while (j < total) { seen += text.substring(off(j), off(j + 4)); j += 1 }
+        }
         val ratio = if (total == 0) 1.0 else seen.size.toDouble / total
-        (id, L.toLong, graft.functions.TextHashing.round4(e),
+        (id, n.toLong, graft.functions.TextHashing.round4(e),
           total.toLong, seen.size.toLong, graft.functions.TextHashing.round4(ratio))
       }
       .toDF("doc_id", "n_chars_obs", "entropy_bits",

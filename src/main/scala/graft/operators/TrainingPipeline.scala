@@ -370,7 +370,8 @@ object TrainingPipeline {
       .filter(!col("drop"))
       .select(col("doc_id"), col("n_tokens"))
     val survivors = screened.join(spanKeep, Seq("doc_id"), "inner")
-    val phased = Sampling.curriculum(survivors, qualityMin, annealPct, "doc_id")
+    val phased =
+      Sampling.curriculum(survivors, qualityMin, annealPct, "doc_id", textCol)
     phased.join(survivors.select(col("doc_id"), col("n_tokens")), "doc_id")
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"),

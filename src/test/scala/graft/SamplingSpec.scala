@@ -388,6 +388,11 @@ class SamplingSpec extends SparkSpec {
       m2 ^ (m2 >>> 13)
     }
     assert(out.exists { case (id, _, _, key) => key != mix32(id) })
+    // textCol threading: a renamed text column gives identical output
+    val renamed = Sampling.curriculum(
+      docs.withColumnRenamed("text", "body"), textCol = "body").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    assert(renamed.toSet === out.toSet, "curriculum must honor textCol")
     out.foreach { case (id, _, _, key) =>
       assert(key === mix32(id + 1000003L), s"order_key mismatch for doc $id")
     }

@@ -401,7 +401,11 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "aaaa"),      // one symbol: entropy 0; one gram, ratio 1
       (2L, "abababab"),  // two symbols 50/50: entropy 1; grams cycle with period 2
       (3L, ""),          // empty: entropy 0, no grams, ratio 1 by convention
-      (4L, "abcd")).toDF("doc_id", "text")
+      (4L, "abcd"),
+      // astral-plane: each emoji is ONE codepoint (2 UTF-16 units) —
+      // counts must follow the oracle's codepoint semantics
+      (5L, "😀😀😀😀"), // 😀×4
+      (6L, "a😀b😀")).toDF("doc_id", "text")
     val out = TextAnalysis.charStats(df).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
@@ -411,6 +415,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((8L, 1.0, 5L, 2L, 0.4)))
     assert(out(3L) === ((0L, 0.0, 0L, 0L, 1.0)))
     assert(out(4L) === ((4L, 2.0, 1L, 1L, 1.0)))
+    // 😀×4 = 4 codepoints of one symbol (UTF-16 would see 8 units of 2
+    // alternating surrogates: entropy 1, 5 grams — the r9 advice bug)
+    assert(out(5L) === ((4L, 0.0, 1L, 1L, 1.0)))
+    // a😀b😀: p = {1/4, 2/4, 1/4} -> entropy 1.5; one 4-codepoint gram
+    assert(out(6L) === ((4L, 1.5, 1L, 1L, 1.0)))
   }
 
   test("corpusCard: hand-checked per-source volume, vocab, langs, short-doc count") {

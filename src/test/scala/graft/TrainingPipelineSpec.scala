@@ -313,5 +313,11 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out.view.mapValues(_._1).toMap === expected)
     // anneal members all clear the quality floor (and exist at gate SF)
     assert(out.contains("anneal") && out("anneal")._3 >= 0.5)
+    // textCol threads through every stage incl. curriculum (the r9
+    // advice finding: curriculum used to hardcode col("text"))
+    val renamed = TrainingPipeline.screenAndPhase(
+      docs.withColumnRenamed("text", "body"), textCol = "body").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(renamed === out, "screenAndPhase must honor textCol end-to-end")
   }
 }
