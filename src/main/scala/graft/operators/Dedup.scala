@@ -807,11 +807,16 @@ object Dedup {
       }
       .toDF("doc_id", "i", "s")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // document frequency per gram; the distinct collapses within-doc
-    // repeats so minDf counts DOCS (a gram repeated inside one doc is
-    // not corpus-duplicated)
-    val dup = pos.select(col("doc_id"), col("s")).distinct()
-      .groupBy("s").agg(count(lit(1)).as("df"))
+    // document frequency per gram — count DISTINCT DOCS so a gram
+    // repeated inside one doc is not corpus-duplicated. Spark plans
+    // the single-distinct agg as partial dedup on (s, doc_id) →
+    // exchange (s, doc_id) → exchange (s): hash on BOTH keys spreads a
+    // hot gram across partitions, and the s-exchange carries at most
+    // one partial row per (s, partition). (Probed against the
+    // distinct()-then-count form: identical exchange structure in
+    // Spark 4.1 — this form just states the intent in one aggregate.)
+    val dup = pos.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("s"))
     val hits = pos.join(dup, Seq("s"), "left_semi")

@@ -2041,12 +2041,14 @@ object DataPipeline {
     """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
       |            FROM documents),
       |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
-      |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      |dtok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok
+      |         GROUP BY doc_id, w),
+      |cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dtok GROUP BY w),
       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
       |        FROM cnt),
-      |sc AS (SELECT doc_id, ln((c + 1.0) / (n + v)) AS lp
-      |       FROM tok JOIN cnt USING (w) CROSS JOIN tot),
-      |ag AS (SELECT doc_id, count(*) AS n_tokens, -sum(lp)/count(*)/ln(2) AS bits
+      |sc AS (SELECT doc_id, k, k * ln((c + 1.0) / (n + v)) AS lp
+      |       FROM dtok JOIN cnt USING (w) CROSS JOIN tot),
+      |ag AS (SELECT doc_id, sum(k) AS n_tokens, -sum(lp)/sum(k)/ln(2) AS bits
       |       FROM sc GROUP BY doc_id)
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
       | round(bits, 4) AS bits_per_token

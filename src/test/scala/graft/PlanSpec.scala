@@ -500,6 +500,12 @@ class PlanSpec extends SparkSpec {
     // token-count join itself must be hash-based
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p)
+    // Zipf-skew hardening: the token stream must collapse to
+    // (doc_id, w, k) BEFORE the count join — a (doc_id, w)-keyed
+    // aggregate caps a hot token at one probe row per doc
+    assert(p.linesIterator.exists(l =>
+        l.contains("Keys") && l.contains("doc_id") && l.contains("w#")),
+      s"txt_ppl lost the (doc_id, w) pre-aggregate:\n$p")
   }
 
   test("sp9: curriculum assignment is a pure narrow projection — zero exchanges bare") {
