@@ -1,0 +1,116 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Byte-pair-encoding tokenizer primitives — the char-level BPE of
+  * Sennrich, Haddow & Birch 2016 ("Neural Machine Translation of Rare
+  * Words with Subword Units", ACL) in plain Scala for typed map stages.
+  *
+  * Two deliberate, documented deviations from the paper, both in the
+  * service of exact cross-engine mirroring:
+  *   - symbols are Unicode CODEPOINTS and there is no end-of-word
+  *     marker: merges never cross word boundaries anyway (segmentation
+  *     is per whitespace word), and the `</w>` marker only sharpens
+  *     suffix statistics — it does not change the algorithm;
+  *   - ties during training break by (count desc, pair lexicographic):
+  *     the paper leaves tie order unspecified, but a reproducible
+  *     release needs a total order.
+  *
+  * MERGE-APPLICATION ORDER: [[segment]] applies merges in rank order,
+  * one left-to-right non-overlapping pass per merge. This is equivalent
+  * to the priority-queue form (GPT-2's encoder repeatedly merges the
+  * lowest-rank pair present): a merge's output symbol exists only after
+  * that merge runs, so every pair involving it has a strictly later
+  * rank — skipped earlier ranks can never become applicable again.
+  * The left-to-right pass is also exactly what a chain of SQL
+  * `replace()` calls performs over the SEP-wrapped symbol encoding
+  * (see the tok1 oracle), which is what makes this DuckDB-mirrorable
+  * where a heap-based implementation would not be.
+  */
+object Bpe {
+
+  /** One word split into codepoint symbols (astral-safe — the charStats
+    * lesson: UTF-16 code units would split emoji into surrogates).
+    */
+  def splitCodepoints(s: String): Array[String] = {
+    val out = new ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One left-to-right non-overlapping merge pass: every adjacent
+    * (a, b) becomes ab; a symbol consumed by a merge is not
+    * reconsidered ("aaa" + (a,a) -> [aa, a]).
+    */
+  private[functions] def mergePass(
+      syms: Array[String], a: String, b: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Segment one word under a fixed merges table (rank order = Seq
+    * order). O(merges * len); callers tokenizing a corpus should memo
+    * per word — Zipf makes the hit rate extreme (see
+    * TextAnalysis.bpeTokenize).
+    */
+  def segment(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = splitCodepoints(word)
+    merges.foreach { case (a, b) => syms = mergePass(syms, a, b) }
+    syms
+  }
+
+  /** Learn `numMerges` merges from a word-frequency dict — the paper's
+    * training loop verbatim: count adjacent symbol pairs weighted by
+    * word frequency, merge the most frequent pair everywhere, repeat.
+    * Stops early when no pair remains. The dict is vocabulary-sized
+    * (callers bound it; see TextAnalysis.bpeTrain), so this is cheap
+    * driver-side work even for realistic merge counts.
+    */
+  def train(wordFreq: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"invalid numMerges=$numMerges")
+    var vocab: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (splitCodepoints(w), f) }.toArray
+    val merges = new ArrayBuffer[(String, String)](numMerges)
+    var continue = numMerges > 0
+    while (continue) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.iterator.reduceLeft { (x, y) =>
+          // (count desc, pair asc) without allocating a sort
+          if (y._2 > x._2 ||
+            (y._2 == x._2 && (y._1._1 < x._1._1 ||
+              (y._1._1 == x._1._1 && y._1._2 < x._1._2)))) y
+          else x
+        }._1
+        merges += best
+        vocab = vocab.map { case (syms, f) =>
+          (mergePass(syms, best._1, best._2), f)
+        }
+        continue = merges.length < numMerges
+      }
+    }
+    merges.toSeq
+  }
+}

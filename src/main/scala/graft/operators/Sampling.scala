@@ -112,15 +112,22 @@ object Sampling {
       budget: Int = 2048,
       shards: Int = 32,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCol: Option[String] = None): DataFrame = {
+    // tokenCol: feed REAL token counts (e.g. TextAnalysis.bpeTokenize's
+    // n_bpe_tokens) instead of the whitespace approximation — budgets
+    // are specified in tokenizer tokens, and whitespace counts misstate
+    // them 1.3-1.5x on web text
     require(budget > 0 && shards > 0, s"invalid budget=$budget shards=$shards")
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTok = tokenCol.map(c => col(c).cast("long"))
+      .getOrElse(size(Dedup.tokens(col(textCol))).cast("long"))
     documents
       .select(
         col(idCol),
         pmod(mix32(col(idCol)), lit(shards.toLong)).as("shard"),
-        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+        nTok.as("n_tokens"))
       .withColumn("off", sum("n_tokens").over(w) - col("n_tokens"))
       .select(col(idCol), col("shard"), expr(s"off div $budget").as("bin"),
         col("off"), col("n_tokens"))
@@ -486,13 +493,17 @@ object Sampling {
       budget: Long = 2000L,
       keyCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCol: Option[String] = None): DataFrame = {
+    // tokenCol: see packSequences — real tokenizer counts over the
+    // whitespace approximation when the caller has them
     require(budget > 0, s"invalid budget=$budget")
     val w = Window.partitionBy(keyCol).orderBy(mix32(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTok = tokenCol.map(c => col(c).cast("long"))
+      .getOrElse(size(Dedup.tokens(col(textCol))).cast("long"))
     documents
-      .select(col(idCol), col(keyCol),
-        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .select(col(idCol), col(keyCol), nTok.as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= budget)
   }

@@ -130,6 +130,88 @@ object TextAnalysis {
         / regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")), 4)
         .as("chars_per_token"))
 
+  /** Learn a BPE merges table from the corpus — the tokenizer-training
+    * pass of a data pipeline (Sennrich 2016; see [[graft.functions.Bpe]]
+    * for the algorithm and its two documented deviations). Distributed
+    * part: ONE token-keyed shuffle builds the word-frequency dict
+    * (map-side partials, vocabulary-sized output); the dict is then
+    * truncated to the `maxDictWords` most frequent words — a
+    * TakeOrdered (bounded heap, no full sort) — and collected. Training
+    * itself is driver-side ON THE BOUNDED DICT, which is how production
+    * tokenizers train too (HuggingFace/SentencePiece run single-node on
+    * a sample): the iterative merge loop is inherently sequential, and
+    * the dict, not the corpus, is its input. The collect is explicitly
+    * capped — at 100 TB the dict for any natural-language corpus is
+    * MBs (Heaps' law), and pathological corpora hit the cap, not the
+    * driver's heap.
+    */
+  def bpeTrain(
+      documents: DataFrame,
+      numMerges: Int = 64,
+      maxDictWords: Int = 100000,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(maxDictWords > 0, s"invalid maxDictWords=$maxDictWords")
+    val dict = documents
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(maxDictWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Bpe.train(dict, numMerges)
+  }
+
+  /** Apply a fixed BPE merges table to the corpus: per document the
+    * word count, subword count, and the md5 of the space-joined subword
+    * stream (full-content check, the fimTransform trick — the oracle
+    * verifies the actual segmentation, not just arithmetic). This is
+    * the REAL token accounting the whitespace-token operators
+    * approximate; feed `n_bpe_tokens` into the token-budget/packing
+    * passes via their tokenCol variants (sp8b/pk1b).
+    *
+    * Scale shape: one narrow typed pass, zero exchanges, with a
+    * per-partition word->segmentation memo — Zipf token frequencies
+    * make the hit rate extreme, so the per-word merge loop runs
+    * ~once per distinct word per partition, not once per occurrence.
+    * The merges table ships in the closure (even 50k merges is ~1 MB).
+    *
+    * PRECONDITION shared with the oracle: text must not contain U+0001
+    * (the oracle's symbol separator; the corpus generator guarantees
+    * it, and encodingQuality's control-char screen drops violators).
+    */
+  def bpeTokenize(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val m = merges.toArray.toSeq
+    Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val words = graft.functions.TextHashing.tokens(text)
+          var nb = 0L
+          val sb = new java.lang.StringBuilder
+          words.foreach { w =>
+            var segs = memo.get(w)
+            if (segs == null) {
+              segs = graft.functions.Bpe.segment(w, m)
+              memo.put(w, segs)
+            }
+            nb += segs.length
+            segs.foreach { s =>
+              if (sb.length > 0) sb.append(' ')
+              sb.append(s)
+            }
+          }
+          (id, words.length.toLong, nb,
+            graft.functions.TextHashing.md5Hex(sb.toString))
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens", "bpe_md5")
+  }
+
   /** Rolling-hash document fingerprint (Rabin-Karp style fold over the
     * word stream, mod 1e9+7). Word atoms use only length+first-char so
     * the identical fold is expressible in ANSI SQL for the oracle; the

@@ -2317,6 +2317,135 @@ object DataPipeline {
     Sampling.curriculum(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** BPE fixture merges: TextAnalysis.bpeTrain(documents, 24) on the
+    * sf0.01 corpus, frozen as a literal so the oracle can replay the
+    * application without mirroring training (training's iterative loop
+    * is not SQL-expressible; it IS spec-pinned in BpeSpec). The table
+    * is corpus-plausible on every SF — application is deterministic
+    * under ANY fixed merges.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** DuckDB fragment segmenting one word under [[BpeMerges]] by string
+    * rewriting: symbols are wrapped in U+0001 on BOTH sides
+    * (`\x01a\x01\x01b\x01...`), and each merge is one `replace()` of
+    * `\x01a\x01\x01b\x01` with `\x01ab\x01`, innermost-first = rank
+    * order. The double wrap is what makes plain `replace()` an EXACT
+    * simulation of left-to-right non-overlapping pair merging: a match
+    * consumes both wrapped symbols entirely (adjacent matches share no
+    * characters, so "aaaa" merges to [aa, aa], not [aa, a, a]), and a
+    * pattern can never match a symbol's prefix/suffix because every
+    * symbol boundary is delimited on both sides. Precondition: text
+    * free of U+0001 (generator guarantees; encodingQuality screens).
+    */
+  private def bpeSegSql(wordExpr: String): String = {
+    val base = s"e'\\x01' || array_to_string(string_split($wordExpr, ''), " +
+      s"e'\\x01\\x01') || e'\\x01'"
+    BpeMerges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, e'\\x01$a\\x01\\x01$b\\x01', e'\\x01$a$b\\x01')"
+    }
+  }
+
+  /** tok1: real subword tokenization (BPE, Sennrich 2016) under the
+    * frozen fixture merges — the md5 of the joined subword stream makes
+    * this a full-content check of every segmentation decision, not just
+    * the counts.
+    */
+  val tok1_bpe_tokenize = QueryDef.sqlChecked(
+    "tok1_bpe_tokenize",
+    s"""WITH wl AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM wl),
+       |seg AS (SELECT doc_id, j, ${bpeSegSql("ws[j]")} AS s FROM tok),
+       |cnt AS (SELECT doc_id, j,
+       |         CAST(len(string_split(s, e'\\x01\\x01')) AS BIGINT) AS nb,
+       |         replace(substr(s, 2, length(s) - 2), e'\\x01\\x01', ' ') AS toks
+       |        FROM seg),
+       |ag AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+       |        md5(string_agg(toks, ' ' ORDER BY j)) AS bpe_md5
+       |       FROM cnt GROUP BY doc_id)
+       |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_words,
+       | coalesce(ag.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+       | coalesce(ag.bpe_md5, md5('')) AS bpe_md5
+       |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin) {
+    (s, d) =>
+      TextAnalysis.bpeTokenize(Tables.documents(s, d), BpeMerges)
+        .orderBy("doc_id")
+  }
+
+  /** sp8b: the token-budget pass denominated in REAL (BPE) tokens —
+    * sp8's whitespace counts misstate budgets ~3x on this corpus
+    * (84.8k BPE vs 27.2k whitespace tokens at sf0.01); budget 1800
+    * against ~4300 BPE tokens per source so every stratum truncates.
+    */
+  val sp8b_bpe_budget = QueryDef.sqlChecked(
+    "sp8b_bpe_budget",
+    s"""WITH wl AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM wl),
+       |seg AS (SELECT doc_id, j, ${bpeSegSql("ws[j]")} AS s FROM tok),
+       |nb AS (SELECT doc_id,
+       |        CAST(sum(len(string_split(s, e'\\x01\\x01'))) AS BIGINT) AS n_tokens
+       |       FROM seg GROUP BY doc_id),
+       |base AS (SELECT d.doc_id, d.source,
+       |          coalesce(nb.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+       |         FROM documents d LEFT JOIN nb USING (doc_id)),
+       |mx AS ${mix32Sql("doc_id")},
+       |c AS (SELECT b.doc_id, b.source, b.n_tokens,
+       |       CAST(sum(b.n_tokens) OVER (PARTITION BY b.source
+       |         ORDER BY mx.hs, b.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |         AS cum_tokens
+       |      FROM base b JOIN mx USING (doc_id))
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 1800 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val withBpe = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .join(TextAnalysis.bpeTokenize(docs, BpeMerges)
+        .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+    Sampling.tokenBudgetPerKey(withBpe, budget = 1800L,
+        tokenCol = Some("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** pk1b: sequence packing denominated in BPE tokens — same offset
+    * packing as pk1, real denominators (a 2048 budget in whitespace
+    * tokens would overfill real context windows ~3x here).
+    */
+  val pk1b_bpe_pack = QueryDef.sqlChecked(
+    "pk1b_bpe_pack",
+    s"""WITH wl AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM wl),
+       |seg AS (SELECT doc_id, j, ${bpeSegSql("ws[j]")} AS s FROM tok),
+       |nb AS (SELECT doc_id,
+       |        CAST(sum(len(string_split(s, e'\\x01\\x01'))) AS BIGINT) AS n_tokens
+       |       FROM seg GROUP BY doc_id),
+       |mx AS ${mix32Sql("doc_id")},
+       |t AS (SELECT d.doc_id, mx.hs % 32 AS shard,
+       |       coalesce(nb.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+       |      FROM documents d JOIN mx USING (doc_id) LEFT JOIN nb USING (doc_id)),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |            AS BIGINT) AS off
+       |      FROM t)
+       |SELECT doc_id, shard, CAST(off // 2048 AS BIGINT) AS bin, off, n_tokens
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val withBpe = docs
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .join(TextAnalysis.bpeTokenize(docs, BpeMerges)
+        .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+    Sampling.packSequences(withBpe, tokenCol = Some("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -2337,6 +2466,7 @@ object DataPipeline {
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
+    tok1_bpe_tokenize, sp8b_bpe_budget, pk1b_bpe_pack,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_video_pairs, mm_audio_pairs)

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+import graft.operators.{Sampling, TextAnalysis}
+
+class BpeSpec extends SparkSpec {
+
+  test("segment: left-to-right non-overlapping pass per merge") {
+    // "aaaa" under (a,a): positions (0,1) and (2,3) merge -> [aa, aa];
+    // "aaa": (0,1) merges, the consumed middle 'a' is not reconsidered
+    assert(Bpe.segment("aaaa", Seq(("a", "a"))).toSeq === Seq("aa", "aa"))
+    assert(Bpe.segment("aaa", Seq(("a", "a"))).toSeq === Seq("aa", "a"))
+    assert(Bpe.segment("", Seq(("a", "a"))).toSeq === Seq.empty)
+  }
+
+  test("segment: merges apply in rank order") {
+    // (a,b) then (ab,c) chains to one token...
+    assert(Bpe.segment("abc", Seq(("a", "b"), ("ab", "c"))).toSeq === Seq("abc"))
+    // ...but reversed ranks can't: (ab,c) runs before any 'ab' symbol
+    // exists, then (a,b) produces it too late
+    assert(Bpe.segment("abc", Seq(("ab", "c"), ("a", "b"))).toSeq === Seq("ab", "c"))
+    // a pattern must match whole symbols, never a symbol's edge:
+    // after (a,b), the 'b' inside "ab" cannot merge with the next 'c'
+    assert(Bpe.segment("abc", Seq(("a", "b"), ("b", "c"))).toSeq === Seq("ab", "c"))
+  }
+
+  test("segment: codepoint symbols (astral-safe)") {
+    assert(Bpe.splitCodepoints("a😀b").toSeq === Seq("a", "😀", "b"))
+    assert(Bpe.segment("😀😀", Seq(("😀", "😀"))).toSeq === Seq("😀😀"))
+  }
+
+  test("train: hand-computed merges on the Sennrich-style corpus") {
+    // low x5, lower x2, newest x6, widest x3 (no </w> marker — see
+    // Bpe's documented deviations). Pair counts: (e,s)=9 (s,t)=9
+    // (w,e)=8 (l,o)=7 (o,w)=7 ... -> tie at 9 breaks lexicographic to
+    // (e,s); after merging, (es,t)=9 wins; then the 7-tie breaks to
+    // (l,o).
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(dict, 3)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o")), merges)
+    // training stops early when nothing is left to merge
+    val tiny = Bpe.train(Seq(("ab", 1L)), 10)
+    assert(tiny === Seq(("a", "b")))
+  }
+
+  test("train then segment compresses the training words") {
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(dict, 8)
+    dict.foreach { case (w, _) =>
+      val segs = Bpe.segment(w, merges)
+      assert(segs.mkString === w, "segmentation must be lossless")
+      assert(segs.length < w.length, s"$w should compress under 8 merges")
+    }
+  }
+
+  test("bpeTrain + bpeTokenize: distributed dict agrees with driver-side training") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low newest newest"),
+      (2L, "newest newest newest newest lower lower widest"),
+      (3L, "widest widest"),
+      (4L, "")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 3)
+    // same word frequencies as the hand corpus -> same merges
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o")), merges)
+    val out = TextAnalysis.bpeTokenize(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 3: widest -> [w,i,d,est] (4 tokens) x2
+    val widest = Bpe.segment("widest", merges)
+    assert(widest.toSeq === Seq("w", "i", "d", "est"))
+    assert(out(3L)._1 === 2L && out(3L)._2 === 8L)
+    assert(out(3L)._3 ===
+      graft.functions.TextHashing.md5Hex((widest ++ widest).mkString(" ")))
+    // empty doc: zero words, zero tokens, md5 of empty stream
+    assert(out(4L) === ((0L, 0L, graft.functions.TextHashing.md5Hex(""))))
+  }
+
+  test("tokenBudgetPerKey/packSequences honor a supplied token-count column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "k", "one two", 100L),
+      (2L, "k", "three four", 100L),
+      (3L, "k", "five six", 100L)).toDF("doc_id", "source", "text", "n_bpe")
+    // whitespace counts (2 each) would keep all 3 under budget 250;
+    // the supplied column (100 each) must truncate to 2
+    val kept = Sampling.tokenBudgetPerKey(df, budget = 250L,
+      tokenCol = Some("n_bpe"))
+    assert(kept.count() === 2L)
+    assert(kept.select("n_tokens").collect().forall(_.getLong(0) === 100L))
+    val packed = Sampling.packSequences(df, budget = 150,
+      tokenCol = Some("n_bpe"))
+    // 3 docs x 100 tokens in hash shards; every n_tokens is the
+    // supplied one
+    assert(packed.select("n_tokens").collect().forall(_.getLong(0) === 100L))
+  }
+}

@@ -216,6 +216,8 @@ class PlanSpec extends SparkSpec {
     Seq(
       "TextAnalysis.repetition" -> graft.operators.TextAnalysis.repetition(docs),
       "TextAnalysis.languageId" -> graft.operators.TextAnalysis.languageId(docs),
+      "TextAnalysis.bpeTokenize" -> graft.operators.TextAnalysis.bpeTokenize(
+        docs, Seq(("e", "r"), ("i", "n"))),
       "TextAnalysis.tfIdf" -> graft.operators.TextAnalysis.tfIdf(docs),
       "Sampling.quotaPerKey" -> graft.operators.Sampling.quotaPerKey(docs),
       "Sampling.packSequences" -> graft.operators.Sampling.packSequences(docs)
