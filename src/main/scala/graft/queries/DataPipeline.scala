@@ -950,6 +950,49 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** rf1's STEADY-STATE prep, built once per (session-dir) and reused
+    * by every subsequent call: the released-corpus Bloom sketch and the
+    * prepared eval side are exactly what [[graft.streaming
+    * .StreamingRefresh]] builds once and amortizes across micro-batches.
+    * rf1 prices the COLD first batch (sketch + eval build inside the
+    * timed call); rf1b prices every batch after it — the number a
+    * steady-state ingest pipeline actually pays. Prep changes cost,
+    * never results, so the oracle is rf1's verbatim.
+    */
+  private object Rf1bPrep {
+    private var cache: Option[(String, Array[Byte],
+      graft.operators.Decontamination.PreparedEval)] = None
+    def get(s: org.apache.spark.sql.SparkSession, d: String):
+        (Array[Byte], graft.operators.Decontamination.PreparedEval) =
+      synchronized {
+        cache match {
+          case Some((dir, sk, pe)) if dir == d => (sk, pe)
+          case _ =>
+            val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+            val released = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+            val evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3)
+            val sk = Dedup.contentSketch(released, "text")
+            val pe = graft.operators.Decontamination.prepareEval(evalDocs)
+            cache = Some((d, sk, pe))
+            (sk, pe)
+        }
+      }
+  }
+
+  val rf1b_refresh_prepared = QueryDef.sqlChecked(
+    "rf1b_refresh_prepared", RefreshSql) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val released = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val clones = docs.filter(pmod(col("doc_id"), lit(30)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(clones)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3)
+    val (sk, pe) = Rf1bPrep.get(s, d)
+    graft.operators.TrainingPipeline.refresh(released, batch, evalDocs,
+        corpusSketch = Some(sk), preparedEval = Some(pe))
+      .orderBy("doc_id")
+  }
+
   /** Whole-doc bin-packing fixture: budget 256 so the ~16-doc shards
     * (10-99 tokens each) genuinely open 3-5 bins — the operator's 2048
     * default would leave every shard single-bin, proving nothing. The
@@ -2459,7 +2502,8 @@ object DataPipeline {
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
     sp7_sample_n,
-    rl1_release_diff, rf1_corpus_refresh, txt_domains, txt_encoding,
+    rl1_release_diff, rf1_corpus_refresh, rf1b_refresh_prepared,
+    txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_clf,
     rl2_corpus_card, sp9_curriculum, dd12b_span_drop, txt_entropy,
