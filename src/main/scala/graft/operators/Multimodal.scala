@@ -576,9 +576,15 @@ object Multimodal {
       maxHamming: Int = 7,
       maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame = {
     // persist: the signature stage (decode + window per clip) feeds the
-    // cap aggregation, the anti-join side and both band-join sides
+    // cap aggregation, the anti-join side and both band-join sides.
+    // The count MATERIALIZES the cache before the join plans its
+    // broadcast builds — those run as concurrent jobs, and two of them
+    // racing an unpopulated cache would each pay the codec decode
+    // (probed at sf0.1: decode is ~1.3 s of the query's ~1.9 s — the
+    // one stage worth guaranteeing runs once).
     val sigs = audioEnvelopeHash(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     Dedup.bandedHammingJoin(sigs, maxHamming, maxBucket)
   }
 
