@@ -632,24 +632,46 @@ object TextAnalysis {
       dim: Int = 1024,
       threshold: Double = 0.0,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      weights: Option[DataFrame] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     require(dim > 0, s"invalid dim=$dim")
     val d = dim
     val th = threshold
+    // Trained-table swap-in: a (bucket, weight) frame — dim-sized by
+    // construction (fasttext-style tables are the hash dimension, not
+    // the corpus) — collected into a broadcast array the typed map
+    // indexes instead of the LCG formula. Missing buckets weigh 0.
+    // Nothing else changes: same hashing, same mean, same plan shape
+    // (the lookup is a broadcast read, not a join — the pass stays
+    // zero-exchange; spec-pinned).
+    val table: Option[org.apache.spark.broadcast.Broadcast[Array[Double]]] =
+      weights.map { wdf =>
+        val arr = new Array[Double](d)
+        wdf.select(col("bucket").cast("long"), col("weight").cast("double"))
+          .collect().foreach { r =>
+            val b = r.getLong(0)
+            require(b >= 0 && b < d, s"weight bucket $b outside [0, $d)")
+            arr(b.toInt) = r.getDouble(1)
+          }
+        spark.sparkContext.broadcast(arr)
+      }
     val scored = Dedup.spread(
       documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = graft.functions.TextHashing.tokens(text)
+        val wArr = table.map(_.value).orNull
         var s = 0.0
         var i = 0
         while (i < toks.length) {
           val bucket = graft.functions.TextHashing.poly32(toks(i), 97L) % d
           // LCG-derived weight in [-1, 1): deterministic stand-in for a
           // trained table, identical in the SQL mirror
-          val w = ((bucket * 1103515245L + 12345L) % (2L * d)).toDouble / d - 1.0
+          val w =
+            if (wArr != null) wArr(bucket.toInt)
+            else ((bucket * 1103515245L + 12345L) % (2L * d)).toDouble / d - 1.0
           s += w
           i += 1
         }

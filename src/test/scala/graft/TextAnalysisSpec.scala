@@ -395,6 +395,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(m(4L)._3 - math.floor(math.abs(w) * 1e4 + 0.5) / 1e4 * math.signum(w)) < 1e-9)
   }
 
+  test("linearQualityScore: trained weights swap in; LCG parity; plan unchanged") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val d = 1024
+    // a weights table replaying the LCG formula must be BIT-IDENTICAL
+    // to the default path — proving "swap weightOf for a broadcast
+    // lookup and nothing else changes"
+    val lcg = (0 until d).map(b =>
+      (b.toLong, ((b * 1103515245L + 12345L) % (2L * d)).toDouble / d - 1.0))
+      .toDF("bucket", "weight")
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    val base = dump(TextAnalysis.linearQualityScore(docs))
+    assert(dump(TextAnalysis.linearQualityScore(docs, weights = Some(lcg)))
+      === base)
+    // an all-ones table gives margin exactly 1.0 on every non-empty doc
+    val ones = (0 until d).map(b => (b.toLong, 1.0)).toDF("bucket", "weight")
+    val swapped = TextAnalysis.linearQualityScore(docs, weights = Some(ones))
+    assert(swapped.collect().forall(r =>
+      r.getLong(1) == 0L || (r.getDouble(2) == 1.0 && r.getBoolean(3))))
+    // the trained path stays a zero-shuffle narrow pass: the lookup is
+    // a broadcast read, never a join
+    val p = swapped.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"weights path must not add a shuffle or join:\n$p")
+  }
+
   test("charStats: hand-computed entropy and 4-gram ratio, degenerate edges") {
     import spark.implicits._
     val df = Seq(
