@@ -172,6 +172,26 @@ object ScenarioAudit {
       Seq(chk("S6c", "state_requests_26",
         26, c.call(a, "state_requests", Map("items" -> Seq(b, b2)))))
     },
+    "S11_async_pipeline" -> { c =>
+      // AsyncClassRef parity (class_ref.py:228-258 + future.py:31-124):
+      // pipelined create -> two calls -> get, fired before any pump;
+      // same-key batching (O14) preserves arrival order, so the get
+      // observes both updates
+      val u = c.createAsync("User", Map("username" -> "async_u"))
+        .result().asInstanceOf[EntityRef]
+      val f1 = c.callAsync(u, "update_balance", Map("x" -> 7))
+      val f2 = c.callAsync(u, "update_balance", Map("x" -> 5))
+      val g = c.getAttrAsync(u, "balance")
+      val miss = c.findAsync(EntityRef("User", "async_missing"))
+      val bal = g.result()
+      Seq(
+        chk("S11", "async_create_ref", EntityRef("User", "async_u"), u),
+        chk("S11", "pipelined_updates_ordered_balance", 12, bal),
+        chk("S11", "call_futures_complete", true,
+          f1.isCompleted && f2.isCompleted),
+        chk("S11", "async_find_miss", false, miss.result()),
+        chk("S11", "async_find_hit", true, c.findAsync(u).result()))
+    },
     "S6d_nested_splits" -> { c =>
       val Right(no) = c.create("OtherNestClass", Map("id" -> "o1", "x" -> 11))
       val Right(n) = c.create("NestClass", Map("id" -> "n1", "x" -> 3))

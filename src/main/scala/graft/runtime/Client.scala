@@ -12,6 +12,65 @@ trait EventTransport {
   def send(ev: Event): Event
 }
 
+/** Transport that can PIPELINE requests: fire without blocking, pump
+  * the runtime, surface replies by event id — what the reference's
+  * async client rides on (class_ref.py:228-258 awaits client.send;
+  * the Kafka client completes futures from the reply topic,
+  * kafka_client.py). Both runtimes implement it: the streaming runtime
+  * via its ingress queue + reply map, the LocalRuntime by computing
+  * the reply eagerly and stashing it (synchronous machine, async API).
+  */
+trait AsyncEventTransport extends EventTransport {
+  /** Enqueue without waiting for the reply. */
+  def sendNoWait(ev: Event): Unit
+  /** Pump the runtime one step (drain micro-batches / no-op if eager). */
+  def advance(): Unit
+  /** Take (at most once) the reply for an event id, if it has landed. */
+  def takeReply(eventId: String): Option[Event]
+}
+
+/** Pending-reply handle — the StateflowFuture analog
+  * (/root/reference/stateflow/client/future.py:31-124): created at send
+  * time with the request id, completed by the reply event with the same
+  * id. `get` pumps the runtime until completion; `poll`/`isCompleted`
+  * are the non-blocking probes; `result` interprets the reply the way
+  * the reference's `complete()` does (value / ref / failure).
+  */
+final class StateflowFuture private[runtime] (
+    val eventId: String, transport: AsyncEventTransport) {
+  @volatile private var done: Option[Event] = None
+
+  def poll(): Option[Event] = {
+    if (done.isEmpty) done = transport.takeReply(eventId)
+    done
+  }
+
+  def isCompleted: Boolean = poll().isDefined
+
+  def get(maxAdvances: Int = 300): Event = {
+    var i = 0
+    while (poll().isEmpty && i < maxAdvances) { transport.advance(); i += 1 }
+    poll().getOrElse(throw new IllegalStateException(
+      s"no reply for $eventId after $i advances"))
+  }
+
+  /** Completed value (future.py:52-80): invocation/state results unwrap,
+    * creates land as the typed ref, found-checks as Boolean, failures
+    * throw with the runtime's message.
+    */
+  def result(maxAdvances: Int = 300): Any = get(maxAdvances) match {
+    case Event(_, e, k, EventType.SuccessfulCreateClass, _) => EntityRef(e, k)
+    case Event(_, _, _, EventType.FoundClass, _) => true
+    case Event(_, _, _, EventType.KeyNotFound, _) => false
+    case Event(_, _, _, EventType.SuccessfulInvocation, Payload.Result(v)) => v
+    case Event(_, _, _, EventType.SuccessfulStateRequest, Payload.Result(v)) => v
+    case Event(_, _, _, EventType.SuccessfulStateRequest, _) => ()
+    case Event(_, _, _, t, Payload.ErrorMsg(m)) =>
+      throw new RuntimeException(s"$t: $m")
+    case other => throw new RuntimeException(s"unexpected reply $other")
+  }
+}
+
 /** Runtime-agnostic client facade (ClassRef/MetaWrapper analog,
   * /root/reference/stateflow/client/class_ref.py:17-258): builds events,
   * derives the create key off-state (two-phase create, SURVEY O7), picks
@@ -65,18 +124,51 @@ final class Client(registry: EntityRegistry, transport: EventTransport) {
     * state machines; plain methods as InvokeStateful.
     */
   def call(ref: EntityRef, method: String, args: Args): Any = {
-    val flowId = s"${ref.entity}.$method"
-    val ev =
-      if (FlowRegistry.has(flowId))
-        Event(eid(), ref.entity, ref.key, EventType.EventFlow,
-          Payload.FlowPayload(FlowRegistry.instantiate(flowId, ref, args)))
-      else
-        Event(eid(), ref.entity, ref.key, EventType.InvokeStateful,
-          Payload.MethodCall(method, args))
-    transport.send(ev) match {
+    transport.send(callEvent(ref, method, args)) match {
       case Event(_, _, _, EventType.SuccessfulInvocation, Payload.Result(v)) => v
       case Event(_, _, _, t, p) =>
-        throw new RuntimeException(s"call $flowId failed: $t $p")
+        throw new RuntimeException(s"call ${ref.entity}.$method failed: $t $p")
     }
   }
+
+  private def callEvent(ref: EntityRef, method: String, args: Args): Event = {
+    val flowId = s"${ref.entity}.$method"
+    if (FlowRegistry.has(flowId))
+      Event(eid(), ref.entity, ref.key, EventType.EventFlow,
+        Payload.FlowPayload(FlowRegistry.instantiate(flowId, ref, args)))
+    else
+      Event(eid(), ref.entity, ref.key, EventType.InvokeStateful,
+        Payload.MethodCall(method, args))
+  }
+
+  // ----- async variants (AsyncClassRef parity, class_ref.py:228-258):
+  // the same request events, returned as pending futures instead of
+  // being awaited in place — callers pipeline many requests and pump
+  // the runtime once. Requires a pipelining transport.
+
+  private def asyncT: AsyncEventTransport = transport match {
+    case a: AsyncEventTransport => a
+    case other => throw new UnsupportedOperationException(
+      s"${other.getClass.getSimpleName} cannot pipeline (no AsyncEventTransport)")
+  }
+
+  private def fire(ev: Event): StateflowFuture = {
+    val t = asyncT
+    t.sendNoWait(ev)
+    new StateflowFuture(ev.eventId, t)
+  }
+
+  def createAsync(entity: String, args: Args): StateflowFuture =
+    fire(Event(eid(), entity, registry(entity).keyOf(args),
+      EventType.InitClass, Payload.CreateArgs(args)))
+
+  def callAsync(ref: EntityRef, method: String, args: Args): StateflowFuture =
+    fire(callEvent(ref, method, args))
+
+  def getAttrAsync(ref: EntityRef, attr: String): StateflowFuture =
+    fire(Event(eid(), ref.entity, ref.key, EventType.GetState,
+      Payload.AttrGet(attr)))
+
+  def findAsync(ref: EntityRef): StateflowFuture =
+    fire(Event(eid(), ref.entity, ref.key, EventType.FindClass, Payload.Empty))
 }

@@ -3,7 +3,7 @@ package graft.runtime.local
 import scala.collection.mutable
 import graft.model._
 import graft.model.Types._
-import graft.runtime.{EventTransport, StatefulOperator}
+import graft.runtime.{AsyncEventTransport, EventTransport, StatefulOperator}
 
 /** Synchronous in-memory runtime — the semantics oracle for all scenario
   * tests, mirroring the reference's LocalRuntime
@@ -11,9 +11,18 @@ import graft.runtime.{EventTransport, StatefulOperator}
   * a time, state in a map keyed by (entity, key), continuations drained
   * to completion before the client reply is returned.
   */
-final class LocalRuntime(registry: EntityRegistry) extends EventTransport {
+final class LocalRuntime(registry: EntityRegistry) extends AsyncEventTransport {
   val store: mutable.Map[(String, String), State] = mutable.Map.empty
   private val handler = StatefulOperator.handle(registry) _
+  // async facade over the synchronous machine: replies computed eagerly
+  // at sendNoWait, surfaced through the same poll contract the
+  // streaming runtime has — so Client async code is runtime-agnostic
+  private val stash = mutable.Map.empty[String, Event]
+
+  override def sendNoWait(ev: Event): Unit = stash(ev.eventId) = send(ev)
+  override def advance(): Unit = ()
+  override def takeReply(eventId: String): Option[Event] =
+    stash.remove(eventId)
 
   /** Ingress + drain loop (IngressRouter/EgressRouter analog,
     * /root/reference/stateflow/dataflow/dataflow.py:52-210): route the

@@ -74,7 +74,7 @@ final class StreamingEntityRuntime(
     useTransformWithState: Boolean = false,
     fileInputDir: Option[String] = None,
     inputPartitions: Int = 1)
-    extends EventTransport with AutoCloseable {
+    extends graft.runtime.AsyncEventTransport with AutoCloseable {
 
   import spark.implicits._
   private implicit val eventEnc: Encoder[Event] = Encoders.kryo[Event]
@@ -238,6 +238,12 @@ final class StreamingEntityRuntime(
     * (the shape the YCSB throughput driver uses).
     */
   def sendAsync(evs: Seq[Event]): Unit = enqueue(evs)
+
+  // AsyncEventTransport: the pipelined client surface (Client.callAsync
+  // and friends) — enqueue without blocking, pump micro-batches on
+  // demand, complete futures from the reply map
+  override def sendNoWait(ev: Event): Unit = enqueue(Seq(ev))
+  override def advance(): Unit = drain()
 
   def drain(): Unit = {
     query.processAllAvailable()

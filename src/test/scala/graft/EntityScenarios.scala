@@ -157,6 +157,27 @@ trait EntityScenarios extends AnyFunSuite {
     assert(c.call(no, "nest_calll", Map("other" -> no)) === true)
   }
 
+  test("S11: pipelined async client — create/call/get futures (class_ref.py:228-258)") {
+    val (_, c) = fresh()
+    val u = c.createAsync("User", Map("username" -> "async_u"))
+      .result().asInstanceOf[EntityRef]
+    assert(u === EntityRef("User", "async_u"))
+    // fire two updates and the read BEFORE any pump: same-key batching
+    // (O14) preserves arrival order, so the read observes both
+    val f1 = c.callAsync(u, "update_balance", Map("x" -> 7))
+    val f2 = c.callAsync(u, "update_balance", Map("x" -> 5))
+    val g = c.getAttrAsync(u, "balance")
+    assert(g.result() === 12)
+    assert(f1.isCompleted && f2.isCompleted,
+      "pumping one future completes the pipelined batch")
+    assert(c.findAsync(u).result() === true)
+    assert(c.findAsync(EntityRef("User", "async_nope")).result() === false)
+    // failure completion: duplicate create surfaces as the thrown
+    // StateflowFailure analog
+    intercept[RuntimeException](
+      c.createAsync("User", Map("username" -> "async_u")).result())
+  }
+
   test("YCSB transfer flow: guarded two-key transfer") {
     val (_, c) = fresh()
     val Right(e1) = c.create("YCSBEntity", Map("key" -> "k1", "value" -> 100))
