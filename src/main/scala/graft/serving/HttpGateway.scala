@@ -55,15 +55,29 @@ final class HttpGateway(
   private val lock = new Object
   private var n = 0
   private def eid(): String = lock.synchronized { n += 1; s"http$n" }
-  // the LocalRuntime transport is single-threaded by contract; serialize
-  // every runtime touch (HttpServer may grow a threaded executor later)
+  // Concurrency split: request IO + JSON parse/serialize run on the
+  // pool (many clients in flight), while every RUNTIME touch is
+  // serialized here — the LocalRuntime transport is single-threaded by
+  // contract, and the streaming runtime's send() pumps micro-batches
+  // which must not interleave. The runtime is the throughput ceiling
+  // either way (YCSB characterizes it); the pool removes the previous
+  // one-request-at-a-time cap on everything around the runtime call.
   private def sync[A](f: => A): A = lock.synchronized(f)
+
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(4, Runtime.getRuntime.availableProcessors() / 4),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(pool)
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
   private def reply(ex: HttpExchange, status: Int, body: ObjectNode): Unit = {

@@ -102,6 +102,60 @@ class HttpGatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
   * `StreamingEntityRuntime` IS an [[graft.runtime.EventTransport]], so
   * the gateway composes with zero adapter code.
   */
+/** The threaded-executor gate: many HTTP clients in flight at once,
+  * each response correct, every runtime mutation serialized (no lost
+  * increments on a shared entity) — the concurrency contract the
+  * gateway documents.
+  */
+class HttpGatewayConcurrencySpec extends AnyFunSuite {
+
+  test("concurrent clients: parallel requests, serialized runtime, no lost updates") {
+    val gateway = new HttpGateway(
+      TestEntities.registry, new LocalRuntime(TestEntities.registry))
+    gateway.start()
+    val http = HttpClient.newHttpClient()
+    val base = s"http://127.0.0.1:${gateway.boundPort}"
+    def get(path: String) =
+      http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def post(path: String, body: String) =
+      http.send(HttpRequest.newBuilder(URI.create(base + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val nThreads = 12
+    val perThread = 10
+    try {
+      assert(post("/User/create", """{"username":"shared_ctr"}""").statusCode() === 200)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (0 until nThreads).map { t =>
+        scala.concurrent.Future {
+          val me = s"cc_u$t"
+          var ok = post(s"/User/create", s"""{"username":"$me"}""").statusCode() == 200
+          (0 until perThread).foreach { _ =>
+            ok &= post(s"/User/$me/call/update_balance", """{"x":1}""").statusCode() == 200
+            ok &= post("/User/shared_ctr/call/update_balance", """{"x":1}""").statusCode() == 200
+            ok &= get(s"/User/$me/find").body() == """{"found":true}"""
+          }
+          ok
+        }
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(120, "seconds"))
+      pool.shutdown()
+      assert(results.forall(identity), "every concurrent request must succeed")
+      (0 until nThreads).foreach { t =>
+        assert(get(s"/User/cc_u$t/attr/balance").body() === s"""{"value":$perThread}""")
+      }
+      // the shared counter saw every increment exactly once
+      assert(get("/User/shared_ctr/attr/balance").body()
+        === s"""{"value":${nThreads * perThread}}""")
+    } finally gateway.stop()
+  }
+}
+
 class HttpGatewayStreamingSpec extends SparkSpec {
 
   test("HTTP lifecycle end-to-end over the streaming runtime") {
