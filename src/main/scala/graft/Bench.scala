@@ -263,10 +263,38 @@ object Bench {
       .collect { case (n, f) if floorDrift(f) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Contention-adjusted aggregates ALONGSIDE the raw total (the raw
+    // total and the per-query mins are never altered — the round-8
+    // no-retry-folding rule stands; these are separate, labeled
+    // anchors so a contended artifact carries its own clean
+    // comparison):
+    //   retry_adjusted_total     — each retried query contributes the
+    //                              better of (first-pass min, retry);
+    //                              the "after its own recorded
+    //                              retries" reading of the 2x gate
+    //   contended_excluded_total — sum over queries NOT flagged
+    //                              contended (pair it with the same
+    //                              exclusion on the DuckDB side;
+    //                              flagged list is in the artifact)
+    //   floor_total              — sum of committed floors for the
+    //                              measured set: what this code does
+    //                              on a quiet container, so
+    //                              total/floor_total reads as this
+    //                              run's contention inflation
+    val retryAdjTotal = results.map { case (_, t, _, _, _, retry) =>
+      retry.fold(t)(r => math.min(t, r)) }.sum
+    val cleanTotal = results.collect {
+      case (n, t, _, _, _, _) if !flagged.contains(n) => t }.sum
+    val floorTotal = results.flatMap { case (n, _, _, _, _, _) =>
+      floors.get(n).map(_.floor) }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""medians":$meds,"runs":$raw,"probes":$probes,"n_runs":$nRuns,""" +
       s""""calibration":$cal,"flagged_contended":$flg,"retried":$rt,""" +
       s""""retry_runs":$rtRuns,"vs_prev_floor":$vsPrev,"floor_drift":$fDrift,""" +
+      s""""retry_adjusted_total":$retryAdjTotal,""" +
+      s""""contended_excluded_total":$cleanTotal,""" +
+      s""""contended_excluded_n":${flagged.length},""" +
+      s""""floor_total":$floorTotal,""" +
       s""""floor_missing":$fm,"sf":"$sfDir"}"""
     println(line)
     try {

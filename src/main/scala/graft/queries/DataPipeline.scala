@@ -1248,10 +1248,10 @@ object DataPipeline {
        |         ' and https://d' || CAST(doc_id % 5 AS VARCHAR) || '.ex' ||
        |         CAST(doc_id % 3 AS VARCHAR) || '.org/q/' || CAST(doc_id AS VARCHAR)
        |    ELSE '' END AS text FROM documents),
-       |u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) AS url
-       |      FROM aug),
-       |d AS (SELECT doc_id, regexp_extract(url, '${TextAnalysis.DomainPattern}', 1) AS domain
-       |      FROM u)
+       |d AS (SELECT doc_id,
+       |       unnest(regexp_extract_all(text, '${TextAnalysis.DomainPattern}', 1))
+       |         AS domain
+       |      FROM aug)
        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM d GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
