@@ -108,11 +108,96 @@ object YcsbBench {
       session.conf.set("spark.sql.shuffle.partitions", cfg.statePartitions)
       workloads.map { case (name, mix) => runWorkload(session, cfg, name, mix) }
     }
+    // gateway row: the HTTP serving layer's throughput over the
+    // LocalRuntime (the protocol-adapter cost — HTTP + JSON + the
+    // runtime lock; the streaming runtime's own throughput is the
+    // A/B/T rows' subject). Concurrent clients exercise the threaded
+    // executor added for O35.
+    val gw = runGateway(
+      nRequests = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_OPS", "2000").toInt,
+      nThreads = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_THREADS", "8").toInt)
     // machine-readable per-round artifact (judge/driver diffable)
     val out = sys.env.getOrElse("SPARK_GRAFT_YCSB_OUT", "YCSB.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      lines.mkString("[\n", ",\n", "\n]\n"))
+      (lines :+ gw).mkString("[\n", ",\n", "\n]\n"))
     spark.stop()
+  }
+
+  /** YCSB-A-shaped mix (50% attr read / 50% update call) through the
+    * HTTP gateway with `nThreads` concurrent java.net.http clients.
+    * Latency = per-request wall at the client, the reference FastAPI
+    * layer's own measurement point.
+    */
+  private def runGateway(nRequests: Int, nThreads: Int): String = {
+    val registry = TestEntities.registry
+    val gw = new graft.serving.HttpGateway(registry,
+      new graft.runtime.local.LocalRuntime(registry))
+    gw.start()
+    try {
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      val nEntities = 100
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) =
+        http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      def get(path: String) =
+        http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      (0 until nEntities).foreach { i =>
+        require(post(s"/YCSBEntity/create",
+          s"""{"key":"g$i","value":$STARTING_AMOUNT}""").statusCode() == 200)
+      }
+      // unmeasured warmup (JIT + HTTP keep-alive establishment)
+      (0 until 50).foreach { i => get(s"/YCSBEntity/g${i % nEntities}/attr/value") }
+      val zipf = new Zipf(nEntities)
+      val perThread = nRequests / nThreads
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val errs = new java.util.concurrent.atomic.AtomicInteger()
+      // pre-draw keys on the driver thread: Zipf is not thread-safe
+      val keys = Vector.fill(nRequests)(zipf.next())
+      val t0 = System.nanoTime()
+      val futs = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val cl = java.net.http.HttpClient.newHttpClient()
+            val rnd = new scala.util.Random(100 + t)
+            var i = 0
+            while (i < perThread) {
+              val k = s"g${keys(t * perThread + i)}"
+              val s0 = System.nanoTime()
+              val r =
+                if (rnd.nextDouble() < 0.5)
+                  cl.send(java.net.http.HttpRequest.newBuilder(
+                    java.net.URI.create(s"$base/YCSBEntity/$k/attr/value")).GET().build(),
+                    java.net.http.HttpResponse.BodyHandlers.ofString())
+                else
+                  cl.send(java.net.http.HttpRequest.newBuilder(
+                    java.net.URI.create(s"$base/YCSBEntity/$k/call/update"))
+                    .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                      s"""{"new_value":${rnd.nextInt(1000)}}""")).build(),
+                    java.net.http.HttpResponse.BodyHandlers.ofString())
+              lats.add((System.nanoTime() - s0) / 1e6)
+              if (r.statusCode() != 200) errs.incrementAndGet(): Unit
+              i += 1
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+      pool.shutdown()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ls = lats.toArray(new Array[java.lang.Double](0)).map(_.doubleValue()).sorted
+      def pct(p: Double): Double =
+        if (ls.isEmpty) -1 else ls(((ls.length - 1) * p).toInt)
+      def num(fmt: String, v: Double): String =
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+      val done = ls.length
+      val line = s"""{"workload":"HTTP_A","config":"gateway_local","entities":$nEntities,"threads":$nThreads,"ops":$done,"errors":${errs.get()},"wall_sec":${num("%.3f", wall)},"throughput_ops_sec":${num("%.1f", done / wall)},"p50_ms":${num("%.2f", pct(0.5))},"p99_ms":${num("%.2f", pct(0.99))}}"""
+      println(line)
+      line
+    } finally gw.stop()
   }
 
   private def runWorkload(spark: SparkSession, cfg: Config, name: String,

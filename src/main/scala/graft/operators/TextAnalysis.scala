@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.operators.Dedup.tokens
 
 /** Text-analysis operators for training-data pipelines: quality scoring,
@@ -693,6 +694,101 @@ object TextAnalysis {
       }
       .toDF("doc_id", "n_tokens", "margin")
     scored.withColumn("keep", col("margin") > lit(th))
+  }
+
+  /** Round half away from zero at 6 dp — the gradient/weight precision
+    * [[trainQualityWeights]] pins per iteration so both engines walk
+    * bit-identical weight trajectories (DuckDB `round(x, 6)` parity;
+    * the [[graft.functions.TextHashing.round4]] floor trick, two more
+    * digits).
+    */
+  private def round6(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  /** TRAIN the hashed-feature quality filter's weight table — the
+    * missing half of [[linearQualityScore]]'s trained-table swap-in:
+    * a linear probe over the same hashed bag-of-words features
+    * (bucket = poly32(token, 97) % dim, value = occurrence fraction,
+    * so margin = the exact mean [[linearQualityScore]] computes), fit
+    * by full-batch gradient descent on squared loss. The logistic link
+    * is deliberately omitted: `exp` is not correctly-rounded and
+    * differs across libms, which would break exact cross-engine
+    * mirroring — a linear probe is the standard cheap quality filter
+    * shape and trains the identical feature pipeline; swap the link in
+    * production if calibrated probabilities are needed.
+    *
+    * Determinism: no randomness anywhere (init w = 0, fixed lr/iters),
+    * and both the mean gradient and the updated weight are rounded at
+    * 6 dp per iteration, so the weight trajectory is identical across
+    * engines and partitionings (an unrounded float sum's association
+    * order could drift an ulp; the rounding absorbs it).
+    *
+    * Scale shape: ONE narrow pass builds the (doc, bucket, x)
+    * incidence frame — vocabulary-bounded per doc — persisted
+    * PRE-PARTITIONED on doc_id, so each iteration costs: a broadcast
+    * join against the dim-sized weight table + an exchange-free
+    * doc-keyed margin agg + an exchange-free doc-keyed error join +
+    * ONE bucket-keyed gradient exchange, then a dim-sized driver
+    * collect. The driver only ever holds the weight vector (dim
+    * doubles); iterations are O(iters) jobs, not O(iters) corpus
+    * scans.
+    */
+  def trainQualityWeights(
+      documents: DataFrame,
+      dim: Int = 1024,
+      iters: Int = 3,
+      lr: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      labelCol: String = "label"): DataFrame = {
+    require(dim > 0 && iters >= 1 && lr > 0, s"invalid dim=$dim iters=$iters lr=$lr")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val d = dim
+    val inc = Dedup.spread(documents.select(
+        col(idCol).cast("long"), col(textCol), col(labelCol).cast("double")))
+      .as[(Long, String, Double)]
+      .flatMap { case (id, text, y) =>
+        val toks = graft.functions.TextHashing.tokens(text)
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val counts = new scala.collection.mutable.HashMap[Int, Int]
+          toks.foreach { t =>
+            val b = (graft.functions.TextHashing.poly32(t, 97L) % d).toInt
+            counts.update(b, counts.getOrElse(b, 0) + 1)
+          }
+          val n = toks.length.toDouble
+          counts.iterator.map { case (b, k) => (id, b, k / n, y) }
+        }
+      }
+      .toDF("doc_id", "bucket", "x", "y")
+      .repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = inc.select("doc_id").distinct().count().toDouble
+      var w = new Array[Double](d)
+      var it = 0
+      while (it < iters) {
+        val wDf = w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq
+          .toDF("bucket", "weight")
+        val err = inc.join(broadcast(wDf), "bucket")
+          .groupBy("doc_id")
+          .agg(first(col("y")).as("y"),
+            sum(col("x") * col("weight")).as("margin"))
+          .select(col("doc_id"), (col("margin") - col("y")).as("err"))
+        val grad = inc.join(err, "doc_id")
+          .groupBy("bucket")
+          .agg(sum(col("x") * col("err")).as("g"))
+          .collect()
+        val gArr = new Array[Double](d)
+        grad.foreach(r => gArr(r.getInt(0)) = r.getDouble(1))
+        w = Array.tabulate(d)(b => round6(w(b) - lr * round6(gArr(b) / nDocs)))
+        it += 1
+      }
+      spark.sparkContext.parallelize(
+          w.zipWithIndex.collect { case (v, b) if v != 0.0 => (b.toLong, v) }.toSeq)
+        .toDF("bucket", "weight")
+    } finally { inc.unpersist(); () }
   }
 
   /** Character-level statistics screen — the cheap "is this text or

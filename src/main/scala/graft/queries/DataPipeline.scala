@@ -2489,6 +2489,89 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** Shared CTE chain for tr1/tr2: label (the round4 quality score vs
+    * the 0.5 floor, sp9's q CTE), the hashed incidence frame
+    * (bucket = poly32(w, 97) % 1024, x = occurrence fraction — the
+    * exact feature map linearQualityScore reads), and TWO unrolled
+    * gradient-descent iterations at lr = 0.5 with 6-dp rounding of
+    * every mean gradient and weight — the same trajectory the engine's
+    * loop walks (iteration 1 is closed-form: w = 0 makes err = -y).
+    */
+  private val TrainCtes: String =
+    s"""wl AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |q AS (SELECT doc_id, CASE WHEN
+       |  round(CAST(len(list_filter(ws, w -> list_contains($StopList, w))) AS DOUBLE)
+       |     /len(ws)*0.5 + least(len(ws), 100)/100.0*0.5, 4) >= 0.5
+       |  THEN 1.0 ELSE 0.0 END AS y FROM wl),
+       |tok AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS w FROM wl),
+       |h0 AS (SELECT doc_id, n, ${polySql("w", 97)} AS hv FROM tok),
+       |${mixCtes("h0", "hm", keep = Seq("doc_id", "n"), cols = Seq("hv"))},
+       |inc AS MATERIALIZED (SELECT doc_id, hv % 1024 AS bucket,
+       |        CAST(count(*) AS DOUBLE)/any_value(n) AS x
+       |       FROM hm GROUP BY doc_id, hv % 1024),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM inc),
+       |g1 AS (SELECT bucket, round(sum(x * (0.0 - q.y)) / (SELECT nd FROM nd), 6)
+       |         AS g
+       |       FROM inc JOIN q USING (doc_id) GROUP BY bucket),
+       |w1 AS (SELECT bucket, round(0.0 - 0.5 * g, 6) AS weight FROM g1),
+       |m2 AS (SELECT doc_id, sum(x * weight) AS margin
+       |       FROM inc JOIN w1 USING (bucket) GROUP BY doc_id),
+       |e2 AS (SELECT m2.doc_id, m2.margin - q.y AS err FROM m2 JOIN q USING (doc_id)),
+       |g2 AS (SELECT bucket, round(sum(x * err) / (SELECT nd FROM nd), 6) AS g
+       |       FROM inc JOIN e2 USING (doc_id) GROUP BY bucket),
+       |w2 AS MATERIALIZED (SELECT w1.bucket, round(w1.weight - 0.5 * g2.g, 6)
+       |         AS weight
+       |       FROM w1 JOIN g2 USING (bucket))""".stripMargin
+
+  private def trainLabeled(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(TextAnalysis.quality(docs)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (col("quality_score") >= 0.5).cast("double").as("label")), "doc_id")
+  }
+
+  /** tr1: distributed training of the quality classifier's weight
+    * table (linear probe, hashed features, full-batch GD) — the
+    * trained-table producer for txt_clf's swap-in. The mirror unrolls
+    * both iterations CTE by CTE, so any drift in the feature map, the
+    * gradient, the rounding discipline, or the update rule breaks the
+    * hash.
+    */
+  val tr1_train_weights = QueryDef.sqlChecked(
+    "tr1_train_weights",
+    s"""WITH $TrainCtes
+       |SELECT CAST(bucket AS BIGINT) AS bucket, weight
+       |FROM w2 WHERE weight <> 0 ORDER BY bucket""".stripMargin) { (s, d) =>
+    TextAnalysis.trainQualityWeights(trainLabeled(s, d), iters = 2)
+      .filter(col("weight") =!= 0.0)
+      .orderBy("bucket")
+  }
+
+  /** tr2: train -> swap-in -> score, end to end: the weights from tr1
+    * feed linearQualityScore's broadcast-lookup path and score the
+    * same corpus. Proves the full loop a production filter runs
+    * (train on labels, deploy the table, screen the corpus).
+    */
+  val tr2_train_and_score = QueryDef.sqlChecked(
+    "tr2_train_and_score",
+    s"""WITH $TrainCtes,
+       |occ AS (SELECT doc_id, hv % 1024 AS bucket FROM hm),
+       |ag AS (SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        round(sum(coalesce(w2.weight, 0.0))/count(*), 4) AS margin
+       |       FROM occ LEFT JOIN w2 USING (bucket) GROUP BY occ.doc_id)
+       |SELECT wl.doc_id, coalesce(ag.n_tokens, 0) AS n_tokens,
+       | coalesce(ag.margin, 0.0) AS margin,
+       | coalesce(ag.margin, 0.0) > 0.0 AS keep
+       |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin) {
+    (s, d) =>
+      val weights = TextAnalysis.trainQualityWeights(trainLabeled(s, d), iters = 2)
+      TextAnalysis.linearQualityScore(Tables.documents(s, d),
+          weights = Some(weights))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -2511,6 +2594,7 @@ object DataPipeline {
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
     tok1_bpe_tokenize, sp8b_bpe_budget, pk1b_bpe_pack,
+    tr1_train_weights, tr2_train_and_score,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_video_pairs, mm_audio_pairs)

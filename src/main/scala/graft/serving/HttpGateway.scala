@@ -72,6 +72,13 @@ final class HttpGateway(
       t
     })
 
+  // TCP_NODELAY on the server's sockets: without it, Nagle +
+  // delayed-ACK adds the classic ~40 ms stall per keep-alive
+  // request/response on loopback (measured: p50 44 ms -> sub-ms).
+  // The JDK server only exposes this via the system property, read at
+  // server creation.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.setExecutor(pool)

@@ -424,6 +424,56 @@ class TextAnalysisSpec extends SparkSpec {
       s"weights path must not add a shuffle or join:\n$p")
   }
 
+  test("trainQualityWeights: hand-walked gradient steps, determinism, zero-drop") {
+    import spark.implicits._
+    // two single-token docs in distinct buckets: doc1 "aa aa" (x=1,
+    // y=1), doc2 "bb" (x=1, y=0). N=2.
+    val b1 = (graft.functions.TextHashing.poly32("aa", 97L) % 1024).toInt
+    val b2 = (graft.functions.TextHashing.poly32("bb", 97L) % 1024).toInt
+    assert(b1 !== b2, "fixture tokens must not collide")
+    val docs = Seq((1L, "aa aa", 1.0), (2L, "bb", 0.0))
+      .toDF("doc_id", "text", "label")
+    // iter 1: w=0 -> err=-y -> grad_b1 = (1*(0-1))/2 = -0.5 -> w_b1 = 0.25;
+    // grad_b2 = 0 -> b2 stays 0 and is dropped from the output
+    val w1 = TextAnalysis.trainQualityWeights(docs, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 === Map(b1.toLong -> 0.25), w1)
+    // iter 2: margin1 = 0.25 -> err1 = -0.75 -> grad_b1 = -0.375 ->
+    // w_b1 = 0.25 + 0.1875 = 0.4375
+    val w2 = TextAnalysis.trainQualityWeights(docs, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w2 === Map(b1.toLong -> 0.4375), w2)
+    // determinism under re-partition (the 6-dp rounding discipline)
+    val again = TextAnalysis.trainQualityWeights(docs.repartition(5), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === w2)
+  }
+
+  test("trainQualityWeights feeds linearQualityScore: trained margins separate labels") {
+    import spark.implicits._
+    // quality-labeled corpus slice: train, swap the table in, score —
+    // trained margins must be higher on label-1 docs than label-0 docs
+    // (the probe moves toward its targets even in 3 steps)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val r4 = graft.functions.GraftFunctions.round4 _
+    val words = graft.operators.Dedup.tokens(col("text"))
+    val score = r4(size(filter(words, w =>
+      w.isin("the", "a", "of", "and", "in", "to", "is"))).cast("double")
+      / size(words) * 0.5 + least(size(words), lit(100)).cast("double") / 100 * 0.5)
+    val labeled = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"), (score >= 0.5).cast("double").as("label"))
+    val weights = TextAnalysis.trainQualityWeights(labeled, iters = 3)
+    val scored = TextAnalysis.linearQualityScore(docs, weights = Some(weights))
+      .select(col("doc_id").cast("long").as("doc_id"), col("margin"))
+      .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val pos = scored.filter(_._2 == 1.0).map(_._1)
+    val neg = scored.filter(_._2 == 0.0).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "both label classes must exist at this SF")
+    assert(pos.sum / pos.length > neg.sum / neg.length,
+      s"trained margins must separate: pos=${pos.sum / pos.length} neg=${neg.sum / neg.length}")
+  }
+
   test("charStats: hand-computed entropy and 4-gram ratio, degenerate edges") {
     import spark.implicits._
     val df = Seq(
