@@ -147,19 +147,29 @@ object TextHashing {
     }
   }
 
-  /** 32-bit char-level polynomial hash: fold (h*131 + charCode) mod 2^32,
-    * then one xorshift-multiply-xorshift avalanche round (raw polynomial
-    * low bits correlate across similar tokens, which would inflate
-    * SimHash collision rates ~7x). Every intermediate stays < 2^48, so
-    * the IDENTICAL steps are expressible in ANSI SQL over BIGINT without
-    * overflow — this is what lets the SimHash and winnowing operators
-    * carry a DuckDB oracle (the same reason txt_fingerprint's fold is
-    * mod-bounded).
+  /** 32-bit char-level polynomial hash: fold (h*131 + CODEPOINT) mod
+    * 2^32, then one xorshift-multiply-xorshift avalanche round (raw
+    * polynomial low bits correlate across similar tokens, which would
+    * inflate SimHash collision rates ~7x). Every intermediate stays
+    * < 2^48 (codepoints are < 2^21), so the IDENTICAL steps are
+    * expressible in ANSI SQL over BIGINT without overflow — this is
+    * what lets the SimHash and winnowing operators carry a DuckDB
+    * oracle (the same reason txt_fingerprint's fold is mod-bounded).
+    *
+    * CODEPOINTS, not UTF-16 units: the SQL mirrors fold
+    * `string_split(w, '')` elements through `ascii(c)` — one codepoint
+    * each — so a surrogate-pair fold here would silently diverge on
+    * astral-plane tokens (the charStats lesson; identical on BMP text,
+    * which is why every existing fixture hash is unchanged).
     */
   def poly32(s: String, seed: Long): Long = {
     var h = seed
     var i = 0
-    while (i < s.length) { h = (h * 131 + s.charAt(i)) & 0xffffffffL; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131 + cp) & 0xffffffffL
+      i += Character.charCount(cp)
+    }
     h ^= h >>> 16
     h = (h * 40503L) & 0xffffffffL
     h ^ (h >>> 13)

@@ -30,6 +30,21 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.segment("😀😀", Seq(("😀", "😀"))).toSeq === Seq("😀😀"))
   }
 
+  test("poly32 folds codepoints, matching the SQL mirror's per-character ascii()") {
+    // independent reference fold over codePoints (the semantics
+    // string_split('') + ascii() has in DuckDB)
+    def ref(s: String, seed: Long): Long = {
+      var h = seed
+      s.codePoints().toArray.foreach(cp => h = (h * 131 + cp) & 0xffffffffL)
+      h ^= h >>> 16
+      h = (h * 40503L) & 0xffffffffL
+      h ^ (h >>> 13)
+    }
+    Seq("plain", "a😀b", "😀😀", "𝕊upplementary").foreach { s =>
+      assert(graft.functions.TextHashing.poly32(s, 97L) === ref(s, 97L), s)
+    }
+  }
+
   test("train: hand-computed merges on the Sennrich-style corpus") {
     // low x5, lower x2, newest x6, widest x3 (no </w> marker — see
     // Bpe's documented deviations). Pair counts: (e,s)=9 (s,t)=9
