@@ -624,6 +624,64 @@ object TextAnalysis {
         round(col("bits"), 4).as("bits_per_token"))
   }
 
+  /** Bigram language-model score — [[unigramLogProb]] with one token of
+    * context: per doc, `bits_per_token` = mean -log2 p(w_i | w_{i-1})
+    * under a Laplace-smoothed bigram model estimated from the corpus
+    * itself, p(b|a) = (c(a,b)+1)/(c(a)+V). Bigram surprisal separates
+    * scrambled/boilerplate text from fluent text far more sharply than
+    * unigram frequency (word-salad has typical WORDS but atypical
+    * TRANSITIONS); the first token has no context and only transitions
+    * are scored — docs under 2 tokens get 0 transitions and 0 bits.
+    *
+    * Scale shape mirrors txt_ppl's hardened form one order up: a typed
+    * narrow pass emits adjacent pairs, which collapse IMMEDIATELY to
+    * (doc, a, b, k) — a hot bigram ("of the") costs one row per doc,
+    * not one per occurrence, before anything joins. Corpus bigram
+    * counts are one (a, b)-keyed shuffle over the collapsed frame,
+    * unigram history counts one token-keyed shuffle, V a broadcast
+    * scalar; scoring joins stay keyed (vocab-sized tables broadcast
+    * while they fit, AQE skew-join beyond), and the per-doc mean is a
+    * final doc-keyed agg, k-weighted.
+    */
+  def bigramLogProb(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+    val pairs = Dedup.spread(base)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = graft.functions.TextHashing.tokens(text)
+        val out = new Array[(Long, String, String)](math.max(t.length - 1, 0))
+        var i = 0
+        while (i + 1 < t.length) { out(i) = (id, t(i), t(i + 1)); i += 1 }
+        out
+      }
+      .toDF("doc_id", "pa", "pb")
+    val dt = pairs.groupBy("doc_id", "pa", "pb").agg(count(lit(1)).as("k"))
+    val c2 = dt.groupBy("pa", "pb").agg(sum(col("k")).as("c2"))
+    val tok = base.select(col("doc_id"), explode(tokens(col(textCol))).as("w"))
+    val c1 = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val vv = c1.agg(count(lit(1)).as("v"))
+    val scored = dt
+      .join(c2, Seq("pa", "pb"))
+      .join(c1.withColumnRenamed("w", "pa"), Seq("pa"))
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"), col("k"),
+        (col("k") * log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_trans"),
+        (-sum(col("lp")) / sum(col("k")) / log(lit(2.0))).as("bits"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(round(col("bits"), 4), lit(0.0)).as("bits_per_token"))
+  }
+
   /** Hashed-feature linear quality classifier — the Spark plumbing of a
     * fasttext-style filter (hash each token into a D-bucket weight
     * table, average the weights, threshold), the shape used for e.g.

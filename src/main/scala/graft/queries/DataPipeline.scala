@@ -2099,6 +2099,30 @@ object DataPipeline {
     TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  val txt_ppl2 = QueryDef.sqlChecked(
+    "txt_ppl2",
+    """WITH wl AS MATERIALIZED (SELECT doc_id,
+      |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      |        FROM wl),
+      |bi AS (SELECT a.doc_id, a.w AS pa, b.w AS pb
+      |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |dt AS (SELECT doc_id, pa, pb, CAST(count(*) AS BIGINT) AS k FROM bi
+      |       GROUP BY doc_id, pa, pb),
+      |c2 AS (SELECT pa, pb, CAST(sum(k) AS BIGINT) AS c2 FROM dt GROUP BY pa, pb),
+      |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+      |sc AS (SELECT doc_id, k, k * ln((c2.c2 + 1.0) / (c1.c1 + vv.v)) AS lp
+      |       FROM dt JOIN c2 USING (pa, pb) JOIN c1 ON c1.w = dt.pa CROSS JOIN vv),
+      |ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trans,
+      |        -sum(lp)/sum(k)/ln(2) AS bits FROM sc GROUP BY doc_id)
+      |SELECT wl.doc_id, coalesce(ag.n_trans, CAST(0 AS BIGINT)) AS n_trans,
+      | coalesce(round(ag.bits, 4), 0.0) AS bits_per_token
+      |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin) {
+    (s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val txt_clf = QueryDef.sqlChecked(
     "txt_clf",
     s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -2588,7 +2612,7 @@ object DataPipeline {
     rl1_release_diff, rf1_corpus_refresh, rf1b_refresh_prepared,
     txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
-    dd12_span_dedup, dd8c_canonical, txt_ppl, txt_clf,
+    dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl2, txt_clf,
     rl2_corpus_card, sp9_curriculum, dd12b_span_drop, txt_entropy,
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,

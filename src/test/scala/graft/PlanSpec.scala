@@ -510,6 +510,17 @@ class PlanSpec extends SparkSpec {
       s"txt_ppl lost the (doc_id, w) pre-aggregate:\n$p")
   }
 
+  test("txt_ppl2: bigram scoring keeps the per-doc pre-aggregate, no cartesian") {
+    val p = plan("txt_ppl2")
+    assert(!p.contains("CartesianProduct"), p)
+    // (doc_id, pa, pb) collapse before any corpus-count join — a hot
+    // bigram costs one probe row per doc
+    assert(p.linesIterator.exists(l =>
+        l.contains("Keys") && l.contains("doc_id") &&
+          l.contains("pa#") && l.contains("pb#")),
+      s"txt_ppl2 lost the (doc_id, pa, pb) pre-aggregate:\n$p")
+  }
+
   test("sp9: curriculum assignment is a pure narrow projection — zero exchanges bare") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.Sampling.curriculum(docs)

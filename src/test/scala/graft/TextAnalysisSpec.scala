@@ -424,6 +424,18 @@ class TextAnalysisSpec extends SparkSpec {
       s"weights path must not add a shuffle or join:\n$p")
   }
 
+  test("bigramLogProb: hand-computed Laplace bigram surprisal; short docs zero") {
+    import spark.implicits._
+    // corpus "a b a b" + "x": c2(a,b)=2, c2(b,a)=1; c1 a=2 b=2 x=1; V=3
+    // p(b|a)=3/5, p(a|b)=2/5 -> bits = -(2 ln .6 + ln .4)/3/ln 2 = 0.932
+    val df = Seq((1L, "a b a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((3L, 0.932)))
+    assert(out(2L) === ((0L, 0.0)), "single-token doc has no transitions")
+    assert(out(3L) === ((0L, 0.0)), "empty doc has no transitions")
+  }
+
   test("trainQualityWeights: hand-walked gradient steps, determinism, zero-drop") {
     import spark.implicits._
     // two single-token docs in distinct buckets: doc1 "aa aa" (x=1,
