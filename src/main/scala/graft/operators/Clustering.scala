@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Embedding-space clustering for corpus curation — the grouping pass
+  * behind topic bucketing, cluster-balanced sampling and SemDeDup-style
+  * semantic curation (the reference system has no analytics surface;
+  * this extends the engine's training-data-pipeline family, SURVEY.md
+  * §2.b north-star slots, next to [[IvfSearch]] whose coarse quantizer
+  * is the same algorithm in sampled form).
+  *
+  * Deterministic Lloyd's k-means (public textbook algorithm), shaped
+  * for cross-engine mirroring and 100-TB execution:
+  *   - init = the k rows with the smallest ids (no random seeding —
+  *     reproducible-release discipline, same reasoning as the hash
+  *     splits in [[Sampling]]);
+  *   - assignment = exact squared-L2 argmin over the k centroids,
+  *     computed as the SAME left-to-right fold both engines run, ties
+  *     broken toward the lower cluster id;
+  *   - update = per-cluster per-dimension mean ROUNDED AT 6 dp (the
+  *     [[TextAnalysis.round6]] floor trick): a float mean's summation
+  *     order differs between Spark's partial aggregates and any other
+  *     engine, and the rounding absorbs that ulp drift so both walk
+  *     bit-identical centroid trajectories — the same discipline that
+  *     pins [[TextAnalysis.trainQualityWeights]]'s gradient walk;
+  *   - empty clusters are dropped (not re-seeded), matching the
+  *     relational mirror where a memberless centroid simply vanishes
+  *     from the means frame.
+  *
+  * Scale shape: the parsed vector frame is persisted once and scanned
+  * `iters` times for assignment (broadcast k×dim centroid array, one
+  * narrow typed pass, NO shuffle) plus `iters-1` times for the update
+  * (posexplode to (cluster, dim, x) then a (cluster, dim)-keyed mean:
+  * Spark's partial aggregation collapses the exploded rows map-side,
+  * so the exchange carries only partitions × k × dim partial rows, and
+  * the driver only ever holds k×dim doubles). Nothing here sorts or
+  * collects the corpus.
+  */
+object Clustering {
+
+  /** Cluster embeddings with deterministic Lloyd iterations.
+    *
+    * @param iters assignment passes; `iters - 1` centroid updates
+    *              (iters = 2 -> assign, update means once, re-assign)
+    * @return one row per input vector: (vec_id, cluster, dist) with
+    *         `dist` the squared L2 distance to the final centroid,
+    *         rounded at 4 dp
+    */
+  def kmeans(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 1, s"invalid k=$k iters=$iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = Dedup.spread(embeddings.select(
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .as[(Long, Array[Double])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // init: the k smallest ids, in cluster-id order (cid = rank of the
+    // seed id, 0-based) — k rows to the driver, never the corpus
+    var centroids: Array[(Int, Array[Double])] =
+      e.orderBy("vec_id").limit(k).collect()
+        .map(_._2).zipWithIndex.map { case (v, i) => (i, v) }
+
+    // exact argmin over the broadcast centroids: per-centroid squared-L2
+    // as the identical left-to-right fold the SQL mirror's list_reduce
+    // runs, ties to the lower cluster id
+    def assign(cs: Array[(Int, Array[Double])]) = {
+      val bc = spark.sparkContext.broadcast(cs)
+      e.map { case (id, v) =>
+        val cands = bc.value
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cands.length) {
+          val cv = cands(c)._2
+          var s = 0.0
+          var i = 0
+          while (i < v.length) {
+            val dd = v(i) - cv(i)
+            s += dd * dd
+            i += 1
+          }
+          if (s < bestD) { bestD = s; best = cands(c)._1 }
+          c += 1
+        }
+        (id, best, bestD)
+      }.toDF("vec_id", "cluster", "dist")
+    }
+
+    var it = 1
+    while (it < iters) {
+      // centroid update: explode to (cluster, dim, x), (cluster, dim)-
+      // keyed mean (map-side partials), k*dim rows to the driver,
+      // rounded 6 dp so every engine resumes from the same doubles
+      val means = assign(centroids)
+        .join(e.toDF("vec_id", "v"), "vec_id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(avg("x").as("m"))
+        .collect()
+      centroids = means.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
+        case (cid, rows) =>
+          val dim = rows.length
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = TextAnalysis.round6(r.getDouble(2)))
+          (cid, arr)
+      }
+      it += 1
+    }
+    assign(centroids)
+      .withColumn("dist", graft.functions.GraftFunctions.round4(col("dist")))
+  }
+}

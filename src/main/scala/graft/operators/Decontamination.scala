@@ -415,4 +415,47 @@ object Decontamination {
       .select(col("doc_id"), col("n_hits"), col("n_shingles"),
         round(col("n_hits").cast("double") / col("n_shingles"), 4).as("overlap_ratio"))
   }
+
+  /** SEMANTIC decontamination: flag corpus items whose embedding is
+    * near an eval-set embedding — the paraphrase-leak complement to the
+    * lexical shingle overlap above (a reworded eval answer shares no
+    * n-grams but sits next to the original in embedding space; running
+    * both screens is standard hygiene in public pipeline writeups).
+    *
+    * For each corpus vector with max cosine similarity over the eval
+    * side above `threshold`, emits (id, eval_id, sim): the best-matching
+    * eval item (ties on the exact unrounded similarity broken toward the
+    * lower eval id) and the similarity rounded at 4 dp. Unflagged items
+    * are absent — the output is the drop list a `LEFT ANTI` join
+    * consumes, like [[contaminatedIds]].
+    *
+    * Scale shape: the eval side is dimension-sized by construction
+    * (benchmarks are thousands of rows, the corpus is billions), so it
+    * broadcasts and the corpus streams through ONE narrow
+    * BroadcastNestedLoopJoin pass; the per-item argmax is a corpus-keyed
+    * `max(struct(sim, -eval_id))` whose partial aggregation collapses
+    * each item's |eval| candidate rows map-side (the join emits them
+    * co-partitioned), so the exchange carries one row per flagged item.
+    * The exact-similarity comparisons reuse the fold-order-stable
+    * cosine of [[Dedup.embeddingNearDup]].
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      threshold: Double = 0.4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = Dedup.spread(corpus.select(
+      col(idCol).cast("long").as("vec_id"), col(vecCol).cast("array<double>").as("x")))
+    val ev = eval.select(
+      col(idCol).cast("long").as("eid"), col(vecCol).cast("array<double>").as("y"))
+    c.crossJoin(broadcast(ev))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("x"), col("y")))
+      .filter(col("sim") > threshold)
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("eid")).as("neg_eid"))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.neg_eid")).cast("long").as("eval_id"),
+        graft.functions.GraftFunctions.round4(col("best.sim")).as("sim"))
+  }
 }

@@ -760,7 +760,7 @@ object TextAnalysis {
     * the [[graft.functions.TextHashing.round4]] floor trick, two more
     * digits).
     */
-  private def round6(x: Double): Double =
+  private[operators] def round6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
 
   /** TRAIN the hashed-feature quality filter's weight table — the
