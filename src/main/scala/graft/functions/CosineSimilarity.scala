@@ -121,4 +121,14 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.{abs, floor, lit, signum}
     signum(c) * floor(abs(c) * lit(1e4) + lit(0.5)) / lit(1e4)
   }
+
+  /** 6-dp sibling of [[round4]] — the pre-round half of the repo's
+    * round6-then-round4 two-step for cross-engine float aggregates
+    * (sum TERMS identical, fold order not: the 6-dp floor absorbs the
+    * ulp drift before a 4-dp emit can flip on a .00005 boundary).
+    */
+  def round6(c: Column): Column = {
+    import org.apache.spark.sql.functions.{abs, floor, lit, signum}
+    signum(c) * floor(abs(c) * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
 }

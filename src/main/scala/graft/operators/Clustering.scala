@@ -16,9 +16,11 @@ import org.apache.spark.storage.StorageLevel
   *   - init = the k rows with the smallest ids (no random seeding —
   *     reproducible-release discipline, same reasoning as the hash
   *     splits in [[Sampling]]);
-  *   - assignment = exact squared-L2 argmin over the k centroids,
-  *     computed as the SAME left-to-right fold both engines run, ties
-  *     broken toward the lower cluster id;
+  *   - assignment = squared-L2 argmin over the k centroids, each
+  *     distance ROUNDED AT 6 dp before comparison (the [[IvfSearch]]
+  *     discipline: the fold order of a sum differs across engines,
+  *     and an EXACT-double argmin could flip on an ulp), ties broken
+  *     toward the lower cluster id;
   *   - update = per-cluster per-dimension mean ROUNDED AT 6 dp (the
   *     [[TextAnalysis.round6]] floor trick): a float mean's summation
   *     order differs between Spark's partial aggregates and any other
@@ -37,16 +39,30 @@ import org.apache.spark.storage.StorageLevel
   * so the exchange carries only partitions × k × dim partial rows, and
   * the driver only ever holds k×dim doubles). Nothing here sorts or
   * collects the corpus.
+  *
+  * Resource lifecycle: each in-loop centroid broadcast is destroyed as
+  * soon as its means are collected, and the vector frame is unpersisted
+  * before the final assignment plan is returned (that plan re-reads the
+  * source once — the same single scan a cache hit would cost). Only the
+  * FINAL k×dim broadcast outlives the call: the returned lazy plan
+  * needs it at execution, and the ContextCleaner reclaims it once the
+  * caller drops the frame.
   */
 object Clustering {
 
   /** Cluster embeddings with deterministic Lloyd iterations.
     *
+    * Null embeddings are dropped (absent from the output — callers
+    * counting assignments should `na.drop` upstream if they need the
+    * signal); a vector whose length differs from a centroid's is
+    * compared over the common prefix, the same tolerance as
+    * [[graft.functions.GraftFunctions.cosine_similarity]].
+    *
     * @param iters assignment passes; `iters - 1` centroid updates
     *              (iters = 2 -> assign, update means once, re-assign)
-    * @return one row per input vector: (vec_id, cluster, dist) with
-    *         `dist` the squared L2 distance to the final centroid,
-    *         rounded at 4 dp
+    * @return one row per non-null input vector: (vec_id, cluster, dist)
+    *         with `dist` the squared L2 distance to the final centroid
+    *         (6-dp comparison value), rounded at 4 dp
     */
   def kmeans(
       embeddings: DataFrame,
@@ -59,7 +75,8 @@ object Clustering {
     import spark.implicits._
     val e = Dedup.spread(embeddings.select(
         col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<double>").as("v")))
+        col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull))
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -69,30 +86,35 @@ object Clustering {
       e.orderBy("vec_id").limit(k).collect()
         .map(_._2).zipWithIndex.map { case (v, i) => (i, v) }
 
-    // exact argmin over the broadcast centroids: per-centroid squared-L2
-    // as the identical left-to-right fold the SQL mirror's list_reduce
-    // runs, ties to the lower cluster id
-    def assign(cs: Array[(Int, Array[Double])]) = {
+    // argmin over the broadcast centroids: per-centroid squared-L2 as a
+    // left-to-right fold, rounded 6 dp BEFORE comparison (cross-engine
+    // fold order cannot flip the winner), ties to the lower cluster id.
+    // Returns the broadcast too so callers can destroy it post-use.
+    def assign(cs: Array[(Int, Array[Double])])
+        : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) = {
       val bc = spark.sparkContext.broadcast(cs)
-      e.map { case (id, v) =>
+      val df = e.map { case (id, v) =>
         val cands = bc.value
         var best = -1
         var bestD = Double.MaxValue
         var c = 0
         while (c < cands.length) {
           val cv = cands(c)._2
+          val n = math.min(v.length, cv.length)
           var s = 0.0
           var i = 0
-          while (i < v.length) {
+          while (i < n) {
             val dd = v(i) - cv(i)
             s += dd * dd
             i += 1
           }
-          if (s < bestD) { bestD = s; best = cands(c)._1 }
+          val r = TextAnalysis.round6(s)
+          if (r < bestD) { bestD = r; best = cands(c)._1 }
           c += 1
         }
         (id, best, bestD)
       }.toDF("vec_id", "cluster", "dist")
+      (df, bc)
     }
 
     var it = 1
@@ -100,22 +122,29 @@ object Clustering {
       // centroid update: explode to (cluster, dim, x), (cluster, dim)-
       // keyed mean (map-side partials), k*dim rows to the driver,
       // rounded 6 dp so every engine resumes from the same doubles
-      val means = assign(centroids)
-        .join(e.toDF("vec_id", "v"), "vec_id")
-        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cluster", "i")
-        .agg(avg("x").as("m"))
-        .collect()
+      val (asg, bc) = assign(centroids)
+      val means =
+        try {
+          asg.join(e.toDF("vec_id", "v"), "vec_id")
+            .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy("cluster", "i")
+            .agg(avg("x").as("m"))
+            .collect()
+        } finally bc.destroy()
       centroids = means.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
         case (cid, rows) =>
-          val dim = rows.length
+          val dim = rows.map(_.getInt(1)).max + 1
           val arr = new Array[Double](dim)
           rows.foreach(r => arr(r.getInt(1)) = TextAnalysis.round6(r.getDouble(2)))
           (cid, arr)
       }
       it += 1
     }
-    assign(centroids)
-      .withColumn("dist", graft.functions.GraftFunctions.round4(col("dist")))
+    val (out, _) = assign(centroids)
+    // release the iteration cache: the returned plan costs one source
+    // scan either way, and holding corpus-sized blocks past the call
+    // would accumulate across repeated kmeans() calls in a session
+    e.unpersist(blocking = false)
+    out.withColumn("dist", graft.functions.GraftFunctions.round4(col("dist")))
   }
 }

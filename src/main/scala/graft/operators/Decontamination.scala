@@ -438,11 +438,19 @@ object Decontamination {
     * co-partitioned), so the exchange carries one row per flagged item.
     * The exact-similarity comparisons reuse the fold-order-stable
     * cosine of [[Dedup.embeddingNearDup]].
+    *
+    * `threshold` assumes unit-normalized (or at least comparable-norm)
+    * embeddings, where cosine is the standard semantic-overlap proxy.
+    * The default 0.75 is the conservative end of the 0.7–0.8 band
+    * SemDeDup-style pipelines use for paraphrase-level matches; since
+    * the output feeds a LEFT ANTI drop join, a lower threshold is
+    * aggressively lossy — callers lowering it should audit the drop
+    * list first (the dc2-style overlap report pattern).
     */
   def semanticDecontaminate(
       corpus: DataFrame,
       eval: DataFrame,
-      threshold: Double = 0.4,
+      threshold: Double = 0.75,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = Dedup.spread(corpus.select(

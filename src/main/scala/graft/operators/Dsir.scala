@@ -54,7 +54,11 @@ object Dsir {
     * @param alpha     add-alpha smoothing for both unigram models
     * @param topN      documents to keep
     * @return topN rows (doc_id, score), score = rounded log importance
-    *         ratio, ordered score DESC then doc_id
+    *         ratio, ordered score DESC then doc_id. Null-text documents
+    *         are dropped, and documents with no tokens (empty/whitespace
+    *         text) have no incidence rows and are therefore ABSENT from
+    *         the ranking — a caller selecting "topN of corpus" should
+    *         screen empties upstream if it needs every doc scored.
     */
   def importanceResample(
       documents: DataFrame,
@@ -69,8 +73,9 @@ object Dsir {
     val spark = documents.sparkSession
     import spark.implicits._
     val d = dim
-    val inc = Dedup.spread(documents.select(
-        col(idCol).cast("long"), col(textCol), isTarget.cast("boolean")))
+    val inc = Dedup.spread(documents
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).cast("long"), col(textCol), isTarget.cast("boolean")))
       .as[(Long, String, Boolean)]
       .flatMap { case (id, text, target) =>
         val toks = graft.functions.TextHashing.tokens(text)
@@ -112,10 +117,16 @@ object Dsir {
             math.log((nq + alpha) / (tq + alpha * d))))
     }.toSeq
     val lamDf = spark.sparkContext.parallelize(lam).toDF("bucket", "lambda")
+    // round6-then-round4: the k*lambda TERMS are identical doubles in
+    // every engine (lambda is round6, k integer) but the SUM's fold
+    // order is not — the 6-dp pre-round absorbs that ulp drift before
+    // the 4-dp emit can flip on a .00005 boundary (the sf0.001 ds1
+    // lesson; same two-step as Clustering's dist)
     val scored = inc.join(broadcast(lamDf), "bucket")
       .groupBy("doc_id")
       .agg(graft.functions.GraftFunctions.round4(
-        sum(col("k") * col("lambda"))).as("score"))
+        graft.functions.GraftFunctions.round6(
+          sum(col("k") * col("lambda")))).as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Decontamination, Dedup, Dsir, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface: dedup, similarity search, text
   * analysis, multimodal plumbing (north-star extensions from SURVEY.md
@@ -2596,6 +2596,102 @@ object DataPipeline {
         .orderBy("doc_id")
   }
 
+  /** cl1: deterministic Lloyd k-means over the embedding corpus — the
+    * mirror replays the full trajectory (first-k-ids init, round-6
+    * squared-L2 argmin with lower-cid tiebreaks, one round-6 mean
+    * update, re-assign) CTE by CTE, so any drift in init order, the
+    * distance fold, the rounding discipline, or the empty-cluster rule
+    * breaks the hash. Pins the operator defaults (k=8, iters=2).
+    */
+  private val Cl1Sql: String = {
+    val K = 8; val Dim = 64
+    def d2(v: String, c: String) =
+      s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),
+       |a1 AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.v", "c.c")}, c.cid) AS rn
+       |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |m1 AS (SELECT cid, dim, avg(x) AS m FROM (
+       |  SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
+       |  GROUP BY cid, dim),
+       |c1 AS (SELECT cid, list(round(m, 6) ORDER BY dim) AS c FROM m1 GROUP BY cid),
+       |a2 AS (SELECT vec_id, cid, d FROM (
+       |  SELECT e.vec_id, c.cid, ${d2("e.v", "c.c")} AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.v", "c.c")}, c.cid) AS rn
+       |  FROM e CROSS JOIN c1 c) WHERE rn = 1)
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(d, 4) AS dist
+       |FROM a2 ORDER BY vec_id""".stripMargin
+  }
+
+  val cl1_kmeans = QueryDef.sqlChecked("cl1_kmeans", Cl1Sql) { (s, d) =>
+    Clustering.kmeans(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
+  /** ds1: DSIR importance resampling (Xie et al. 2023, deterministic
+    * top-N variant) with lang='en' as the target domain — the mirror
+    * rebuilds the hashed incidence frame (tr1's exact feature map),
+    * both smoothed unigram models, the round-6 log-ratio table and the
+    * round-4 doc scores, then takes the same score-desc/id top-200.
+    */
+  private val Ds1Sql: String =
+    s"""WITH wl AS (SELECT doc_id, lang = 'en' AS tgt,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tok AS (SELECT doc_id, tgt, unnest(ws) AS w FROM wl),
+       |h0 AS (SELECT doc_id, tgt, ${polySql("w", 97)} AS hv FROM tok),
+       |${mixCtes("h0", "hm", keep = Seq("doc_id", "tgt"), cols = Seq("hv"))},
+       |inc AS MATERIALIZED (SELECT doc_id, tgt, hv % 1024 AS bucket,
+       |        CAST(count(*) AS BIGINT) AS k
+       |       FROM hm GROUP BY doc_id, tgt, hv % 1024),
+       |st AS (SELECT bucket,
+       |        CAST(sum(CASE WHEN tgt THEN k ELSE 0 END) AS BIGINT) AS nt,
+       |        CAST(sum(k) AS BIGINT) AS nq
+       |       FROM inc GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, CAST(sum(nq) AS BIGINT) AS tq FROM st),
+       |lam AS (SELECT bucket,
+       |         round(ln((nt + 1.0) / (tt + 1.0 * 1024))
+       |             - ln((nq + 1.0) / (tq + 1.0 * 1024)), 6) AS lambda
+       |        FROM st, tot),
+       |sc AS (SELECT doc_id, round(round(sum(k * lambda), 6), 4) AS score
+       |       FROM inc JOIN lam USING (bucket) GROUP BY doc_id),
+       |top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 200)
+       |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin
+
+  val ds1_dsir = QueryDef.sqlChecked("ds1_dsir", Ds1Sql) { (s, d) =>
+    Dsir.importanceResample(Tables.documents(s, d), isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
+  /** dc4: semantic decontamination — 40 organic vectors are re-keyed
+    * (+10000) as the "eval set" in BOTH engines, so each has an exact
+    * corpus twin at cosine 1.0 (the deterministic branch) while organic
+    * cross matches above 0.45 exercise the argmax/tiebreak; threshold
+    * passed explicitly (0.45, the dd5 band) because the fixture
+    * embeddings are not unit-normalized paraphrase pairs.
+    */
+  private val Dc4Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |ev AS (SELECT vec_id + 10000 AS eid, CAST(embedding AS DOUBLE[]) AS y
+      |       FROM embeddings WHERE vec_id < 40),
+      |sc AS (SELECT c.vec_id, ev.eid, list_cosine_similarity(x, y) AS s
+      |       FROM c CROSS JOIN ev),
+      |f AS (SELECT vec_id, eid, s FROM sc WHERE s > 0.45),
+      |r AS (SELECT vec_id, eid, s,
+      |       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, eid) AS rn
+      |      FROM f)
+      |SELECT vec_id, CAST(eid AS BIGINT) AS eval_id, round(s, 4) AS sim
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val dc4_semantic = QueryDef.sqlChecked("dc4_semantic", Dc4Sql) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val ev = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Decontamination.semanticDecontaminate(emb, ev, threshold = 0.45)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -2619,6 +2715,7 @@ object DataPipeline {
     pk4_fim_transform,
     tok1_bpe_tokenize, sp8b_bpe_budget, pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
+    cl1_kmeans, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_video_pairs, mm_audio_pairs)

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Clustering
+
+/** Pins [[Clustering.kmeans]]'s determinism contract: first-k-ids
+  * init, round-6 argmin with lower-cid tiebreaks, empty-cluster drop,
+  * null/ragged-vector tolerance, and trajectory reproducibility (the
+  * properties the cl1 DuckDB mirror replays CTE by CTE).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, Array[Double])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("two well-separated blobs are recovered exactly") {
+    val pts = Seq(
+      (0L, Array(0.0, 0.1)), (1L, Array(0.1, 0.0)), (2L, Array(0.05, 0.05)),
+      (3L, Array(9.9, 10.0)), (4L, Array(10.0, 9.9)), (5L, Array(10.1, 10.1)))
+    val out = Clustering.kmeans(df(pts), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(out(0L), out(1L), out(2L)).size === 1)
+    assert(Set(out(3L), out(4L), out(5L)).size === 1)
+    assert(out(0L) !== out(3L))
+  }
+
+  test("empty clusters are dropped, not re-seeded") {
+    // seeds = ids 0,1,2; points live at two locations only, so after the
+    // first mean update one seed-cluster has no members and vanishes
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)),
+      (2L, Array(10.0, 10.0)), (3L, Array(10.0, 10.0)))
+    val out = Clustering.kmeans(df(pts), k = 3, iters = 3)
+    val clusters = out.select("cluster").distinct().as[Int].collect().toSet
+    assert(clusters === Set(0, 2), "cluster 1 lost the tie at init and must vanish")
+  }
+
+  test("ties break toward the lower cluster id") {
+    // the third point is exactly equidistant from both seeds
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(2.0, 0.0)), (2L, Array(1.0, 0.0)))
+    val out = Clustering.kmeans(df(pts), k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(2L) === 0)
+  }
+
+  test("null embeddings are dropped; ragged vectors use the common prefix") {
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)),
+      (2L, Array(0.1, 0.1, 99.0)), // extra dim ignored vs 2-dim centroids
+      (3L, null.asInstanceOf[Array[Double]]))
+    val out = Clustering.kmeans(df(pts), k = 2, iters = 2)
+    val ids = out.select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(0L, 1L, 2L), "null row absent, ragged row assigned")
+    val c = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c(2L) === c(0L), "prefix distance puts the ragged vector with blob 0")
+  }
+
+  test("trajectory is reproducible across invocations (sf fixture)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val a = Clustering.kmeans(emb, k = 4, iters = 2).collect().toSeq
+    val b = Clustering.kmeans(emb, k = 4, iters = 2).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}

@@ -108,6 +108,34 @@ class DecontaminationGuardSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("semanticDecontaminate: exact twin flags at 1.0, argmax ties to lower eval id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    // eval 100 and 101 are BOTH exact twins of corpus 0 — the tie on
+    // sim 1.0 must resolve to the lower eval id; eval 102 is orthogonal
+    val eval = Seq(
+      (101L, Array(1.0, 0.0, 0.0)),
+      (100L, Array(1.0, 0.0, 0.0)),
+      (102L, Array(0.0, 0.0, -1.0))).toDF("vec_id", "embedding")
+    val out = Decontamination.semanticDecontaminate(corpus, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq((0L, 100L, 1.0)),
+      "only the twin flags at the 0.75 default; ties go to the lower eval id")
+  }
+
+  test("semanticDecontaminate: default threshold screens weak matches (lossy-drop guard)") {
+    import spark.implicits._
+    val corpus = Seq((0L, Array(1.0, 1.0))).toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1.0, 0.0))).toDF("vec_id", "embedding") // cos ~0.707
+    assert(Decontamination.semanticDecontaminate(corpus, eval).count() === 0L,
+      "a ~0.71 cosine neighbour must NOT enter the default drop list")
+    assert(Decontamination.semanticDecontaminate(corpus, eval, threshold = 0.5)
+      .count() === 1L, "an explicit lower threshold still flags it")
+  }
+
   test("evalLeakReport: over-cap eval side degrades to a keyed shuffle, same rows") {
     val (tr, ev) = organic
     def rows(cap: Long) =
