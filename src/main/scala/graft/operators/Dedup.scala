@@ -186,31 +186,42 @@ object Dedup {
   }
 
   /** Exact set-Jaccard pairs over any keyed signature frame (doc_id, s)
-    * — the shared core of [[ngramJaccard]] (s = text shingle) and
-    * [[Multimodal.videoFramePairs]] (s = frame signature). Rows must be
-    * distinct per (doc_id, s); the join shuffles on the signature value
-    * so co-occurring docs meet without an n^2 stage, with the
-    * [[capDocFreq]] guard against ubiquitous signatures.
+    * — [[ngramJaccard]]'s core (s = text shingle; mm_video inlines a
+    * window-count variant of the same shape). Rows must be distinct per
+    * (doc_id, s).
+    *
+    * ONE exchange of the signature frame does everything the previous
+    * shape (hot-key agg + broadcast anti-join + shingle-keyed
+    * self-join) paid two full shuffles and a tokenize replay for: the
+    * frame groups by `s` under a SIZE-BOUNDED collect
+    * ([[graft.functions.BoundedDocsAgg]], buffers capped at cap+1 ids —
+    * a ubiquitous shingle costs one bounded buffer, never a group-sized
+    * array), groups that saturated the buffer are the over-cap keys and
+    * are dropped (the exactness argument is on the Aggregator), and
+    * every surviving group emits its intra-group pairs with a double
+    * explode — per-key fan-out identically df^2-capped as the old
+    * self-join, but generated from the grouped row with no second
+    * shuffle of the shingle strings. The grouped frame is persisted
+    * because both the pair generation and the post-cap size counts read
+    * it.
     */
   private[operators] def keyedSetJaccard(
       keyed: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
-    // persist: the capped signature set feeds the size aggregation AND
-    // the self-join (plus the cap's own hot-key aggregation upstream).
-    // The UNCAPPED input is deliberately not persisted here: its one
-    // extra computation (the cap's hot-key scan) is a narrow replay for
-    // the callers that pass a scan+flatMap (dd3), and callers whose
-    // input embeds a shuffle persist it themselves (mm_video's distinct
-    // frame set) — caching the full uncapped table cost more than the
-    // replay it saved (measured at sf0.1: dd3 2.2 -> 3.6 s).
-    val sh = capDocFreq(keyed, Seq("s"), maxDocFreq)
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(maxDocFreq + 1))
+    val groups = keyed.groupBy("s")
+      .agg(collectCapped(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDocFreq)
+      .select("docs")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // alias after the join -> identical canonical exchanges -> Spark's
-    // ReuseExchange computes the signature stage once for both sides
-    val inter = sh.as("l")
-      .join(sh.as("r"), col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+    val inter = groups
+      .filter(size(col("docs")) >= 2)
+      .select(col("docs"), explode(col("docs")).as("da"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    // post-cap set size per doc: singleton groups still count
+    val sizes = groups.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")

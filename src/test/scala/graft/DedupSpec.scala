@@ -12,6 +12,26 @@ class DedupSpec extends SparkSpec {
   lazy val docs = Tables.documents(spark, sf).cache()
   lazy val exactJaccard = Dedup.ngramJaccard(docs).cache()
 
+  test("BoundedDocsAgg: under-cap groups are exact sets, over-cap groups saturate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, udaf}
+    // key "hot" has 50 members, "cold" has 5; maxKeep 10 = cap 9 + 1
+    val rows = (0L until 50L).map(i => ("hot", i)) ++ (100L until 105L).map(i => ("cold", i))
+    val agg = udaf(new graft.functions.BoundedDocsAgg(10))
+    val out = rows.toDF("s", "doc_id").repartition(7)
+      .groupBy("s").agg(agg(col("doc_id")).as("docs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("hot").size === 10, "saturates at maxKeep, never group-sized")
+    assert(out("hot").toSet.subsetOf((0L until 50L).toSet))
+    assert(out("cold").toSet === (100L until 105L).toSet,
+      "a group that never saturated is the complete exact set")
+    val kept = rows.toDF("s", "doc_id").repartition(7)
+      .groupBy("s").agg(agg(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= 9)
+      .collect().map(_.getString(0))
+    assert(kept.toSeq === Seq("cold"), "the > cap key is dropped by the size filter")
+  }
+
   test("exact dedup groups every doc and keeps min id") {
     val d = Dedup.exact(docs)
     assert(d.count() === docs.count()) // corpus has no exact dups
