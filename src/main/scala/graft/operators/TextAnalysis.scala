@@ -637,16 +637,23 @@ object TextAnalysis {
     * narrow pass emits adjacent pairs, which collapse IMMEDIATELY to
     * (doc, a, b, k) — a hot bigram ("of the") costs one row per doc,
     * not one per occurrence, before anything joins. Corpus bigram
-    * counts are one (a, b)-keyed shuffle over the collapsed frame,
-    * unigram history counts one token-keyed shuffle, V a broadcast
-    * scalar; scoring joins stay keyed (vocab-sized tables broadcast
-    * while they fit, AQE skew-join beyond), and the per-doc mean is a
-    * final doc-keyed agg, k-weighted.
+    * counts are one (a, b)-keyed shuffle over the collapsed frame;
+    * history counts c(a) FOLD INTO the (a, b) join while the vocab fits
+    * `maxBroadcastVocab` (Heaps' law keeps natural-language vocab far
+    * under it at any corpus size): c1 is computed once, collected
+    * (gate-bounded), and served as a broadcast side of the c2 table, so
+    * the scored frame never re-shuffles on the raw history token — the
+    * single-key exchange where txt_ppl's Zipf head ("the" as history,
+    * ~5% of distinct-bigram rows) would reappear one order down. Beyond
+    * the gate the operator degrades to the two keyed joins with AQE
+    * skew handling. The per-doc mean is a final doc-keyed agg,
+    * k-weighted.
     */
   def bigramLogProb(
       documents: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBroadcastVocab: Long = 2000000L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val base = documents.select(col(idCol).cast("long").as("doc_id"), col(textCol))
@@ -664,14 +671,36 @@ object TextAnalysis {
     val c2 = dt.groupBy("pa", "pb").agg(sum(col("k")).as("c2"))
     val tok = base.select(col("doc_id"), explode(tokens(col(textCol))).as("w"))
     val c1 = tok.groupBy("w").agg(count(lit(1)).as("c1"))
-    val vv = c1.agg(count(lit(1)).as("v"))
-    val scored = dt
-      .join(c2, Seq("pa", "pb"))
-      .join(c1.withColumnRenamed("w", "pa"), Seq("pa"))
-      .crossJoin(broadcast(vv))
-      .select(col("doc_id"), col("k"),
-        (col("k") * log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
-          .as("lp"))
+    c1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = c1.count()
+    val lpRows =
+      if (vocab <= maxBroadcastVocab) {
+        // history fold: c1 is vocab-sized — localize it once (eager:
+        // persist -> count -> collect -> unpersist, nothing cached
+        // outlives the call) and broadcast it INTO the c2 table, so the
+        // scored frame joins once on (pa, pb) and never exchanges on
+        // the raw history token. V is the exact driver-side count.
+        val hist = c1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        c1.unpersist(blocking = false)
+        val c1Local = hist.toDF("pa", "c1")
+        val c2x = c2.join(broadcast(c1Local), Seq("pa"))
+        dt.join(c2x, Seq("pa", "pb"))
+          .select(col("doc_id"), col("k"),
+            (col("k") * log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))))
+              .as("lp"))
+      } else {
+        // vocab over the broadcast gate (non-linguistic key spaces):
+        // two keyed joins, AQE skew-join on the Zipf head. c1 stays
+        // persisted — the lazy plan reads it for both the join and V.
+        val vv = c1.agg(count(lit(1)).as("v"))
+        dt.join(c2, Seq("pa", "pb"))
+          .join(c1.withColumnRenamed("w", "pa"), Seq("pa"))
+          .crossJoin(broadcast(vv))
+          .select(col("doc_id"), col("k"),
+            (col("k") * log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+              .as("lp"))
+      }
+    val scored = lpRows
       .groupBy("doc_id")
       .agg(sum(col("k")).as("n_trans"),
         (-sum(col("lp")) / sum(col("k")) / log(lit(2.0))).as("bits"))

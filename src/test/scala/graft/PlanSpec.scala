@@ -521,6 +521,21 @@ class PlanSpec extends SparkSpec {
       s"txt_ppl2 lost the (doc_id, pa, pb) pre-aggregate:\n$p")
   }
 
+  test("txt_ppl2: history fold removes the single-key pa exchange (broadcast path)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.bigramLogProb(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the c1 history table is broadcast into the (pa, pb) join — the
+    // scored frame must never re-shuffle keyed on the raw history token
+    // (the single-key exchange where the Zipf head reappears); (pa, pb)
+    // pair exchanges remain
+    val singleKeyPa = """hashpartitioning\(pa#\d+, \d+\)""".r
+    assert(singleKeyPa.findFirstIn(p).isEmpty,
+      s"txt_ppl2 still exchanges on the raw history token:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"c1 fold must broadcast:\n$p")
+  }
+
   test("sp9: curriculum assignment is a pure narrow projection — zero exchanges bare") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.Sampling.curriculum(docs)

@@ -436,6 +436,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0.0)), "empty doc has no transitions")
   }
 
+  test("bigramLogProb: broadcast history fold == keyed-join fallback, row for row") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val folded = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val keyed = TextAnalysis.bigramLogProb(docs, maxBroadcastVocab = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(folded === keyed)
+    assert(folded.nonEmpty)
+    spark.catalog.clearCache() // fallback path leaves c1 persisted by contract
+  }
+
   test("trainQualityWeights: hand-walked gradient steps, determinism, zero-drop") {
     import spark.implicits._
     // two single-token docs in distinct buckets: doc1 "aa aa" (x=1,
