@@ -116,10 +116,16 @@ object YcsbBench {
     val gw = runGateway(
       nRequests = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_OPS", "2000").toInt,
       nThreads = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_THREADS", "8").toInt)
+    // HTTP_T row: the future-parked gateway over the STREAMING runtime
+    // under pure multi-hop load — concurrent clients' flows must share
+    // micro-batches (ops per busy batch > 1), the O35 design gate
+    val gwT = runGatewayStreamingT(spark,
+      nRequests = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_T_OPS", "200").toInt,
+      nThreads = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_THREADS", "8").toInt)
     // machine-readable per-round artifact (judge/driver diffable)
     val out = sys.env.getOrElse("SPARK_GRAFT_YCSB_OUT", "YCSB.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      (lines :+ gw).mkString("[\n", ",\n", "\n]\n"))
+      (lines :+ gw :+ gwT).mkString("[\n", ",\n", "\n]\n"))
     spark.stop()
   }
 
@@ -198,6 +204,92 @@ object YcsbBench {
       println(line)
       line
     } finally gw.stop()
+  }
+
+  /** HTTP_T: concurrent java.net.http clients drive two-hop transfer
+    * flows through the future-parked gateway over the STREAMING
+    * runtime. Each request parks its exchange on a StateflowFuture;
+    * the pump drains once for every in-flight flow — so throughput is
+    * batches-bound, not clients*hops-bound, and `ops_per_busy_batch`
+    * (> 1 with any concurrency) is the sharing evidence the row
+    * carries.
+    */
+  private def runGatewayStreamingT(
+      spark: SparkSession, nRequests: Int, nThreads: Int): String = {
+    val registry = TestEntities.registry
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val rt = new StreamingEntityRuntime(registry, session)
+    val gw = new graft.serving.HttpGateway(registry, rt)
+    gw.start()
+    try {
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      val nEntities = 100
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) =
+        http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      (0 until nEntities).foreach { i =>
+        require(post("/YCSBEntity/create",
+          s"""{"key":"h$i","value":$STARTING_AMOUNT}""").statusCode() == 200)
+      }
+      // unmeasured warmup: one round of transfers (JIT + state store)
+      (0 until 8).foreach { i =>
+        post(s"/YCSBEntity/h$i/call/transfer",
+          s"""{"transfer_amount":0,"other_entity":{"$$ref":["YCSBEntity","h${i + 1}"]}}""")
+      }
+      val zipf = new Zipf(nEntities)
+      val pairs = Vector.fill(nRequests) {
+        val a = zipf.next()
+        var b = zipf.next()
+        while (b == a) b = zipf.next()
+        (a, b)
+      }
+      val perThread = nRequests / nThreads
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val errs = new java.util.concurrent.atomic.AtomicInteger()
+      val batchesBefore = rt.busyBatches.size
+      val t0 = System.nanoTime()
+      val futs = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val cl = java.net.http.HttpClient.newHttpClient()
+            var i = 0
+            while (i < perThread) {
+              val (a, b) = pairs(t * perThread + i)
+              val s0 = System.nanoTime()
+              val r = cl.send(java.net.http.HttpRequest.newBuilder(
+                  java.net.URI.create(s"$base/YCSBEntity/h$a/call/transfer"))
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                  s"""{"transfer_amount":1,"other_entity":{"$$ref":["YCSBEntity","h$b"]}}"""))
+                .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+              lats.add((System.nanoTime() - s0) / 1e6)
+              if (r.statusCode() != 200) errs.incrementAndGet(): Unit
+              i += 1
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+      pool.shutdown()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val busy = rt.busyBatches.size - batchesBefore
+      val ls = lats.toArray(new Array[java.lang.Double](0)).map(_.doubleValue()).sorted
+      def pct(p: Double): Double =
+        if (ls.isEmpty) -1 else ls(((ls.length - 1) * p).toInt)
+      def num(fmt: String, v: Double): String =
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+      val done = ls.length
+      val opsPerBatch = if (busy == 0) 0.0 else done.toDouble / busy
+      val line = s"""{"workload":"HTTP_T","config":"gateway_streaming","entities":$nEntities,"threads":$nThreads,"ops":$done,"errors":${errs.get()},"wall_sec":${num("%.3f", wall)},"throughput_ops_sec":${num("%.1f", done / wall)},"p50_ms":${num("%.2f", pct(0.5))},"p99_ms":${num("%.2f", pct(0.99))},"busy_batches":$busy,"ops_per_busy_batch":${num("%.2f", opsPerBatch)},"max_completions_per_advance":${(0 +: gw.advanceCompletions).max}}"""
+      println(line)
+      line
+    } finally {
+      gw.stop()
+      rt.close()
+    }
   }
 
   private def runWorkload(spark: SparkSession, cfg: Config, name: String,

@@ -27,6 +27,12 @@ trait AsyncEventTransport extends EventTransport {
   def advance(): Unit
   /** Take (at most once) the reply for an event id, if it has landed. */
   def takeReply(eventId: String): Option[Event]
+  /** True when sendNoWait/advance/takeReply tolerate concurrent callers
+    * (the streaming runtime: thread-safe ingress + reply map). False =
+    * single-threaded contract (LocalRuntime); callers must serialize
+    * every touch themselves.
+    */
+  def concurrentSafe: Boolean = false
 }
 
 /** Pending-reply handle — the StateflowFuture analog
@@ -171,4 +177,15 @@ final class Client(registry: EntityRegistry, transport: EventTransport) {
 
   def findAsync(ref: EntityRef): StateflowFuture =
     fire(Event(eid(), ref.entity, ref.key, EventType.FindClass, Payload.Empty))
+
+  def setAttrAsync(ref: EntityRef, attr: String, value: Any): StateflowFuture =
+    fire(Event(eid(), ref.entity, ref.key, EventType.UpdateState,
+      Payload.AttrSet(attr, value)))
+
+  def callStatelessAsync(name: String, args: Args): StateflowFuture =
+    fire(Event(eid(), "_stateless", name, EventType.InvokeStateless,
+      Payload.MethodCall(name, args)))
+
+  def pingAsync(): StateflowFuture =
+    fire(Event(eid(), "", "", EventType.Ping, Payload.Empty))
 }

@@ -201,6 +201,14 @@ final class StreamingEntityRuntime(
   /** Raw progress JSON (duration breakdown per batch) for bench debug. */
   def progressJson: Seq[String] = query.recentProgress.toSeq.map(_.json)
 
+  // MemoryStream.addData runs the kryo row ENCODER before taking its
+  // internal buffer lock, and ExpressionEncoder serializers are not
+  // thread-safe — concurrent addData corrupts the encode
+  // (EXPRESSION_ENCODING_FAILED). Serialize the memory-ingress path
+  // here; the file path is safe by construction (unique names + atomic
+  // rename). This is what makes `concurrentSafe = true` honest.
+  private val enqueueLock = new Object
+
   /** Enqueue client events: memory stream by default; a staged atomic
     * file write when the durable file ingress is configured.
     */
@@ -215,7 +223,7 @@ final class StreamingEntityRuntime(
       finally out.close()
       java.nio.file.Files.move(staged, java.nio.file.Paths.get(in, name),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-    case None => input.addData(evs): Unit
+    case None => enqueueLock.synchronized(input.addData(evs)): Unit
   }
 
   /** Synchronous request/reply for tests and the YCSB driver: feed the
@@ -244,6 +252,11 @@ final class StreamingEntityRuntime(
   // demand, complete futures from the reply map
   override def sendNoWait(ev: Event): Unit = enqueue(Seq(ev))
   override def advance(): Unit = drain()
+  // thread-safe by construction: MemoryStream.addData synchronizes, the
+  // file ingress writes unique names with atomic renames, the reply map
+  // is a ConcurrentHashMap, and processAllAvailable is a blocking probe
+  // safe from any thread — so a gateway may fire and pump without a lock
+  override def concurrentSafe: Boolean = true
 
   def drain(): Unit = {
     query.processAllAvailable()

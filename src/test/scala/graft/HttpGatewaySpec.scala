@@ -156,6 +156,73 @@ class HttpGatewayConcurrencySpec extends AnyFunSuite {
   }
 }
 
+/** The future-parked gate: concurrent MULTI-HOP calls over the
+  * streaming runtime must SHARE micro-batches — each HTTP thread fires
+  * its flow, parks its exchange on the [[graft.runtime.StateflowFuture]]
+  * and frees its pool thread; the pump drains once for everyone. The
+  * old design (global lock across each runtime touch) pinned the
+  * gateway for a full batch cycle per request, serializing flows.
+  */
+class HttpGatewayTMixStreamingSpec extends SparkSpec {
+
+  test("T-mix: concurrent transfers share micro-batches, balances conserved") {
+    graft.model.TestEntities.registerFlows()
+    val rt = new graft.streaming.StreamingEntityRuntime(TestEntities.registry, spark)
+    val gw = new graft.serving.HttpGateway(TestEntities.registry, rt)
+    gw.start()
+    val http = HttpClient.newHttpClient()
+    val base = s"http://127.0.0.1:${gw.boundPort}"
+    def get(path: String) =
+      http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def post(path: String, body: String) =
+      http.send(HttpRequest.newBuilder(URI.create(base + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val n = 8
+    try {
+      (0 until n).foreach { i =>
+        assert(post("/YCSBEntity/create", s"""{"key":"t$i","value":100}""")
+          .statusCode() === 200)
+      }
+      val batchesBefore = rt.busyBatches.size
+      // n concurrent 2-hop transfers t_i -> t_{i+1}, all in flight at once
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val futs = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val cl = HttpClient.newHttpClient()
+            cl.send(HttpRequest.newBuilder(
+                URI.create(s"$base/YCSBEntity/t$i/call/transfer"))
+              .POST(HttpRequest.BodyPublishers.ofString(
+                s"""{"transfer_amount":5,"other_entity":{"$$ref":["YCSBEntity","t${(i + 1) % n}"]}}"""))
+              .build(), HttpResponse.BodyHandlers.ofString()).body()
+          }
+        })
+      }
+      futs.foreach(f => assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        === """{"value":true}"""))
+      pool.shutdown()
+      val batchesUsed = rt.busyBatches.size - batchesBefore
+      // pigeonhole: serialized flows would need >= 2 busy batches EACH
+      // (ingress hop + transfer hop); fewer busy batches than flows
+      // proves multiple in-flight flows rode the same batches
+      assert(batchesUsed < n,
+        s"$n two-hop flows used $batchesUsed busy batches — no sharing")
+      // at least one pump advance completed several parked exchanges
+      assert(gw.advanceCompletions.exists(_ > 1),
+        s"advance completions ${gw.advanceCompletions} — exchanges never shared a drain")
+      // no lost updates: every account sent 5 and received 5
+      (0 until n).foreach { i =>
+        assert(get(s"/YCSBEntity/t$i/attr/value").body() === """{"value":100}""")
+      }
+    } finally {
+      gw.stop()
+      rt.close()
+    }
+  }
+}
+
 class HttpGatewayStreamingSpec extends SparkSpec {
 
   test("HTTP lifecycle end-to-end over the streaming runtime") {
