@@ -76,7 +76,7 @@ object Decontamination {
   final class PreparedEval private[operators] (
       private[operators] val side:
         Either[Broadcast[Set[String]], (DataFrame, Broadcast[BloomFilter])],
-      private[operators] val gramSize: Int)
+      val gramSize: Int)
 
   /** Build the guarded eval side once (see [[evalSide]] for the two
     * physical strategies). Reuse the returned handle across refresh

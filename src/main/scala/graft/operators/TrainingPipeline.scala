@@ -431,4 +431,104 @@ object TrainingPipeline {
   def writeRelease(release: DataFrame, path: String, idCol: String = "doc_id"): Unit =
     releaseLayout(release, idCol)
       .write.mode("overwrite").partitionBy("split", "shard").parquet(path)
+
+  // ------------------------------------------- persisted refresh artifacts
+
+  private val ArtifactsSubdir = "_graft_refresh"
+  private val ArtifactsMagic = 0x47524654 // "GRFT"
+
+  /** Persist the refresh steady-state artifacts NEXT TO a written
+    * release: the released-corpus content sketch (one treeAggregate
+    * pass) and the guarded eval side ([[Decontamination.prepareEval]]
+    * — collected set under the cap, distinct-shingle parquet + Bloom
+    * sketch over it). A weekly refresh job restarted from this release
+    * then loads both with [[loadRefreshArtifacts]] and runs its first
+    * micro-batch WITHOUT any corpus- or eval-scanning setup jobs — the
+    * restart cost that previously made every new streaming query pay
+    * the cold rf1 price once.
+    *
+    * Format is a hand-rolled binary (magic + version + length-prefixed
+    * sections, UTF-8 strings) — stable, dependency-free, and not tied
+    * to JVM serialVersionUIDs. Call right after [[writeRelease]], with
+    * the same release path.
+    */
+  def writeRefreshArtifacts(
+      released: DataFrame,
+      evalDocs: DataFrame,
+      releasePath: String,
+      textCol: String = "text",
+      gramSize: Int = 4,
+      fpp: Double = 0.01,
+      maxCollectedShingles: Long = Decontamination.MaxCollectedEvalShingles): Unit = {
+    val sketch = Dedup.contentSketch(released, textCol, fpp)
+    val prep = Decontamination.prepareEval(evalDocs, textCol, gramSize, maxCollectedShingles)
+    val dir = java.nio.file.Paths.get(releasePath, ArtifactsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("artifacts.bin"))))
+    try {
+      out.writeInt(ArtifactsMagic)
+      out.writeInt(1) // version
+      out.writeInt(sketch.length); out.write(sketch)
+      out.writeInt(gramSize)
+      prep.side match {
+        case Left(setB) =>
+          out.writeByte(0)
+          val set = setB.value
+          out.writeInt(set.size)
+          set.foreach { s =>
+            val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.writeInt(b.length); out.write(b)
+          }
+        case Right((shFrame, bloomB)) =>
+          out.writeByte(1)
+          val bb = graft.functions.BloomMightContain.serialize(bloomB.value)
+          out.writeInt(bb.length); out.write(bb)
+          shFrame.write.mode("overwrite")
+            .parquet(dir.resolve("eval_shingles.parquet").toString)
+      }
+    } finally out.close()
+  }
+
+  /** Load the artifacts [[writeRefreshArtifacts]] persisted: the
+    * corpus sketch bytes (pass as `corpusSketch` to [[refresh]]) and a
+    * reconstructed [[Decontamination.PreparedEval]] (pass as
+    * `preparedEval`). Under-cap eval sides load with ZERO Spark jobs
+    * (one driver file read + a broadcast); the over-cap side re-reads
+    * only the persisted distinct-shingle parquet — never the eval
+    * corpus, never the released corpus.
+    */
+  def loadRefreshArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): (Array[Byte], Decontamination.PreparedEval) = {
+    val dir = java.nio.file.Paths.get(releasePath, ArtifactsSubdir)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(dir.resolve("artifacts.bin"))))
+    try {
+      require(in.readInt() == ArtifactsMagic, s"not a refresh-artifacts file: $dir")
+      val version = in.readInt()
+      require(version == 1, s"unknown refresh-artifacts version $version")
+      val sketch = new Array[Byte](in.readInt()); in.readFully(sketch)
+      val gramSize = in.readInt()
+      val side = in.readByte() match {
+        case 0 =>
+          val n = in.readInt()
+          val b = Set.newBuilder[String]
+          var i = 0
+          while (i < n) {
+            val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+            b += new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            i += 1
+          }
+          Left(spark.sparkContext.broadcast(b.result()))
+        case 1 =>
+          val bb = new Array[Byte](in.readInt()); in.readFully(bb)
+          val bloom = graft.functions.BloomMightContain.deserialize(bb)
+          val shFrame = spark.read.parquet(dir.resolve("eval_shingles.parquet").toString)
+          Right((shFrame, spark.sparkContext.broadcast(bloom)))
+        case other => throw new IllegalStateException(s"bad eval-side tag $other")
+      }
+      (sketch, new Decontamination.PreparedEval(side, gramSize))
+    } finally in.close()
+  }
 }

@@ -57,4 +57,31 @@ object StreamingRefresh {
         released, batch, evalDocs, idCol, textCol, gramSize, shards, fpp,
         corpusSketch = Some(sketch), preparedEval = Some(prepared)), batchId)
   }
+
+  /** RESTART form: the one-time artifacts come from the release
+    * directory ([[TrainingPipeline.writeRefreshArtifacts]], written at
+    * release time) instead of being rebuilt — so a new weekly query
+    * starting from an existing release runs ZERO corpus- or
+    * eval-scanning setup jobs before its first batch (job-audit
+    * spec-pinned). The released corpus is still consulted per batch,
+    * but only through the narrow sketch-hit confirm scan.
+    */
+  def foreachBatchRefreshFromRelease(
+      released: DataFrame,
+      releasePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shards: Int = 32)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val spark = released.sparkSession
+    val (sketch, prepared) =
+      TrainingPipeline.loadRefreshArtifacts(spark, releasePath)
+    // evalDocs is unused when a prepared handle is supplied (refresh
+    // only reads it to build the eval side it already has)
+    val noEval = spark.emptyDataFrame
+    (batch: DataFrame, batchId: Long) =>
+      sink(TrainingPipeline.refresh(
+        released, batch, noEval, idCol, textCol, prepared.gramSize, shards,
+        corpusSketch = Some(sketch), preparedEval = Some(prepared)), batchId)
+  }
 }
