@@ -182,24 +182,45 @@ object TextAnalysis {
       documents: DataFrame,
       merges: Seq[(String, String)],
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bpeTokenizeObserved(documents, merges, idCol, textCol)._1
+
+  /** [[bpeTokenize]] plus the memo-effectiveness counters the scale
+    * story rests on: (frame, memoHits, memoMisses) where a miss runs
+    * the O(merges × len) segment loop and a hit is an O(1) lookup.
+    * Zipf token frequencies make hits dominate (spec-pinned > 90% on
+    * the sf corpus); accumulators are flushed once per partition, not
+    * per word, so observability costs nothing in the hot loop.
+    */
+  def bpeTokenizeObserved(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text")
+      : (DataFrame, org.apache.spark.util.LongAccumulator,
+         org.apache.spark.util.LongAccumulator) = {
     val spark = documents.sparkSession
     import spark.implicits._
     val m = merges.toArray.toSeq
-    Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+    val hitsAcc = spark.sparkContext.longAccumulator("bpe-memo-hits")
+    val missAcc = spark.sparkContext.longAccumulator("bpe-memo-misses")
+    val df = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = new java.util.HashMap[String, Array[String]]()
-        it.map { case (id, text) =>
+        var hits = 0L
+        var misses = 0L
+        val mapped = it.map { case (id, text) =>
           val words = graft.functions.TextHashing.tokens(text)
           var nb = 0L
           val sb = new java.lang.StringBuilder
           words.foreach { w =>
             var segs = memo.get(w)
             if (segs == null) {
+              misses += 1
               segs = graft.functions.Bpe.segment(w, m)
               memo.put(w, segs)
-            }
+            } else hits += 1
             nb += segs.length
             segs.foreach { s =>
               if (sb.length > 0) sb.append(' ')
@@ -209,8 +230,21 @@ object TextAnalysis {
           (id, words.length.toLong, nb,
             graft.functions.TextHashing.md5Hex(sb.toString))
         }
+        // flush the partition-local counters after the last row
+        new Iterator[(Long, Long, Long, String)] {
+          private var flushed = false
+          override def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !flushed) {
+              hitsAcc.add(hits); missAcc.add(misses); flushed = true
+            }
+            h
+          }
+          override def next(): (Long, Long, Long, String) = mapped.next()
+        }
       }
       .toDF("doc_id", "n_words", "n_bpe_tokens", "bpe_md5")
+    (df, hitsAcc, missAcc)
   }
 
   /** Rolling-hash document fingerprint (Rabin-Karp style fold over the

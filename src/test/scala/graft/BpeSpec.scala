@@ -92,6 +92,57 @@ class BpeSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, graft.functions.TextHashing.md5Hex(""))))
   }
 
+  test("scale: ~1k merges on a realistic vocabulary; memo hit-rate > 90%") {
+    // realistic-vocab shape: the sf documents table has a 31-word
+    // vocabulary (merge space exhausts at ~89), so this spec builds a
+    // deterministic Zipf corpus with a few thousand distinct words and
+    // trains an order more merges than the fixture table — then proves
+    // the per-partition memo carries the segmentation cost (a miss
+    // runs the O(merges x len) loop; Zipf frequencies must make hits
+    // dominate or tokenization cannot hold at 100 TB)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = Vector.fill(3000)(
+      (0 until (4 + rnd.nextInt(7))).map(_ => letters(rnd.nextInt(26))).mkString)
+    val docs = (0 until 1500).map { d =>
+      val words = (0 until 200).map { _ =>
+        val u = rnd.nextDouble()
+        vocab(((u * u * u) * vocab.size).toInt.min(vocab.size - 1))
+      }
+      (d.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text").repartition(4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 1000)
+    assert(merges.size === 1000, s"corpus supports ${merges.size} merges")
+    assert(merges.distinct.size === 1000, "merges must be unique pairs")
+    val (df, hits, misses) =
+      TextAnalysis.bpeTokenizeObserved(docs, merges)
+    val n = df.count()
+    assert(n === docs.count())
+    val total = hits.value + misses.value
+    assert(total > 0)
+    val hitRate = hits.value.toDouble / total
+    assert(hitRate > 0.9,
+      f"memo hit rate $hitRate%.3f (hits=${hits.value} misses=${misses.value})")
+  }
+
+  test("maxDictWords cap engages: truncated dict excludes rare-word merges") {
+    import spark.implicits._
+    // 'aaaa' and 'bbbb' dominate; 'cccc' is the rare tail word
+    val docs = (Seq.fill(10)("aaaa") ++ Seq.fill(9)("bbbb") ++ Seq("cccc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val uncapped = TextAnalysis.bpeTrain(docs, numMerges = 6, maxDictWords = 100)
+    assert(uncapped.exists { case (a, b) => a.contains("c") || b.contains("c") },
+      s"uncapped dict must reach the tail word: $uncapped")
+    // cap 2 -> dict = the two most frequent words only; the tail word
+    // contributes no pairs, and training stops when a/b pairs exhaust
+    val capped = TextAnalysis.bpeTrain(docs, numMerges = 6, maxDictWords = 2)
+    assert(capped.forall { case (a, b) => !a.contains("c") && !b.contains("c") },
+      s"capped dict leaked the tail word: $capped")
+    assert(capped.size < 6, "a/b pairs exhaust before the merge budget")
+  }
+
   test("tokenBudgetPerKey/packSequences honor a supplied token-count column") {
     import spark.implicits._
     val df = Seq(
