@@ -521,6 +521,36 @@ class PlanSpec extends SparkSpec {
       s"txt_ppl2 lost the (doc_id, pa, pb) pre-aggregate:\n$p")
   }
 
+  test("txt_ppl: planted Zipf head — pre-agg halves probe rows, AQE resolves the count join") {
+    import spark.implicits._
+    // 300 docs, each with the hot token at >50% of positions plus a
+    // per-doc unique tail — the adversarial shape for a token-keyed join
+    val docs = (0 until 300).map { i =>
+      val hot = Seq.fill(40)("the")
+      val tail = (0 until 20).map(j => s"w${i}_$j")
+      (i.toLong, (hot ++ tail).mkString(" "))
+    }.toDF("doc_id", "text").repartition(4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the (doc_id, w) collapse is the skew armor: the hot token costs
+    // one probe row per doc, not one per occurrence — on this fixture
+    // that's a >= 2x row reduction into the join
+    val tokRows = docs.select(org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w")).count()
+    val dtokRows = docs.select(col("doc_id"), org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .distinct().count()
+    assert(tokRows === 300L * 60)
+    assert(dtokRows * 2 <= tokRows,
+      s"pre-agg must at least halve join input on the Zipf fixture: $dtokRows vs $tokRows")
+    // with AQE on (session default), the vocab-sized count table must
+    // resolve to a broadcast join (or, at larger scale, a skew join) —
+    // never a plain shuffled join carrying the hot key in one partition
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val df = graft.operators.TextAnalysis.unigramLogProb(docs)
+    val p = finalPlan(df).toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("skew=true"),
+      s"txt_ppl count join resolved to neither broadcast nor skew-join:\n$p")
+    docs.unpersist()
+  }
+
   test("txt_ppl2: history fold removes the single-key pa exchange (broadcast path)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.bigramLogProb(docs)
