@@ -447,6 +447,46 @@ class TextAnalysisSpec extends SparkSpec {
     spark.catalog.clearCache() // fallback path leaves c1 persisted by contract
   }
 
+  test("trainQualityWeightsBatched: identical 6-dp trajectory, O(1) jobs in iters") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val labeled = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("label", (col("doc_id") % 3 === 0).cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // numerics contract: the batched Gram walk reproduces the iterative
+    // trajectory exactly at the 6-dp rounding discipline
+    (Seq(1, 2, 5)).foreach { k =>
+      assert(asMap(TextAnalysis.trainQualityWeightsBatched(labeled, iters = k))
+        === asMap(TextAnalysis.trainQualityWeights(labeled, iters = k)),
+        s"trajectories diverged at iters=$k")
+    }
+    // job economics: batched job count must not grow with iters (the
+    // sufficient statistics are collected once; steps are driver-side)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try { body; Thread.sleep(300); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val b2 = countJobs(TextAnalysis.trainQualityWeightsBatched(labeled, iters = 2)
+      .collect(): Unit)
+    val b8 = countJobs(TextAnalysis.trainQualityWeightsBatched(labeled, iters = 8)
+      .collect(): Unit)
+    val i8 = countJobs(TextAnalysis.trainQualityWeights(labeled, iters = 8)
+      .collect(): Unit)
+    assert(b8 === b2, s"batched jobs grew with iters: $b2 -> $b8")
+    assert(b8 < i8, s"batched ($b8 jobs) must undercut iterative ($i8 jobs) at iters=8")
+    labeled.unpersist()
+  }
+
   test("trainQualityWeights: hand-walked gradient steps, determinism, zero-drop") {
     import spark.implicits._
     // two single-token docs in distinct buckets: doc1 "aa aa" (x=1,
