@@ -521,6 +521,24 @@ class PlanSpec extends SparkSpec {
       s"txt_ppl2 lost the (doc_id, pa, pb) pre-aggregate:\n$p")
   }
 
+  test("dc4: semantic decontamination broadcasts the eval side — corpus streams once") {
+    val p = plan("dc4_semantic")
+    // the dimension-sized eval side rides a broadcast nested loop (the
+    // q7b shape — deliberate: scoring is a dense all-pairs against a
+    // broadcast side); what must never appear is a shuffled/cartesian
+    // product of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ds1: DSIR scoring joins the broadcast log-ratio table, TakeOrdered cut") {
+    val p = plan("ds1_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"lambda table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must be a bounded heap, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("txt_ppl: planted Zipf head — pre-agg halves probe rows, AQE resolves the count join") {
     import spark.implicits._
     // 300 docs, each with the hot token at >50% of positions plus a
