@@ -156,6 +156,53 @@ class HttpGatewayConcurrencySpec extends AnyFunSuite {
   }
 }
 
+/** Parked-exchange failure paths: a transport that never replies must
+  * not leak the exchange — the park deadline turns it into a 504; a
+  * gateway stopped with exchanges still parked answers them 503.
+  */
+class HttpGatewayParkTimeoutSpec extends AnyFunSuite {
+  import graft.model.{Event, EventType, Payload}
+
+  /** Concurrent-safe transport that swallows every request. */
+  private final class BlackHole extends graft.runtime.AsyncEventTransport {
+    override def sendNoWait(ev: Event): Unit = ()
+    override def advance(): Unit = ()
+    override def takeReply(eventId: String): Option[Event] = None
+    override def concurrentSafe: Boolean = true
+    override def send(ev: Event): Event =
+      Event(ev.eventId, "", "", EventType.Pong, Payload.Empty)
+  }
+
+  test("lost reply -> 504 at the park deadline; no leaked exchange") {
+    val gw = new graft.serving.HttpGateway(
+      TestEntities.registry, new BlackHole, parkTimeoutMs = 300L)
+    gw.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val r = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${gw.boundPort}/ping")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 504, r.body())
+      assert(r.body().contains("no reply"), r.body())
+    } finally gw.stop()
+  }
+
+  test("stop() with parked exchanges answers them 503") {
+    val gw = new graft.serving.HttpGateway(
+      TestEntities.registry, new BlackHole, parkTimeoutMs = 600000L)
+    gw.start()
+    val http = HttpClient.newHttpClient()
+    val fut = http.sendAsync(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${gw.boundPort}/ping")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    // let the request park, then stop the gateway under it
+    Thread.sleep(300)
+    gw.stop()
+    val r = fut.get(10, java.util.concurrent.TimeUnit.SECONDS)
+    assert(r.statusCode() === 503, r.body())
+  }
+}
+
 /** The future-parked gate: concurrent MULTI-HOP calls over the
   * streaming runtime must SHARE micro-batches — each HTTP thread fires
   * its flow, parks its exchange on the [[graft.runtime.StateflowFuture]]
