@@ -86,7 +86,8 @@ object Clustering {
       e.orderBy("vec_id").limit(k).collect()
         .map(_._2).zipWithIndex.map { case (v, i) => (i, v) }
 
-    // argmin over the broadcast centroids: per-centroid squared-L2 as a
+    // argmin over the broadcast centroids (shared by the assignment
+    // output and the update pass): per-centroid squared-L2 as a
     // left-to-right fold, rounded 6 dp BEFORE comparison (cross-engine
     // fold order cannot flip the winner), ties to the lower cluster id.
     // Returns the broadcast too so callers can destroy it post-use.
@@ -94,24 +95,7 @@ object Clustering {
         : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) = {
       val bc = spark.sparkContext.broadcast(cs)
       val df = e.map { case (id, v) =>
-        val cands = bc.value
-        var best = -1
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cands.length) {
-          val cv = cands(c)._2
-          val n = math.min(v.length, cv.length)
-          var s = 0.0
-          var i = 0
-          while (i < n) {
-            val dd = v(i) - cv(i)
-            s += dd * dd
-            i += 1
-          }
-          val r = TextAnalysis.round6(s)
-          if (r < bestD) { bestD = r; best = cands(c)._1 }
-          c += 1
-        }
+        val (best, bestD) = Clustering.nearest(bc.value, v)
         (id, best, bestD)
       }.toDF("vec_id", "cluster", "dist")
       (df, bc)
@@ -119,13 +103,18 @@ object Clustering {
 
     var it = 1
     while (it < iters) {
-      // centroid update: explode to (cluster, dim, x), (cluster, dim)-
-      // keyed mean (map-side partials), k*dim rows to the driver,
-      // rounded 6 dp so every engine resumes from the same doubles
-      val (asg, bc) = assign(centroids)
+      // centroid update: the assignment pass CARRIES the vector (no
+      // join back to the corpus — an id-keyed join here would shuffle
+      // the corpus twice per iteration), explodes to (cluster, dim, x)
+      // and takes the (cluster, dim)-keyed mean: map-side partials
+      // collapse to partitions x k x dim rows, k*dim rows reach the
+      // driver, rounded 6 dp so every engine resumes from the same
+      // doubles
+      val bc = spark.sparkContext.broadcast(centroids)
       val means =
         try {
-          asg.join(e.toDF("vec_id", "v"), "vec_id")
+          e.map { case (_, v) => (Clustering.nearest(bc.value, v)._1, v) }
+            .toDF("cluster", "v")
             .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
             .groupBy("cluster", "i")
             .agg(avg("x").as("m"))
@@ -146,5 +135,32 @@ object Clustering {
     // would accumulate across repeated kmeans() calls in a session
     e.unpersist(blocking = false)
     out.withColumn("dist", graft.functions.GraftFunctions.round4(col("dist")))
+  }
+
+  /** Round-6 squared-L2 argmin over the candidate centroids: the fold
+    * the cl1 mirror replays. Ties on the rounded distance resolve to
+    * the lower cluster id (candidates arrive in cid order); ragged
+    * vectors compare over the common prefix.
+    */
+  private[operators] def nearest(
+      cands: Array[(Int, Array[Double])], v: Array[Double]): (Int, Double) = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cands.length) {
+      val cv = cands(c)._2
+      val n = math.min(v.length, cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = v(i) - cv(i)
+        s += dd * dd
+        i += 1
+      }
+      val r = TextAnalysis.round6(s)
+      if (r < bestD) { bestD = r; best = cands(c)._1 }
+      c += 1
+    }
+    (best, bestD)
   }
 }
