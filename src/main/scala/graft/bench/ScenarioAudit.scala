@@ -256,6 +256,63 @@ object ScenarioAudit {
     } finally rt.close()
   }
 
+  /** S12: the future-parked gateway over the streaming runtime —
+    * concurrent multi-hop HTTP calls must share micro-batches (fewer
+    * busy batches than flows = pigeonhole proof of >1 in-flight flow
+    * per batch), complete >1 parked exchange per pump drain, and lose
+    * no updates (every account sends and receives the same amount).
+    */
+  private def gatewaySharingChecks(spark: SparkSession): Seq[(String, Check)] = {
+    val rt = new StreamingEntityRuntime(TestEntities.registry, spark)
+    val gw = new graft.serving.HttpGateway(TestEntities.registry, rt)
+    gw.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      def post(path: String, body: String) =
+        http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      def get(path: String) =
+        http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      val n = 6
+      (0 until n).foreach { i =>
+        post("/YCSBEntity/create", s"""{"key":"s12_$i","value":100}""")
+      }
+      val batchesBefore = rt.busyBatches.size
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val futs = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String =
+            java.net.http.HttpClient.newHttpClient().send(
+              java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(s"$base/YCSBEntity/s12_$i/call/transfer"))
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                  s"""{"transfer_amount":5,"other_entity":{"$$ref":["YCSBEntity","s12_${(i + 1) % n}"]}}"""))
+                .build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        })
+      }
+      val bodies = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      val batchesUsed = rt.busyBatches.size - batchesBefore
+      val balances = (0 until n).map(i => get(s"/YCSBEntity/s12_$i/attr/value").body())
+      Seq(
+        "gateway" -> chk("S12", "all_transfers_true",
+          Seq.fill(n)("""{"value":true}"""), bodies.toSeq),
+        "gateway" -> chk("S12", "flows_share_batches",
+          true, batchesUsed < n),
+        "gateway" -> chk("S12", "multi_completion_per_drain",
+          true, gw.advanceCompletions.exists(_ > 1)),
+        "gateway" -> chk("S12", "balances_conserved",
+          Seq.fill(n)("""{"value":100}"""), balances))
+    } finally {
+      gw.stop()
+      rt.close()
+    }
+  }
+
   private def t(str: String): Timestamp = Timestamp.valueOf(str)
 
   /** S7-S10: the StreamingWindowsSpec scenarios (tumbling+watermark
@@ -392,7 +449,8 @@ object ScenarioAudit {
           () => new StreamingEntityRuntime(TestEntities.registry, twsSession,
             useTransformWithState = true)) ++
         egressCounters(spark) ++
-        streamingWindowChecks(spark)
+        streamingWindowChecks(spark) ++
+        gatewaySharingChecks(spark)
     val nPass = all.count(_._2.pass)
     val nFail = all.size - nPass
     val items = all.map { case (rt, c) =>
