@@ -80,6 +80,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-BANDWIDTH probe (~0.1 s uncontended): a sequential sweep
+    * over a 64 MB long array. The register-only CPU probe above stayed
+    * at floor through a round-11 window where every parallel
+    * string/hash-heavy query ran 2-3.5x floor IN BOTH ENGINES (Spark
+    * and the paired DuckDB, same statements, byte-identical data) —
+    * host-neighbor memory-bandwidth contention is invisible to a
+    * spin loop but shows directly in a streaming pass. Timed next to
+    * the CPU probe after every query so the artifact can distinguish
+    * "this container's cores are busy" from "this host's memory bus
+    * is busy".
+    */
+  private val memProbeArr = new Array[Long](8 * 1024 * 1024) // 64 MB
+  private def memProbe(): Double = {
+    val a = memProbeArr
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var pass = 0
+    while (pass < 8) {
+      var i = 0
+      while (i < a.length) { acc += a(i) + i; i += 1 }
+      pass += 1
+    }
+    if (acc == 42L) System.err.println("mem probe collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -94,6 +120,14 @@ object Bench {
     * the regression a same-round refloor would otherwise bury.
     */
   final case class Floor(floor: Double, prev: Option[Double])
+
+  /** One query's measurements: min/median/raw runs, the two adjacent
+    * contention probes (CPU spin + memory sweep), and the focused
+    * retry time when one ran.
+    */
+  private final case class QR(
+      name: String, tMin: Double, med: Double, runs: Seq[Double],
+      probe: Double, mprobe: Double, retry: Option[Double])
 
   /** Parse the floors file. Two formats, regex-based on purpose (the
     * file is under our control and this keeps Bench free of any
@@ -155,7 +189,7 @@ object Bench {
     * artifact simply omits the oracle fields — the Spark measurement is
     * never at risk. Set SPARK_GRAFT_BENCH_PAIR=0 to disable.
     */
-  private def pairedOracle(
+  private[graft] def pairedOracle(
       sfDir: String,
       oracle: Map[String, String],
       timeoutSec: Long): Option[Map[String, Double]] = {
@@ -262,6 +296,7 @@ object Bench {
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val calBefore = calibrationProbe()
+    val memBefore = memProbe()
     // SPARK_GRAFT_BENCH_ONLY=q1_agg,q2_predicates -> focused re-measure
     // of a flagged subset without paying for the whole suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -290,10 +325,12 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val first = timedRuns(name, fn, nRuns)
-      // the per-query contention probe: timed immediately after this
+      // the per-query contention probes: timed immediately after this
       // query's runs, so a contended window is localized to the queries
-      // it actually covered (bracketing probes proved too coarse in r5)
+      // it actually covered (bracketing probes proved too coarse in r5).
+      // CPU spin + memory sweep — see memProbe for why both.
       val probe = calibrationProbe()
+      val mprobe = memProbe()
       // one automatic focused retry before a floor-history flag can
       // stick: transient container contention (the round-7 dd3 case)
       // clears within a query window, a real regression doesn't. The
@@ -307,48 +344,54 @@ object Bench {
       val good = first.filter(_._2).map(_._1)
       val t = minOf(first)
       val med = median(if (good.nonEmpty) good else first.map(_._1))
-      (name, t, med, first.map(_._1), probe, retryTime)
+      QR(name, t, med, first.map(_._1), probe, mprobe, retryTime)
     }
     val calAfter = calibrationProbe()
+    val memAfter = memProbe()
     spark.catalog.clearCache()
     // this container's true uncontended probe cost = best probe seen
-    val probeFloor = (results.map(_._5) ++ Seq(calBefore, calAfter)).min
-    // two-source self-flag: adjacent-probe evidence (any SF) or
-    // floor-history evidence (gate SF only, retry-confirmed)
+    val probeFloor = (results.map(_.probe) ++ Seq(calBefore, calAfter)).min
+    val memFloor = (results.map(_.mprobe) ++ Seq(memBefore, memAfter)).min
+    // self-flag, three evidence sources: adjacent CPU-probe or
+    // adjacent bandwidth-probe (any SF), or floor-history (gate SF
+    // only, retry-confirmed)
     val flagged = results.collect {
-      case (n, t, _, _, probe, retry)
-        if probe > 2.5 * probeFloor ||
-          (atGateSf && floorFlag(t, retry, floors.get(n).map(_.floor))) => n
+      case r
+        if r.probe > 2.5 * probeFloor || r.mprobe > 2.5 * memFloor ||
+          (atGateSf && floorFlag(r.tMin, r.retry, floors.get(r.name).map(_.floor))) => r.name
     }
-    val retried = results.collect { case (n, _, _, _, _, Some(_)) => n }
+    val retried = results.collect { case r if r.retry.isDefined => r.name }
     val floorMissing =
-      if (atGateSf) results.map(_._1).filterNot(floors.contains) else Seq.empty
+      if (atGateSf) results.map(_.name).filterNot(floors.contains) else Seq.empty
     if (floorMissing.nonEmpty)
       System.err.println(s"[bench] queries missing from $floorsPath: " +
         floorMissing.mkString(", "))
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v, _, _, _, _) => k -> v.toString })
-    val meds = jmap(results.map { case (k, _, m, _, _, _) => k -> m.toString })
-    val raw = jmap(results.map { case (k, _, _, rs, _, _) => k -> rs.mkString("[", ",", "]") })
-    val probes = jmap(results.map { case (k, _, _, _, p, _) => k -> p.toString })
+    val qs = jmap(results.map(r => r.name -> r.tMin.toString))
+    val meds = jmap(results.map(r => r.name -> r.med.toString))
+    val raw = jmap(results.map(r => r.name -> r.runs.mkString("[", ",", "]")))
+    val probes = jmap(results.map(r => r.name -> r.probe.toString))
+    val mProbes = jmap(results.map(r => r.name -> r.mprobe.toString))
     val cal = jmap(Seq("before" -> calBefore.toString, "after" -> calAfter.toString,
-      "probe_floor" -> probeFloor.toString))
+      "probe_floor" -> probeFloor.toString,
+      "mem_before" -> memBefore.toString, "mem_after" -> memAfter.toString,
+      "mem_probe_floor" -> memFloor.toString))
     val flg = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fm = floorMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
     // retry runs recorded separately (they inform the flag only)
     val rtRuns = jmap(results.collect {
-      case (k, _, _, _, _, Some(r)) => k -> r.toString })
+      case r if r.retry.isDefined => r.name -> r.retry.get.toString })
     // drift audit columns: min vs the PRE-refloor floor, plus any
     // committed floor that itself drifted >1.5x over its predecessor
-    val vsPrev = jmap(results.flatMap { case (k, t, _, _, _, _) =>
-      floors.get(k).flatMap(_.prev).filter(_ > 0)
-        .map(p => k -> (math.round(t / p * 100.0) / 100.0).toString) })
+    val vsPrev = jmap(results.flatMap { r =>
+      floors.get(r.name).flatMap(_.prev).filter(_ > 0)
+        .map(p => r.name -> (math.round(r.tMin / p * 100.0) / 100.0).toString) })
     val fDrift = floors.toSeq.sortBy(_._1)
       .collect { case (n, f) if floorDrift(f) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_.tMin).sum
     // Contention-adjusted aggregates ALONGSIDE the raw total (the raw
     // total and the per-query mins are never altered — the round-8
     // no-retry-folding rule stands; these are separate, labeled
@@ -367,19 +410,19 @@ object Bench {
     //                              on a quiet container, so
     //                              total/floor_total reads as this
     //                              run's contention inflation
-    val retryAdjTotal = results.map { case (_, t, _, _, _, retry) =>
-      retry.fold(t)(r => math.min(t, r)) }.sum
+    val retryAdjTotal = results.map { r =>
+      r.retry.fold(r.tMin)(x => math.min(r.tMin, x)) }.sum
     val cleanTotal = results.collect {
-      case (n, t, _, _, _, _) if !flagged.contains(n) => t }.sum
-    val floorTotal = results.flatMap { case (n, _, _, _, _, _) =>
-      floors.get(n).map(_.floor) }.sum
+      case r if !flagged.contains(r.name) => r.tMin }.sum
+    val floorTotal = results.flatMap { r =>
+      floors.get(r.name).map(_.floor) }.sum
     // In-artifact denominator (judge r10 advice #9): replay the measured
     // queries' oracle SQL in DuckDB from this same invocation. Ratios
     // are computed over the INTERSECTION (queries with a successful
     // oracle run), both raw and with the same contended exclusion, so
     // the artifact carries its own clean comparison end to end.
     val pairOn = !sys.env.get("SPARK_GRAFT_BENCH_PAIR").contains("0")
-    val measuredNames = results.map(_._1).toSet
+    val measuredNames = results.map(_.name).toSet
     val oracleTimes: Map[String, Double] =
       if (pairOn)
         pairedOracle(sfDir,
@@ -396,14 +439,14 @@ object Bench {
           .map { case (k, v) => k -> v.toString })
         val oTotal = oracleOk.values.sum
         val sparkPaired = results.collect {
-          case (n, t, _, _, _, _) if oracleOk.contains(n) => t }.sum
+          case r if oracleOk.contains(r.name) => r.tMin }.sum
         val ratio =
           if (oTotal > 0) math.round(sparkPaired / oTotal * 100.0) / 100.0 else -1.0
         val oClean = oracleOk.collect {
           case (n, v) if !flagged.contains(n) => v }.sum
         val sClean = results.collect {
-          case (n, t, _, _, _, _)
-            if oracleOk.contains(n) && !flagged.contains(n) => t }.sum
+          case r if oracleOk.contains(r.name) && !flagged.contains(r.name) =>
+            r.tMin }.sum
         val ratioClean =
           if (oClean > 0) math.round(sClean / oClean * 100.0) / 100.0 else -1.0
         val errArr = oracleErr.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -414,7 +457,7 @@ object Bench {
       }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       pairedFields +
-      s""""medians":$meds,"runs":$raw,"probes":$probes,"n_runs":$nRuns,""" +
+      s""""medians":$meds,"runs":$raw,"probes":$probes,"mem_probes":$mProbes,"n_runs":$nRuns,""" +
       s""""calibration":$cal,"flagged_contended":$flg,"retried":$rt,""" +
       s""""retry_runs":$rtRuns,"vs_prev_floor":$vsPrev,"floor_drift":$fDrift,""" +
       s""""retry_adjusted_total":$retryAdjTotal,""" +
@@ -445,8 +488,8 @@ object Bench {
       // refloor of a slowed query now self-reports via floor_drift /
       // vs_prev_floor instead of silently raising its own bar
       val base = if (only.nonEmpty) floors else Map.empty[String, Floor]
-      val merged = (base ++ results.map { case (k, v, _, _, _, _) =>
-          k -> Floor(v, floors.get(k).map(_.floor)) })
+      val merged = (base ++ results.map { r =>
+          r.name -> Floor(r.tMin, floors.get(r.name).map(_.floor)) })
         .toSeq.sortBy(_._1)
       def f2(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

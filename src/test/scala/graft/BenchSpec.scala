@@ -68,4 +68,34 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.floorDrift(Bench.Floor(1.65, None)))
     assert(!Bench.floorDrift(Bench.Floor(1.65, Some(0.0))))
   }
+
+  test("pairedOracle replays oracle SQL through DuckDB and marks bad SQL -1") {
+    // The in-artifact denominator path (round-10 advice #9). Skipped,
+    // not failed, when the container lacks python3+duckdb — the
+    // pairing itself is defined to degrade the same way.
+    val have = try {
+      new ProcessBuilder("python3", "-c", "import duckdb")
+        .start().waitFor() == 0
+    } catch { case _: Exception => false }
+    assume(have, "python3+duckdb not on this container")
+    val out = Bench.pairedOracle(
+      "/root/testdata/sf0.001",
+      Map(
+        "ok_count" -> "SELECT count(*) AS n FROM lineitem",
+        "bad_sql" -> "SELECT no_such_column FROM lineitem"),
+      timeoutSec = 120)
+    assert(out.isDefined)
+    val m = out.get
+    assert(m.keySet == Set("ok_count", "bad_sql"))
+    assert(m("ok_count") >= 0.0)
+    assert(m("bad_sql") == -1.0)
+  }
+
+  test("pairedOracle times out to None instead of failing the bench") {
+    val out = Bench.pairedOracle(
+      "/root/testdata/sf0.001",
+      Map("ok" -> "SELECT 1 AS x"),
+      timeoutSec = 0)
+    assert(out.isEmpty)
+  }
 }
