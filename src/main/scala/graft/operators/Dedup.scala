@@ -226,8 +226,14 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
-      // 2*inter >= union <=> J >= 0.5 in exact integer arithmetic
-      .filter(col("inter") * lit((1 / threshold).toLong) >= col("uni"))
+      // J >= threshold in exact integer arithmetic at 4-dp threshold
+      // precision: inter * 10000 >= round(threshold*10000) * union.
+      // (The earlier inter * (1/threshold).toLong >= union form was
+      // only correct when 1/threshold is integral — threshold 0.4
+      // silently filtered at 0.5.) Counts are shingle-bounded, so the
+      // 1e4 scale cannot overflow a long.
+      .filter(col("inter") * lit(10000L) >=
+        lit(math.round(threshold * 10000)) * col("uni"))
       .select(col("da"), col("db"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }

@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq("cold"), "the > cap key is dropped by the size filter")
   }
 
+  test("ngramJaccard honors thresholds whose reciprocal is not integral") {
+    import spark.implicits._
+    // doc 1: 6 distinct shingles; doc 2: 7, sharing exactly the first 3
+    // -> inter 3, union 10, J = 0.3 exactly. The earlier integer filter
+    // (inter * (1/threshold).toLong >= union) evaluated threshold 0.3
+    // as J >= 1/3 and silently dropped this pair.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 x6 x7 x8 x9")).toDF("doc_id", "text")
+    val at30 = Dedup.ngramJaccard(docs, threshold = 0.3).collect()
+    assert(at30.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(at30.head.getDouble(2) === 0.3)
+    // strictly above J the pair must drop
+    assert(Dedup.ngramJaccard(docs, threshold = 0.35).count() === 0)
+  }
+
   test("exact dedup groups every doc and keeps min id") {
     val d = Dedup.exact(docs)
     assert(d.count() === docs.count()) // corpus has no exact dups
