@@ -215,11 +215,16 @@ object Bench {
           |          "orders", "lineitem", "events", "documents", "embeddings"]:
           |    con.execute("CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
           |                % (t, sf, t))
+          |try:
+          |    import pandas  # noqa: F401  (judge protocol: .df() via Arrow)
+          |    mat = lambda r: r.df()
+          |except Exception:
+          |    mat = lambda r: r.fetchall()
           |out = {}
           |for name in sorted(oracle):
           |    t0 = time.time()
           |    try:
-          |        con.execute(oracle[name]).fetchall()
+          |        mat(con.execute(oracle[name]))
           |        out[name] = round(time.time() - t0, 4)
           |    except Exception:
           |        out[name] = -1.0
