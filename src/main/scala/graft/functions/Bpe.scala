@@ -113,4 +113,44 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  private val MergesMagic = 0x47425045 // "GBPE"
+
+  /** Persist a trained merge table (rank order preserved) as a
+    * length-prefixed binary — the tokenizer-artifact twin of
+    * [[graft.operators.TrainingPipeline.writeRefreshArtifacts]]'s
+    * format. Binary, not Sennrich's merges.txt, on purpose: symbols
+    * are arbitrary codepoint concatenations of whitespace-split words,
+    * and [[graft.functions.TextHashing.tokens]] splits on ' ' ONLY, so
+    * a symbol can legally contain tabs or newlines and any
+    * line-oriented text format would be ambiguous. `writeUTF` handles
+    * every string.
+    */
+  def saveMerges(merges: Seq[(String, String)], path: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try {
+      out.writeInt(MergesMagic)
+      out.writeInt(1) // version
+      out.writeInt(merges.length)
+      merges.foreach { case (a, b) => out.writeUTF(a); out.writeUTF(b) }
+    } finally out.close()
+  }
+
+  /** Load a merge table persisted by [[saveMerges]], rank order intact. */
+  def loadMerges(path: java.nio.file.Path): Seq[(String, String)] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path)))
+    try {
+      require(in.readInt() == MergesMagic, s"not a BPE merges file: $path")
+      val version = in.readInt()
+      require(version == 1, s"unknown BPE merges version $version")
+      val n = in.readInt()
+      val b = Seq.newBuilder[(String, String)]
+      var i = 0
+      while (i < n) { b += ((in.readUTF(), in.readUTF())); i += 1 }
+      b.result()
+    } finally in.close()
+  }
 }

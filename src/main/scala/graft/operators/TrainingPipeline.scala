@@ -420,6 +420,27 @@ object TrainingPipeline {
       pmod(IvfSearch.mix32(col(idCol)), lit(shards.toLong)).as("shard"))
   }
 
+  /** Ship the release's tokenizer with the release: persist a trained
+    * BPE merge table (from [[TextAnalysis.bpeTrain]]) under the release
+    * directory, next to the refresh artifacts — a consumer of the
+    * release needs the EXACT tokenizer its token budgets and packing
+    * were denominated in, and retraining on the released corpus is both
+    * a corpus-sized job and a reproducibility hazard (a changed cap or
+    * tie-break silently re-denominates every budget). Call after
+    * [[writeRelease]]; load with [[loadTokenizer]].
+    */
+  def writeTokenizer(merges: Seq[(String, String)], releasePath: String): Unit =
+    graft.functions.Bpe.saveMerges(merges,
+      java.nio.file.Paths.get(releasePath, TokenizerSubdir, "merges.bin"))
+
+  /** Load the merge table [[writeTokenizer]] persisted — zero Spark
+    * jobs, rank order intact; pass straight to
+    * [[TextAnalysis.bpeTokenize]].
+    */
+  def loadTokenizer(releasePath: String): Seq[(String, String)] =
+    graft.functions.Bpe.loadMerges(
+      java.nio.file.Paths.get(releasePath, TokenizerSubdir, "merges.bin"))
+
   /** Write a corpus release as deterministic sharded parquet:
     * `path/split=…/shard=…/` directories, one file per (split, shard)
     * (each shard lands in one task), rows id-sorted within every file.
@@ -435,6 +456,7 @@ object TrainingPipeline {
   // ------------------------------------------- persisted refresh artifacts
 
   private val ArtifactsSubdir = "_graft_refresh"
+  private val TokenizerSubdir = "_graft_tokenizer"
   private val ArtifactsMagic = 0x47524654 // "GRFT"
 
   /** Persist the refresh steady-state artifacts NEXT TO a written

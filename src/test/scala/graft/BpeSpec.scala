@@ -143,6 +143,25 @@ class BpeSpec extends SparkSpec {
     assert(capped.size < 6, "a/b pairs exhaust before the merge budget")
   }
 
+  test("tokenizer persists with the release and round-trips exactly") {
+    import graft.operators.TrainingPipeline
+    // hostile symbols on purpose: tokens() splits on ' ' only, so a
+    // word (hence a merge symbol) can contain tab, newline or astral
+    // codepoints — the reason the format is writeUTF, not merges.txt
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x\ty", "z\n"), ("😀", "😀"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    TrainingPipeline.writeTokenizer(merges, dir)
+    assert(TrainingPipeline.loadTokenizer(dir) === merges, "rank order + symbols intact")
+    // loaded table segments identically to the in-memory one
+    val trained = TextAnalysis.bpeTrain(
+      graft.sources.Tables.documents(spark, sf), numMerges = 24)
+    TrainingPipeline.writeTokenizer(trained, dir)
+    val loaded = TrainingPipeline.loadTokenizer(dir)
+    assert(loaded === trained)
+    val word = "considerable"
+    assert(Bpe.segment(word, loaded).toSeq === Bpe.segment(word, trained).toSeq)
+  }
+
   test("tokenBudgetPerKey/packSequences honor a supplied token-count column") {
     import spark.implicits._
     val df = Seq(
