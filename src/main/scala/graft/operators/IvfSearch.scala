@@ -162,6 +162,52 @@ object IvfSearch {
     * conservatively KEPT (never silently dropped), documented
     * analogous to [[Dedup.capDocFreq]]'s candidate cap.
     */
+  private val CentroidsMagic = 0x47495646 // "GIVF"
+
+  /** Persist a fitted coarse quantizer (cell order preserved — probe
+    * lists and cell assignments are centroid-INDEX-addressed, so order
+    * is part of the index identity). At corpus scale the quantizer is
+    * fit once per release and every query job loads it: re-fitting is
+    * a corpus-sampling job AND a reproducibility hazard (a changed
+    * sample cap silently reassigns every cell). Same release-artifact
+    * discipline as [[graft.operators.TrainingPipeline.writeTokenizer]]
+    * and `writeRefreshArtifacts`.
+    */
+  def saveCentroids(centroids: Array[Array[Double]], path: java.nio.file.Path): Unit = {
+    require(centroids.nonEmpty, "no centroids to save")
+    java.nio.file.Files.createDirectories(path.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try {
+      out.writeInt(CentroidsMagic)
+      out.writeInt(1) // version
+      out.writeInt(centroids.length)
+      centroids.foreach { c =>
+        out.writeInt(c.length)
+        c.foreach(out.writeDouble)
+      }
+    } finally out.close()
+  }
+
+  /** Load a quantizer persisted by [[saveCentroids]]; zero Spark jobs.
+    * Pass to [[ivfTopK]] via `prebuiltCentroids`.
+    */
+  def loadCentroids(path: java.nio.file.Path): Array[Array[Double]] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path)))
+    try {
+      require(in.readInt() == CentroidsMagic, s"not an IVF centroids file: $path")
+      val version = in.readInt()
+      require(version == 1, s"unknown IVF centroids version $version")
+      Array.fill(in.readInt()) {
+        val c = new Array[Double](in.readInt())
+        var j = 0
+        while (j < c.length) { c(j) = in.readDouble(); j += 1 }
+        c
+      }
+    } finally in.close()
+  }
+
   def semanticDedup(
       embeddings: DataFrame,
       threshold: Double = 0.45,
@@ -171,7 +217,8 @@ object IvfSearch {
       fitMaxRows: Int = 4096,
       maxCellSize: Int = 100000,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      prebuiltCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"invalid threshold=$threshold")
     require(maxCellSize > 0, s"invalid maxCellSize=$maxCellSize")
     val spark = embeddings.sparkSession
@@ -182,7 +229,9 @@ object IvfSearch {
         col(vecCol).cast("array<double>").as("v")))
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cs = fitCentroids(e, nClusters, lloydIter, fitSampleMod, fitMaxRows)
+    // release-artifact quantizer ([[saveCentroids]]) skips the fit job
+    val cs = prebuiltCentroids.getOrElse(
+      fitCentroids(e, nClusters, lloydIter, fitSampleMod, fitMaxRows))
     // persist: assignment feeds both pair-join sides and the verdict
     val assigned = e.map { case (id, v) => (id, v, nearestCell(v, cs)) }
       .toDF("id", "v", "cell")
@@ -228,7 +277,8 @@ object IvfSearch {
       fitSampleMod: Long = 1,
       fitMaxRows: Int = 4096,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      prebuiltCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // persist: the projection feeds the fit-sample filter, the corpus
@@ -240,7 +290,10 @@ object IvfSearch {
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val centroids = fitCentroids(e, nClusters, lloydIter, fitSampleMod, fitMaxRows)
+    // prebuilt (release-artifact) quantizer skips the fit-sample job
+    // entirely — the steady-state path; fitting stays the cold default
+    val centroids = prebuiltCentroids.getOrElse(
+      fitCentroids(e, nClusters, lloydIter, fitSampleMod, fitMaxRows))
     val cs = centroids
 
     // corpus assignment: one narrow pass, nClusters distances per row

@@ -71,6 +71,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean IVF recall@10 too low: $mean (per-query $recalls)")
   }
 
+  test("IVF centroids persist as a release artifact; prebuilt path matches the fit path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfSearch
+    val e = graft.operators.Dedup.spread(emb
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v")))
+      .as[(Long, Array[Double])]
+    val fit = IvfSearch.fitCentroids(e, nClusters = 16, lloydIter = 3, fitSampleMod = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").resolve("centroids.bin")
+    IvfSearch.saveCentroids(fit, path)
+    val loaded = IvfSearch.loadCentroids(path)
+    assert(loaded.length === fit.length)
+    assert(loaded.zip(fit).forall { case (a, b) => a.sameElements(b) },
+      "bit-exact round-trip (cell order is index identity)")
+    val cold = neighborSet(IvfSearch.ivfTopK(emb, qids))
+    val warm = neighborSet(IvfSearch.ivfTopK(emb, qids, prebuiltCentroids = Some(loaded)))
+    assert(warm === cold, "prebuilt quantizer reproduces the fit path exactly")
+  }
+
   test("mix32 matches the DuckDB positive-modulo mirror for negative and positive ids") {
     import spark.implicits._
     // The SQL mirrors compute h0 = ((x % m + m) % m) because DuckDB's %
