@@ -453,8 +453,11 @@ object Multimodal {
     l.join(r, l("s") === r("s") && l("da") < r("db"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
-      // 2*inter >= union <=> J >= 0.5 in exact integer arithmetic
-      .filter(col("inter") * lit((1 / threshold).toLong) >= col("uni"))
+      // J >= threshold in exact integer arithmetic at 4-dp threshold
+      // precision (the Dedup.keyedSetJaccard fix: the reciprocal form
+      // was only correct when 1/threshold is integral)
+      .filter(col("inter") * lit(10000L) >=
+        lit(math.round(threshold * 10000)) * col("uni"))
       .select(col("da"), col("db"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }

@@ -236,6 +236,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
     assert(math.abs(out((1L, 2L)) - 7.0 / 9.0) < 1e-3)
     assert(out((1L, 4L)) === 1.0)
+    // non-integral-reciprocal threshold: 0.7 must keep all three pairs
+    // (J >= 7/9 > 0.7) — the reciprocal-integer filter evaluated 0.7 as
+    // J >= 1 and kept only the exact-duplicate pair
+    val at70 = Multimodal.videoFramePairs(frames, threshold = 0.7).collect()
+    assert(at70.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // strictly above 7/9 the shifted cuts drop, the exact dup stays
+    val at80 = Multimodal.videoFramePairs(frames, threshold = 0.8).collect()
+    assert(at80.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 4L)))
   }
 
   test("synthetic videos + frameSample recover planted sliding-window structure") {
