@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -135,6 +136,41 @@ object Clustering {
     // would accumulate across repeated kmeans() calls in a session
     e.unpersist(blocking = false)
     out.withColumn("dist", graft.functions.GraftFunctions.round4(col("dist")))
+  }
+
+  /** Cluster-balanced sampling: [[kmeans]] assignment followed by an
+    * at-most-`quota` per-cluster keep, chosen by hash order within the
+    * cluster (the [[Sampling.quotaPerKey]] rule on the cluster key) —
+    * the topic-flattening pass of cluster-based curation pipelines
+    * (DataComp/SemDeDup family): a corpus dominated by one embedding
+    * mode contributes at most `quota` documents from that mode, while
+    * sparse modes keep everything.
+    *
+    * The hash order (mix32 of the id, id tiebreak) makes the within-
+    * cluster choice unbiased and stable under re-partitioning/appends —
+    * the same determinism contract as every other sampling decision in
+    * [[Sampling]]. Scale shape: kmeans' narrow assignment passes plus
+    * ONE cluster-keyed window; k bounds the partition count of that
+    * window, and `quota` rows survive per partition. No join back to
+    * the corpus: the assignment frame already carries everything the
+    * output needs.
+    *
+    * @return kept rows only: (vec_id, cluster, dist, rk) with
+    *         rk the 1-based hash-order rank within the cluster
+    */
+  def clusterBalancedSample(
+      embeddings: DataFrame,
+      quota: Int = 30,
+      k: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(quota > 0, s"invalid quota=$quota")
+    val w = Window.partitionBy("cluster")
+      .orderBy(IvfSearch.mix32(col("vec_id")), col("vec_id"))
+    kmeans(embeddings, k, iters, idCol, vecCol)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= quota)
   }
 
   /** Round-6 squared-L2 argmin over the candidate centroids: the fold

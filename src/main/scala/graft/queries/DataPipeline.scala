@@ -2603,11 +2603,14 @@ object DataPipeline {
     * distance fold, the rounding discipline, or the empty-cluster rule
     * breaks the hash. Pins the operator defaults (k=8, iters=2).
     */
-  private val Cl1Sql: String = {
+  /** The Lloyd-trajectory CTE chain (k=8, iters=2, dim=64) shared by
+    * cl1/cl2: ends at a2 = (vec_id, cid, d), the final assignment.
+    */
+  private val Cl1Ctes: String = {
     val K = 8; val Dim = 64
     def d2(v: String, c: String) =
       s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),
        |a1 AS (SELECT vec_id, v, cid FROM (
@@ -2621,13 +2624,40 @@ object DataPipeline {
        |a2 AS (SELECT vec_id, cid, d FROM (
        |  SELECT e.vec_id, c.cid, ${d2("e.v", "c.c")} AS d,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.v", "c.c")}, c.cid) AS rn
-       |  FROM e CROSS JOIN c1 c) WHERE rn = 1)
+       |  FROM e CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
+  }
+
+  private val Cl1Sql: String =
+    s"""WITH $Cl1Ctes
        |SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(d, 4) AS dist
        |FROM a2 ORDER BY vec_id""".stripMargin
-  }
 
   val cl1_kmeans = QueryDef.sqlChecked("cl1_kmeans", Cl1Sql) { (s, d) =>
     Clustering.kmeans(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
+  /** cl2: cluster-balanced sampling — cl1's assignment flattened to at
+    * most 30 vectors per cluster, chosen by mix32 hash order within the
+    * cluster (sp2's quota rule on the cluster key). The mirror replays
+    * the full Lloyd trajectory and then the avalanche-ordered window,
+    * so both the clustering AND the keep decision are hash-pinned.
+    */
+  private val Cl2Sql: String =
+    s"""WITH $Cl1Ctes,
+       |mx AS (SELECT vec_id, cid, d, xor(m2, m2 >> 13) AS hs FROM (
+       |  SELECT vec_id, cid, d, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT vec_id, cid, d,
+       |      ((vec_id % 4294967296) + 4294967296) % 4294967296 AS h0 FROM a2))),
+       |r AS (SELECT vec_id, cid, d,
+       |       CAST(row_number() OVER (PARTITION BY cid ORDER BY hs, vec_id)
+       |            AS INTEGER) AS rk
+       |      FROM mx)
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(d, 4) AS dist, rk
+       |FROM r WHERE rk <= 30 ORDER BY vec_id""".stripMargin
+
+  val cl2_balanced_sample = QueryDef.sqlChecked("cl2_balanced_sample", Cl2Sql) {
+    (s, d) =>
+      Clustering.clusterBalancedSample(Tables.embeddings(s, d)).orderBy("vec_id")
   }
 
   /** ds1: DSIR importance resampling (Xie et al. 2023, deterministic
@@ -2715,7 +2745,7 @@ object DataPipeline {
     pk4_fim_transform,
     tok1_bpe_tokenize, sp8b_bpe_budget, pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
-    cl1_kmeans, ds1_dsir, dc4_semantic,
+    cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_video_pairs, mm_audio_pairs)

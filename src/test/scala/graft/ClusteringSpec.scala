@@ -56,6 +56,38 @@ class ClusteringSpec extends SparkSpec {
     assert(c(2L) === c(0L), "prefix distance puts the ragged vector with blob 0")
   }
 
+  test("clusterBalancedSample: per-cluster quota enforced, subset of kmeans") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val quota = 7
+    val kept = Clustering.clusterBalancedSample(emb, quota = quota, k = 4)
+    val rows = kept.collect()
+    assert(rows.nonEmpty)
+    // quota binds per cluster, rk is a contiguous 1..n hash-order rank
+    val byCluster = rows.groupBy(_.getInt(1))
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.length <= quota)
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+    }
+    // every kept row carries the kmeans assignment unchanged
+    val base = Clustering.kmeans(emb, k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    rows.foreach { r =>
+      assert(base(r.getLong(0)) === ((r.getInt(1), r.getDouble(2))))
+    }
+    // the full corpus exceeds the quota in at least one cluster, so the
+    // pass actually drops rows (the fixture is big enough to bind)
+    assert(rows.length < base.size)
+  }
+
+  test("clusterBalancedSample is stable under re-partitioning") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val a = Clustering.clusterBalancedSample(emb, quota = 5, k = 4)
+      .orderBy("vec_id").collect().toSeq
+    val b = Clustering.clusterBalancedSample(emb.repartition(13), quota = 5, k = 4)
+      .orderBy("vec_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("trajectory is reproducible across invocations (sf fixture)") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val a = Clustering.kmeans(emb, k = 4, iters = 2).collect().toSeq

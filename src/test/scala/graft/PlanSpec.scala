@@ -531,6 +531,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cl2: balanced sample = spread + window exchanges only, quota pushed below") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = graft.operators.Clustering.clusterBalancedSample(emb, quota = 5, k = 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), s"quota must reuse the assignment frame, not re-join:\n$p")
+    // exactly two exchanges: kmeans' deliberate spread repartition and
+    // the cluster-keyed window — no join or agg shuffle beyond them
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges === 2, s"expected spread + window exchanges only, got $exchanges:\n$p")
+    // the rank-limit pushes down: a PARTIAL WindowGroupLimit runs before
+    // the exchange, so at most `quota` rows per cluster leave each map
+    // partition — the property that keeps the window cheap at corpus scale
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"quota filter must push a partial WindowGroupLimit below the exchange:\n$p")
+  }
+
   test("ds1: DSIR scoring joins the broadcast log-ratio table, TakeOrdered cut") {
     val p = plan("ds1_dsir")
     assert(p.contains("BroadcastHashJoin"), s"lambda table must broadcast:\n$p")
