@@ -1086,6 +1086,56 @@ object TextAnalysis {
     * standard two-exchange exact-distinct, joined back broadcast
     * because the card is dimension-sized by construction.
     */
+  /** Length-distribution audit: per-group percentiles of the per-doc
+    * whitespace-token count — the release-datasheet numbers that size
+    * packing budgets and chunking windows ([[Sampling.packSequences]] /
+    * [[Sampling.chunkDocuments]] read their budget choices off exactly
+    * this table). One row per group: (group, n_docs, p10, p50, p90).
+    *
+    * EXACT form (this function): Spark's `percentile` — linear
+    * interpolation at rank p*(n-1), the same definition as DuckDB's
+    * `quantile_cont`, so the mirror matches bit-for-bit after round-4.
+    * Exact percentile buffers each group's values, so this is the
+    * audit/oracle form for dimension-bounded groups (languages,
+    * sources). At corpus scale use [[lengthQuantilesApprox]]: mergeable
+    * bounded-memory sketches, map-side combinable — the q10/q10b
+    * exact-vs-approx pairing applied to quantiles.
+    */
+  def lengthQuantiles(
+      documents: DataFrame,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      probs: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame =
+    lengthStats(documents, groupCol, textCol).groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      probs.map(p => round(percentile(col("nw"), lit(p)), 4)
+        .as(s"p${(p * 100).round}")): _*)
+
+  /** The corpus-scale twin of [[lengthQuantiles]]: `approx_percentile`
+    * (Greenwald-Khanna summaries — bounded memory per group, partial
+    * aggregation across partitions; returns an observed value within
+    * `1/accuracy` rank error of the true quantile, so no interpolation).
+    * Spec-pinned against the exact form on the gate fixture; not
+    * SQL-mirrored because the sketch's value choice is engine-specific
+    * — the same reason q10b pairs with q10.
+    */
+  def lengthQuantilesApprox(
+      documents: DataFrame,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      probs: Seq[Double] = Seq(0.1, 0.5, 0.9),
+      accuracy: Int = 10000): DataFrame =
+    lengthStats(documents, groupCol, textCol).groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      probs.map(p =>
+        percentile_approx(col("nw"), lit(p), lit(accuracy))
+          .cast("double").as(s"p${(p * 100).round}")): _*)
+
+  private def lengthStats(
+      documents: DataFrame, groupCol: String, textCol: String): DataFrame =
+    documents.select(
+      col(groupCol), size(tokens(col(textCol))).cast("long").as("nw"))
+
   def corpusCard(documents: DataFrame): DataFrame = {
     val r4 = graft.functions.GraftFunctions.round4 _
     val words = tokens(col("text"))

@@ -2362,6 +2362,27 @@ object DataPipeline {
     TextAnalysis.corpusCard(Tables.documents(s, d)).orderBy("source")
   }
 
+  /** rl3: per-language length-distribution percentiles — the datasheet
+    * numbers that size packing/chunking budgets. Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share the linear-
+    * interpolation-at-rank-p*(n-1) definition, so the mirror is a
+    * direct replay; round-4 absorbs fp fold-order drift. The approx
+    * (sketch) twin is spec-pinned, not mirrored — its value choice is
+    * engine-specific (the q10b convention).
+    */
+  val rl3_length_quantiles = QueryDef.sqlChecked(
+    "rl3_length_quantiles",
+    """WITH t AS (SELECT lang,
+      |  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS nw
+      | FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | round(quantile_cont(nw, 0.1), 4) AS p10,
+      | round(quantile_cont(nw, 0.5), 4) AS p50,
+      | round(quantile_cont(nw, 0.9), 4) AS p90
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    TextAnalysis.lengthQuantiles(Tables.documents(s, d)).orderBy("lang")
+  }
+
   val sp9_curriculum = QueryDef.sqlChecked(
     "sp9_curriculum",
     s"""WITH wl AS (SELECT doc_id,
@@ -2739,7 +2760,8 @@ object DataPipeline {
     txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl2, txt_clf,
-    rl2_corpus_card, sp9_curriculum, dd12b_span_drop, txt_entropy,
+    rl2_corpus_card, rl3_length_quantiles, sp9_curriculum,
+    dd12b_span_drop, txt_entropy,
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,

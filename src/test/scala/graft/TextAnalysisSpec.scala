@@ -8,6 +8,44 @@ class TextAnalysisSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf).cache()
 
+  test("lengthQuantiles: linear interpolation at rank p*(n-1), hand-computed") {
+    import spark.implicits._
+    // group g: token counts 1,2,3,4,5 -> p10 = 1 + 0.4*(2-1) = 1.4,
+    // p50 = 3, p90 = 4 + 0.6*(5-4) = 4.6; group h: single doc of 7
+    val df = Seq(
+      (1L, "g", "w"), (2L, "g", "w w"), (3L, "g", "w w w"),
+      (4L, "g", "w w w w"), (5L, "g", "w w w w w"),
+      (6L, "h", "a b c d e f g")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lengthQuantiles(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("g") === ((5L, 1.4, 3.0, 4.6)))
+    assert(out("h") === ((1L, 7.0, 7.0, 7.0)))
+  }
+
+  test("lengthQuantilesApprox: sketch values land inside the exact ±0.05 band") {
+    val probs = Seq(0.1, 0.5, 0.9)
+    val approx = TextAnalysis.lengthQuantilesApprox(docs, probs = probs).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // exact quantiles at p ± 0.05 bracket the sketch's rank-error bound
+    val lo = TextAnalysis.lengthQuantiles(docs,
+        probs = probs.map(p => math.max(0.0, p - 0.05))).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val hi = TextAnalysis.lengthQuantiles(docs,
+        probs = probs.map(p => math.min(1.0, p + 0.05))).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (g, vs) =>
+      vs.indices.foreach { i =>
+        assert(lo(g)(i) <= vs(i) && vs(i) <= hi(g)(i),
+          s"group $g p${probs(i)}: approx ${vs(i)} outside [${lo(g)(i)}, ${hi(g)(i)}]")
+      }
+    }
+  }
+
   test("repetition: duplicate 3-gram ratio matches hand count; short docs are 0") {
     import spark.implicits._
     // "a b c" repeated 3x: 7 3-grams, 3 distinct -> ratio 1 - 3/7
