@@ -392,6 +392,54 @@ object Sampling {
       .select(col(idCol), col(keyCol), col("thr"))
   }
 
+  /** Epoch-weighted mixture materialization: emit each document
+    * `epochs(source)` times — the repeat-factor pass of pretraining
+    * data recipes, where a mix is specified as "2.3 epochs of wiki,
+    * 0.5 epochs of web" (the public LLaMA/Gopher-style recipe shape).
+    * [[domainMixture]] downsamples toward target proportions without
+    * upsampling; this is the complementary materializer for recipes
+    * that DO repeat small high-quality sources.
+    *
+    * Weights are integer milli-epochs (2300 = 2.3 epochs) so the copy
+    * arithmetic is exact end-to-end — no float thresholds to drift
+    * between engines. A weight of w milli-epochs emits `w / 1000` full
+    * copies of every doc, plus one more copy for the `(w % 1000)/1000`
+    * fraction of docs chosen by the engine's standard integer hash
+    * test (`mix32(id) % 1e6 < frac * 1000`) — deterministic per doc,
+    * unbiased across docs, stable under re-partitioning and appends.
+    * Sources absent from `milliEpochs` get `defaultMilliEpochs`
+    * (1000 = pass through unchanged); weight 0 drops the source.
+    *
+    * Scale shape: ONE narrow pass — the weight table is a CASE
+    * expression (dimension-sized by construction), the copy fan-out is
+    * a per-row `explode(sequence)`, and nothing shuffles or collects.
+    * Output rows carry (id, key, copy) with copy in 0..n-1; downstream
+    * packing treats each copy as an independent document.
+    */
+  def epochUpsample(
+      documents: DataFrame,
+      milliEpochs: Seq[(String, Long)],
+      keyCol: String = "source",
+      idCol: String = "doc_id",
+      defaultMilliEpochs: Long = 1000L): DataFrame = {
+    require(milliEpochs.nonEmpty, "epochUpsample needs at least one weight")
+    require(milliEpochs.forall(_._2 >= 0) && defaultMilliEpochs >= 0,
+      s"negative epoch weight: $milliEpochs default=$defaultMilliEpochs")
+    require(milliEpochs.map(_._1).distinct.size == milliEpochs.size,
+      s"duplicate keys in weights: ${milliEpochs.map(_._1)}")
+    val me = milliEpochs.foldLeft(lit(defaultMilliEpochs)) {
+      case (acc, (k, w)) => when(col(keyCol) === k, lit(w)).otherwise(acc)
+    }
+    val bucket = pmod(mix32(col(idCol)), lit(1000000L))
+    val nCopies = floor(me / 1000L).cast("long") +
+      when(bucket < pmod(me, lit(1000L)) * 1000L, 1L).otherwise(0L)
+    documents
+      .select(col(idCol), col(keyCol), nCopies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(keyCol),
+        explode(sequence(lit(0), (col("n_copies") - 1L).cast("int"))).as("copy"))
+  }
+
   /** Temperature-scaled domain sampling — the corpus-flattening recipe
     * multilingual/multi-source LLM corpora use (sample domain d with
     * probability proportional to count_d^alpha, alpha < 1, so head

@@ -810,6 +810,31 @@ object DataPipeline {
     (s, d) => Sampling.quotaPerKey(Tables.documents(s, d)).orderBy("lang", "rk")
   }
 
+  /** sp10: epoch-weighted mixture materialization — src0 at 2.3
+    * epochs (2 full copies + hash-chosen 30% third), src1 at 0.5
+    * (hash-chosen half), src2 dropped, everything else passing through
+    * at the 1.0 default: every branch of the repeat-factor arithmetic
+    * is live at gate SF. Integer milli-epoch weights keep the copy
+    * count exact in both engines.
+    */
+  val sp10_epoch_upsample = QueryDef.sqlChecked(
+    "sp10_epoch_upsample",
+    s"""WITH mx AS ${mix32Sql("doc_id, source")},
+       |n AS (SELECT doc_id, source,
+       |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0
+       |       ELSE 1 END
+       |  + CASE WHEN hs % 1000000 <
+       |      CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 500000
+       |           WHEN 'src2' THEN 0 ELSE 0 END
+       |     THEN 1 ELSE 0 END AS nc
+       | FROM mx)
+       |SELECT doc_id, source, CAST(unnest(range(nc)) AS INTEGER) AS copy
+       |FROM n WHERE nc > 0 ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+    Sampling.epochUpsample(Tables.documents(s, d),
+        milliEpochs = Seq("src0" -> 2300L, "src1" -> 500L, "src2" -> 0L))
+      .orderBy("doc_id", "copy")
+  }
+
   val pk1_pack_sequences = QueryDef.sqlChecked(
     "pk1_pack_sequences",
     s"""WITH mx AS ${mix32Sql("doc_id, text")},
@@ -2755,7 +2780,7 @@ object DataPipeline {
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
-    sp7_sample_n,
+    sp7_sample_n, sp10_epoch_upsample,
     rl1_release_diff, rf1_corpus_refresh, rf1b_refresh_prepared,
     txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,

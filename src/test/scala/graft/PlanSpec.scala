@@ -250,6 +250,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sp3 planned an exchange:\n$p")
   }
 
+  test("sp10: epoch upsample is one narrow pass — generate, no exchange, no collect") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.Sampling.epochUpsample(
+        docs, Seq("src0" -> 2300L, "src1" -> 500L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"sp10 planned an exchange:\n$p")
+    assert(p.contains("Generate"), s"copy fan-out must be a generator:\n$p")
+  }
+
   test("sp5: domain mixture corpus pass is a pure narrow projection+filter (no exchange)") {
     // the counts aggregation runs once at build time (dimension-sized);
     // the RETURNED corpus plan must be scan+project+filter only

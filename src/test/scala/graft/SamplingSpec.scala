@@ -8,6 +8,45 @@ class SamplingSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf)
 
+  test("epochUpsample: copy counts replay floor + hash-fraction exactly") {
+    val weights = Seq("src0" -> 2300L, "src1" -> 500L, "src2" -> 0L)
+    val out = Sampling.epochUpsample(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // independently recompute every doc's copy count from the weight
+    // arithmetic + the shared mix32 (the oracle the SQL mirror replays)
+    val wMap = weights.toMap
+    def mix32(id: Long): Long = {
+      val h0 = java.lang.Math.floorMod(id, 4294967296L)
+      val m1 = h0 ^ (h0 >> 16)
+      val m2 = java.lang.Math.floorMod(m1 * 40503L, 4294967296L)
+      m2 ^ (m2 >> 13)
+    }
+    val expected = docs.select("doc_id", "source").collect().flatMap { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      val w = wMap.getOrElse(src, 1000L)
+      val n = w / 1000 + (if (mix32(id) % 1000000 < (w % 1000) * 1000) 1 else 0)
+      (0 until n.toInt).map(c => (id, src, c))
+    }.toSet
+    assert(out.toSet === expected)
+    assert(out.length === expected.size, "no duplicate copy rows")
+    // every branch is live: full+fractional (src0), fractional-only
+    // (src1 partial), dropped (src2), default pass-through (src3)
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") > bySrc.getOrElse("src3", 0))
+    assert(bySrc.getOrElse("src2", 0) === 0)
+    val n1 = bySrc.getOrElse("src1", 0)
+    assert(n1 > 0 && n1 < docs.filter(col("source") === "src1").count())
+  }
+
+  test("epochUpsample is stable under re-partitioning") {
+    val weights = Seq("src0" -> 1500L)
+    val a = Sampling.epochUpsample(docs, weights)
+      .orderBy("doc_id", "copy").collect().toSeq
+    val b = Sampling.epochUpsample(docs.repartition(17), weights)
+      .orderBy("doc_id", "copy").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("hashSplit: assignment is exhaustive, deterministic, and roughly proportional") {
     val s1 = Sampling.hashSplit(docs)
     val bySplit = s1.groupBy("split").count().collect()
