@@ -658,6 +658,64 @@ object TextAnalysis {
         round(col("bits"), 4).as("bits_per_token"))
   }
 
+  /** A trained corpus unigram LM: the token count table plus its
+    * totals — the artifact a released corpus ships so steady-state
+    * perplexity screening never re-estimates the model (the production
+    * CCNet shape: the LM is trained ONCE on the reference corpus and
+    * every incoming batch is scored against it). `counts` is
+    * vocabulary-sized (Heaps' law), (n, v) are the Laplace denominator
+    * terms frozen at training time.
+    */
+  final case class UnigramLm(counts: DataFrame, n: Long, v: Long)
+
+  /** Estimate the unigram LM [[unigramLogProb]] builds internally, as
+    * a reusable artifact: one (doc, w)-collapsed pass + one token-keyed
+    * shuffle; the totals reduce to a single collected row. Persist with
+    * [[TrainingPipeline.writeUnigramLm]].
+    */
+  def trainUnigramLm(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): UnigramLm = {
+    val dtok = documents
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+    val cnt = dtok.groupBy("w").agg(sum(col("k")).as("c"))
+    val tot = cnt.agg(sum(col("c")), count(lit(1))).head()
+    UnigramLm(cnt, tot.getLong(0), tot.getLong(1))
+  }
+
+  /** Score documents against a FIXED unigram LM — the steady-state
+    * twin of [[unigramLogProb]] (which re-estimates the model from its
+    * own input every call). Tokens outside the LM's vocabulary get the
+    * Laplace floor c = 0 (the LEFT join the self-trained form never
+    * needs); the denominator stays the trained (n + v), so scores are
+    * comparable across batches — exactly why a release freezes the LM.
+    * Same Zipf hardening: the (doc, w, k) collapse feeds the count
+    * join, a hot token costs one probe row per doc.
+    */
+  def unigramLogProbWith(
+      documents: DataFrame,
+      lm: UnigramLm,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dtok = documents
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+    val scored = dtok
+      .join(lm.counts, Seq("w"), "left")
+      .select(col("doc_id"), col("k"),
+        (col("k") * log((coalesce(col("c"), lit(0L)) + lit(1.0))
+          / lit((lm.n + lm.v).toDouble))).as("lp"))
+    scored.groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        (-sum(col("lp")) / sum(col("k")) / log(lit(2.0))).as("bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("bits"), 4).as("bits_per_token"))
+  }
+
   /** Bigram language-model score — [[unigramLogProb]] with one token of
     * context: per doc, `bits_per_token` = mean -log2 p(w_i | w_{i-1})
     * under a Laplace-smoothed bigram model estimated from the corpus

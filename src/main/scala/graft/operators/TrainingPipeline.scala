@@ -512,6 +512,83 @@ object TrainingPipeline {
     } finally out.close()
   }
 
+  // ------------------------------------------- persisted model artifacts
+
+  private val ModelsSubdir = "_graft_models"
+  private val LmMetaMagic = 0x47524C4D // "GRLM"
+
+  /** Persist a trained unigram LM with the release: the
+    * vocabulary-sized count table as parquet (token-sorted, one file —
+    * a few MB even at web-corpus vocab, Heaps' law) and the frozen
+    * Laplace totals (n, v) in a small binary header. The steady-state
+    * perplexity screen ([[TextAnalysis.unigramLogProbWith]]) then
+    * scores every incoming batch against the SAME model — comparable
+    * bits across batches, zero corpus re-scans — the same
+    * ship-the-model discipline as the BPE merge table and the IVF
+    * centroids.
+    */
+  def writeUnigramLm(lm: TextAnalysis.UnigramLm, releasePath: String): Unit = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    lm.counts.select(col("w"), col("c").cast("long").as("c"))
+      .orderBy("w").coalesce(1)
+      .write.mode("overwrite").parquet(dir.resolve("unigram_counts").toString)
+    val out = new java.io.DataOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("unigram_meta.bin")))
+    try {
+      out.writeInt(LmMetaMagic); out.writeInt(1)
+      out.writeLong(lm.n); out.writeLong(lm.v)
+    } finally out.close()
+  }
+
+  /** Load the LM [[writeUnigramLm]] persisted: one driver file read
+    * for the totals plus a lazy parquet frame for the counts — no
+    * corpus scan, no estimation jobs.
+    */
+  def loadUnigramLm(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): TextAnalysis.UnigramLm = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    val in = new java.io.DataInputStream(
+      java.nio.file.Files.newInputStream(dir.resolve("unigram_meta.bin")))
+    val (n, v) =
+      try {
+        require(in.readInt() == LmMetaMagic, s"not a unigram-LM meta file: $dir")
+        val version = in.readInt()
+        require(version == 1, s"unknown unigram-LM version $version")
+        (in.readLong(), in.readLong())
+      } finally in.close()
+    TextAnalysis.UnigramLm(
+      spark.read.parquet(dir.resolve("unigram_counts").toString), n, v)
+  }
+
+  /** Persist the trained quality-classifier weight table
+    * ([[TextAnalysis.trainQualityWeights]]'s output) with the release:
+    * dim-sized parquet, bucket-sorted, one file. Load with
+    * [[loadQualityWeights]] and pass straight to
+    * [[TextAnalysis.linearQualityScore]]'s `weights` swap-in — the
+    * deployed filter screens every batch with the SAME weights the
+    * release was built under.
+    */
+  def writeQualityWeights(weights: DataFrame, releasePath: String): Unit = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    weights.select(col("bucket").cast("long").as("bucket"),
+        col("weight").cast("double").as("weight"))
+      .orderBy("bucket").coalesce(1)
+      .write.mode("overwrite").parquet(dir.resolve("quality_weights").toString)
+  }
+
+  /** Load the weight table [[writeQualityWeights]] persisted — a lazy
+    * dim-sized parquet frame, no training jobs.
+    */
+  def loadQualityWeights(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): DataFrame =
+    spark.read.parquet(
+      java.nio.file.Paths.get(releasePath, ModelsSubdir)
+        .resolve("quality_weights").toString)
+
   /** Load the artifacts [[writeRefreshArtifacts]] persisted: the
     * corpus sketch bytes (pass as `corpusSketch` to [[refresh]]) and a
     * reconstructed [[Decontamination.PreparedEval]] (pass as

@@ -2124,6 +2124,36 @@ object DataPipeline {
     TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** txt_ppl1b: frozen-LM perplexity — the steady-state form of
+    * txt_ppl: the unigram model is trained on the doc_id < 400 slice
+    * and the WHOLE corpus is scored against it, so the OOV branch
+    * (Laplace floor c = 0 via the LEFT join) is live for the held-out
+    * docs' unique tokens and the denominator stays the frozen (n + v).
+    * This is the path [[TrainingPipeline.writeUnigramLm]] ships.
+    */
+  val txt_ppl1b = QueryDef.sqlChecked(
+    "txt_ppl1b",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+      |dtok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok
+      |         GROUP BY doc_id, w),
+      |cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dtok
+      |        WHERE doc_id < 400 GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      |        FROM cnt),
+      |sc AS (SELECT doc_id, k, k * ln((coalesce(c, 0) + 1.0) / (n + v)) AS lp
+      |       FROM dtok LEFT JOIN cnt USING (w) CROSS JOIN tot),
+      |ag AS (SELECT doc_id, sum(k) AS n_tokens, -sum(lp)/sum(k)/ln(2) AS bits
+      |       FROM sc GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | round(bits, 4) AS bits_per_token
+      |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val lm = TextAnalysis.trainUnigramLm(docs.filter(col("doc_id") < 400))
+    TextAnalysis.unigramLogProbWith(docs, lm).orderBy("doc_id")
+  }
+
   val txt_ppl2 = QueryDef.sqlChecked(
     "txt_ppl2",
     """WITH wl AS MATERIALIZED (SELECT doc_id,
@@ -2784,7 +2814,7 @@ object DataPipeline {
     rl1_release_diff, rf1_corpus_refresh, rf1b_refresh_prepared,
     txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
-    dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl2, txt_clf,
+    dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl1b, txt_ppl2, txt_clf,
     rl2_corpus_card, rl3_length_quantiles, sp9_curriculum,
     dd12b_span_drop, txt_entropy,
     dd14_consensus_neardup, pipe2_screen_and_phase,

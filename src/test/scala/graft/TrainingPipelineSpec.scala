@@ -11,6 +11,54 @@ import graft.operators.{TextAnalysis, TrainingPipeline}
   */
 class TrainingPipelineSpec extends SparkSpec {
 
+  test("unigram LM: self-trained scoring equals unigramLogProb; round-trip preserves it") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val lm = TextAnalysis.trainUnigramLm(docs)
+    val direct = TextAnalysis.unigramLogProb(docs).orderBy("doc_id").collect().toSeq
+    // full-corpus LM on the same corpus: no OOV, identical scores
+    val withLm = TextAnalysis.unigramLogProbWith(docs, lm)
+      .orderBy("doc_id").collect().toSeq
+    assert(withLm === direct)
+    // persist with the release, reload, re-score: bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    TrainingPipeline.writeUnigramLm(lm, dir)
+    val loaded = TrainingPipeline.loadUnigramLm(spark, dir)
+    assert((loaded.n, loaded.v) === ((lm.n, lm.v)))
+    val rescored = TextAnalysis.unigramLogProbWith(docs, loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(rescored === direct)
+  }
+
+  test("unigram LM: OOV tokens score at the Laplace floor under the frozen denominator") {
+    import spark.implicits._
+    val train = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainUnigramLm(train) // n=3, v=2
+    assert((lm.n, lm.v) === ((3L, 2L)))
+    val out = TextAnalysis.unigramLogProbWith(
+        Seq((9L, "zz zz")).toDF("doc_id", "text"), lm)
+      .collect().head
+    // both tokens unseen: bits = -log2((0+1)/(3+2)) = log2(5)
+    val expected = math.floor(math.log(5.0) / math.log(2.0) * 1e4 + 0.5) / 1e4
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2)) === ((9L, 2L, expected)))
+  }
+
+  test("quality weights: write/load round-trip feeds linearQualityScore unchanged") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val labeled = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(TextAnalysis.quality(docs)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (col("quality_score") >= 0.5).cast("double").as("label")), "doc_id")
+    val weights = TextAnalysis.trainQualityWeights(labeled, iters = 2)
+    val direct = TextAnalysis.linearQualityScore(docs, weights = Some(weights))
+      .orderBy("doc_id").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("qw").toString
+    TrainingPipeline.writeQualityWeights(weights, dir)
+    val reloaded = TrainingPipeline.loadQualityWeights(spark, dir)
+    val rescored = TextAnalysis.linearQualityScore(docs, weights = Some(reloaded))
+      .orderBy("doc_id").collect().toSeq
+    assert(rescored === direct && direct.nonEmpty)
+  }
+
   test("fused quality/langid filter agrees with the composable operators") {
     import spark.implicits._
     // ids chosen so the eval slice (id % 100 < 3) is empty and no two
