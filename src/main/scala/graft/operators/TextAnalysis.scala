@@ -658,6 +658,40 @@ object TextAnalysis {
         round(col("bits"), 4).as("bits_per_token"))
   }
 
+  /** Tokenizer fertility audit: per-group BPE-tokens-per-word — the
+    * tokenizer-QA number multilingual pipelines track (a language whose
+    * fertility is 2-3× the corpus mean is under-served by the merge
+    * table: its texts cost that many more context slots per word, and
+    * the usual fix is re-weighting the tokenizer training mix). One
+    * row per group: doc/word/BPE-token volumes and
+    * `fertility = n_bpe_tokens / n_words` (round-4; 0 for a group with
+    * no words).
+    *
+    * Scale shape: [[bpeTokenize]]'s narrow zero-exchange pass joined
+    * doc-keyed to the (group, id) projection, then ONE group-keyed agg
+    * with map-side partials — #groups rows out.
+    */
+  def tokenizerFertility(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      groupCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = bpeTokenize(documents, merges, idCol, textCol)
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"))
+    documents.select(col(idCol).cast("long").as(idCol), col(groupCol))
+      .join(toks, idCol)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+          .otherwise(0.0))
+  }
+
   /** A trained corpus unigram LM: the token count table plus its
     * totals — the artifact a released corpus ships so steady-state
     * perplexity screening never re-estimates the model (the production

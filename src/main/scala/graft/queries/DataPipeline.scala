@@ -2521,6 +2521,32 @@ object DataPipeline {
         .orderBy("doc_id")
   }
 
+  /** tok2: tokenizer fertility audit — per-language BPE tokens per
+    * whitespace word under the frozen fixture merges; the tokenizer-QA
+    * number that flags languages under-served by the merge table.
+    */
+  val tok2_fertility = QueryDef.sqlChecked(
+    "tok2_fertility",
+    s"""WITH wl AS MATERIALIZED (SELECT doc_id, lang,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM wl),
+       |seg AS (SELECT doc_id, j, ${bpeSegSql("ws[j]")} AS s FROM tok),
+       |nb AS (SELECT doc_id,
+       |        CAST(sum(len(string_split(s, e'\\x01\\x01'))) AS BIGINT) AS nb
+       |       FROM seg GROUP BY doc_id),
+       |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(len(ws)) AS BIGINT) AS n_words,
+       |        CAST(sum(coalesce(nb.nb, 0)) AS BIGINT) AS n_bpe_tokens
+       |       FROM wl LEFT JOIN nb USING (doc_id) GROUP BY lang)
+       |SELECT lang, n_docs, n_words, n_bpe_tokens,
+       | CASE WHEN n_words > 0
+       |      THEN round(CAST(n_bpe_tokens AS DOUBLE)/n_words, 4)
+       |      ELSE 0.0 END AS fertility
+       |FROM ag ORDER BY lang""".stripMargin) { (s, d) =>
+    TextAnalysis.tokenizerFertility(Tables.documents(s, d), BpeMerges)
+      .orderBy("lang")
+  }
+
   /** sp8b: the token-budget pass denominated in REAL (BPE) tokens —
     * sp8's whitespace counts misstate budgets ~3x on this corpus
     * (84.8k BPE vs 27.2k whitespace tokens at sf0.01); budget 1800
@@ -2820,7 +2846,7 @@ object DataPipeline {
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform,
-    tok1_bpe_tokenize, sp8b_bpe_budget, pk1b_bpe_pack,
+    tok1_bpe_tokenize, tok2_fertility, sp8b_bpe_budget, pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
     cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline,

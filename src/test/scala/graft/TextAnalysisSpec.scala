@@ -8,6 +8,21 @@ class TextAnalysisSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf).cache()
 
+  test("tokenizerFertility: per-group BPE/word ratio, hand-computed; empty group is 0") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"))
+    val df = Seq(
+      (1L, "x", "ab ab c"), // 3 words -> [ab][ab][c] = 3 BPE tokens
+      (2L, "y", "abc"),     // 1 word  -> [ab, c]    = 2 BPE tokens
+      (3L, "z", "")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenizerFertility(df, merges).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("x") === ((1L, 3L, 3L, 1.0)))
+    assert(out("y") === ((1L, 1L, 2L, 2.0)))
+    assert(out("z") === ((1L, 0L, 0L, 0.0)))
+  }
+
   test("lengthQuantiles: linear interpolation at rank p*(n-1), hand-computed") {
     import spark.implicits._
     // group g: token counts 1,2,3,4,5 -> p10 = 1 + 0.4*(2-1) = 1.4,
