@@ -43,6 +43,49 @@ object Similarity {
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))
   }
 
+  /** Label-noise screen: for each audited vector, the majority label of
+    * its k nearest neighbors vs its own — the neighborhood-agreement
+    * mislabel detector (the intuition behind confident-learning-style
+    * label QA: a point whose neighborhood votes against its tag is a
+    * probable annotation error or an out-of-distribution straggler).
+    * Output per query id: (qid, own_label, top_label, votes, agree),
+    * ties in the vote broken toward the lower label id.
+    *
+    * Scale shape: audits run on a query SAMPLE (`queryIds`, the ANN
+    * convention) — the default pair frame is [[bruteForceTopK]]'s
+    * broadcast-query scan (ONE corpus pass, the labelled brute
+    * baseline); at corpus scale pass `pairs =` an
+    * [[IvfSearch.ivfTopK]] result (same (qid, rnk, vec_id, sim)
+    * shape) and the vote/argmax stages reuse it unchanged — they are
+    * keyed aggs on a #queries×k frame, dimension-sized by
+    * construction.
+    */
+  def labelNoiseScreen(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val topk = pairs.getOrElse(bruteForceTopK(embeddings, queryIds, k, idCol, vecCol))
+    val labels = embeddings.select(
+      col(idCol).cast("long").as(idCol), col(labelCol).cast("int").as("lbl"))
+    val votes = topk.select(col("qid").cast("long").as("qid"), col(idCol))
+      .join(labels, idCol)
+      .groupBy("qid", "lbl").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("lbl"))
+    val top = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("lbl").as("top_label"), col("votes"))
+    embeddings.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long").as("qid"),
+        col(labelCol).cast("int").as("own_label"))
+      .join(top, "qid")
+      .select(col("qid"), col("own_label"), col("top_label"), col("votes"),
+        (col("own_label") === col("top_label")).as("agree"))
+  }
+
   /** Random-hyperplane signature: bit i = sign(v . h_i), with hyperplanes
     * drawn from a fixed-seed Gaussian so plans are deterministic across
     * runs and executors. Public so the DuckDB oracle SQL is generated

@@ -320,6 +320,39 @@ object DataPipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** ann_label_noise: k-NN neighborhood label-agreement over the first
+    * 50 vectors — the mislabel screen. The mirror replays the brute
+    * top-10 (round-4 cosine, id tiebreak), the per-label vote, and the
+    * (votes desc, label asc) argmax, so the whole decision chain is
+    * hash-checked, not just the agreement bit.
+    */
+  val ann_label_noise = QueryDef.sqlChecked(
+    "ann_label_noise",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+      |sc AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 4) AS sim
+      |       FROM q, e WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id,
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+      |            AS INTEGER) AS rnk
+      |      FROM sc),
+      |nb AS (SELECT r.qid, e.label AS lbl FROM r JOIN e USING (vec_id)
+      |       WHERE rnk <= 10),
+      |vt AS (SELECT qid, lbl, CAST(count(*) AS BIGINT) AS votes FROM nb
+      |       GROUP BY qid, lbl),
+      |tp AS (SELECT qid, lbl AS top_label, votes,
+      |        row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lbl) AS rn
+      |       FROM vt)
+      |SELECT o.vec_id AS qid, o.label AS own_label, tp.top_label, tp.votes,
+      | o.label = tp.top_label AS agree
+      |FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < 50) o
+      |JOIN tp ON tp.qid = o.vec_id AND tp.rn = 1
+      |ORDER BY qid""".stripMargin) { (s, d) =>
+    Similarity.labelNoiseScreen(Tables.embeddings(s, d),
+        queryIds = (0L until 50L).toSeq)
+      .orderBy("qid")
+  }
+
   /** Full LSH mirror, generated from the SAME fixed-seed hyperplanes and
     * probe ring the engine uses: DuckDB recomputes every signature bit
     * (list_inner_product is the same left-to-right fold as our dot), the
@@ -2829,7 +2862,7 @@ object DataPipeline {
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
-    ann_brute_topk, ann_lsh_topk, ann_ivf_topk,
+    ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,

@@ -12,6 +12,32 @@ class SimilaritySpec extends SparkSpec {
     df.select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
+  test("labelNoiseScreen: planted mislabel disagrees with its neighborhood") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0, 0.0), 0), (1L, Array(0.9, 0.1), 0),
+      (2L, Array(0.95, 0.05), 1), // mislabeled member of cluster A
+      (3L, Array(0.0, 1.0), 2), (4L, Array(0.1, 0.9), 2),
+      (5L, Array(0.05, 0.95), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseScreen(df, queryIds = Seq(2L, 4L), k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(2L) === ((1, 0, 2L, false)), "both neighbors vote label 0")
+    assert(out(4L) === ((2, 2, 2L, true)))
+  }
+
+  test("labelNoiseScreen: IVF pair frame with full probe reproduces the brute screen") {
+    val qs = (0L until 20L).toSeq
+    val brute = Similarity.labelNoiseScreen(emb, qs, k = 5)
+      .orderBy("qid").collect().toSeq
+    val ivfPairs = graft.operators.IvfSearch.ivfTopK(
+      emb, queryIds = qs, k = 5, nClusters = 4, nProbe = 4)
+    val viaIvf = Similarity.labelNoiseScreen(emb, qs, k = 5,
+        pairs = Some(ivfPairs))
+      .orderBy("qid").collect().toSeq
+    assert(viaIvf === brute && brute.nonEmpty)
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val bf = Similarity.bruteForceTopK(emb, qids)
     val byQ = bf.collect().groupBy(_.getLong(0))
