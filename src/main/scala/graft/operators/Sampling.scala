@@ -427,17 +427,78 @@ object Sampling {
       s"negative epoch weight: $milliEpochs default=$defaultMilliEpochs")
     require(milliEpochs.map(_._1).distinct.size == milliEpochs.size,
       s"duplicate keys in weights: ${milliEpochs.map(_._1)}")
-    val me = milliEpochs.foldLeft(lit(defaultMilliEpochs)) {
-      case (acc, (k, w)) => when(col(keyCol) === k, lit(w)).otherwise(acc)
-    }
-    val bucket = pmod(mix32(col(idCol)), lit(1000000L))
-    val nCopies = floor(me / 1000L).cast("long") +
-      when(bucket < pmod(me, lit(1000L)) * 1000L, 1L).otherwise(0L)
     documents
-      .select(col(idCol), col(keyCol), nCopies.as("n_copies"))
+      .select(col(idCol), col(keyCol),
+        copiesExpr(milliEpochs, keyCol, idCol, defaultMilliEpochs).as("n_copies"))
       .filter(col("n_copies") > 0)
       .select(col(idCol), col(keyCol),
         explode(sequence(lit(0), (col("n_copies") - 1L).cast("int"))).as("copy"))
+  }
+
+  /** The per-row weight (milli-epochs) as a CASE column — shared by
+    * [[epochUpsample]] and [[mixtureAudit]] so recipe and audit can't
+    * drift.
+    */
+  private def milliEpochExpr(
+      milliEpochs: Seq[(String, Long)], keyCol: String,
+      defaultMilliEpochs: Long): Column =
+    milliEpochs.foldLeft(lit(defaultMilliEpochs)) {
+      case (acc, (k, w)) => when(col(keyCol) === k, lit(w)).otherwise(acc)
+    }
+
+  /** The per-row copy count: floor(w) + the hash-Bernoulli fractional
+    * copy (mix32(id) % 1e6 < frac * 1000).
+    */
+  private def copiesExpr(
+      milliEpochs: Seq[(String, Long)], keyCol: String, idCol: String,
+      defaultMilliEpochs: Long): Column = {
+    val me = milliEpochExpr(milliEpochs, keyCol, defaultMilliEpochs)
+    val bucket = pmod(mix32(col(idCol)), lit(1000000L))
+    floor(me / 1000L).cast("long") +
+      when(bucket < pmod(me, lit(1000L)) * 1000L, 1L).otherwise(0L)
+  }
+
+  /** Mixture audit card: per-source achieved vs target share under an
+    * [[epochUpsample]] recipe — the reporting row a data-mix review
+    * reads ("did the 2.3-epoch wiki slice actually land at its target
+    * proportion, and how far off is the hash-Bernoulli remainder?").
+    * Per key: base doc count, materialized copy count, `target_share`
+    * (milli-epoch-weighted doc share: w_k·n_k / Σ w·n), `achieved_share`
+    * (copy share of the materialized mix), and `dev` =
+    * achieved − target (all shares round-6; dev round-6) — nonzero only
+    * by the fractional-copy hash decision, shrinking as 1/√n_k.
+    *
+    * Scale shape: ONE corpus pass (the copy count is computed
+    * arithmetically per row — the audit never materializes copies),
+    * one key-keyed agg with map-side partials, totals via a broadcast
+    * singleton — #sources rows out.
+    */
+  def mixtureAudit(
+      documents: DataFrame,
+      milliEpochs: Seq[(String, Long)],
+      keyCol: String = "source",
+      idCol: String = "doc_id",
+      defaultMilliEpochs: Long = 1000L): DataFrame = {
+    require(milliEpochs.nonEmpty, "mixtureAudit needs at least one weight")
+    require(milliEpochs.forall(_._2 >= 0) && defaultMilliEpochs >= 0,
+      s"negative epoch weight: $milliEpochs default=$defaultMilliEpochs")
+    val me = milliEpochExpr(milliEpochs, keyCol, defaultMilliEpochs)
+    val per = documents
+      .select(col(idCol), col(keyCol), me.as("me"),
+        copiesExpr(milliEpochs, keyCol, idCol, defaultMilliEpochs).as("nc"))
+      .groupBy(keyCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_copies"),
+        sum(col("me")).as("tw"))
+    val tot = per.agg(
+      sum(col("n_copies")).as("tot_copies"), sum(col("tw")).as("tot_tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n_docs"), col("n_copies"),
+        round(col("tw").cast("double") / col("tot_tw"), 6).as("target_share"),
+        round(col("n_copies").cast("double") / col("tot_copies"), 6)
+          .as("achieved_share"))
+      .withColumn("dev",
+        round(col("achieved_share") - col("target_share"), 6))
   }
 
   /** Temperature-scaled domain sampling — the corpus-flattening recipe

@@ -868,6 +868,41 @@ object DataPipeline {
       .orderBy("doc_id", "copy")
   }
 
+  /** sp11: mixture audit card over the sp10 recipe — per-source target
+    * vs achieved share of the materialized mix, deviation = the
+    * fractional-copy hash remainder. The copy count is recomputed
+    * arithmetically (no copy materialization) in BOTH engines.
+    */
+  val sp11_mixture_audit = QueryDef.sqlChecked(
+    "sp11_mixture_audit",
+    s"""WITH mx AS ${mix32Sql("doc_id, source")},
+       |n AS (SELECT doc_id, source,
+       |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0
+       |       ELSE 1 END
+       |  + CASE WHEN hs % 1000000 <
+       |      CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 500000
+       |           WHEN 'src2' THEN 0 ELSE 0 END
+       |     THEN 1 ELSE 0 END AS nc,
+       |  CASE source WHEN 'src0' THEN 2300 WHEN 'src1' THEN 500
+       |       WHEN 'src2' THEN 0 ELSE 1000 END AS me
+       | FROM mx),
+       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(nc) AS BIGINT) AS n_copies,
+       |         CAST(sum(me) AS BIGINT) AS tw
+       |        FROM n GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_copies) AS BIGINT) AS tc,
+       |         CAST(sum(tw) AS BIGINT) AS tt FROM per)
+       |SELECT source, n_docs, n_copies,
+       | round(CAST(tw AS DOUBLE)/tt, 6) AS target_share,
+       | round(CAST(n_copies AS DOUBLE)/tc, 6) AS achieved_share,
+       | round(round(CAST(n_copies AS DOUBLE)/tc, 6)
+       |     - round(CAST(tw AS DOUBLE)/tt, 6), 6) AS dev
+       |FROM per, tot ORDER BY source""".stripMargin) { (s, d) =>
+    Sampling.mixtureAudit(Tables.documents(s, d),
+        milliEpochs = Seq("src0" -> 2300L, "src1" -> 500L, "src2" -> 0L))
+      .orderBy("source")
+  }
+
   val pk1_pack_sequences = QueryDef.sqlChecked(
     "pk1_pack_sequences",
     s"""WITH mx AS ${mix32Sql("doc_id, text")},
@@ -2869,7 +2904,7 @@ object DataPipeline {
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
-    sp7_sample_n, sp10_epoch_upsample,
+    sp7_sample_n, sp10_epoch_upsample, sp11_mixture_audit,
     rl1_release_diff, rf1_corpus_refresh, rf1b_refresh_prepared,
     txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,

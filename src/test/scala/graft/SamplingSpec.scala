@@ -38,6 +38,31 @@ class SamplingSpec extends SparkSpec {
     assert(n1 > 0 && n1 < docs.filter(col("source") === "src1").count())
   }
 
+  test("mixtureAudit: copy counts equal the materialized mix; shares sum to 1") {
+    val weights = Seq("src0" -> 2300L, "src1" -> 500L, "src2" -> 0L)
+    val audit = Sampling.mixtureAudit(docs, weights).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // the audit's arithmetic copy count must equal what epochUpsample
+    // actually materializes, source by source
+    val materialized = Sampling.epochUpsample(docs, weights).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    audit.foreach { case (src, (_, nCopies, _, _, _)) =>
+      assert(nCopies === materialized.getOrElse(src, 0L), s"copy drift for $src")
+    }
+    // dropped source reports 0 copies and 0 target share
+    assert(audit("src2")._2 === 0L && audit("src2")._3 === 0.0)
+    // shares each sum to ~1 (round-6 residue only)
+    val tShare = audit.values.map(_._3).sum
+    val aShare = audit.values.map(_._4).sum
+    assert(math.abs(tShare - 1.0) < 1e-4 && math.abs(aShare - 1.0) < 1e-4)
+    // dev is the share difference as reported
+    audit.values.foreach { case (_, _, t, a, dev) =>
+      assert(math.abs(dev - (a - t)) < 1e-6 + 1e-9)
+    }
+  }
+
   test("epochUpsample is stable under re-partitioning") {
     val weights = Seq("src0" -> 1500L)
     val a = Sampling.epochUpsample(docs, weights)
