@@ -466,4 +466,46 @@ object Decontamination {
         (-col("best.neg_eid")).cast("long").as("eval_id"),
         graft.functions.GraftFunctions.round4(col("best.sim")).as("sim"))
   }
+
+  /** Defense-in-depth contamination verdict: the lexical shingle
+    * screen ([[overlapWith]]) and the embedding-space screen
+    * ([[semanticDecontaminate]]) merged into one per-document row —
+    * the review table a decontamination sign-off reads. Lexical
+    * catches verbatim/near-verbatim leaks; semantic catches
+    * paraphrases the shingles miss; a document carrying BOTH signals
+    * is a near-certain drop, one signal is a review row. Output per
+    * flagged doc: (doc_id, lexical, semantic, overlap_ratio, sim,
+    * n_signals), unflagged signal fields 0.
+    *
+    * Scale shape: both screens keep their own hardened shapes
+    * (broadcast/guarded eval sides, one corpus pass each); the merge
+    * is a full-outer join of two already-flagged-only frames —
+    * contamination-sized, not corpus-sized.
+    */
+  def combinedVerdict(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      corpusEmb: DataFrame,
+      evalEmb: DataFrame,
+      ratioThreshold: Double = 0.05,
+      simThreshold: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      embIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val lex = overlapWith(train, evalDocs, idCol, textCol)
+      .filter(col("overlap_ratio") >= ratioThreshold)
+      .select(col(idCol).cast("long").as("doc_id"), col("overlap_ratio"))
+    val sem = semanticDecontaminate(corpusEmb, evalEmb, simThreshold,
+        embIdCol, vecCol)
+      .select(col("vec_id").as("doc_id"), col("sim"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("overlap_ratio").isNotNull.as("lexical"),
+        col("sim").isNotNull.as("semantic"),
+        coalesce(col("overlap_ratio"), lit(0.0)).as("overlap_ratio"),
+        coalesce(col("sim"), lit(0.0)).as("sim"))
+      .withColumn("n_signals",
+        (col("lexical").cast("int") + col("semantic").cast("int")))
+  }
 }

@@ -675,13 +675,16 @@ object DataPipeline {
     * because fixture doc_ids are non-negative (the negative-id parity
     * concern is mix32-specific and spec-covered separately).
     */
-  private val OverlapWithSql: String = {
+  /** The dc2 shingle-overlap CTE chain (train = doc_id%100>=3, eval =
+    * <3), ending at hits/sz — shared by dc2 and dc5.
+    */
+  private val OverlapCtes: String = {
     val K = 4
     val joins = (1 until K)
       .map(j => s"JOIN tok t$j ON t$j.doc_id = a.doc_id AND t$j.i = a.i + $j")
       .mkString(" ")
     val gram = "a.w" + (1 until K).map(j => s" || ' ' || t$j.w").mkString
-    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+    s"""wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
        |            FROM documents),
        |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
        |sh AS (SELECT DISTINCT a.doc_id, $gram AS s FROM tok a $joins),
@@ -689,7 +692,11 @@ object DataPipeline {
        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 >= 3),
        |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
        |         FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1),
-       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1)
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1)""".stripMargin
+  }
+
+  private val OverlapWithSql: String = {
+    s"""WITH $OverlapCtes
        |SELECT doc_id, n_hits, n_shingles,
        | round(n_hits*1.0/n_shingles, 4) AS overlap_ratio
        |FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin
@@ -2871,8 +2878,11 @@ object DataPipeline {
     * passed explicitly (0.45, the dd5 band) because the fixture
     * embeddings are not unit-normalized paraphrase pairs.
     */
-  private val Dc4Sql: String =
-    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+  /** The dc4 embedding-screen CTE chain (eval = vec_id<40 re-keyed
+    * +10000, threshold 0.45), ending at r — shared by dc4 and dc5.
+    */
+  private val Dc4Ctes: String =
+    """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
       |ev AS (SELECT vec_id + 10000 AS eid, CAST(embedding AS DOUBLE[]) AS y
       |       FROM embeddings WHERE vec_id < 40),
       |sc AS (SELECT c.vec_id, ev.eid, list_cosine_similarity(x, y) AS s
@@ -2880,7 +2890,10 @@ object DataPipeline {
       |f AS (SELECT vec_id, eid, s FROM sc WHERE s > 0.45),
       |r AS (SELECT vec_id, eid, s,
       |       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, eid) AS rn
-      |      FROM f)
+      |      FROM f)""".stripMargin
+
+  private val Dc4Sql: String =
+    s"""WITH $Dc4Ctes
       |SELECT vec_id, CAST(eid AS BIGINT) AS eval_id, round(s, 4) AS sim
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
@@ -2890,6 +2903,44 @@ object DataPipeline {
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
     Decontamination.semanticDecontaminate(emb, ev, threshold = 0.45)
       .orderBy("vec_id")
+  }
+
+  /** dc5: defense-in-depth contamination verdict — dc2's lexical
+    * screen (ratio >= 0.01, live organically) full-outer-merged with
+    * dc4's semantic screen; at gate SF both single-signal branches AND
+    * the two-signal intersection are populated.
+    */
+  private val Dc5Sql: String =
+    s"""WITH $OverlapCtes,
+       |lx AS (SELECT doc_id, round(n_hits*1.0/n_shingles, 4) AS overlap_ratio
+       |       FROM hits JOIN sz USING (doc_id)
+       |       WHERE round(n_hits*1.0/n_shingles, 4) >= 0.01),
+       |$Dc4Ctes,
+       |sm AS (SELECT vec_id AS doc_id, round(s, 4) AS sim FROM r WHERE rn = 1)
+       |SELECT coalesce(lx.doc_id, sm.doc_id) AS doc_id,
+       | lx.doc_id IS NOT NULL AS lexical,
+       | sm.doc_id IS NOT NULL AS semantic,
+       | coalesce(lx.overlap_ratio, 0.0) AS overlap_ratio,
+       | coalesce(sm.sim, 0.0) AS sim,
+       | CAST(CASE WHEN lx.doc_id IS NOT NULL THEN 1 ELSE 0 END
+       |    + CASE WHEN sm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+       |   AS n_signals
+       |FROM lx FULL OUTER JOIN sm ON lx.doc_id = sm.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val dc5_combined_verdict = QueryDef.sqlChecked("dc5_combined_verdict", Dc5Sql) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      Decontamination.combinedVerdict(
+        train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3),
+        evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3),
+        corpusEmb = emb,
+        evalEmb = emb.filter(col("vec_id") < 40)
+          .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")),
+        ratioThreshold = 0.01,
+        simThreshold = 0.45)
+        .orderBy("doc_id")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -2902,6 +2953,7 @@ object DataPipeline {
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
+    dc5_combined_verdict,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
     sp7_sample_n, sp10_epoch_upsample, sp11_mixture_audit,

@@ -136,6 +136,58 @@ class DecontaminationGuardSpec extends SparkSpec {
       .count() === 1L, "an explicit lower threshold still flags it")
   }
 
+  test("combinedVerdict: component parity and both-signal intersection live at gate SF") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3)
+    val evalEmb = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val out = Decontamination.combinedVerdict(
+        train, evalDocs, emb, evalEmb,
+        ratioThreshold = 0.01, simThreshold = 0.45)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4), r.getInt(5))))
+      .toMap
+    // parity with the components it merges
+    val lex = Decontamination.overlapWith(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).filter(_._2 >= 0.01).toMap
+    val sem = Decontamination.semanticDecontaminate(emb, evalEmb, threshold = 0.45)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === lex.keySet ++ sem.keySet)
+    out.foreach { case (id, (l, s, ratio, sim, n)) =>
+      assert(l === lex.contains(id) && s === sem.contains(id))
+      assert(ratio === lex.getOrElse(id, 0.0) && sim === sem.getOrElse(id, 0.0))
+      assert(n === (if (l) 1 else 0) + (if (s) 1 else 0))
+    }
+    // single-signal branches live organically
+    assert(out.values.exists(v => v._1 && !v._2))
+    assert(out.values.exists(v => v._2 && !v._1))
+  }
+
+  test("combinedVerdict: planted doc carrying both signals reports n_signals = 2") {
+    val train = Seq(
+      (7L, "one two three four five"), // verbatim eval leak
+      (8L, "one two three four five extra"), // 2/3 shingles leak: lexical-only
+      (9L, "totally unrelated text here")).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val v7 = Array(1.0, 0.0); val v9 = Array(0.0, 1.0)
+    val corpusEmb = Seq((7L, v7), (8L, Array(0.7, -0.7)), (9L, v9))
+      .toDF("vec_id", "embedding")
+    val evalEmb = Seq((10007L, v7), (10009L, v9)).toDF("vec_id", "embedding")
+    val out = Decontamination.combinedVerdict(
+        train, evalDocs, corpusEmb, evalEmb,
+        ratioThreshold = 0.5, simThreshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getInt(5))))
+      .toMap
+    assert(out(7L) === ((true, true, 2)), "verbatim + exact-twin = both signals")
+    assert(out(8L) === ((true, false, 1)))
+    assert(out(9L) === ((false, true, 1)))
+  }
+
   test("evalLeakReport: over-cap eval side degrades to a keyed shuffle, same rows") {
     val (tr, ev) = organic
     def rows(cap: Long) =

@@ -260,6 +260,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"copy fan-out must be a generator:\n$p")
   }
 
+  test("rl3: exact quantiles are one group-keyed agg with partial aggregation, no sort") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.lengthQuantiles(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange rangepartitioning"), s"rl3 planned a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // partial-before-exchange: the percentile buffers merge map-side
+    assert(p.contains("partial_percentile") || p.contains("Partial"),
+      s"rl3 lost partial aggregation:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected one group-key exchange, got $exchanges:\n$p")
+  }
+
+  test("sp11: mixture audit never materializes copies and broadcasts the totals") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.Sampling.mixtureAudit(
+        docs, Seq("src0" -> 2300L, "src1" -> 500L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Generate"), s"audit must stay arithmetic, no copy fan-out:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must ride a broadcast:\n$p")
+  }
+
   test("sp5: domain mixture corpus pass is a pure narrow projection+filter (no exchange)") {
     // the counts aggregation runs once at build time (dimension-sized);
     // the RETURNED corpus plan must be scan+project+filter only
