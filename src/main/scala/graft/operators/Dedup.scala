@@ -90,6 +90,71 @@ object Dedup {
       .toDF("doc_id", "sh", "band_hashes")
   }
 
+  /** The banded LSH index frame (doc_id, band, band_hash) with the
+    * hot-bucket cap applied — the table [[minhashLsh]] joins on itself,
+    * exposed so a released corpus can persist it once
+    * ([[TrainingPipeline.writeMinhashBands]]) and every incoming batch
+    * can probe it without re-signaturing the corpus
+    * ([[incrementalNearDup]]). The cap counts CORPUS members only (the
+    * index freezes at write time; a batch probes, it doesn't re-cap).
+    */
+  def minhashBands(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame =
+    capDocFreq(
+      signatures(documents, idCol, textCol, numHashes, bands)
+        .select(col("doc_id"), posexplode(col("band_hashes")))
+        .toDF("doc_id", "band", "band_hash"),
+      Seq("band", "band_hash"), maxBucket)
+
+  /** Incremental near-dup: which released-corpus documents does this
+    * batch near-duplicate — the LSH analog of [[bloomPrefilterDedup]]'s
+    * exact screen, and the missing near-dup half of the weekly refresh
+    * (refresh drops exact corpus-dups; this names the J >= 0.5 ones).
+    *
+    * The corpus side is the PERSISTED band index (`corpusBands`) — the
+    * released corpus is never re-signatured. The batch is signatured
+    * once (batch-sized narrow pass), probes the index with a
+    * (band, band_hash) equi-join, and candidates are verified with the
+    * exact shingle Jaccard; corpus shingle sets are recomputed ONLY
+    * for candidate docs (LeftSemi against the candidate ids —
+    * candidate-sized, plan-gated), the same verify as [[minhashLsh]].
+    * Output: (da = corpus id, db = batch id, jaccard >= 0.5).
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      released: DataFrame,
+      corpusBands: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    val bsig = signatures(batch, idCol, textCol, numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bband = bsig.select(col("doc_id"), posexplode(col("band_hashes")))
+      .toDF("doc_id", "band", "band_hash")
+    val cand = corpusBands.as("c")
+      .join(bband.as("b"),
+        col("c.band") === col("b.band") &&
+          col("c.band_hash") === col("b.band_hash"))
+      .select(col("c.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val candCorpus = released.join(
+      cand.select(col("da").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val csh = signatures(candCorpus, idCol, textCol, numHashes, bands)
+      .select(col("doc_id").as("da"), col("sh").as("sha"))
+    val bsh = bsig.select(col("doc_id").as("db"), col("sh").as("shb"))
+    cand.join(csh, "da").join(bsh, "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni") && col("uni") > 0)
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * numHashes=64 split into 32 bands of 2 rows: P(candidate) at

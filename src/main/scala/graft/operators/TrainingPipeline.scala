@@ -589,6 +589,35 @@ object TrainingPipeline {
       java.nio.file.Paths.get(releasePath, ModelsSubdir)
         .resolve("quality_weights").toString)
 
+  /** Persist the released corpus's LSH band index
+    * ([[Dedup.minhashBands]]) with the release — the near-dup analog of
+    * the refresh Bloom sketch: a weekly batch probes this table with a
+    * (band, band_hash) equi-join instead of re-signaturing the whole
+    * corpus ([[Dedup.incrementalNearDup]]). Row-count is corpus ×
+    * bands; parquet-compressed band hashes are a few bytes per row —
+    * the standard price of a persisted LSH index.
+    */
+  def writeMinhashBands(released: DataFrame, releasePath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 32, maxBucket: Int = 1000): Unit = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    Dedup.minhashBands(released, idCol, textCol, numHashes, bands, maxBucket)
+      .orderBy("doc_id", "band")
+      .write.mode("overwrite").parquet(dir.resolve("minhash_bands").toString)
+  }
+
+  /** Load the band index [[writeMinhashBands]] persisted — a lazy
+    * parquet frame, zero corpus scans; pass as `corpusBands` to
+    * [[Dedup.incrementalNearDup]].
+    */
+  def loadMinhashBands(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): DataFrame =
+    spark.read.parquet(
+      java.nio.file.Paths.get(releasePath, ModelsSubdir)
+        .resolve("minhash_bands").toString)
+
   /** Load the artifacts [[writeRefreshArtifacts]] persisted: the
     * corpus sketch bytes (pass as `corpusSketch` to [[refresh]]) and a
     * reconstructed [[Decontamination.PreparedEval]] (pass as

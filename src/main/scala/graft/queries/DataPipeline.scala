@@ -106,6 +106,65 @@ object DataPipeline {
 
   private val MinhashLshSql = minhashLshSqlFor("documents", 1000)
 
+  /** dd15 mirror: the dd2 chain with the candidate stage split — corpus
+    * (< 400) buckets capped at index-build time over corpus members
+    * only, batch (>= 400) bands uncapped, candidates = corpus × batch
+    * bucket collisions; the exact-Jaccard verify is unchanged.
+    */
+  private val IncrementalMinhashSql: String = {
+    val params = graft.functions.TextHashing.minhashParams(64)
+    val paramRows = params.zipWithIndex
+      .map { case ((a, b), k) => s"($k, ${a}, ${b})" }.mkString(",\n   ")
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |hs0 AS (SELECT doc_id, s, ${polySql("s", 41)} AS hv FROM sh),
+       |${mixCtes("hs0", "hsm", keep = Seq("doc_id", "s"), cols = Seq("hv"))},
+       |hs AS (SELECT doc_id, hv % 2147483648 AS h FROM hsm),
+       |params AS (SELECT * FROM (VALUES
+       |   $paramRows) t(k, a, b)),
+       |sig AS (SELECT doc_id, k, min((a * h + b) % 2305843009213693951) AS sg
+       |        FROM hs, params GROUP BY doc_id, k),
+       |band AS (SELECT s0.doc_id, s0.k // 2 AS band,
+       |          (((97 * 131 + (s0.sg % 4294967296)) % 4294967296) * 131
+       |            + (s1.sg % 4294967296)) % 4294967296 AS band_hash
+       |         FROM sig s0 JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.k = s0.k + 1
+       |         WHERE s0.k % 2 = 0),
+       |keep AS (SELECT band, band_hash FROM band WHERE doc_id < 400
+       |         GROUP BY band, band_hash HAVING count(*) <= 1000),
+       |bkc AS (SELECT b.doc_id, b.band, b.band_hash FROM band b
+       |        JOIN keep USING (band, band_hash) WHERE b.doc_id < 400),
+       |bkb AS (SELECT doc_id, band, band_hash FROM band WHERE doc_id >= 400),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bkc x JOIN bkb y USING (band, band_hash)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c JOIN sh a ON a.doc_id = c.da
+       |                      JOIN sh b2 ON b2.doc_id = c.db AND b2.s = a.s
+       |          GROUP BY c.da, c.db)
+       |SELECT da, db, round(i*1.0/(sa.n + sb.n - i), 4) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE 2*i >= (sa.n + sb.n - i)
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** dd15: incremental near-dup of a batch (doc_id >= 400) against the
+    * released corpus's persisted band index — the near-dup half of the
+    * weekly refresh. 8 organic cross-split pairs at gate SF.
+    */
+  val dd15_incremental_neardup = QueryDef.sqlChecked(
+    "dd15_incremental_neardup", IncrementalMinhashSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    Dedup.incrementalNearDup(batch, corpus,
+        corpusBands = Dedup.minhashBands(corpus))
+      .orderBy("da", "db")
+  }
+
   val dd2_minhash_lsh = QueryDef.sqlChecked("dd2_minhash_lsh", MinhashLshSql) { (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d)).orderBy("da", "db")
   }
@@ -2948,6 +3007,7 @@ object DataPipeline {
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
+    dd15_incremental_neardup,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,

@@ -54,6 +54,37 @@ class DedupSpec extends SparkSpec {
     assert(d.agg(sum("n_copies")).head().getLong(0) === docs.count())
   }
 
+  test("incrementalNearDup equals the full LSH run restricted to cross-split pairs") {
+    // organic buckets never hit the cap at this SF, so the persisted
+    // corpus index + batch probe must reproduce exactly the full run's
+    // corpus-x-batch slice
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val inc = Dedup.incrementalNearDup(batch, corpus,
+      corpusBands = Dedup.minhashBands(corpus))
+    val full = Dedup.minhashLsh(docs)
+      .filter(col("da") < 400 && col("db") >= 400)
+    assert(pairs(inc) === pairs(full))
+    // verify stage must carry the same jaccard values
+    val ji = inc.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val jf = full.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ji === jf)
+  }
+
+  test("minhash band index round-trips through the release dir") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("bands").toString
+    graft.operators.TrainingPipeline.writeMinhashBands(corpus, dir)
+    val loaded = graft.operators.TrainingPipeline.loadMinhashBands(spark, dir)
+    val viaLoaded = Dedup.incrementalNearDup(batch, corpus, loaded)
+      .orderBy("da", "db").collect().toSeq
+    val inline = Dedup.incrementalNearDup(batch, corpus,
+        corpusBands = Dedup.minhashBands(corpus))
+      .orderBy("da", "db").collect().toSeq
+    assert(viaLoaded === inline)
+  }
+
   test("minhash-LSH finds all high-similarity pairs and only true pairs") {
     val lsh = Dedup.minhashLsh(docs)
     val lshPairs = pairs(lsh)

@@ -260,6 +260,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"copy fan-out must be a generator:\n$p")
   }
 
+  test("dd15: corpus verify side is semi-joined to candidates, no cartesian") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val p = graft.operators.Dedup.incrementalNearDup(batch, corpus,
+        corpusBands = graft.operators.Dedup.minhashBands(corpus))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    // released corpus shingles are recomputed only for candidate docs
+    assert(p.contains("LeftSemi"),
+      s"corpus verify side must be candidate-bounded via LeftSemi:\n$p")
+  }
+
   test("rl3: exact quantiles are one group-keyed agg with partial aggregation, no sort") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.lengthQuantiles(docs)
