@@ -420,6 +420,38 @@ object TrainingPipeline {
       pmod(IvfSearch.mix32(col(idCol)), lit(shards.toLong)).as("shard"))
   }
 
+  /** [[refresh]] plus the near-dup half: after the exact screens, drop
+    * batch docs that NEAR-duplicate the released corpus (J >= 0.5 via
+    * [[Dedup.incrementalNearDup]] against the persisted band index) —
+    * the full weekly-ingest screen a production corpus runs. The
+    * near-dup probe consumes the same prebuilt artifacts discipline:
+    * pass `corpusBands` from [[loadMinhashBands]] so steady state
+    * re-signatures nothing; the probe runs on refresh's SURVIVORS
+    * (already exact-deduped and decontaminated — the cheapest point:
+    * every earlier stage only shrinks the batch).
+    */
+  def refreshWithNearDup(
+      released: DataFrame,
+      newBatch: DataFrame,
+      evalDocs: DataFrame,
+      corpusBands: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramSize: Int = 4,
+      shards: Int = 32,
+      fpp: Double = 0.01,
+      corpusSketch: Option[Array[Byte]] = None,
+      preparedEval: Option[Decontamination.PreparedEval] = None): DataFrame = {
+    val placed = refresh(released, newBatch, evalDocs, idCol, textCol,
+      gramSize, shards, fpp, corpusSketch, preparedEval)
+    val batch = newBatch.select(col(idCol).cast("long").as(idCol), col(textCol))
+    val survivors = batch.join(placed.select(idCol), Seq(idCol), "left_semi")
+    val nearDupIds = Dedup.incrementalNearDup(
+        survivors, released, corpusBands, idCol, textCol)
+      .select(col("db").as(idCol)).distinct()
+    placed.join(nearDupIds, Seq(idCol), "left_anti")
+  }
+
   /** Ship the release's tokenizer with the release: persist a trained
     * BPE merge table (from [[TextAnalysis.bpeTrain]]) under the release
     * directory, next to the refresh artifacts — a consumer of the

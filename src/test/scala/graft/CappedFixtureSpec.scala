@@ -29,6 +29,34 @@ class CappedFixtureSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dd15: index-build cap drops boilerplate probes, organic probes unaffected") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val corpus = DataPipeline.cappedDocs(spark, sf)
+    val boilerText = corpus.filter(col("doc_id") >= 1000000L)
+      .select("text").head.getString(0)
+    val organicText = corpus.filter(col("doc_id") === 7L)
+      .select("text").head.getString(0)
+    val batch = spark.range(5)
+      .select((col("id") + 2000000L).as("doc_id"), lit(boilerText).as("text"))
+      .unionByName(spark.range(1)
+        .select(lit(2000100L).as("doc_id"), lit(organicText).as("text")))
+    val dedup = graft.operators.Dedup
+    val capped = dedup.incrementalNearDup(batch, corpus,
+      dedup.minhashBands(corpus, maxBucket = DataPipeline.CapMax))
+    val uncapped = dedup.incrementalNearDup(batch, corpus,
+      dedup.minhashBands(corpus, maxBucket = 100000))
+    // each of the 5 boiler probes pairs with all CapN corpus boilers
+    // when the index is uncapped; at the declared cap the boiler
+    // buckets were dropped AT INDEX BUILD, so probes find nothing
+    assert(uncapped.filter("da >= 1000000").count()
+      === 5L * DataPipeline.CapN)
+    assert(capped.filter("da >= 1000000").count() === 0L)
+    // the organic clone still finds its corpus twin either way
+    assert(capped.filter("da = 7 AND db = 2000100").count() === 1L)
+    assert(uncapped.filter("da = 7 AND db = 2000100").count() === 1L)
+    spark.catalog.clearCache()
+  }
+
   test("dd3: shingle doc-frequency cap drops the boilerplate block, keeps organic pairs") {
     val docs = DataPipeline.cappedDocs(spark, sf)
     val capped = graft.operators.Dedup.ngramJaccard(docs, maxDocFreq = DataPipeline.CapMax)

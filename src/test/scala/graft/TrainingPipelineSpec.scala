@@ -11,6 +11,33 @@ import graft.operators.{TextAnalysis, TrainingPipeline}
   */
 class TrainingPipelineSpec extends SparkSpec {
 
+  test("refreshWithNearDup: composition parity, organic near-dups actually drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bands = graft.operators.Dedup.minhashBands(corpus)
+    val base = TrainingPipeline.refresh(corpus, batch, noEval)
+    val screened = TrainingPipeline.refreshWithNearDup(
+      corpus, batch, noEval, bands)
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    val screenedIds = screened.select("doc_id").as[Long].collect().toSet
+    // parity: screened = base minus the near-dup drop set over survivors
+    val survivors = batch.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+    val drops = graft.operators.Dedup
+      .incrementalNearDup(survivors, corpus, bands)
+      .select("db").as[Long].collect().toSet
+    assert(screenedIds === baseIds -- drops)
+    // the organic cross-split near-dups are non-exact, so plain refresh
+    // keeps them and the near-dup stage is what removes them
+    assert(drops.nonEmpty && (baseIds & drops) === drops,
+      s"near-dup stage must drop docs refresh kept: $drops")
+  }
+
   test("unigram LM: self-trained scoring equals unigramLogProb; round-trip preserves it") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val lm = TextAnalysis.trainUnigramLm(docs)
