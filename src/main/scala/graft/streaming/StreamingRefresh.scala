@@ -84,4 +84,34 @@ object StreamingRefresh {
         released, batch, noEval, idCol, textCol, prepared.gramSize, shards,
         corpusSketch = Some(sketch), preparedEval = Some(prepared)), batchId)
   }
+
+  /** The FULL-screen restart form: refresh-from-release plus the
+    * near-dup stage ([[TrainingPipeline.refreshWithNearDup]]) — every
+    * micro-batch is also probed against the release's persisted LSH
+    * band index ([[TrainingPipeline.writeMinhashBands]]), so batch
+    * docs that near-duplicate the released corpus (J >= 0.5) never
+    * reach the sink. All three one-time artifacts (content sketch,
+    * prepared eval, band index) load from the release directory: zero
+    * corpus-scanning setup jobs, and per batch the released corpus is
+    * touched only by the sketch-hit confirm and the candidate-bounded
+    * near-dup verify.
+    */
+  def foreachBatchRefreshNearDupFromRelease(
+      released: DataFrame,
+      releasePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shards: Int = 32)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val spark = released.sparkSession
+    val (sketch, prepared) =
+      TrainingPipeline.loadRefreshArtifacts(spark, releasePath)
+    val bands = TrainingPipeline.loadMinhashBands(spark, releasePath)
+    val noEval = spark.emptyDataFrame
+    (batch: DataFrame, batchId: Long) =>
+      sink(TrainingPipeline.refreshWithNearDup(
+        released, batch, noEval, bands, idCol, textCol,
+        prepared.gramSize, shards,
+        corpusSketch = Some(sketch), preparedEval = Some(prepared)), batchId)
+  }
 }

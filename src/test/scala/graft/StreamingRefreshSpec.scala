@@ -116,6 +116,49 @@ class StreamingRefreshSpec extends SparkSpec {
     assert(got.values.toSet === Set(cold))
   }
 
+  test("full-screen restart: near-dup batch doc drops via the persisted band index") {
+    import spark.implicits._
+    val released = (0 until 200).map(i => (i.toLong, s"released doc $i stable words"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (900L, "secret held out eval question answer pair")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, "fresh crawl first body"),
+      (1001L, "released doc 42 stable words extra"), // NEAR-dup (J=0.75), not exact
+      (1003L, "released doc 42 stable words"))       // exact corpus dup
+    // plain refresh keeps the near-dup (only exact text matches drop)
+    val plain = TrainingPipeline.refresh(
+        released, batch.toDF("doc_id", "text"), evalDocs)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain === Set(1000L, 1001L))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-release-nd").toString
+    TrainingPipeline.writeRefreshArtifacts(released, evalDocs, dir)
+    TrainingPipeline.writeMinhashBands(released, dir)
+    spark.catalog.clearCache()
+
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val body = graft.streaming.StreamingRefresh
+      .foreachBatchRefreshNearDupFromRelease(released, dir) {
+        (additions, batchId) =>
+          got(batchId) = additions.collect().map(_.getLong(0)).toSet
+      }
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 1)
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(body).start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the near-dup stage removes 1001; parity with the batch composition
+    assert(got.values.toSet === Set(Set(1000L)))
+    val batchForm = TrainingPipeline.refreshWithNearDup(
+        released, batch.toDF("doc_id", "text"), evalDocs,
+        graft.operators.Dedup.minhashBands(released))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchForm === Set(1000L))
+  }
+
   test("over-cap artifacts round-trip: bloom + shingle parquet, same refresh result") {
     import spark.implicits._
     val released = (0 until 100).map(i => (i.toLong, s"released doc $i stable words"))
