@@ -658,6 +658,39 @@ object TextAnalysis {
         round(col("bits"), 4).as("bits_per_token"))
   }
 
+  /** Signal-correlation audit: Pearson correlations between the cheap
+    * per-doc curation signals (whitespace tokens, BPE-ish token count,
+    * char volume, the quality score) — the signal-redundancy review a
+    * filter stack needs before adding a new rule ("does this signal
+    * carry information the others don't?"). One row out.
+    *
+    * Scale shape: one narrow projection feeding a single global agg;
+    * Spark's `corr` is a partial-aggregable co-moment accumulator
+    * (map-side combine, constant state per partition), so the whole
+    * audit is one pass and one single-row exchange. Round-4 absorbs
+    * accumulation-order drift vs other engines.
+    */
+  def signalCorrelations(documents: DataFrame): DataFrame = {
+    val words = tokens(col("text"))
+    val nw = size(words)
+    val q = when(nw > 0,
+      graft.functions.GraftFunctions.round4(
+        size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / nw * 0.5
+          + least(nw, lit(100)).cast("double") / 100 * 0.5))
+      .otherwise(0.0)
+    documents.select(
+        nw.cast("double").as("t"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("double").as("b"),
+        col("n_chars").cast("double").as("c"),
+        q.as("q"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(corr(col("t"), col("b")), 4).as("corr_ws_bpe"),
+        round(corr(col("t"), col("c")), 4).as("corr_ws_chars"),
+        round(corr(col("q"), col("t")), 4).as("corr_quality_ws"))
+  }
+
   /** Tokenizer fertility audit: per-group BPE-tokens-per-word — the
     * tokenizer-QA number multilingual pipelines track (a language whose
     * fertility is 2-3× the corpus mean is under-served by the merge

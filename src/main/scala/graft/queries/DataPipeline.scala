@@ -3002,6 +3002,31 @@ object DataPipeline {
         .orderBy("doc_id")
   }
 
+  /** rl5: signal-correlation audit — Pearson correlations between the
+    * cheap curation signals; both engines' corr is the sample Pearson
+    * coefficient and round-4 absorbs accumulation-order drift.
+    */
+  val rl5_signal_corr = QueryDef.sqlChecked(
+    "rl5_signal_corr",
+    s"""WITH wl AS (SELECT doc_id, n_chars,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe
+       | FROM documents),
+       |m AS (SELECT CAST(len(ws) AS DOUBLE) AS t, CAST(bpe AS DOUBLE) AS b,
+       |       CAST(n_chars AS DOUBLE) AS c,
+       |       CASE WHEN len(ws) > 0 THEN
+       |         round(CAST(len(list_filter(ws, w -> list_contains($StopList, w)))
+       |             AS DOUBLE)/len(ws)*0.5 + least(len(ws), 100)/100.0*0.5, 4)
+       |       ELSE 0.0 END AS q
+       |      FROM wl)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       | round(corr(t, b), 4) AS corr_ws_bpe,
+       | round(corr(t, c), 4) AS corr_ws_chars,
+       | round(corr(q, t), 4) AS corr_quality_ws
+       |FROM m""".stripMargin) { (s, d) =>
+    TextAnalysis.signalCorrelations(Tables.documents(s, d))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -3021,7 +3046,7 @@ object DataPipeline {
     txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl1b, txt_ppl2, txt_clf,
-    rl2_corpus_card, rl3_length_quantiles, sp9_curriculum,
+    rl2_corpus_card, rl3_length_quantiles, rl5_signal_corr, sp9_curriculum,
     dd12b_span_drop, txt_entropy,
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,

@@ -571,6 +571,16 @@ class PlanSpec extends SparkSpec {
       s"txt_ppl2 lost the (doc_id, pa, pb) pre-aggregate:\n$p")
   }
 
+  test("txt_ppl1b: frozen-LM scoring keeps the (doc, w) pre-aggregate") {
+    val p = plan("txt_ppl1b")
+    assert(!p.contains("CartesianProduct"), p)
+    // same Zipf armor as txt_ppl: the token stream collapses to
+    // (doc_id, w, k) before probing the frozen count table
+    assert(p.linesIterator.exists(l =>
+        l.contains("Keys") && l.contains("doc_id") && l.contains("w#")),
+      s"txt_ppl1b lost the (doc_id, w) pre-aggregate:\n$p")
+  }
+
   test("dc4: semantic decontamination broadcasts the eval side — corpus streams once") {
     val p = plan("dc4_semantic")
     // the dimension-sized eval side rides a broadcast nested loop (the

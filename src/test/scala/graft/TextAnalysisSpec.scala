@@ -8,6 +8,20 @@ class TextAnalysisSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf).cache()
 
+  test("signalCorrelations: perfect and inverted correlations on a planted frame") {
+    import spark.implicits._
+    // t = b = 1,2,3 (perfectly correlated); n_chars = 3,2,1 (inverted);
+    // q is linear in t (all-stopword docs: 0.5 + nw/100*0.5)
+    val df = Seq(
+      (1L, "a", 3L), (2L, "a a", 2L), (3L, "a a a", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.signalCorrelations(df).collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === -1.0)
+    assert(r.getDouble(3) === 1.0)
+  }
+
   test("tokenizerFertility: per-group BPE/word ratio, hand-computed; empty group is 0") {
     import spark.implicits._
     val merges = Seq(("a", "b"))
