@@ -390,21 +390,99 @@ object TrainingPipeline {
       fpp: Double = 0.01,
       corpusSketch: Option[Array[Byte]] = None,
       preparedEval: Option[Decontamination.PreparedEval] = None,
-      maxCollectedShingles: Long = Decontamination.MaxCollectedEvalShingles): DataFrame = {
+      maxCollectedShingles: Long = Decontamination.MaxCollectedEvalShingles): DataFrame =
+    refreshTapped(released, newBatch, evalDocs, idCol, textCol, gramSize,
+      shards, fpp, corpusSketch, preparedEval, maxCollectedShingles,
+      (_, df) => df)
+
+  /** Per-batch-stage counts for [[refreshObserved]] — `Dataset.observe`
+    * accumulators riding the existing plan nodes (zero extra jobs or
+    * scans, the [[runObserved]] discipline). Read only after acting on
+    * the result; in `foreachBatch`, after the sink's action each batch.
+    */
+  final class RefreshMetrics private[operators] (
+      inObs: org.apache.spark.sql.Observation,
+      freshObs: org.apache.spark.sql.Observation,
+      reprObs: org.apache.spark.sql.Observation,
+      outObs: org.apache.spark.sql.Observation) {
+    private def l(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get(k).asInstanceOf[Long]
+    /** batch rows in. */
+    def nBatch: Long = l(inObs, "n_batch")
+    /** survivors of the released-corpus exact-dup drop. */
+    def nFresh: Long = l(freshObs, "n_fresh")
+    /** survivors of the within-batch exact dedup. */
+    def nRepr: Long = l(reprObs, "n_repr")
+    /** placed output rows (post-decontamination). */
+    def nPlaced: Long = l(outObs, "n_placed")
+    /** All stage counts in pipeline order. */
+    def counts: Seq[(String, Long)] = Seq(
+      "batch" -> nBatch, "fresh" -> nFresh, "repr" -> nRepr,
+      "placed" -> nPlaced)
+  }
+
+  /** [[refresh]] with per-stage observability: the ingest monitoring a
+    * weekly job alarms on ("the corpus-dup drop rate doubled this
+    * week"). Same plan, same output — the counts ride the existing
+    * nodes as observe metrics.
+    */
+  def refreshObserved(
+      released: DataFrame,
+      newBatch: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramSize: Int = 4,
+      shards: Int = 32,
+      fpp: Double = 0.01,
+      corpusSketch: Option[Array[Byte]] = None,
+      preparedEval: Option[Decontamination.PreparedEval] = None,
+      maxCollectedShingles: Long = Decontamination.MaxCollectedEvalShingles)
+      : (DataFrame, RefreshMetrics) = {
+    val inObs = org.apache.spark.sql.Observation()
+    val freshObs = org.apache.spark.sql.Observation()
+    val reprObs = org.apache.spark.sql.Observation()
+    val outObs = org.apache.spark.sql.Observation()
+    val tap: (String, DataFrame) => DataFrame = {
+      case ("in", df) => df.observe(inObs, count(lit(1)).as("n_batch"))
+      case ("fresh", df) => df.observe(freshObs, count(lit(1)).as("n_fresh"))
+      case ("repr", df) => df.observe(reprObs, count(lit(1)).as("n_repr"))
+      case ("out", df) => df.observe(outObs, count(lit(1)).as("n_placed"))
+      case (_, df) => df
+    }
+    (refreshTapped(released, newBatch, evalDocs, idCol, textCol, gramSize,
+      shards, fpp, corpusSketch, preparedEval, maxCollectedShingles, tap),
+      new RefreshMetrics(inObs, freshObs, reprObs, outObs))
+  }
+
+  private def refreshTapped(
+      released: DataFrame,
+      newBatch: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int,
+      shards: Int,
+      fpp: Double,
+      corpusSketch: Option[Array[Byte]],
+      preparedEval: Option[Decontamination.PreparedEval],
+      maxCollectedShingles: Long,
+      tap: (String, DataFrame) => DataFrame): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    val batch = newBatch.select(col(idCol).cast("long").as(idCol), col(textCol))
+    val batch = tap("in",
+      newBatch.select(col(idCol).cast("long").as(idCol), col(textCol)))
     // 1. drop docs the released corpus already has (exact text match;
     // the sketch is a pure performance layer, see bloomPrefilterDedup)
     val sketch = corpusSketch.getOrElse(Dedup.contentSketch(released, textCol, fpp))
     val dupIds = Dedup.bloomPrefilterDedupWithSketch(
       released, batch, idCol, textCol, sketch).select(idCol)
-    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+    val fresh = tap("fresh", batch.join(dupIds, Seq(idCol), "left_anti"))
     // 2. within-batch exact dedup: winners carry (digest, min id) only
     val winners = fresh
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val repr = fresh.join(winners, Seq(idCol), "left_semi")
+    val repr = tap("repr", fresh.join(winners, Seq(idCol), "left_semi"))
     // 3. decontaminate survivors vs the eval suite (guarded eval side;
     // a prebuilt handle skips re-counting/re-collecting it per batch)
     val clean = preparedEval match {
@@ -413,11 +491,11 @@ object TrainingPipeline {
         repr, evalDocs, idCol, textCol, gramSize, maxCollectedShingles)
     }
     // 4. in-place placement + content digest — no joins, pure id/text
-    clean.select(
+    tap("out", clean.select(
       col(idCol),
       md5(col(textCol)).as("h"),
       Sampling.splitLabel(col(idCol)).as("split"),
-      pmod(IvfSearch.mix32(col(idCol)), lit(shards.toLong)).as("shard"))
+      pmod(IvfSearch.mix32(col(idCol)), lit(shards.toLong)).as("shard")))
   }
 
   /** [[refresh]] plus the near-dup half: after the exact screens, drop

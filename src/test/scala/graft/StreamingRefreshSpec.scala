@@ -159,6 +159,29 @@ class StreamingRefreshSpec extends SparkSpec {
     assert(batchForm === Set(1000L))
   }
 
+  test("refreshObserved: stage counts pin every drop, output equals plain refresh") {
+    import spark.implicits._
+    val released = (0 until 100).map(i => (i.toLong, s"released doc $i stable words"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (900L, "secret held out eval question answer pair")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, "fresh crawl first body"),
+      (1001L, "fresh crawl first body"),                    // in-batch dup
+      (1003L, "released doc 42 stable words"),              // corpus dup
+      (1004L, "contains held out eval question answer pair leak")) // leak
+      .toDF("doc_id", "text")
+    val (placed, m) = TrainingPipeline.refreshObserved(released, batch, evalDocs)
+    val ids = placed.collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1000L))
+    assert(m.counts === Seq(
+      "batch" -> 4L, "fresh" -> 3L, "repr" -> 2L, "placed" -> 1L))
+    // tapped form returns exactly what the plain form returns
+    val plain = TrainingPipeline.refresh(released, batch, evalDocs)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain === ids)
+  }
+
   test("over-cap artifacts round-trip: bloom + shingle parquet, same refresh result") {
     import spark.implicits._
     val released = (0 until 100).map(i => (i.toLong, s"released doc $i stable words"))
