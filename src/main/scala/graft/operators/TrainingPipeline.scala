@@ -362,6 +362,10 @@ object TrainingPipeline {
     val clfKeep = TextAnalysis.linearQualityScore(documents,
         threshold = clfThreshold, idCol = idCol, textCol = textCol)
       .filter(col("keep")).select(col("doc_id"))
+    // screened/survivors each feed two consumers, but persisting them
+    // does NOT pay here (measured ±0.1 s at sf0.1 — the span chain
+    // dominates and runs once either way; see BENCH_NOTES), so the
+    // plan stays cache-free
     val screened = documents
       .select(col(idCol).cast("long").as("doc_id"), col(textCol))
       .join(clfKeep, Seq("doc_id"), "left_semi")
