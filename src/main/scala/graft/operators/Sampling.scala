@@ -133,6 +133,33 @@ object Sampling {
         col("off"), col("n_tokens"))
   }
 
+  /** Packing efficiency card: per-shard bin counts and budget
+    * utilization over a [[packSequences]] layout — the release-card
+    * numbers ("how full are the context windows?") that decide whether
+    * a budget/shard recipe wastes compute. Per shard: docs, tokens,
+    * bins touched (max bin + 1 — offset packing fills bins densely in
+    * id order, so earlier bins are full by construction) and
+    * `utilization` = tokens / (bins × budget), round-4.
+    *
+    * Scale shape: the packSequences windows plus ONE shard-keyed agg
+    * with map-side partials — #shards rows out.
+    */
+  def packStats(
+      documents: DataFrame,
+      budget: Int = 2048,
+      shards: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokenCol: Option[String] = None): DataFrame =
+    packSequences(documents, budget, shards, idCol, textCol, tokenCol)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin")) + 1L).as("n_bins"))
+      .withColumn("utilization",
+        round(col("n_tokens").cast("double") / (col("n_bins") * budget), 4))
+
   /** Whole-document bin packing, next-fit in id order: where
     * [[packSequences]] assigns span offsets that let a document
     * STRADDLE a bin boundary (the concat-then-slice training layout),

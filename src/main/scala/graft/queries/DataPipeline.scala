@@ -2749,6 +2749,32 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** pk5: packing efficiency card — per-shard bins and budget
+    * utilization over pk1's offset layout; the release-card number
+    * that decides whether a budget/shard recipe wastes context slots.
+    */
+  val pk5_pack_stats = QueryDef.sqlChecked(
+    "pk5_pack_stats",
+    s"""WITH mx AS ${mix32Sql("doc_id, text")},
+       |t AS (SELECT doc_id, hs % 32 AS shard,
+       |       CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)
+       |         AS n_tokens
+       |      FROM mx),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |            AS BIGINT) AS off
+       |      FROM t),
+       |b AS (SELECT shard, off // 2048 AS bin, n_tokens FROM c)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       | CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+       | round(CAST(sum(n_tokens) AS DOUBLE)/((max(bin) + 1)*2048), 4)
+       |   AS utilization
+       |FROM b GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    Sampling.packStats(Tables.documents(s, d)).orderBy("shard")
+  }
+
   /** Shared CTE chain for tr1/tr2: label (the round4 quality score vs
     * the 0.5 floor, sp9's q CTE), the hashed incidence frame
     * (bucket = poly32(w, 97) % 1024, x = occurrence fraction — the
@@ -3050,7 +3076,7 @@ object DataPipeline {
     dd12b_span_drop, txt_entropy,
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
-    pk4_fim_transform,
+    pk4_fim_transform, pk5_pack_stats,
     tok1_bpe_tokenize, tok2_fertility, sp8b_bpe_budget, pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
     cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,

@@ -38,6 +38,25 @@ class SamplingSpec extends SparkSpec {
     assert(n1 > 0 && n1 < docs.filter(col("source") === "src1").count())
   }
 
+  test("packStats: utilization is tokens over touched bins, consistent with packSequences") {
+    val stats = Sampling.packStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val packed = Sampling.packSequences(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))) // (shard, bin, n_tokens)
+    val byShard = packed.groupBy(_._1)
+    assert(stats.keySet === byShard.keySet)
+    stats.foreach { case (shard, (nDocs, nTokens, nBins, util)) =>
+      val rows = byShard(shard)
+      assert(nDocs === rows.length.toLong)
+      assert(nTokens === rows.map(_._3).sum)
+      assert(nBins === rows.map(_._2).max + 1)
+      val expected = math.floor(nTokens.toDouble / (nBins * 2048) * 1e4 + 0.5) / 1e4
+      assert(math.abs(util - expected) < 1e-9)
+      assert(util > 0.0 && util <= 1.0 + 1e-9)
+    }
+  }
+
   test("mixtureAudit: copy counts equal the materialized mix; shares sum to 1") {
     val weights = Seq("src0" -> 2300L, "src1" -> 500L, "src2" -> 0L)
     val audit = Sampling.mixtureAudit(docs, weights).collect()
