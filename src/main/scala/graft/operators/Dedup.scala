@@ -365,6 +365,40 @@ object Dedup {
       .distinct()
   }
 
+  /** The capped banded form of a Hamming signature frame — the
+    * persistable index side of [[bandedHammingJoin]] (cap frozen over
+    * index members, the [[minhashBands]] discipline): one row per
+    * (doc, band) carrying the full signature so probes verify without
+    * a second join.
+    */
+  private[operators] def bandedHammingIndex(
+      sigs: DataFrame, maxBucket: Int): DataFrame =
+    capDocFreq(
+      sigs.select(col("doc_id"), col("sig"), posexplode(col("bytes")))
+        .toDF("doc_id", "sig", "band", "byte_val"),
+      Seq("band", "byte_val"), maxBucket)
+
+  /** Probe a persisted Hamming band index with a batch signature
+    * frame: (band, byte_val) equi-join, exact Hamming verify from the
+    * signatures both sides already carry — the incremental form of
+    * [[bandedHammingJoin]] (da = index id, db = batch id).
+    */
+  private[operators] def bandedHammingProbe(
+      index: DataFrame, batchSigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "banding guarantees recall only for maxHamming <= 7")
+    val bband = batchSigs
+      .select(col("doc_id"), col("sig"), posexplode(col("bytes")))
+      .toDF("doc_id", "sig", "band", "byte_val")
+    index.as("l")
+      .join(bband.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.byte_val") === col("r.byte_val"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Fragment-level overlap via winnowing fingerprints: documents that
     * share any sufficiently long passage (>= k+w-1 tokens) share at
     * least one fingerprint, so the fingerprint equi-join finds

@@ -382,6 +382,30 @@ object Multimodal {
     Dedup.bandedHammingJoin(sigs, maxHamming, maxBucket)
   }
 
+  /** The persistable dHash band index of an image set — the visual
+    * analog of [[graft.operators.Dedup.minhashBands]]: decode +
+    * signature once at release time, probe forever
+    * ([[dhashIncrementalPairs]]). Cap frozen over index members.
+    */
+  def dhashIndex(
+      media: Dataset[MediaRow],
+      maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame =
+    Dedup.bandedHammingIndex(dhash(media), maxBucket)
+
+  /** Incremental image near-dup: which released images does this batch
+    * visually duplicate (Hamming <= maxHamming on dHash) — the
+    * [[Dedup.incrementalNearDup]] shape for the image modality. The
+    * released images are never re-decoded: the batch decodes and
+    * signatures once (batch-sized), probes the persisted index with a
+    * (band, byte) equi-join, and verifies from the signatures both
+    * sides carry. Output: (da = index id, db = batch id, hamming).
+    */
+  def dhashIncrementalPairs(
+      batch: Dataset[MediaRow],
+      index: DataFrame,
+      maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame =
+    Dedup.bandedHammingProbe(index, dhash(batch), maxHamming)
+
   /** Deterministic synthetic video table, as fixed-width-frame text
     * payloads: every `poolEvery`-th document draws its frame WINDOW from
     * a sliding pool (video with pool key k = frames k..k+nFrames-1), so

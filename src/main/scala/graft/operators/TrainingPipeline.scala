@@ -732,6 +732,35 @@ object TrainingPipeline {
       java.nio.file.Paths.get(releasePath, ModelsSubdir)
         .resolve("minhash_bands").toString)
 
+  /** Persist an image set's dHash band index with the release — the
+    * visual analog of [[writeMinhashBands]]: images decode and
+    * signature ONCE at release time; every incoming batch probes the
+    * index ([[Multimodal.dhashIncrementalPairs]]) without touching
+    * released bytes again. 9 rows × ~17 bytes per image.
+    */
+  def writeDhashIndex(
+      released: org.apache.spark.sql.Dataset[MediaRow],
+      releasePath: String,
+      maxBucket: Int = 1000): Unit = {
+    implicit val spark = released.sparkSession
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    Multimodal.dhashIndex(released, maxBucket)
+      .orderBy("doc_id", "band")
+      .write.mode("overwrite").parquet(dir.resolve("dhash_index").toString)
+  }
+
+  /** Load the index [[writeDhashIndex]] persisted — lazy parquet, no
+    * decode jobs; pass as `index` to
+    * [[Multimodal.dhashIncrementalPairs]].
+    */
+  def loadDhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): DataFrame =
+    spark.read.parquet(
+      java.nio.file.Paths.get(releasePath, ModelsSubdir)
+        .resolve("dhash_index").toString)
+
   /** Load the artifacts [[writeRefreshArtifacts]] persisted: the
     * corpus sketch bytes (pass as `corpusSketch` to [[refresh]]) and a
     * reconstructed [[Decontamination.PreparedEval]] (pass as

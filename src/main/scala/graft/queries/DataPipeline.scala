@@ -1699,8 +1699,12 @@ object DataPipeline {
     * pooling bug breaks the hash (the mm_decode trick, extended to the
     * dedup layer).
     */
-  private val DhashSql =
-    s"""WITH keys AS (SELECT doc_id,
+  /** The dHash derivation CTE chain (pattern images → gray grid →
+    * 9×8 pooling → gradient bits → signature halves + band bytes),
+    * shared by mm_dhash_pairs and mm_dhash_incremental.
+    */
+  private val DhashCtes =
+    s"""keys AS (SELECT doc_id,
        |  CASE WHEN doc_id % 7 = 0 THEN (doc_id // 7) % 23 ELSE 23 + doc_id END AS k
        |  FROM documents),
        |dims AS (SELECT doc_id, k, 16 + k % 5 AS w, 12 + k % 4 AS h FROM keys),
@@ -1726,7 +1730,10 @@ object DataPipeline {
        |   FROM bits GROUP BY doc_id),
        |bytes AS (SELECT doc_id, i // 8 AS band,
        |           CAST(sum(bit << (7 - (i % 8))) AS BIGINT) AS byte_val
-       |          FROM bits GROUP BY doc_id, i // 8),
+       |          FROM bits GROUP BY doc_id, i // 8)""".stripMargin
+
+  private val DhashSql =
+    s"""WITH $DhashCtes,
        |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
        |         HAVING count(*) <= 1000),
        |bk AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b JOIN keep USING (band, byte_val)),
@@ -1737,6 +1744,36 @@ object DataPipeline {
        |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
        |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
        |ORDER BY da, db""".stripMargin
+
+  /** mm_dhash_incremental mirror: the candidate stage split — index
+    * (< 400) buckets capped over index members at build time, batch
+    * (>= 400) bands uncapped; same signature verify. Pattern-pool
+    * twins cross the split (k cycles mod 23 over both id ranges).
+    */
+  private val DhashIncSql =
+    s"""WITH $DhashCtes,
+       |keep AS (SELECT band, byte_val FROM bytes WHERE doc_id < 400
+       |         GROUP BY band, byte_val HAVING count(*) <= 1000),
+       |bkc AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b
+       |        JOIN keep USING (band, byte_val) WHERE b.doc_id < 400),
+       |bkb AS (SELECT doc_id, band, byte_val FROM bytes WHERE doc_id >= 400),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bkc a JOIN bkb b USING (band, byte_val))
+       |SELECT da, db,
+       | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
+       |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
+       |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
+       |ORDER BY da, db""".stripMargin
+
+  val mm_dhash_incremental = QueryDef.sqlChecked(
+    "mm_dhash_incremental", DhashIncSql) { (s, d) =>
+    implicit val spark = s
+    val docs = Tables.documents(s, d)
+    val corpus = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") < 400))
+    val batch = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") >= 400))
+    Multimodal.dhashIncrementalPairs(batch, Multimodal.dhashIndex(corpus))
+      .orderBy("da", "db")
+  }
 
   val mm_dhash_pairs = QueryDef.sqlChecked("mm_dhash_pairs", DhashSql) { (s, d) =>
     implicit val spark = s
@@ -3082,5 +3119,6 @@ object DataPipeline {
     cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
+    mm_dhash_incremental,
     mm_video_pairs, mm_audio_pairs)
 }

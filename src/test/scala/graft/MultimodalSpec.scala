@@ -110,6 +110,32 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 7))
   }
 
+  test("dhashIncrementalPairs equals the full run's cross-split slice; index round-trips") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf)
+    val corpus = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") < 400))
+    val batch = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") >= 400))
+    val inc = Multimodal.dhashIncrementalPairs(batch, Multimodal.dhashIndex(corpus))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // organic buckets never hit the cap at this SF: the persisted-index
+    // probe must equal the full banded self-join restricted to
+    // corpus-x-batch pairs, hamming values included
+    val full = Multimodal.dhashPairs(Multimodal.syntheticPatternImages(docs))
+      .filter(col("da") < 400 && col("db") >= 400)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inc === full && inc.nonEmpty)
+    // release round-trip: loaded index reproduces the inline result
+    val dir = java.nio.file.Files.createTempDirectory("dhash-idx").toString
+    graft.operators.TrainingPipeline.writeDhashIndex(corpus, dir)
+    val viaLoaded = Multimodal.dhashIncrementalPairs(batch,
+        graft.operators.TrainingPipeline.loadDhashIndex(spark, dir))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(viaLoaded === inc)
+  }
+
   test("dhash is perceptually robust: rescaled re-encodes pair with their source") {
     implicit val s = spark
     import s.implicits._
