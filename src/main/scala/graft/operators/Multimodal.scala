@@ -615,6 +615,27 @@ object Multimodal {
     Dedup.bandedHammingJoin(sigs, maxHamming, maxBucket)
   }
 
+  /** The persistable audio band index — [[dhashIndex]] for the audio
+    * modality (envelope hashes share the (doc, sig, bytes) Hamming
+    * shape, so the same index/probe machinery applies verbatim).
+    */
+  def audioEnvelopeIndex(
+      media: Dataset[MediaRow],
+      maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame =
+    Dedup.bandedHammingIndex(audioEnvelopeHash(media), maxBucket)
+
+  /** Incremental audio near-dup: batch clips probed against a released
+    * set's persisted envelope index — released audio is never
+    * re-decoded (the decode is ~70% of the pair query's cost, see
+    * [[audioEnvelopePairs]]). Output: (da = index id, db = batch id,
+    * hamming).
+    */
+  def audioIncrementalPairs(
+      batch: Dataset[MediaRow],
+      index: DataFrame,
+      maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame =
+    Dedup.bandedHammingProbe(index, audioEnvelopeHash(batch), maxHamming)
+
   /** One sampled frame of a chunked media payload. */
   final case class FrameSample(
       doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int, frame_md5: String)

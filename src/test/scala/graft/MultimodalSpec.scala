@@ -207,6 +207,38 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs((0L, 161L)) === 0, "amplitude scaling must preserve every gradient sign")
   }
 
+  test("audioIncrementalPairs: batch twin finds its released clip via the index") {
+    implicit val s = spark
+    import s.implicits._
+    // released = pool clip 0 + unique clips; batch = 161 (pool twin of
+    // 0, byte-distinct amplitude scale) + a unique clip
+    val released = graft.operators.Multimodal.syntheticPatternAudio(
+      Seq(0L, 3L, 4L, 5L).toDF("doc_id"))
+    val batch = graft.operators.Multimodal.syntheticPatternAudio(
+      Seq(161L, 200L).toDF("doc_id"))
+    val inline = graft.operators.Multimodal.audioIncrementalPairs(
+        batch, graft.operators.Multimodal.audioEnvelopeIndex(released))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(inline === Map((0L, 161L) -> 0),
+      "exactly the cross pool pair, at envelope Hamming 0")
+    // full-run parity on the organic fixture: probe == self-join slice
+    val docs = Tables.documents(spark, sf)
+    val corpus = graft.operators.Multimodal.syntheticPatternAudio(
+      docs.filter(col("doc_id") < 400).select("doc_id"))
+    val newClips = graft.operators.Multimodal.syntheticPatternAudio(
+      docs.filter(col("doc_id") >= 400).select("doc_id"))
+    val inc = graft.operators.Multimodal.audioIncrementalPairs(
+        newClips, graft.operators.Multimodal.audioEnvelopeIndex(corpus))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val full = graft.operators.Multimodal.audioEnvelopePairs(
+        graft.operators.Multimodal.syntheticPatternAudio(docs.select("doc_id")))
+      .filter(col("da") < 400 && col("db") >= 400)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inc === full && inc.nonEmpty)
+  }
+
   test("audioEnvelopeHash excludes clips shorter than the window grid") {
     implicit val s = spark
     import s.implicits._
