@@ -441,12 +441,19 @@ object Multimodal {
     * the signature value, doc-frequency cap against ubiquitous frames
     * (intro cards, black frames), never all-pairs.
     */
-  def videoFramePairs(
+  /** The capped per-video distinct-signature frame (doc_id, s, n) with
+    * the post-cap set size carried as a column — the joinable/
+    * persistable core of [[videoFramePairs]], exposed so a released
+    * video set can persist it once ([[videoFrameIndex]]) and batches
+    * can probe it ([[videoIncrementalPairs]]). One keyed exchange for
+    * the set build, broadcast hot-signature cap, zero-exchange window
+    * size; persisted because consumers read it at least twice.
+    */
+  private[operators] def cappedFrameSets(
       frames: DataFrame,
-      idCol: String = "doc_id",
-      sigCol: String = "frame_md5",
-      threshold: Double = 0.5,
-      maxDocFreq: Int = 1000): DataFrame = {
+      idCol: String,
+      sigCol: String,
+      maxDocFreq: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE keyed exchange builds the per-video distinct signature SET
     // (collect_set subsumes what a row-level distinct + later per-doc
@@ -465,12 +472,21 @@ object Multimodal {
     // zero-exchange window count, carried through the signature join as
     // a column (keyedSetJaccard's separate size aggregation + two size
     // joins disappear)
-    // persisted as well: the l/r sides of the signature join project
-    // DIFFERENT carried columns (na vs nb), so their exchanges do not
+    sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  def videoFramePairs(
+      frames: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "frame_md5",
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 1000): DataFrame = {
+    // persisted: the l/r sides of the signature join project DIFFERENT
+    // carried columns (na vs nb), so their exchanges do not
     // canonicalize to one — without the persist the cap + window chain
     // (hot-key aggregation included) executes once per side
-    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val sh = cappedFrameSets(frames, idCol, sigCol, maxDocFreq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = sh.select(col("doc_id").as("da"), col("s"), col("n").as("na"))
     val r = sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb"))
@@ -480,6 +496,49 @@ object Multimodal {
       // J >= threshold in exact integer arithmetic at 4-dp threshold
       // precision (the Dedup.keyedSetJaccard fix: the reciprocal form
       // was only correct when 1/threshold is integral)
+      .filter(col("inter") * lit(10000L) >=
+        lit(math.round(threshold * 10000)) * col("uni"))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
+  /** The persistable frame-signature index of a released video set —
+    * [[cappedFrameSets]] with the cap frozen over index videos; probe
+    * with [[videoIncrementalPairs]].
+    */
+  def videoFrameIndex(
+      frames: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "frame_md5",
+      maxDocFreq: Int = 1000): DataFrame =
+    cappedFrameSets(frames, idCol, sigCol, maxDocFreq)
+
+  /** Incremental video near-dup: which released videos does this batch
+    * share >= `threshold` frame-Jaccard with — released frame bytes
+    * are never re-digested (the index carries signatures + set sizes).
+    * The batch builds its own distinct-signature sets (uncapped —
+    * caps freeze over index members, the persisted-index convention),
+    * joins the index on the signature, and the Jaccard filter uses the
+    * same exact integer arithmetic as [[videoFramePairs]]. Output:
+    * (da = index id, db = batch id, jaccard).
+    */
+  def videoIncrementalPairs(
+      batchFrames: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "frame_md5",
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bsh = batchFrames
+      .select(col(idCol).cast("long").as("doc_id"), col(sigCol).as("s"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sigs"))
+      .select(col("doc_id"), explode(col("sigs")).as("s"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val l = index.select(col("doc_id").as("da"), col("s"), col("n").as("na"))
+    val r = bsh.select(col("doc_id").as("db"), col("s"), col("n").as("nb"))
+    l.join(r, "s")
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * lit(10000L) >=
         lit(math.round(threshold * 10000)) * col("uni"))
       .select(col("da"), col("db"),

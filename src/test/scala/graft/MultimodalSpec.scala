@@ -239,6 +239,26 @@ class MultimodalSpec extends SparkSpec {
     assert(inc === full && inc.nonEmpty)
   }
 
+  test("videoIncrementalPairs equals the full run's cross-split slice") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf)
+    def frames(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.syntheticVideoDocs(d),
+        frameBytes = 16, targetFrames = 64).toDF()
+    val corpusFrames = frames(docs.filter(col("doc_id") < 400))
+    val batchFrames = frames(docs.filter(col("doc_id") >= 400))
+    val inc = graft.operators.Multimodal.videoIncrementalPairs(
+        batchFrames, graft.operators.Multimodal.videoFrameIndex(corpusFrames))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = graft.operators.Multimodal.videoFramePairs(frames(docs))
+      .filter(col("da") < 400 && col("db") >= 400)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc === full && inc.nonEmpty)
+  }
+
   test("audioEnvelopeHash excludes clips shorter than the window grid") {
     implicit val s = spark
     import s.implicits._
