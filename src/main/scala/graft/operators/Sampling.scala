@@ -509,6 +509,8 @@ object Sampling {
     require(milliEpochs.nonEmpty, "mixtureAudit needs at least one weight")
     require(milliEpochs.forall(_._2 >= 0) && defaultMilliEpochs >= 0,
       s"negative epoch weight: $milliEpochs default=$defaultMilliEpochs")
+    require(milliEpochs.exists(_._2 > 0) || defaultMilliEpochs > 0,
+      "all-zero weights: the mixture is empty and shares are undefined")
     val me = milliEpochExpr(milliEpochs, keyCol, defaultMilliEpochs)
     val per = documents
       .select(col(idCol), col(keyCol), me.as("me"),

@@ -1230,11 +1230,14 @@ object TextAnalysis {
       documents: DataFrame,
       groupCol: String = "lang",
       textCol: String = "text",
-      probs: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame =
+      probs: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be non-empty fractions in [0, 1]: $probs")
     lengthStats(documents, groupCol, textCol).groupBy(groupCol).agg(
       count(lit(1)).as("n_docs"),
       probs.map(p => round(percentile(col("nw"), lit(p)), 4)
         .as(s"p${(p * 100).round}")): _*)
+  }
 
   /** The corpus-scale twin of [[lengthQuantiles]]: `approx_percentile`
     * (Greenwald-Khanna summaries — bounded memory per group, partial
@@ -1249,12 +1252,16 @@ object TextAnalysis {
       groupCol: String = "lang",
       textCol: String = "text",
       probs: Seq[Double] = Seq(0.1, 0.5, 0.9),
-      accuracy: Int = 10000): DataFrame =
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be non-empty fractions in [0, 1]: $probs")
+    require(accuracy > 0, s"invalid accuracy=$accuracy")
     lengthStats(documents, groupCol, textCol).groupBy(groupCol).agg(
       count(lit(1)).as("n_docs"),
       probs.map(p =>
         percentile_approx(col("nw"), lit(p), lit(accuracy))
           .cast("double").as(s"p${(p * 100).round}")): _*)
+  }
 
   private def lengthStats(
       documents: DataFrame, groupCol: String, textCol: String): DataFrame =
