@@ -260,6 +260,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"copy fan-out must be a generator:\n$p")
   }
 
+  test("dd15: loaded index rides a parquet scan — the probe side never re-signatures") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("bands-gate").toString
+    graft.operators.TrainingPipeline.writeMinhashBands(corpus, dir)
+    val loaded = graft.operators.TrainingPipeline.loadMinhashBands(spark, dir)
+    val p = graft.operators.Dedup.incrementalNearDup(batch, corpus, loaded)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the candidate join's index side is the persisted parquet, not a
+    // recomputed signature stage
+    assert(p.contains("minhash_bands"),
+      s"index side must scan the persisted band parquet:\n$p")
+    // exactly two typed signature passes remain: the batch and the
+    // LeftSemi-bounded candidate-corpus verify — never a third over the
+    // full released corpus for banding
+    val typedPasses = "\\(\\d+\\) MapPartitions|\\(\\d+\\) SerializeFromObject"
+      .r.findAllIn(p).length
+    assert(typedPasses <= 4, // 2 passes x (map + serialize) nodes
+      s"unexpected extra typed stages (corpus re-signatured?):\n$p")
+    assert(p.contains("LeftSemi") && !p.contains("CartesianProduct"), p)
+  }
+
   test("dd15: corpus verify side is semi-joined to candidates, no cartesian") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") < 400)
