@@ -105,11 +105,74 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       maxBucket: Int = 1000): DataFrame =
-    capDocFreq(
-      signatures(documents, idCol, textCol, numHashes, bands)
-        .select(col("doc_id"), posexplode(col("band_hashes")))
-        .toDF("doc_id", "band", "band_hash"),
-      Seq("band", "band_hash"), maxBucket)
+    stampIndexMeta(
+      capDocFreq(
+        signatures(documents, idCol, textCol, numHashes, bands)
+          .select(col("doc_id"), posexplode(col("band_hashes")))
+          .toDF("doc_id", "band", "band_hash"),
+        Seq("band", "band_hash"), maxBucket),
+      "band_hash", "minhash_bands",
+      Map("numHashes" -> numHashes.toLong, "bands" -> bands.toLong,
+        "maxBucket" -> maxBucket.toLong))
+
+  /** Index parameter metadata riding the SCHEMA (Spark persists column
+    * metadata in the parquet footer, so it round-trips through
+    * [[TrainingPipeline.writeMinhashBands]]-style artifacts for free —
+    * no sidecar file, no extra job). Rationale: a probe built with
+    * mismatched LSH parameters (numHashes/bands) yields ~zero
+    * candidates SILENTLY — quiet recall collapse, the worst failure
+    * mode an index can have. Stamping the build parameters on the
+    * signature column and checking them at probe time turns that into
+    * a fail-fast, the same discipline as the unigram-LM artifact's
+    * versioned magic header.
+    */
+  private[graft] val IndexKindKey = "graft.index_kind"
+
+  private[graft] def stampIndexMeta(
+      index: DataFrame, sigCol: String, kind: String,
+      params: Map[String, Long]): DataFrame = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(IndexKindKey, kind)
+    params.foreach { case (k, v) => b.putLong(s"graft.$k", v) }
+    index.withColumn(sigCol, col(sigCol).as(sigCol, b.build()))
+  }
+
+  /** Probe-time check: if the index frame carries a kind stamp it must
+    * name the expected index family and agree on every parameter the
+    * probe re-derives on its own side; an unstamped frame (caller-built
+    * ad hoc) passes untouched. Loaders REQUIRE the stamp instead — see
+    * [[TrainingPipeline.loadMinhashBands]].
+    */
+  private[graft] def checkIndexMeta(
+      index: DataFrame, sigCol: String, kind: String,
+      params: Map[String, Long]): Unit =
+    index.schema.fields.find(_.name == sigCol).foreach { f =>
+      if (f.metadata.contains(IndexKindKey)) {
+        val got = f.metadata.getString(IndexKindKey)
+        require(got == kind,
+          s"index kind mismatch: expected '$kind', artifact is '$got'")
+        params.foreach { case (k, v) =>
+          if (f.metadata.contains(s"graft.$k")) {
+            val gv = f.metadata.getLong(s"graft.$k")
+            require(gv == v,
+              s"index parameter mismatch on '$k': probe built with $v, " +
+                s"index built with $gv — probing would silently yield " +
+                "near-zero candidates")
+          }
+        }
+      }
+    }
+
+  private[graft] def requireIndexKind(
+      index: DataFrame, sigCol: String, kind: String, what: String): DataFrame = {
+    val ok = index.schema.fields.find(_.name == sigCol)
+      .exists(f => f.metadata.contains(IndexKindKey) &&
+        f.metadata.getString(IndexKindKey) == kind)
+    require(ok, s"$what: parquet at this path carries no '$kind' stamp " +
+      s"on column '$sigCol' — not a graft index artifact (or written by " +
+      "a pre-metadata release; rebuild the index)")
+    index
+  }
 
   /** Incremental near-dup: which released-corpus documents does this
     * batch near-duplicate — the LSH analog of [[bloomPrefilterDedup]]'s
@@ -133,8 +196,17 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
+    checkIndexMeta(corpusBands, "band_hash", "minhash_bands",
+      Map("numHashes" -> numHashes.toLong, "bands" -> bands.toLong))
+    // eager localCheckpoint, not persist: the batch signature frame is
+    // consumed twice (band probe + verify), but a persist here has no
+    // unpersist point in a lazily-returned plan — under a streaming
+    // foreachBatch that leaks one cached block set per micro-batch.
+    // localCheckpoint blocks are freed by the ContextCleaner when the
+    // frame is GC'd (the duplicateClusters convention); materialization
+    // is batch-sized work the probe pays anyway.
     val bsig = signatures(batch, idCol, textCol, numHashes, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val bband = bsig.select(col("doc_id"), posexplode(col("band_hashes")))
       .toDF("doc_id", "band", "band_hash")
     val cand = corpusBands.as("c")

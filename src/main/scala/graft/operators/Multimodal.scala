@@ -390,7 +390,8 @@ object Multimodal {
   def dhashIndex(
       media: Dataset[MediaRow],
       maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame =
-    Dedup.bandedHammingIndex(dhash(media), maxBucket)
+    Dedup.stampIndexMeta(Dedup.bandedHammingIndex(dhash(media), maxBucket),
+      "sig", "dhash_index", Map("maxBucket" -> maxBucket.toLong))
 
   /** Incremental image near-dup: which released images does this batch
     * visually duplicate (Hamming <= maxHamming on dHash) — the
@@ -403,8 +404,10 @@ object Multimodal {
   def dhashIncrementalPairs(
       batch: Dataset[MediaRow],
       index: DataFrame,
-      maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame =
+      maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame = {
+    Dedup.checkIndexMeta(index, "sig", "dhash_index", Map.empty)
     Dedup.bandedHammingProbe(index, dhash(batch), maxHamming)
+  }
 
   /** Deterministic synthetic video table, as fixed-width-frame text
     * payloads: every `poolEvery`-th document draws its frame WINDOW from
@@ -511,7 +514,8 @@ object Multimodal {
       idCol: String = "doc_id",
       sigCol: String = "frame_md5",
       maxDocFreq: Int = 1000): DataFrame =
-    cappedFrameSets(frames, idCol, sigCol, maxDocFreq)
+    Dedup.stampIndexMeta(cappedFrameSets(frames, idCol, sigCol, maxDocFreq),
+      "s", "video_frame_index", Map("maxDocFreq" -> maxDocFreq.toLong))
 
   /** Incremental video near-dup: which released videos does this batch
     * share >= `threshold` frame-Jaccard with — released frame bytes
@@ -528,6 +532,7 @@ object Multimodal {
       idCol: String = "doc_id",
       sigCol: String = "frame_md5",
       threshold: Double = 0.5): DataFrame = {
+    Dedup.checkIndexMeta(index, "s", "video_frame_index", Map.empty)
     import org.apache.spark.sql.expressions.Window
     val bsh = batchFrames
       .select(col(idCol).cast("long").as("doc_id"), col(sigCol).as("s"))
@@ -681,7 +686,9 @@ object Multimodal {
   def audioEnvelopeIndex(
       media: Dataset[MediaRow],
       maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame =
-    Dedup.bandedHammingIndex(audioEnvelopeHash(media), maxBucket)
+    Dedup.stampIndexMeta(
+      Dedup.bandedHammingIndex(audioEnvelopeHash(media), maxBucket),
+      "sig", "audio_envelope_index", Map("maxBucket" -> maxBucket.toLong))
 
   /** Incremental audio near-dup: batch clips probed against a released
     * set's persisted envelope index — released audio is never
@@ -692,8 +699,10 @@ object Multimodal {
   def audioIncrementalPairs(
       batch: Dataset[MediaRow],
       index: DataFrame,
-      maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame =
+      maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame = {
+    Dedup.checkIndexMeta(index, "sig", "audio_envelope_index", Map.empty)
     Dedup.bandedHammingProbe(index, audioEnvelopeHash(batch), maxHamming)
+  }
 
   /** One sampled frame of a chunked media payload. */
   final case class FrameSample(

@@ -137,9 +137,12 @@ object Sampling {
     * utilization over a [[packSequences]] layout — the release-card
     * numbers ("how full are the context windows?") that decide whether
     * a budget/shard recipe wastes compute. Per shard: docs, tokens,
-    * bins touched (max bin + 1 — offset packing fills bins densely in
-    * id order, so earlier bins are full by construction) and
-    * `utilization` = tokens / (bins × budget), round-4.
+    * bins touched — derived from the END offsets, `ceil(max(off +
+    * n_tokens) / budget)`, not from the bin a doc STARTS in: a long
+    * document straddling past the last start-bin boundary spills tokens
+    * into later bins, and counting start bins would let utilization
+    * exceed 1.0 and overstate window fullness on the release card —
+    * and `utilization` = tokens / (bins × budget), round-4.
     *
     * Scale shape: the packSequences windows plus ONE shard-keyed agg
     * with map-side partials — #shards rows out.
@@ -156,7 +159,11 @@ object Sampling {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        (max(col("bin")) + 1L).as("n_bins"))
+        // integer ceil-div; floor 1 so an all-empty shard prices as one
+        // (empty) window instead of dividing utilization by zero
+        greatest(
+          expr(s"(max(off + n_tokens) + ${budget - 1}) div $budget"),
+          lit(1L)).as("n_bins"))
       .withColumn("utilization",
         round(col("n_tokens").cast("double") / (col("n_bins") * budget), 4))
 

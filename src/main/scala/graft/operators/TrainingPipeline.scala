@@ -524,8 +524,15 @@ object TrainingPipeline {
       fpp: Double = 0.01,
       corpusSketch: Option[Array[Byte]] = None,
       preparedEval: Option[Decontamination.PreparedEval] = None): DataFrame = {
+    // eager localCheckpoint: `placed` feeds BOTH the final left_anti
+    // and (via survivors) the near-dup probe — without materialization
+    // the whole refresh subtree (Bloom confirm + decon screen) executes
+    // twice per batch. localCheckpoint over persist for the same reason
+    // as Dedup.incrementalNearDup: no unpersist point in a lazy return,
+    // and the blocks self-free on GC under a long-running foreachBatch.
     val placed = refresh(released, newBatch, evalDocs, idCol, textCol,
       gramSize, shards, fpp, corpusSketch, preparedEval)
+      .localCheckpoint(eager = true)
     val batch = newBatch.select(col(idCol).cast("long").as(idCol), col(textCol))
     val survivors = batch.join(placed.select(idCol), Seq(idCol), "left_semi")
     val nearDupIds = Dedup.incrementalNearDup(
@@ -723,20 +730,27 @@ object TrainingPipeline {
 
   /** Load the band index [[writeMinhashBands]] persisted — a lazy
     * parquet frame, zero corpus scans; pass as `corpusBands` to
-    * [[Dedup.incrementalNearDup]].
+    * [[Dedup.incrementalNearDup]]. Fails fast unless the parquet
+    * schema carries the `minhash_bands` kind stamp (the build
+    * parameters ride the `band_hash` column metadata and are
+    * re-checked against the probe's at probe time — mismatched
+    * parameters would otherwise collapse recall silently).
     */
   def loadMinhashBands(
       spark: org.apache.spark.sql.SparkSession,
       releasePath: String): DataFrame =
-    spark.read.parquet(
-      java.nio.file.Paths.get(releasePath, ModelsSubdir)
-        .resolve("minhash_bands").toString)
+    Dedup.requireIndexKind(
+      spark.read.parquet(
+        java.nio.file.Paths.get(releasePath, ModelsSubdir)
+          .resolve("minhash_bands").toString),
+      "band_hash", "minhash_bands", s"loadMinhashBands($releasePath)")
 
   /** Persist an image set's dHash band index with the release — the
     * visual analog of [[writeMinhashBands]]: images decode and
     * signature ONCE at release time; every incoming batch probes the
     * index ([[Multimodal.dhashIncrementalPairs]]) without touching
-    * released bytes again. 9 rows × ~17 bytes per image.
+    * released bytes again. 8 rows × ~17 bytes per image (one per
+    * byte-band of the 64-bit signature).
     */
   def writeDhashIndex(
       released: org.apache.spark.sql.Dataset[MediaRow],
@@ -752,14 +766,79 @@ object TrainingPipeline {
 
   /** Load the index [[writeDhashIndex]] persisted — lazy parquet, no
     * decode jobs; pass as `index` to
-    * [[Multimodal.dhashIncrementalPairs]].
+    * [[Multimodal.dhashIncrementalPairs]]. Kind-stamped like
+    * [[loadMinhashBands]].
     */
   def loadDhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       releasePath: String): DataFrame =
-    spark.read.parquet(
-      java.nio.file.Paths.get(releasePath, ModelsSubdir)
-        .resolve("dhash_index").toString)
+    Dedup.requireIndexKind(
+      spark.read.parquet(
+        java.nio.file.Paths.get(releasePath, ModelsSubdir)
+          .resolve("dhash_index").toString),
+      "sig", "dhash_index", s"loadDhashIndex($releasePath)")
+
+  /** Persist a released video set's frame-signature index
+    * ([[Multimodal.videoFrameIndex]]) — frames are sampled and
+    * signatured ONCE at release time; batches probe with
+    * [[Multimodal.videoIncrementalPairs]]. One row per (video,
+    * distinct frame signature), post-cap set size carried as a column.
+    */
+  def writeVideoFrameIndex(
+      releasedFrames: DataFrame,
+      releasePath: String,
+      maxDocFreq: Int = 1000): Unit = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    Multimodal.videoFrameIndex(releasedFrames, maxDocFreq = maxDocFreq)
+      .orderBy("doc_id", "s")
+      .write.mode("overwrite").parquet(dir.resolve("video_frame_index").toString)
+  }
+
+  /** Load the index [[writeVideoFrameIndex]] persisted — lazy parquet,
+    * no frame-sampling jobs; pass as `index` to
+    * [[Multimodal.videoIncrementalPairs]]. Kind-stamped like
+    * [[loadMinhashBands]].
+    */
+  def loadVideoFrameIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): DataFrame =
+    Dedup.requireIndexKind(
+      spark.read.parquet(
+        java.nio.file.Paths.get(releasePath, ModelsSubdir)
+          .resolve("video_frame_index").toString),
+      "s", "video_frame_index", s"loadVideoFrameIndex($releasePath)")
+
+  /** Persist a released audio set's envelope band index
+    * ([[Multimodal.audioEnvelopeIndex]]) — clips decode ONCE at
+    * release time (decode is ~70% of the pair query's cost); batches
+    * probe with [[Multimodal.audioIncrementalPairs]].
+    */
+  def writeAudioEnvelopeIndex(
+      released: org.apache.spark.sql.Dataset[MediaRow],
+      releasePath: String,
+      maxBucket: Int = 1000): Unit = {
+    implicit val spark = released.sparkSession
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    Multimodal.audioEnvelopeIndex(released, maxBucket)
+      .orderBy("doc_id", "band")
+      .write.mode("overwrite").parquet(dir.resolve("audio_envelope_index").toString)
+  }
+
+  /** Load the index [[writeAudioEnvelopeIndex]] persisted — lazy
+    * parquet, no decode jobs; pass as `index` to
+    * [[Multimodal.audioIncrementalPairs]]. Kind-stamped like
+    * [[loadMinhashBands]].
+    */
+  def loadAudioEnvelopeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): DataFrame =
+    Dedup.requireIndexKind(
+      spark.read.parquet(
+        java.nio.file.Paths.get(releasePath, ModelsSubdir)
+          .resolve("audio_envelope_index").toString),
+      "sig", "audio_envelope_index", s"loadAudioEnvelopeIndex($releasePath)")
 
   /** Load the artifacts [[writeRefreshArtifacts]] persisted: the
     * corpus sketch bytes (pass as `corpusSketch` to [[refresh]]) and a

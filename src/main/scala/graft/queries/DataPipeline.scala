@@ -2802,11 +2802,13 @@ object DataPipeline {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
        |            AS BIGINT) AS off
        |      FROM t),
-       |b AS (SELECT shard, off // 2048 AS bin, n_tokens FROM c)
+       |b AS (SELECT shard, off, n_tokens FROM c)
        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       | CAST(max(bin) + 1 AS BIGINT) AS n_bins,
-       | round(CAST(sum(n_tokens) AS DOUBLE)/((max(bin) + 1)*2048), 4)
+       | CAST(greatest((max(off + n_tokens) + 2047) // 2048, 1) AS BIGINT)
+       |   AS n_bins,
+       | round(CAST(sum(n_tokens) AS DOUBLE)
+       |   /(greatest((max(off + n_tokens) + 2047) // 2048, 1)*2048), 4)
        |   AS utilization
        |FROM b GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
     Sampling.packStats(Tables.documents(s, d)).orderBy("shard")

@@ -85,6 +85,37 @@ class DedupSpec extends SparkSpec {
     assert(viaLoaded === inline)
   }
 
+  test("index metadata: parameter mismatch and foreign parquet fail fast") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // an index built with bands=16 probed by the default bands=32 probe
+    // would silently yield ~zero candidates — the schema stamp turns
+    // quiet recall collapse into a hard error
+    val narrow = Dedup.minhashBands(corpus, bands = 16, numHashes = 64)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(batch, corpus, narrow)
+    }
+    assert(e.getMessage.contains("bands"))
+    // a random parquet at the index path is not an index artifact
+    val dir = java.nio.file.Files.createTempDirectory("bands-foreign")
+    val p = dir.resolve("_graft_models").resolve("minhash_bands")
+    corpus.select(col("doc_id"), md5(col("text")).as("band_hash"),
+        lit(0).as("band"))
+      .write.mode("overwrite").parquet(p.toString)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.loadMinhashBands(spark, dir.toString)
+    }
+    assert(e2.getMessage.contains("minhash_bands"))
+    // the stamp itself survives the parquet round-trip (footer schema)
+    val okDir = java.nio.file.Files.createTempDirectory("bands-meta").toString
+    graft.operators.TrainingPipeline.writeMinhashBands(corpus, okDir)
+    val loaded = graft.operators.TrainingPipeline.loadMinhashBands(spark, okDir)
+    val md = loaded.schema.fields.find(_.name == "band_hash").get.metadata
+    assert(md.getString(Dedup.IndexKindKey) === "minhash_bands")
+    assert(md.getLong("graft.numHashes") === 64L &&
+      md.getLong("graft.bands") === 32L && md.getLong("graft.maxBucket") === 1000L)
+  }
+
   test("minhash-LSH finds all high-similarity pairs and only true pairs") {
     val lsh = Dedup.minhashLsh(docs)
     val lshPairs = pairs(lsh)

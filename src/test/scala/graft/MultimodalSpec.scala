@@ -259,6 +259,51 @@ class MultimodalSpec extends SparkSpec {
     assert(inc === full && inc.nonEmpty)
   }
 
+  test("video/audio indexes round-trip through release writers; wrong kind fails fast") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf)
+    def frames(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.syntheticVideoDocs(d),
+        frameBytes = 16, targetFrames = 64).toDF()
+    val corpusFrames = frames(docs.filter(col("doc_id") < 400))
+    val batchFrames = frames(docs.filter(col("doc_id") >= 400))
+    val dir = java.nio.file.Files.createTempDirectory("media-idx").toString
+    graft.operators.TrainingPipeline.writeVideoFrameIndex(corpusFrames, dir)
+    val viaLoaded = graft.operators.Multimodal.videoIncrementalPairs(
+        batchFrames, graft.operators.TrainingPipeline.loadVideoFrameIndex(spark, dir))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = graft.operators.Multimodal.videoIncrementalPairs(
+        batchFrames, graft.operators.Multimodal.videoFrameIndex(corpusFrames))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaLoaded === inline && inline.nonEmpty)
+    val released = graft.operators.Multimodal.syntheticPatternAudio(
+      docs.filter(col("doc_id") < 400).select("doc_id"))
+    val clips = graft.operators.Multimodal.syntheticPatternAudio(
+      docs.filter(col("doc_id") >= 400).select("doc_id"))
+    graft.operators.TrainingPipeline.writeAudioEnvelopeIndex(released, dir)
+    val audioViaLoaded = graft.operators.Multimodal.audioIncrementalPairs(
+        clips, graft.operators.TrainingPipeline.loadAudioEnvelopeIndex(spark, dir))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val audioInline = graft.operators.Multimodal.audioIncrementalPairs(
+        clips, graft.operators.Multimodal.audioEnvelopeIndex(released))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(audioViaLoaded === audioInline && audioInline.nonEmpty)
+    // cross-modality probe: an audio index handed to the image probe is
+    // a kind mismatch, not a silent zero-candidate run
+    val imgBatch = graft.operators.Multimodal.syntheticPatternImages(
+      docs.filter(col("doc_id") >= 400))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.dhashIncrementalPairs(
+        imgBatch, graft.operators.TrainingPipeline.loadAudioEnvelopeIndex(spark, dir))
+    }
+    assert(e.getMessage.contains("dhash_index"))
+  }
+
   test("audioEnvelopeHash excludes clips shorter than the window grid") {
     implicit val s = spark
     import s.implicits._

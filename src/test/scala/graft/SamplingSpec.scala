@@ -43,14 +43,17 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     val packed = Sampling.packSequences(docs).collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))) // (shard, bin, n_tokens)
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))) // (shard, off, n_tokens)
     val byShard = packed.groupBy(_._1)
     assert(stats.keySet === byShard.keySet)
     stats.foreach { case (shard, (nDocs, nTokens, nBins, util)) =>
       val rows = byShard(shard)
       assert(nDocs === rows.length.toLong)
       assert(nTokens === rows.map(_._3).sum)
-      assert(nBins === rows.map(_._2).max + 1)
+      // bins from END offsets: a doc straddling past the last start-bin
+      // boundary still counts the bins its tail spills into
+      val endMax = rows.map(r => r._2 + r._3).max
+      assert(nBins === math.max((endMax + 2047) / 2048, 1L))
       val expected = math.floor(nTokens.toDouble / (nBins * 2048) * 1e4 + 0.5) / 1e4
       assert(math.abs(util - expected) < 1e-9)
       assert(util > 0.0 && util <= 1.0 + 1e-9)
