@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.model.{EntityRef, TestEntities}
 import graft.runtime.{Client, EventTransport}
 import graft.runtime.local.LocalRuntime
-import graft.streaming.StreamingEntityRuntime
+import graft.streaming.{DrainingEntityRuntime, StreamingEntityRuntime}
 
 /** Committable evidence for the Layer-A scenario gate: replays the
   * S1-S6d entity scenarios (expected values = the reference's own E2E
   * asserts, /root/reference/tests/stateflow_test.py:74-269) on ALL
-  * THREE lowerings — LocalRuntime, flatMapGroupsWithState, and Spark 4
-  * transformWithState — plus the S7-S10 Structured Streaming window
+  * FOUR lowerings — LocalRuntime, flatMapGroupsWithState, Spark 4
+  * transformWithState, and the in-batch DRAINING runtime — plus the S7-S10 Structured Streaming window
   * scenarios and the distributed-egress hop/reply counters, and writes
   * one JSON artifact (`SCENARIOS_r{N}.json`) with expected vs actual
   * per check. The test suite asserts the same values; this main makes
@@ -227,7 +227,7 @@ object ScenarioAudit {
           }
         checks.map(runtime -> _)
       } finally transport match {
-        case s: StreamingEntityRuntime => s.close()
+        case s: AutoCloseable => s.close()
         case _ => ()
       }
     }
@@ -253,6 +253,34 @@ object ScenarioAudit {
           true, rt.loopbackWrittenCount > hopsBefore),
         "fmgws" -> chk("egress", "driver_sees_one_reply",
           1, rt.driverCollectedCount - repliesBefore))
+    } finally rt.close()
+  }
+
+  /** The draining lowering's defining property, as auditable counters:
+    * a two-entity split flow drains its inter-key hops IN-batch (hop
+    * counter moves, drain rounds >= 2) and completes in exactly ONE
+    * non-empty micro-batch — where the loopback lowering needs one
+    * batch per hop.
+    */
+  private def drainCounters(spark: SparkSession): Seq[(String, Check)] = {
+    val rt = new DrainingEntityRuntime(TestEntities.registry, spark)
+    try {
+      val c = new Client(TestEntities.registry, rt)
+      val Right(u) = c.create("User", Map("username" -> "drainer"))
+      val Right(it) = c.create("Item", Map("item_name" -> "drain-item", "price" -> 5))
+      c.call(u, "update_balance", Map("x" -> 20))
+      c.call(it, "update_stock", Map("amount" -> 4))
+      val batchesBefore = rt.busyBatches.size
+      val hopsBefore = rt.drainedHopCount
+      val ok = c.call(u, "buy_item", Map("amount" -> 3, "item" -> it))
+      Seq(
+        "drain" -> chk("drain", "buy_ok", true, ok),
+        "drain" -> chk("drain", "hops_drained_in_batch",
+          true, rt.drainedHopCount > hopsBefore),
+        "drain" -> chk("drain", "flow_is_one_batch",
+          1, rt.busyBatches.size - batchesBefore),
+        "drain" -> chk("drain", "drain_rounds_cover_hops",
+          true, rt.maxDrainRoundsSeen >= 2))
     } finally rt.close()
   }
 
@@ -448,7 +476,10 @@ object ScenarioAudit {
         runEntityScenarios("tws",
           () => new StreamingEntityRuntime(TestEntities.registry, twsSession,
             useTransformWithState = true)) ++
+        runEntityScenarios("drain",
+          () => new DrainingEntityRuntime(TestEntities.registry, spark)) ++
         egressCounters(spark) ++
+        drainCounters(spark) ++
         streamingWindowChecks(spark) ++
         gatewaySharingChecks(spark)
     val nPass = all.count(_._2.pass)

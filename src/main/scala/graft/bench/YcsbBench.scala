@@ -122,10 +122,21 @@ object YcsbBench {
     val gwT = runGatewayStreamingT(spark,
       nRequests = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_T_OPS", "200").toInt,
       nThreads = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_THREADS", "8").toInt)
+    // HTTP_D row: the same pure multi-hop load over the DRAINING
+    // runtime — a flow completes in ONE micro-batch (continuations
+    // re-dispatch in-batch), so throughput sheds the batches-per-hop
+    // factor HTTP_T pays; more concurrent clients raise in-flight
+    // sharing, which is the capacity this row measures
+    val gwD = runGatewayStreamingT(spark,
+      nRequests = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_D_OPS", "2000").toInt,
+      nThreads = sys.env.getOrElse("SPARK_GRAFT_YCSB_HTTP_D_THREADS", "32").toInt,
+      workload = "HTTP_D", configLabel = "gateway_draining",
+      mkRt = s => new graft.streaming.DrainingEntityRuntime(
+        TestEntities.registry, s, statePartitions = 4))
     // machine-readable per-round artifact (judge/driver diffable)
     val out = sys.env.getOrElse("SPARK_GRAFT_YCSB_OUT", "YCSB.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      (lines :+ gw :+ gwT).mkString("[\n", ",\n", "\n]\n"))
+      (lines :+ gw :+ gwT :+ gwD).mkString("[\n", ",\n", "\n]\n"))
     spark.stop()
   }
 
@@ -215,11 +226,20 @@ object YcsbBench {
     * carries.
     */
   private def runGatewayStreamingT(
-      spark: SparkSession, nRequests: Int, nThreads: Int): String = {
+      spark: SparkSession, nRequests: Int, nThreads: Int,
+      workload: String = "HTTP_T",
+      configLabel: String = "gateway_streaming",
+      mkRt: SparkSession => graft.runtime.AsyncEventTransport with AutoCloseable =
+        s => new StreamingEntityRuntime(TestEntities.registry, s)): String = {
     val registry = TestEntities.registry
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", "4")
-    val rt = new StreamingEntityRuntime(registry, session)
+    val rt = mkRt(session)
+    def busyCount: Int = rt match {
+      case s: StreamingEntityRuntime => s.busyBatches.size
+      case d: graft.streaming.DrainingEntityRuntime => d.busyBatches.size
+      case _ => 0
+    }
     val gw = new graft.serving.HttpGateway(registry, rt)
     gw.start()
     try {
@@ -250,7 +270,7 @@ object YcsbBench {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
       val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val errs = new java.util.concurrent.atomic.AtomicInteger()
-      val batchesBefore = rt.busyBatches.size
+      val batchesBefore = busyCount
       val t0 = System.nanoTime()
       val futs = (0 until nThreads).map { t =>
         pool.submit(new Runnable {
@@ -275,7 +295,7 @@ object YcsbBench {
       futs.foreach(_.get())
       pool.shutdown()
       val wall = (System.nanoTime() - t0) / 1e9
-      val busy = rt.busyBatches.size - batchesBefore
+      val busy = busyCount - batchesBefore
       val ls = lats.toArray(new Array[java.lang.Double](0)).map(_.doubleValue()).sorted
       def pct(p: Double): Double =
         if (ls.isEmpty) -1 else ls(((ls.length - 1) * p).toInt)
@@ -283,7 +303,7 @@ object YcsbBench {
         String.format(java.util.Locale.ROOT, fmt, Double.box(v))
       val done = ls.length
       val opsPerBatch = if (busy == 0) 0.0 else done.toDouble / busy
-      val line = s"""{"workload":"HTTP_T","config":"gateway_streaming","entities":$nEntities,"threads":$nThreads,"ops":$done,"errors":${errs.get()},"wall_sec":${num("%.3f", wall)},"throughput_ops_sec":${num("%.1f", done / wall)},"p50_ms":${num("%.2f", pct(0.5))},"p99_ms":${num("%.2f", pct(0.99))},"busy_batches":$busy,"ops_per_busy_batch":${num("%.2f", opsPerBatch)},"max_completions_per_advance":${(0 +: gw.advanceCompletions).max}}"""
+      val line = s"""{"workload":"$workload","config":"$configLabel","entities":$nEntities,"threads":$nThreads,"ops":$done,"errors":${errs.get()},"wall_sec":${num("%.3f", wall)},"throughput_ops_sec":${num("%.1f", done / wall)},"p50_ms":${num("%.2f", pct(0.5))},"p99_ms":${num("%.2f", pct(0.99))},"busy_batches":$busy,"ops_per_busy_batch":${num("%.2f", opsPerBatch)},"max_completions_per_advance":${(0 +: gw.advanceCompletions).max}}"""
       println(line)
       line
     } finally {

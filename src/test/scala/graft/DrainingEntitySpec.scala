@@ -1,0 +1,76 @@
+package graft
+
+import graft.model.TestEntities
+import graft.runtime.EventTransport
+import graft.streaming.DrainingEntityRuntime
+
+/** The S1-S11 scenario gate on the DRAINING lowering (state managed in
+  * foreachBatch, continuations re-dispatched in-batch), plus the
+  * property the lowering exists for: a multi-hop flow completes in ONE
+  * micro-batch instead of one per hop.
+  */
+class DrainingEntitySpec extends EntityScenarios with SparkSpec {
+
+  private var open: List[DrainingEntityRuntime] = Nil
+
+  override def freshTransport(): EventTransport = {
+    val rt = new DrainingEntityRuntime(TestEntities.registry, spark)
+    open ::= rt
+    rt
+  }
+
+  override def withFixture(test: NoArgTest) = {
+    try super.withFixture(test)
+    finally { open.foreach(_.close()); open = Nil }
+  }
+
+  test("a two-entity split flow completes in ONE micro-batch") {
+    val (rtT, c) = fresh()
+    val rt = rtT.asInstanceOf[DrainingEntityRuntime]
+    val Right(u) = c.create("User", Map("username" -> "drainer"))
+    val Right(it) = c.create("Item", Map("item_name" -> "drain-item", "price" -> 5))
+    c.call(u, "update_balance", Map("x" -> 20))
+    c.call(it, "update_stock", Map("amount" -> 4))
+    val batchesBefore = rt.busyBatches.size
+    val hopsBefore = rt.drainedHopCount
+    assert(c.call(u, "buy_item", Map("amount" -> 3, "item" -> it)) === true)
+    // the flow's inter-entity hops drained inside the batch...
+    assert(rt.drainedHopCount > hopsBefore,
+      "buy_item hops must drain in-batch")
+    // ...so exactly one non-empty micro-batch carried the whole flow
+    // (the loopback lowering needs one batch PER hop here)
+    assert(rt.busyBatches.size - batchesBefore === 1,
+      s"flow should complete in one batch, saw ${rt.busyBatches.size - batchesBefore}")
+    assert(rt.maxDrainRoundsSeen >= 2, "a split flow needs >= 2 drain rounds")
+    // and state is consistent afterwards
+    assert(c.getAttr(u, "balance") === 5)
+    assert(c.getAttr(it, "stock") === 1)
+  }
+
+  test("state survives batches, deletes tombstone, compaction preserves both") {
+    val (rtT, c) = fresh()
+    val rt = rtT.asInstanceOf[DrainingEntityRuntime]
+    // compactEvery default is 16; run enough batches to cross it
+    val refs = (0 until 20).map { i =>
+      val Right(r) = c.create("User", Map("username" -> s"u$i"))
+      c.call(r, "update_balance", Map("x" -> i)): Unit
+      r
+    }
+    refs.zipWithIndex.foreach { case (r, i) =>
+      assert(c.getAttr(r, "balance") === i, s"state for u$i lost across batches")
+    }
+    // delete u0; a later read must see KeyNotFound, not a stale row
+    import graft.model.{Event, EventType, Payload}
+    val del = Event("del-u0", refs.head.entity, refs.head.key,
+      EventType.DeleteState, Payload.Empty)
+    assert(rtT.send(del).eventType === EventType.SuccessfulStateRequest)
+    val get = Event("get-u0", refs.head.entity, refs.head.key,
+      EventType.GetState, Payload.AttrGet("balance"))
+    assert(rtT.send(get).eventType === EventType.KeyNotFound)
+    // re-create with the same args (same derived key) succeeds only if
+    // the tombstone really removed the row
+    val Right(re) = c.create("User", Map("username" -> "u0"))
+    assert(re.key === refs.head.key)
+    assert(rt.driverCollectedCount > 0)
+  }
+}
