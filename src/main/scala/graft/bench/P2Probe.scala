@@ -27,7 +27,37 @@ object P2Probe {
       maxDupFrac = 0.3).filter(!F.col("drop")).count() }
     t("curriculum") { graft.operators.Sampling.curriculum(
       docs.select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))).count() }
+    t("span-warm") { graft.operators.Dedup.spanDupFraction(
+      docs.select(F.col("doc_id").cast("long").as("doc_id"), F.col("text")),
+      maxDupFrac = 0.3).filter(!F.col("drop")).count() }
     t("pipe2-full") { graft.operators.TrainingPipeline.screenAndPhase(docs).count() }
+    t("pipe2-warm") { graft.operators.TrainingPipeline.screenAndPhase(docs).count() }
+    t("pipe2-warm2") { graft.operators.TrainingPipeline.screenAndPhase(docs).count() }
+    // experimental: persist screened + survivors (multi-consumer frames)
+    def persisted(): Long = {
+      import org.apache.spark.sql.functions._
+      val clfKeep = graft.operators.TextAnalysis.linearQualityScore(docs, threshold = -0.2)
+        .filter(col("keep")).select(col("doc_id"))
+      val screened = docs
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .join(clfKeep, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spanKeep = graft.operators.Dedup.spanDupFraction(screened, maxDupFrac = 0.3)
+        .filter(!col("drop"))
+        .select(col("doc_id"), col("n_tokens"))
+      val survivors = screened.join(spanKeep, Seq("doc_id"), "inner")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val phased = graft.operators.Sampling.curriculum(survivors, 0.5, 30, "doc_id", "text")
+      val n = phased.join(survivors.select(col("doc_id"), col("n_tokens")), "doc_id")
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("quality_score")), 4).as("mean_quality")).count()
+      screened.unpersist(); survivors.unpersist()
+      n
+    }
+    t("pipe2-persist") { persisted() }
+    t("pipe2-persist2") { persisted() }
     spark.stop()
   }
 }

@@ -362,18 +362,24 @@ object TrainingPipeline {
     val clfKeep = TextAnalysis.linearQualityScore(documents,
         threshold = clfThreshold, idCol = idCol, textCol = textCol)
       .filter(col("keep")).select(col("doc_id"))
-    // screened/survivors each feed two consumers, but persisting them
-    // does NOT pay here (measured ±0.1 s at sf0.1 — the span chain
-    // dominates and runs once either way; see BENCH_NOTES), so the
-    // plan stays cache-free
+    // screened feeds the span chain AND the survivor join; survivors
+    // feed curriculum AND the final join — without the persists the
+    // typed classifier pass + semi-join re-execute once per consumer
+    // (round-12 re-measure: persisting both cuts the warm composition
+    // ~2.8 s -> ~1.6 s at sf0.1, reversing round 11's negative result —
+    // see BENCH_NOTES). Unpersist-less operator persist is the
+    // minhashLsh convention: repeated calls canonicalize to the same
+    // cache entry; batch harnesses clear the cache between queries.
     val screened = documents
       .select(col(idCol).cast("long").as("doc_id"), col(textCol))
       .join(clfKeep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanKeep = Dedup.spanDupFraction(screened, maxDupFrac = maxDupFrac,
         idCol = "doc_id", textCol = textCol)
       .filter(!col("drop"))
       .select(col("doc_id"), col("n_tokens"))
     val survivors = screened.join(spanKeep, Seq("doc_id"), "inner")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val phased =
       Sampling.curriculum(survivors, qualityMin, annealPct, "doc_id", textCol)
     phased.join(survivors.select(col("doc_id"), col("n_tokens")), "doc_id")
