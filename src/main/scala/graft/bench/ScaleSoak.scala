@@ -1,0 +1,221 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: the data-dominated operator family timed at 1x and 10x
+  * the bench corpus size (5k vs 50k docs — the bench SF has only ever
+  * run at sf0.1), writing `SCALE.json` with per-query wall ratios. A
+  * LINEAR operator lands at ratio <= ~12 (10x data ± job constants,
+  * which amortize so most land BELOW 10); a super-linear one shows up
+  * immediately as a 20-100x ratio.
+  *
+  * The corpus is synthesized IN-ENGINE (deterministic hash tokens, the
+  * fixture-machinery discipline) and materialized to parquet first so
+  * every timed operator reads parquet exactly like the bench does:
+  *   - token vocabulary scales WITH the corpus (vocab = 4n), so
+  *     per-token document frequency is constant across scales and
+  *     candidate growth from random shingle collisions is excluded BY
+  *     CONSTRUCTION — the soak isolates engine scaling; collision/cap
+  *     behavior under adversarial density is separately pinned by the
+  *     capped fixtures (CappedFixtureSpec).
+  *   - near-dup structure is PLANTED at a fixed rate (1% in-split
+  *     neighbors + 1% cross-split copies for the incremental probe),
+  *     so true-pair counts scale linearly, as they do in a real corpus.
+  *
+  * Usage: `runMain graft.bench.ScaleSoak [outPath]` (default
+  * SCALE.json). Not part of the driver contract; evidence for the
+  * would-it-survive-100TB audit.
+  */
+object ScaleSoak {
+
+  /** splitmix64 finalizer — deterministic, seedless doc content. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** A few constant common words ride every doc (every 7th token) so
+    * the language-ID and stopword-quality signals behave organically —
+    * a doc of pure hash tokens has no language and pipe1's langid
+    * stage would drop the whole corpus.
+    */
+  private val Common = Array("the", "and", "of", "to", "data", "a", "in", "is")
+
+  /** One doc's token stream: 40-69 tokens drawn from a vocab of 4n
+    * (constant expected df ~13.5 at every scale). Docs with id%100==1
+    * are ~92% near-copies of id-1 (in-split planted pairs, J ~0.6
+    * after trigram-shingle breakage); docs in the top fifth with
+    * id%100==51 are ~92% near-copies of their corpus twin id - 4n/5
+    * (cross-split pairs for the incremental probe).
+    */
+  private def docText(id0: Long, n: Long): String = {
+    val vocab = 4 * n
+    val (id, perturb) =
+      if (id0 % 100 == 1 && id0 > 0) (id0 - 1, true)
+      else if (id0 % 100 == 51 && id0 >= 4 * n / 5) (id0 - 4 * n / 5, true)
+      else (id0, false)
+    val len = 40 + Math.floorMod(mix(id), 30L).toInt
+    val sb = new StringBuilder
+    var j = 0
+    while (j < len) {
+      if (j > 0) sb.append(' ')
+      if (j % 7 == 3)
+        sb.append(Common(Math.floorMod(mix(id * 17L + j), Common.length.toLong).toInt))
+      else {
+        val t =
+          if (perturb && j % 12 == 0) Math.floorMod(mix(id0 * 31L + j), vocab)
+          else Math.floorMod(mix(id * 131L + j * 7919L), vocab)
+        sb.append('w').append(t)
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
+  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val nn = n
+    spark.range(n).as[Long]
+      .map(id => (id, docText(id, nn)))
+      .toDF("doc_id", "text")
+  }
+
+  /** Zipf-vocabulary corpus for the TOKENIZER row: natural language has
+    * Heaps-law vocabulary growth (V ~ n^0.5-0.7) and Zipf token mass,
+    * which is exactly what the BPE memo's O(1)-hit claim rests on. The
+    * uniform vocab-proportional corpus above is ADVERSARIAL for the
+    * memo (per-partition df drops below 1 as vocab outgrows the
+    * partition's token count, every word misses) — measured and
+    * recorded in BENCH_NOTES, not used for the tok1 row.
+    */
+  private def zipfText(id: Long): String = {
+    val len = 40 + Math.floorMod(mix(id), 30L).toInt
+    val sb = new StringBuilder
+    var j = 0
+    while (j < len) {
+      if (j > 0) sb.append(' ')
+      val u = Math.floorMod(mix(id * 193L + j * 6151L), 1000000L) / 1000000.0
+      sb.append('z').append((30000 * u * u * u).toLong)
+      j += 1
+    }
+    sb.toString
+  }
+
+  private def synthZipfDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map(id => (id, zipfText(id))).toDF("doc_id", "text")
+  }
+
+  private def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .map { id =>
+        val v = Array.tabulate(64)(d =>
+          (Math.floorMod(mix(id * 64L + d), 2000L) - 1000L) / 1000.0)
+        (id, v)
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "SCALE.json"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val scales = Seq("x1" -> 5000L, "x10" -> 50000L, "x100" -> 500000L)
+    scales.foreach { case (tag, n) =>
+      synthDocs(spark, n).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/$tag/documents.parquet")
+      synthZipfDocs(spark, n).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/$tag/zipfdocs.parquet")
+      synthEmbeddings(spark, (2 * n) / 5).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/$tag/embeddings.parquet")
+    }
+    // the tokenizer is trained ONCE on a fixed 500-doc slice (a frozen
+    // artifact does not grow with the corpus; tok1 times TOKENIZATION)
+    val merges = graft.operators.TextAnalysis.bpeTrain(
+      spark.read.parquet(s"$base/x1/zipfdocs.parquet")
+        .filter(col("doc_id") < 500), numMerges = 200)
+
+    def docs(tag: String) = spark.read.parquet(s"$base/$tag/documents.parquet")
+    def emb(tag: String) = spark.read.parquet(s"$base/$tag/embeddings.parquet")
+
+    val queries: Seq[(String, String => DataFrame)] = Seq(
+      "dd2_minhash_lsh" -> (t => graft.operators.Dedup.minhashLsh(docs(t))),
+      "dd3_ngram_jaccard" -> (t => graft.operators.Dedup.ngramJaccard(docs(t))),
+      "dd4_simhash" -> (t => graft.operators.Dedup.simhashPairs(docs(t))),
+      "dd15_incremental_neardup" -> { t =>
+        val d = docs(t)
+        val n = scales.toMap.apply(t)
+        val corpus = d.filter(col("doc_id") < 4 * n / 5)
+        val batch = d.filter(col("doc_id") >= 4 * n / 5)
+        graft.operators.Dedup.incrementalNearDup(batch, corpus,
+          corpusBands = graft.operators.Dedup.minhashBands(corpus))
+      },
+      "rf1_corpus_refresh" -> { t =>
+        val d = docs(t)
+        val released = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val batch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val evalDocs = d.filter(pmod(col("doc_id"), lit(100)) < 3)
+        graft.operators.TrainingPipeline.refresh(released, batch, evalDocs)
+      },
+      "pipe1_training_pipeline" ->
+        (t => graft.operators.TrainingPipeline.run(docs(t))),
+      "pipe2_screen_and_phase" ->
+        (t => graft.operators.TrainingPipeline.screenAndPhase(docs(t))),
+      "cl1_kmeans" -> (t => graft.operators.Clustering.kmeans(emb(t))),
+      "tok1_bpe_tokenize" -> (t => graft.operators.TextAnalysis.bpeTokenize(
+        spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)))
+
+    def timeIt(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val results = queries.map { case (name, q) =>
+      // JIT warmup on the small scale, then min of 2 at each scale
+      q("x1").count(): Unit
+      val bySc = scales.map { case (tag, _) =>
+        val a = timeIt(q(tag).count()); val b = timeIt(q(tag).count())
+        tag -> (if (a._1 <= b._1) a else b)
+      }
+      val (t1, r1) = bySc.head._2
+      val line = bySc.map { case (tag, (t, r)) =>
+        f"$tag=${t}%.2fs ($r rows, ${t / t1}%.1fx)"
+      }.mkString("  ")
+      println(f"[scale] $name%-26s $line")
+      (name, bySc)
+    }
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val items = results.map { case (name, bySc) =>
+      val t1 = bySc.head._2._1
+      val fields = bySc.map { case (tag, (t, r)) =>
+        s""""t_${tag}_sec":${num(t)},"rows_$tag":$r,"ratio_$tag":${num(t / t1)}"""
+      }.mkString(",")
+      s"""  "$name": {$fields}"""
+    }
+    // worst 100x ratio vs the 100x data factor is the headline
+    val worst100 = results.map { case (_, bySc) =>
+      bySc.last._2._1 / bySc.head._2._1 }.max
+    val body = s"""{"docs_x1":5000,"docs_x10":50000,"docs_x100":500000,""" +
+      s""""worst_ratio_x100":${num(worst100)},"queries":{\n""" +
+      items.mkString(",\n") + "\n}}\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scale] worst x100 ratio ${num(worst100)} -> $out")
+    spark.stop()
+  }
+}
