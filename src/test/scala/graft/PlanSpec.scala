@@ -754,4 +754,110 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), s"txt_clf planned a sort:\n$p")
     assert(!p.contains("Join"), s"txt_clf planned a join:\n$p")
   }
+
+  // ------------- loaded-artifact gates: a probe against a persisted
+  // index must SCAN the artifact parquet, never re-derive it (the
+  // dd15/`5efa04a` discipline, extended to every loader)
+
+  test("loaded dhash index probes as a parquet scan — released images never re-decode") {
+    implicit val s = spark
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = graft.operators.Multimodal.syntheticPatternImages(
+      docs.filter(col("doc_id") < 400))
+    val batch = graft.operators.Multimodal.syntheticPatternImages(
+      docs.filter(col("doc_id") >= 400))
+    val dir = java.nio.file.Files.createTempDirectory("dhash-gate").toString
+    graft.operators.TrainingPipeline.writeDhashIndex(corpus, dir)
+    val p = graft.operators.Multimodal.dhashIncrementalPairs(batch,
+        graft.operators.TrainingPipeline.loadDhashIndex(spark, dir))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dhash_index"),
+      s"index side must scan the persisted parquet:\n$p")
+    // one typed CHAIN remains (the batch side: fixture synth +
+    // decode + one serializer = 3 nodes); the corpus decode chain is
+    // gone — its presence would double the count
+    val typed = "\\(\\d+\\) MapPartitions|\\(\\d+\\) SerializeFromObject"
+      .r.findAllIn(p).length
+    assert(typed <= 3, s"corpus side re-decoded (extra typed stages):\n$p")
+  }
+
+  test("loaded audio envelope index probes as a parquet scan") {
+    implicit val s = spark
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = graft.operators.Multimodal.syntheticPatternAudio(
+      docs.filter(col("doc_id") < 400).select("doc_id"))
+    val batch = graft.operators.Multimodal.syntheticPatternAudio(
+      docs.filter(col("doc_id") >= 400).select("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("audio-gate").toString
+    graft.operators.TrainingPipeline.writeAudioEnvelopeIndex(corpus, dir)
+    val p = graft.operators.Multimodal.audioIncrementalPairs(batch,
+        graft.operators.TrainingPipeline.loadAudioEnvelopeIndex(spark, dir))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("audio_envelope_index"),
+      s"index side must scan the persisted parquet:\n$p")
+    val typed = "\\(\\d+\\) MapPartitions|\\(\\d+\\) SerializeFromObject"
+      .r.findAllIn(p).length
+    assert(typed <= 3, s"corpus side re-decoded (extra typed stages):\n$p")
+  }
+
+  test("loaded video frame index probes as a parquet scan — one set-build, batch side only") {
+    implicit val sess = spark
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def frames(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.syntheticVideoDocs(d),
+        frameBytes = 16, targetFrames = 64).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("video-gate").toString
+    graft.operators.TrainingPipeline.writeVideoFrameIndex(
+      frames(docs.filter(col("doc_id") < 400)), dir)
+    val p = graft.operators.Multimodal.videoIncrementalPairs(
+        frames(docs.filter(col("doc_id") >= 400)),
+        graft.operators.TrainingPipeline.loadVideoFrameIndex(spark, dir))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("video_frame_index"),
+      s"index side must scan the persisted parquet:\n$p")
+    // the per-video signature-SET aggregation appears once (the batch):
+    // a second partial+final pair (4 more mentions in formatted
+    // output) means the index side re-derived its sets
+    assert("collect_set".r.findAllIn(p).length <= 4,
+      s"index side re-built its frame sets:\n$p")
+  }
+
+  test("prebuilt IVF centroids: building the probe plan runs ZERO fit jobs") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val e = graft.operators.Dedup.spread(emb
+        .select(col("vec_id").cast("long").as("id"),
+          org.apache.spark.sql.functions.col("embedding")
+            .cast("array<double>").as("v")))
+      .as[(Long, Array[Double])]
+    val fit = graft.operators.IvfSearch.fitCentroids(
+      e, nClusters = 16, lloydIter = 3, fitSampleMod = 1)
+    val qids = Seq(0L, 1L, 2L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    Thread.sleep(500) // let in-flight listener events from the fit drain
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      jobs.set(0)
+      // plan construction only — the fit path would run its
+      // sample/collect jobs right here; the prebuilt path must not
+      val probe = graft.operators.IvfSearch.ivfTopK(
+        emb, qids, prebuiltCentroids = Some(fit))
+      probe.queryExecution.executedPlan: Unit
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"prebuilt-centroid plan construction ran ${jobs.get()} setup jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
