@@ -62,17 +62,23 @@ import graft.runtime.StatefulOperator
   *     bounding lineage depth — the snapshot+delta discipline of
   *     Spark's own HDFS-backed state store.
   *
-  * Durability: none (state dies with the session) — by design the
-  * LOW-LATENCY tier; durable deployments use the checkpointed
-  * fMGWS/transformWithState lowerings. The reference's runtime
-  * portfolio has the same split (in-process vs broker-backed).
+  * Durability: opt-in via `stateDir` — each batch appends its
+  * touched-state overlay as a parquet changelog delta (batch-bounded
+  * write), and a restarted runtime REPLAYS the changelog distributed-ly
+  * (latest row per key wins, tombstones drop, one keyed shuffle; state
+  * never sits on the driver). That covers warm restart of committed
+  * state; INPUT replay needs a replayable source, which the
+  * checkpointed fMGWS/transformWithState lowerings provide — the
+  * reference's runtime portfolio has the same split (in-process vs
+  * broker-backed).
   */
 final class DrainingEntityRuntime(
     registry: EntityRegistry,
     spark: SparkSession,
     statePartitions: Int = 32,
     maxDrainRounds: Int = 64,
-    compactEvery: Int = 16)
+    compactEvery: Int = 16,
+    stateDir: Option[String] = None)
     extends graft.runtime.AsyncEventTransport with AutoCloseable {
 
   import spark.implicits._
@@ -83,10 +89,18 @@ final class DrainingEntityRuntime(
   private val input = MemoryStream[Event](spark, numPartitions = 1)
   private val replies = new ConcurrentHashMap[String, Event]()
 
-  // the base store; only the stream thread (foreachBatch) mutates it
+  // the base store; only the stream thread (foreachBatch) mutates it.
+  // With a stateDir, startup REPLAYS the changelog distributed-ly:
+  // read every delta, keep each key's latest row (tombstones drop),
+  // deserialize — state never sits on the driver.
   @volatile private var base: RDD[((String, String), State)] =
-    sc.parallelize(Seq.empty[((String, String), State)], statePartitions)
-      .partitionBy(partitioner)
+    stateDir.map(DrainingEntityRuntime.restore(spark, _, partitioner))
+      .getOrElse(
+        sc.parallelize(Seq.empty[((String, String), State)], statePartitions)
+          .partitionBy(partitioner))
+  /** Delta files already on disk at startup (restore watermark). */
+  private var deltaSeq: Long =
+    stateDir.map(DrainingEntityRuntime.nextDeltaSeq).getOrElse(0L)
   // persisted predecessors retained until the next compaction (their
   // cached partitions back the unmaterialized ones of later bases)
   private val retained = mutable.ListBuffer.empty[RDD[_]]
@@ -95,11 +109,6 @@ final class DrainingEntityRuntime(
   @volatile private var driverCollected = 0L
   @volatile private var drainedHops = 0L
   @volatile private var maxRoundsSeen = 0
-
-  /** Events that exhausted `maxDrainRounds` spill here and re-enter as
-    * the next batch's round 0 (liveness under pathological depth).
-    */
-  private val spill = mutable.ArrayBuffer.empty[Event]
 
   private def processBatch(events: Array[Event]): Unit = {
     val reg = registry
@@ -157,7 +166,11 @@ final class DrainingEntityRuntime(
       round += 1
     }
     if (round > maxRoundsSeen) maxRoundsSeen = round
-    if (groups.nonEmpty) spill ++= groups.valuesIterator.flatten
+    // liveness under a cap tighter than the flow depth: leftover
+    // continuations re-enter through the ingress, so the NEXT trigger
+    // (which processAllAvailable will run — the stream has new data)
+    // resumes the drain where this batch stopped
+    if (groups.nonEmpty) enqueue(groups.valuesIterator.flatten.toSeq)
     mergeOverlay(overlay)
   }
 
@@ -180,6 +193,21 @@ final class DrainingEntityRuntime(
   private def mergeOverlay(
       overlay: mutable.LinkedHashMap[(String, String), Option[State]]): Unit = {
     if (overlay.isEmpty) return
+    // durable tier: the batch's touched-state overlay IS the changelog
+    // delta — batch-bounded, appended before the in-memory merge so a
+    // crash after the append replays into the same end state. The
+    // java-serialized state blob is the internal store format (like the
+    // state store's UnsafeRow bytes), not a public artifact.
+    stateDir.foreach { dir =>
+      val rows = overlay.iterator.map { case ((e, k), st) =>
+        (e, k, st.isEmpty, st.map(DrainingEntityRuntime.stateBytes).orNull)
+      }.toSeq
+      spark.createDataset(rows).toDF("entity", "key", "deleted", "state_bin")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"$dir/delta-$deltaSeq%012d.parquet")
+      deltaSeq += 1
+    }
     val dead = overlay.keySet.toSet
     val updByPid: Map[Int, Vector[((String, String), State)]] =
       overlay.iterator.collect { case (k, Some(s)) => (k, s) }
@@ -216,10 +244,7 @@ final class DrainingEntityRuntime(
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
         val evs = batch.collect()
-        val pending =
-          if (spill.nonEmpty) { val s = spill.toArray; spill.clear(); s ++ evs }
-          else evs
-        if (pending.nonEmpty) processBatch(pending)
+        if (evs.nonEmpty) processBatch(evs)
         ()
       }
       .start()
@@ -283,6 +308,69 @@ object DrainingEntityRuntime {
   /** Per-key drain step result: output events + the key's new state. */
   final case class DrainOut(
       key: (String, String), out: Seq[Event], state: Option[State])
+
+  private[streaming] def stateBytes(st: State): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try out.writeObject(st) finally out.close()
+    bos.toByteArray
+  }
+
+  private[streaming] def stateFromBytes(b: Array[Byte]): State = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    try in.readObject().asInstanceOf[State] finally in.close()
+  }
+
+  /** First unused delta sequence number in a changelog dir. */
+  private[streaming] def nextDeltaSeq(dir: String): Long = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) 0L
+    else {
+      val ns = Option(d.list()).getOrElse(Array.empty[String])
+        .collect { case n if n.startsWith("delta-") && n.endsWith(".parquet") =>
+          n.stripPrefix("delta-").stripSuffix(".parquet").toLong }
+      if (ns.isEmpty) 0L else ns.max + 1
+    }
+  }
+
+  /** Distributed changelog replay: read every delta (its sequence
+    * number rides the file path), keep each key's LATEST row, drop
+    * tombstones, deserialize, land on the store's partitioner. One
+    * keyed shuffle over the changelog — state never touches the
+    * driver. (Production compaction would fold old deltas into a
+    * snapshot; the replay shape is identical.)
+    */
+  private[streaming] def restore(
+      spark: SparkSession,
+      dir: String,
+      partitioner: HashPartitioner): RDD[((String, String), State)] = {
+    import spark.implicits._
+    val d = new java.io.File(dir)
+    java.nio.file.Files.createDirectories(d.toPath)
+    val deltas = Option(d.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("delta-") && n.endsWith(".parquet"))
+      .sorted.map(n => s"$dir/$n")
+    if (deltas.isEmpty)
+      spark.sparkContext
+        .parallelize(Seq.empty[((String, String), State)], partitioner.numPartitions)
+        .partitionBy(partitioner)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val all = spark.read.parquet(deltas: _*)
+        .withColumn("seq",
+          regexp_extract(input_file_name(), "delta-(\\d+)\\.parquet", 1)
+            .cast("long"))
+      val latest = all
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("entity", "key").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select("entity", "key", "state_bin")
+      latest.as[(String, String, Array[Byte])].rdd
+        .map { case (e, k, b) => ((e, k), stateFromBytes(b)) }
+        .partitionBy(partitioner)
+    }
+  }
 
   /** Apply [[StatefulOperator.handle]] over one key's events in batch
     * order — the same fold as [[StreamingEntityRuntime.statefulFn]],

@@ -47,6 +47,50 @@ class DrainingEntitySpec extends EntityScenarios with SparkSpec {
     assert(c.getAttr(it, "stock") === 1)
   }
 
+  test("round cap: events past maxDrainRounds spill to the next batch, flow still completes") {
+    // cap 1: round 0 processes the client event, its first continuation
+    // must spill and complete in a later batch — liveness under a cap
+    // tighter than the flow's depth
+    val rt = new DrainingEntityRuntime(TestEntities.registry, spark, maxDrainRounds = 1)
+    open ::= rt
+    val c = new graft.runtime.Client(TestEntities.registry, rt)
+    val Right(u) = c.create("User", Map("username" -> "capped"))
+    val Right(it) = c.create("Item", Map("item_name" -> "cap-item", "price" -> 5))
+    c.call(u, "update_balance", Map("x" -> 20))
+    c.call(it, "update_stock", Map("amount" -> 4))
+    assert(c.call(u, "buy_item", Map("amount" -> 3, "item" -> it)) === true)
+    assert(c.getAttr(u, "balance") === 5)
+    assert(c.getAttr(it, "stock") === 1)
+  }
+
+  test("durable stateDir: a restarted runtime replays the changelog, tombstones included") {
+    import graft.model.{Event, EventType, Payload}
+    val dir = java.nio.file.Files.createTempDirectory("drain-state").toString
+    val rt1 = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    val c1 = new graft.runtime.Client(TestEntities.registry, rt1)
+    val Right(u) = c1.create("User", Map("username" -> "durable"))
+    c1.call(u, "update_balance", Map("x" -> 37))
+    val Right(gone) = c1.create("User", Map("username" -> "deleted-one"))
+    assert(rt1.send(Event("d1", gone.entity, gone.key,
+      EventType.DeleteState, Payload.Empty)).eventType ===
+      EventType.SuccessfulStateRequest)
+    rt1.close()
+    // cold restart on the same changelog dir
+    val rt2 = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    open ::= rt2
+    val c2 = new graft.runtime.Client(TestEntities.registry, rt2)
+    assert(c2.getAttr(u, "balance") === 37, "committed state must survive restart")
+    // the delete's tombstone replays too — latest row per key wins
+    assert(rt2.send(Event("g1", gone.entity, gone.key,
+      EventType.GetState, Payload.AttrGet("username"))).eventType ===
+      EventType.KeyNotFound)
+    // and the restored store keeps accepting writes + durable flows
+    c2.call(u, "update_balance", Map("x" -> -7))
+    assert(c2.getAttr(u, "balance") === 30)
+  }
+
   test("state survives batches, deletes tombstone, compaction preserves both") {
     val (rtT, c) = fresh()
     val rt = rtT.asInstanceOf[DrainingEntityRuntime]
