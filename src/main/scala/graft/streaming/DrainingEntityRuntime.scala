@@ -269,6 +269,37 @@ final class DrainingEntityRuntime(
     query.recentProgress.toSeq.filter(_.numInputRows > 0)
       .map(p => (p.batchId, p.durationMs.get("triggerExecution").toDouble))
 
+  /** Fold the durable changelog into ONE delta holding each key's
+    * latest LIVE row (tombstones and superseded versions drop), then
+    * remove the old files — bounded-changelog maintenance for a
+    * long-running durable runtime (the production analog: state-store
+    * snapshot maintenance folding a changelog). The fold rides the
+    * same distributed replay as [[DrainingEntityRuntime.restore]] —
+    * state never sits on the driver. Call between batches (quiesce
+    * with `processAllAvailable`, e.g. [[advance]], first); no-op
+    * without a `stateDir` or with <= 1 delta.
+    */
+  def compactChangelog(): Unit = stateDir.foreach { dir =>
+    val d = new java.io.File(dir)
+    val old = Option(d.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("delta-") && n.endsWith(".parquet")).sorted
+    if (old.length > 1) {
+      val folded = DrainingEntityRuntime.restore(spark, dir, partitioner)
+        .map { case ((e, k), st) =>
+          (e, k, false, DrainingEntityRuntime.stateBytes(st))
+        }
+      spark.createDataset(folded).toDF("entity", "key", "deleted", "state_bin")
+        .write.mode("overwrite")
+        .parquet(f"$dir/delta-$deltaSeq%012d.parquet")
+      deltaSeq += 1
+      old.foreach { n =>
+        val p = new java.io.File(d, n)
+        Option(p.listFiles()).foreach(_.foreach(_.delete()))
+        p.delete(): Unit
+      }
+    }
+  }
+
   private val enqueueLock = new Object
   private def enqueue(evs: Seq[Event]): Unit =
     enqueueLock.synchronized(input.addData(evs)): Unit

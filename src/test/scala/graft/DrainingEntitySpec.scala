@@ -89,6 +89,23 @@ class DrainingEntitySpec extends EntityScenarios with SparkSpec {
     // and the restored store keeps accepting writes + durable flows
     c2.call(u, "update_balance", Map("x" -> -7))
     assert(c2.getAttr(u, "balance") === 30)
+    // changelog compaction: many deltas fold into ONE live-rows file;
+    // a third cold restart restores the identical state from it
+    rt2.advance()
+    rt2.compactChangelog()
+    val files = new java.io.File(dir).list()
+      .filter(n => n.startsWith("delta-") && n.endsWith(".parquet"))
+    assert(files.length === 1, s"compaction must leave one delta, got ${files.toSeq}")
+    rt2.close()
+    open = open.filterNot(_ eq rt2)
+    val rt3 = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    open ::= rt3
+    val c3 = new graft.runtime.Client(TestEntities.registry, rt3)
+    assert(c3.getAttr(u, "balance") === 30, "compacted changelog must restore")
+    assert(rt3.send(Event("g2", gone.entity, gone.key,
+      EventType.GetState, Payload.AttrGet("username"))).eventType ===
+      EventType.KeyNotFound, "compaction must not resurrect deleted keys")
   }
 
   test("state survives batches, deletes tombstone, compaction preserves both") {
