@@ -494,11 +494,21 @@ object TrainingPipeline {
       .select(idCol)
     val repr = tap("repr", fresh.join(winners, Seq(idCol), "left_semi"))
     // 3. decontaminate survivors vs the eval suite (guarded eval side;
-    // a prebuilt handle skips re-counting/re-collecting it per batch)
+    // a prebuilt handle skips re-counting/re-collecting it per batch).
+    // Both arms go through the spread-FREE keepFilter core: `repr` is a
+    // mid-pipeline frame (anti-join + dedup above), and Dedup.spread's
+    // partition-count probe would eagerly materialize that whole
+    // subtree under AQE — measured ~0.8 s of rf1's cold path, executed
+    // twice (the keepFilter doc's exact warning).
+    val spark = repr.sparkSession
+    import spark.implicits._
+    val reprTyped = repr
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
     val clean = preparedEval match {
-      case Some(prep) => Decontamination.decontaminatePrepared(repr, prep, idCol, textCol)
-      case None => Decontamination.decontaminate(
-        repr, evalDocs, idCol, textCol, gramSize, maxCollectedShingles)
+      case Some(prep) => Decontamination.keepFilterSide(
+        reprTyped, prep.side, prep.gramSize, idCol, textCol)
+      case None => Decontamination.keepFilter(
+        reprTyped, evalDocs, idCol, textCol, gramSize, maxCollectedShingles)
     }
     // 4. in-place placement + content digest — no joins, pure id/text
     tap("out", clean.select(
