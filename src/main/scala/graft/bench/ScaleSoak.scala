@@ -172,6 +172,13 @@ object ScaleSoak {
         (t => graft.operators.TrainingPipeline.run(docs(t))),
       "pipe2_screen_and_phase" ->
         (t => graft.operators.TrainingPipeline.screenAndPhase(docs(t))),
+      "dd8_dup_clusters" -> { t =>
+        graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.minhashLsh(docs(t)))
+      },
+      "ann_lsh_topk" -> { t =>
+        graft.operators.Similarity.lshTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      },
       "cl1_kmeans" -> (t => graft.operators.Clustering.kmeans(emb(t))),
       "tok1_bpe_tokenize" -> (t => graft.operators.TextAnalysis.bpeTokenize(
         spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)))
