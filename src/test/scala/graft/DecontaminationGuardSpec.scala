@@ -200,3 +200,46 @@ class DecontaminationGuardSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 }
+
+/** The one-job eval-side aggregation's exactness contract, pinned
+  * directly: under cap+1 the bounded set IS the complete distinct set
+  * regardless of partitioning; at saturation the caller sees exactly
+  * cap+1 (the over-cap trigger), never a silently truncated "set".
+  */
+class BoundedSetAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded set equals the exact distinct set while under cap, across partitionings") {
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val nVals = 1 + rnd.nextInt(400)
+      val vocab = 1 + rnd.nextInt(60)
+      val data = Vector.fill(nVals)(s"s${rnd.nextInt(vocab)}")
+      val parts = 1 + rnd.nextInt(8)
+      val cap = 1 + rnd.nextInt(80)
+      val ds = spark.createDataset(data).repartition(parts)
+      val got = ds
+        .select(udaf(new graft.functions.BoundedSetAgg(cap + 1)).apply(col("value")))
+        .as[Array[String]].head()
+      val exact = data.distinct.toSet
+      if (exact.size <= cap) {
+        assert(got.toSet === exact,
+          s"under-cap result must be the complete distinct set (cap=$cap, parts=$parts)")
+        assert(got.length === exact.size, "no duplicates in the bounded set")
+      } else {
+        assert(got.length === cap + 1,
+          s"over-cap must saturate at exactly cap+1 (cap=$cap, distinct=${exact.size})")
+        assert(got.toSet.subsetOf(exact), "saturated set holds only real elements")
+        assert(got.toSet.size === got.length, "no duplicates even at saturation")
+      }
+    }
+  }
+
+  test("empty input yields the empty set, not a null buffer") {
+    val ds = spark.createDataset(Seq.empty[String])
+    val got = ds
+      .select(udaf(new graft.functions.BoundedSetAgg(8)).apply(col("value")))
+      .as[Array[String]].head()
+    assert(got.length === 0)
+  }
+}

@@ -300,3 +300,67 @@ class HttpGatewayStreamingSpec extends SparkSpec {
     }
   }
 }
+
+/** The T-mix gateway scenario on the DRAINING runtime: with in-batch
+  * continuation draining, n concurrent 2-hop flows need FEWER busy
+  * batches than flows (sharing) AND each flow completes without a
+  * per-hop trigger — the serving-layer evidence behind the YCSB
+  * HTTP_D row.
+  */
+class HttpGatewayTMixDrainingSpec extends SparkSpec {
+
+  test("T-mix over the draining runtime: one-batch flows, balances conserved") {
+    graft.model.TestEntities.registerFlows()
+    val rt = new graft.streaming.DrainingEntityRuntime(TestEntities.registry, spark)
+    val gw = new graft.serving.HttpGateway(TestEntities.registry, rt)
+    gw.start()
+    val http = HttpClient.newHttpClient()
+    val base = s"http://127.0.0.1:${gw.boundPort}"
+    def get(path: String) =
+      http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def post(path: String, body: String) =
+      http.send(HttpRequest.newBuilder(URI.create(base + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val n = 8
+    try {
+      (0 until n).foreach { i =>
+        assert(post("/YCSBEntity/create", s"""{"key":"d$i","value":100}""")
+          .statusCode() === 200)
+      }
+      val batchesBefore = rt.busyBatches.size
+      val hopsBefore = rt.drainedHopCount
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val futs = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val cl = HttpClient.newHttpClient()
+            cl.send(HttpRequest.newBuilder(
+                URI.create(s"$base/YCSBEntity/d$i/call/transfer"))
+              .POST(HttpRequest.BodyPublishers.ofString(
+                s"""{"transfer_amount":5,"other_entity":{"$$ref":["YCSBEntity","d${(i + 1) % n}"]}}"""))
+              .build(), HttpResponse.BodyHandlers.ofString()).body()
+          }
+        })
+      }
+      futs.foreach(f => assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        === """{"value":true}"""))
+      pool.shutdown()
+      val batchesUsed = rt.busyBatches.size - batchesBefore
+      // the draining runtime needs no hop batches at all: every hop
+      // drained inside its flow's ONE batch, so n flows can share down
+      // to a single busy batch — strictly fewer batches than flows
+      assert(batchesUsed < n,
+        s"$n draining flows used $batchesUsed busy batches — no sharing")
+      assert(rt.drainedHopCount > hopsBefore, "hops must drain in-batch")
+      // no lost updates around the ring
+      (0 until n).foreach { i =>
+        assert(get(s"/YCSBEntity/d$i/attr/value").body() === """{"value":100}""")
+      }
+    } finally {
+      gw.stop()
+      rt.close()
+    }
+  }
+}
