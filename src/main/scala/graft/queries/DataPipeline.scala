@@ -2869,7 +2869,11 @@ object DataPipeline {
     s"""WITH $TrainCtes
        |SELECT CAST(bucket AS BIGINT) AS bucket, weight
        |FROM w2 WHERE weight <> 0 ORDER BY bucket""".stripMargin) { (s, d) =>
-    TextAnalysis.trainQualityWeights(trainLabeled(s, d), iters = 2)
+    // batched (Gram-statistics) trainer: trajectory spec-pinned EQUAL to
+    // the iterative path, and faster even at 2 iters (TrainBench:
+    // 0.44 vs 1.35 s at sf0.1 — the per-iter job constants exceed the
+    // one-shot Gram pass on this corpus shape)
+    TextAnalysis.trainQualityWeightsBatched(trainLabeled(s, d), iters = 2)
       .filter(col("weight") =!= 0.0)
       .orderBy("bucket")
   }
@@ -2891,7 +2895,7 @@ object DataPipeline {
        | coalesce(ag.margin, 0.0) > 0.0 AS keep
        |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin) {
     (s, d) =>
-      val weights = TextAnalysis.trainQualityWeights(trainLabeled(s, d), iters = 2)
+      val weights = TextAnalysis.trainQualityWeightsBatched(trainLabeled(s, d), iters = 2)
       TextAnalysis.linearQualityScore(Tables.documents(s, d),
           weights = Some(weights))
         .orderBy("doc_id")
