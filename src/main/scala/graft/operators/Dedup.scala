@@ -49,15 +49,30 @@ object Dedup {
     * source (any real at-scale table) passes through untouched; an
     * unconditional `repartition` here would be a gratuitous full
     * shuffle of the corpus text.
+    *
+    * MID-PIPELINE frames (any join/aggregate/window/sort upstream) skip
+    * the probe entirely: their partitioning already comes from shuffle
+    * stages, and the partition-count probe (`toRdd`) EAGERLY
+    * MATERIALIZES those stages under AQE — executing the upstream
+    * subtree once for the probe and again for the real action (the rf1
+    * refresh paid ~0.8 s/batch to exactly this before round 12).
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // toRdd, NOT .rdd: same partition count, skips building the
-    // deserialization RDD — and crucially does not fire a
-    // QueryExecutionListener "rdd" completion, which would latch any
-    // upstream Dataset.observe Observation with never-run (all-zero)
-    // accumulators before a real action can report the true counts
-    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par) else df
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Sort, Window => WindowNode}
+    val midPipeline = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Sort | _: WindowNode => true
+      case _ => false
+    }
+    if (midPipeline) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      // toRdd, NOT .rdd: same partition count, skips building the
+      // deserialization RDD — and crucially does not fire a
+      // QueryExecutionListener "rdd" completion, which would latch any
+      // upstream Dataset.observe Observation with never-run (all-zero)
+      // accumulators before a real action can report the true counts
+      if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par) else df
+    }
   }
 
   /** Whitespace tokens with empty strings dropped — expression form for
