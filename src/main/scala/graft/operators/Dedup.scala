@@ -390,6 +390,74 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
 
+  /** Directional containment near-dup (Broder's containment
+    * coefficient): pairs (contained, container, containment) where
+    * C(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| >= threshold. Catches the
+    * asymmetric duplication symmetric Jaccard misses — a truncated
+    * variant or a document embedded in a larger aggregation page has
+    * J = |A|/|B| (arbitrarily small as the container grows) but
+    * C = 1.0. The production precision pass keeps the container and
+    * drops the contained copy.
+    *
+    * Scale shape: IDENTICAL to [[ngramJaccard]]'s one-exchange
+    * bounded-group core (shingle-keyed groups, df cap, df^2-capped
+    * pair fan-out); the only differences are the |A| denominator and
+    * that BOTH orientations of each co-shingled pair are tested — a
+    * pair can emit twice only when the capped shingle sets are
+    * mutually contained.
+    */
+  def containment(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    keyedContainment(spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        TextHashing.shingles(TextHashing.tokens(text)).map(s => (id, s))
+      }
+      .toDF("doc_id", "s"), threshold, maxDocFreq)
+  }
+
+  /** [[containment]]'s core over any distinct (doc_id, s) frame — the
+    * [[keyedSetJaccard]] group/pair machinery with the directional
+    * containment predicate. Threshold compares in exact integer
+    * arithmetic at 4-dp precision (the keyedSetJaccard convention).
+    */
+  private[operators] def keyedContainment(
+      keyed: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(maxDocFreq + 1))
+    val groups = keyed.groupBy("s")
+      .agg(collectCapped(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDocFreq)
+      .select("docs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inter = groups
+      .filter(size(col("docs")) >= 2)
+      .select(col("docs"), explode(col("docs")).as("da"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val sizes = groups.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joined = inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    val thr = lit(math.round(threshold * 10000))
+    val dir1 = joined
+      .filter(col("inter") * lit(10000L) >= thr * col("na"))
+      .select(col("da").as("contained"), col("db").as("container"),
+        round(col("inter").cast("double") / col("na"), 4).as("containment"))
+    val dir2 = joined
+      .filter(col("inter") * lit(10000L) >= thr * col("nb"))
+      .select(col("db").as("contained"), col("da").as("container"),
+        round(col("inter").cast("double") / col("nb"), 4).as("containment"))
+    dir1.unionByName(dir2)
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
     * Banding: the 64 bits split into 8 bytes; any pair within Hamming

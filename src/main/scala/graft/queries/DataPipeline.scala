@@ -214,6 +214,66 @@ object DataPipeline {
     Dedup.ngramJaccard(cappedDocs(s, d), maxDocFreq = CapMax).orderBy("da", "db")
   }
 
+  /** dd16: directional containment (Broder) — C(A,B) = |sh(A)∩sh(B)| /
+    * |sh(A)| >= 0.8. The fixture plants the asymmetry symmetric Jaccard
+    * misses: 7000001 is the PREFIX HALF of doc 42's token stream (fully
+    * contained, C = 1.0, while J = |A|/|B| is far below any Jaccard
+    * threshold) and 7000002 is a 3/4-prefix of doc 43 plus five novel
+    * tokens (contained at C ~0.85-0.9 but not fully). Both engines
+    * derive the planted texts from the SAME token-slice arithmetic, so
+    * the fixture itself is oracle-checked. Both orientations of every
+    * co-shingled pair are tested; organic pairs ride along.
+    */
+  val dd16_containment = QueryDef.sqlChecked(
+    "dd16_containment",
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT 7000001 AS doc_id, array_to_string(ws[1:len(ws)//2], ' ') AS text
+      |  FROM (SELECT list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |        FROM documents WHERE doc_id = 42)
+      |  UNION ALL
+      |  SELECT 7000002 AS doc_id,
+      |    array_to_string(ws[1:(3*len(ws))//4], ' ') || ' nva nvb nvc nvd nve' AS text
+      |  FROM (SELECT list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |        FROM documents WHERE doc_id = 43)),
+      |wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |       FROM aug),
+      |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+      |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT da, db, i, sa.n AS na, sb.n AS nb
+      |      FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+      |SELECT CAST(contained AS BIGINT) AS contained,
+      |       CAST(container AS BIGINT) AS container, containment FROM (
+      |  SELECT da AS contained, db AS container, round(i*1.0/na, 4) AS containment
+      |  FROM j WHERE i*10000 >= 8000*na
+      |  UNION ALL
+      |  SELECT db, da, round(i*1.0/nb, 4) FROM j WHERE i*10000 >= 8000*nb)
+      |ORDER BY contained, container""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val base = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def toks = Dedup.tokens(col("text"))
+    val p1 = docs.filter(col("doc_id") === 42)
+      .select(lit(7000001L).as("doc_id"),
+        array_join(slice(toks, lit(1), (size(toks) / 2).cast("int")), " ").as("text"))
+    val p2 = docs.filter(col("doc_id") === 43)
+      .select(lit(7000002L).as("doc_id"),
+        concat(
+          array_join(slice(toks, lit(1), (size(toks) * 3 / 4).cast("int")), " "),
+          lit(" nva nvb nvc nvd nve")).as("text"))
+    Dedup.containment(base.unionByName(p1).unionByName(p2))
+      .orderBy("contained", "container")
+  }
+
   /** DuckDB re-derivation of the char-level poly32 fold (TextHashing.poly32),
     * WITHOUT the avalanche finalizer — mix steps are staged as CTE columns
     * by the callers. Every intermediate < 2^48, so plain BIGINT arithmetic
@@ -3101,7 +3161,7 @@ object DataPipeline {
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
-    dd15_incremental_neardup,
+    dd15_incremental_neardup, dd16_containment,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,

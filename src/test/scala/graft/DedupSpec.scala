@@ -116,6 +116,35 @@ class DedupSpec extends SparkSpec {
       md.getLong("graft.bands") === 32L && md.getLong("graft.maxBucket") === 1000L)
   }
 
+  test("containment: directional, catches the truncation Jaccard misses") {
+    import spark.implicits._
+    // planted: 9001 = prefix half of 9000's tokens; 9002 unrelated
+    val base = "ca cb cc cd ce cf cg ch ci cj ck cl cm cn co cp cq cr cs ct"
+    val docsC = Seq(
+      (9000L, base),
+      (9001L, base.split(" ").take(10).mkString(" ")),
+      (9002L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val rows = Dedup.containment(docsC).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the prefix is FULLY contained: C(9001 -> 9000) = 1.0
+    assert(rows.get((9001L, 9000L)) === Some(1.0))
+    // direction matters: the container is NOT contained in the prefix
+    // (C(9000 -> 9001) = 8/18 < 0.8)
+    assert(!rows.contains((9000L, 9001L)))
+    assert(!rows.keys.exists(k => k._1 == 9002L || k._2 == 9002L))
+    // and symmetric Jaccard misses the pair at its own threshold:
+    // J = 8/18 = 0.44 < 0.5 — the asymmetry containment exists for
+    val j = Dedup.ngramJaccard(docsC).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((9000L, 9001L)) && !j.contains((9001L, 9000L)),
+      "planted truncation must be invisible to symmetric Jaccard")
+    // mutual containment emits both orientations at C = 1.0
+    val twins = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val t = Dedup.containment(twins).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(t === Map((1L, 2L) -> 1.0, (2L, 1L) -> 1.0))
+  }
+
   test("minhash-LSH finds all high-similarity pairs and only true pairs") {
     val lsh = Dedup.minhashLsh(docs)
     val lshPairs = pairs(lsh)
