@@ -284,6 +284,41 @@ object ScenarioAudit {
     } finally rt.close()
   }
 
+  /** Durable draining runtime: committed state (and tombstones) survive
+    * a cold restart via the parquet changelog; compaction folds the
+    * changelog to one delta without changing the restored state.
+    */
+  private def drainDurabilityChecks(spark: SparkSession): Seq[(String, Check)] = {
+    val dir = java.nio.file.Files.createTempDirectory("drain-audit-state").toString
+    val rt1 = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    val (uRef, goneRef) = try {
+      val c = new Client(TestEntities.registry, rt1)
+      val Right(u) = c.create("User", Map("username" -> "audit-durable"))
+      c.call(u, "update_balance", Map("x" -> 37))
+      val Right(g) = c.create("User", Map("username" -> "audit-deleted"))
+      c.deleteState(g)
+      (u, g)
+    } finally rt1.close()
+    val rt2 = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    try {
+      val c2 = new Client(TestEntities.registry, rt2)
+      val restored = c2.getAttr(uRef, "balance")
+      val tombstoned = !c2.find(goneRef)
+      rt2.advance()
+      rt2.compactChangelog()
+      val oneDelta = new java.io.File(dir).list()
+        .count(n => n.startsWith("delta-") && n.endsWith(".parquet")) == 1
+      val postCompact = c2.getAttr(uRef, "balance")
+      Seq(
+        "drain" -> chk("drain_durable", "state_survives_restart", 37, restored),
+        "drain" -> chk("drain_durable", "tombstone_survives_restart", true, tombstoned),
+        "drain" -> chk("drain_durable", "compaction_folds_to_one_delta", true, oneDelta),
+        "drain" -> chk("drain_durable", "state_survives_compaction", 37, postCompact))
+    } finally rt2.close()
+  }
+
   /** S12: the future-parked gateway over the streaming runtime —
     * concurrent multi-hop HTTP calls must share micro-batches (fewer
     * busy batches than flows = pigeonhole proof of >1 in-flight flow
@@ -480,6 +515,7 @@ object ScenarioAudit {
           () => new DrainingEntityRuntime(TestEntities.registry, spark)) ++
         egressCounters(spark) ++
         drainCounters(spark) ++
+        drainDurabilityChecks(spark) ++
         streamingWindowChecks(spark) ++
         gatewaySharingChecks(spark)
     val nPass = all.count(_._2.pass)
