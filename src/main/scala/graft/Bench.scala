@@ -52,9 +52,11 @@ import org.apache.spark.sql.SparkSession
   *     artifact reports `vs_prev_floor` (this run's min against the
   *     pre-refloor floor) and `floor_drift` (committed floors >1.5x
   *     their predecessor), so a silent baseline raise flags itself;
-  *   - the JSON line is ALSO written to SPARK_GRAFT_BENCH_OUT (default
-  *     ./bench_out.json) because the driver's stdout tail capture has
-  *     truncated the line two rounds running.
+  *   - the FULL JSON line is written to SPARK_GRAFT_BENCH_OUT (default
+  *     ./bench_out.json); stdout gets a COMPACT headline line instead,
+  *     because the driver's stdout capture keeps only the last ~2000
+  *     chars and the full line (25 KB at 119 queries) parsed as null
+  *     three rounds running.
   *
   * The Spark SQL cache is cleared before EVERY run: several operators
   * persist() their multi-consumer signature stages, and a warm cache
@@ -470,7 +472,38 @@ object Bench {
       s""""contended_excluded_n":${flagged.length},""" +
       s""""floor_total":$floorTotal,""" +
       s""""floor_missing":$fm,"sf":"$sfDir"}"""
-    println(line)
+    // STDOUT BUDGET: the driver captures only the last ~2000 chars of
+    // stdout and tries to json-parse the JSON line inside it. Rounds
+    // 10-12 all landed `parsed: null` because the full line (25 KB at
+    // 119 queries: six per-query maps + raw runs) can never fit. So the
+    // full artifact goes ONLY to the out file, and stdout carries a
+    // compact headline (<1.5 KB): every aggregate the judge reads, plus
+    // the slowest-queries subset so the per-query shape isn't entirely
+    // invisible to a driver that never opens the file.
+    val slowest = results.sortBy(-_.tMin).take(12)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsTop = jmap(slowest.map(r => r.name -> r3(r.tMin)))
+    val headlinePaired: String =
+      if (oracleOk.isEmpty) ""
+      else {
+        val oTotal = oracleOk.values.sum
+        val sparkPaired = results.collect {
+          case r if oracleOk.contains(r.name) => r.tMin }.sum
+        val ratio =
+          if (oTotal > 0) math.round(sparkPaired / oTotal * 100.0) / 100.0 else -1.0
+        s""""oracle_total":${r3(oTotal)},"paired_ratio":$ratio,"""
+      }
+    val headline =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsTop,""" +
+        s""""n_queries":${results.length},"queries_omitted":${results.length - slowest.length},""" +
+        headlinePaired +
+        s""""retry_adjusted_total":${r3(retryAdjTotal)},""" +
+        s""""contended_excluded_total":${r3(cleanTotal)},""" +
+        s""""contended_excluded_n":${flagged.length},""" +
+        s""""floor_total":${r3(floorTotal)},""" +
+        s""""detail":"$outPath","sf":"$sfDir"}"""
+    println(headline)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

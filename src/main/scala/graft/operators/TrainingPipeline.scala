@@ -347,6 +347,13 @@ object TrainingPipeline {
     * the (smaller) screened corpus + one keyed semi/left join per
     * stage boundary + a 2-row final agg. No stage widens the data.
     */
+  /** CACHE NOTE: this overload persists two mid-pipeline frames and
+    * returns a LAZY result, so it cannot unpersist them itself — the
+    * entries live until `spark.catalog.clearCache()` (the batch-harness
+    * convention) or session end. A long-lived session invoking this
+    * repeatedly should use [[screenAndPhaseManaged]] and call its
+    * cleanup after the final action on the report.
+    */
   def screenAndPhase(
       documents: DataFrame,
       clfThreshold: Double = -0.2,
@@ -354,7 +361,24 @@ object TrainingPipeline {
       qualityMin: Double = 0.5,
       annealPct: Int = 30,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    screenAndPhaseManaged(documents, clfThreshold, maxDupFrac, qualityMin,
+      annealPct, idCol, textCol)._1
+
+  /** [[screenAndPhase]] with caller-managed cache cleanup: returns the
+    * phase report plus a thunk that unpersists the two mid-pipeline
+    * frames. Invoke the thunk AFTER the final action on the report —
+    * unpersisting earlier silently recomputes the classifier pass and
+    * the span chain once per downstream consumer.
+    */
+  def screenAndPhaseManaged(
+      documents: DataFrame,
+      clfThreshold: Double = -0.2,
+      maxDupFrac: Double = 0.3,
+      qualityMin: Double = 0.5,
+      annealPct: Int = 30,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, () => Unit) = {
     // clfThreshold default: the deterministic LCG weight table skews
     // negative (mean margin ~ -0.14 on the fixture corpus), so the
     // screen cut sits below the mass center and drops the worst tail
@@ -367,9 +391,8 @@ object TrainingPipeline {
     // typed classifier pass + semi-join re-execute once per consumer
     // (round-12 re-measure: persisting both cuts the warm composition
     // ~2.8 s -> ~1.6 s at sf0.1, reversing round 11's negative result —
-    // see BENCH_NOTES). Unpersist-less operator persist is the
-    // minhashLsh convention: repeated calls canonicalize to the same
-    // cache entry; batch harnesses clear the cache between queries.
+    // see BENCH_NOTES). The returned cleanup thunk is the unpersist
+    // path; the unmanaged overload documents the clearCache convention.
     val screened = documents
       .select(col(idCol).cast("long").as("doc_id"), col(textCol))
       .join(clfKeep, Seq("doc_id"), "left_semi")
@@ -382,11 +405,13 @@ object TrainingPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val phased =
       Sampling.curriculum(survivors, qualityMin, annealPct, "doc_id", textCol)
-    phased.join(survivors.select(col("doc_id"), col("n_tokens")), "doc_id")
+    val report = phased
+      .join(survivors.select(col("doc_id"), col("n_tokens")), "doc_id")
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         round(avg(col("quality_score")), 4).as("mean_quality"))
+    (report, () => { screened.unpersist(false); survivors.unpersist(false); () })
   }
 
   def refresh(

@@ -127,7 +127,7 @@ final class DrainingEntityRuntime(
         else {
           val pids = baseKeys.map(partitioner.getPartition(_)).toSet
           val skipB = sc.broadcast(ovKeys)
-          PartitionPruningRDD.create(base, pids.contains)
+          val out = PartitionPruningRDD.create(base, pids.contains)
             .mapPartitions { it =>
               val evm = evB.value
               val skip = skipB.value
@@ -137,6 +137,8 @@ final class DrainingEntityRuntime(
                 else None
               }
             }.collect()
+          skipB.destroy()
+          out
         }
       // keys with no live base row: overlaid this batch, or brand new
       val matched = probed.iterator.map(_.key).toSet
@@ -152,7 +154,11 @@ final class DrainingEntityRuntime(
       evB.destroy()
       val conts = Vector.newBuilder[Event]
       (probed.iterator ++ rest.iterator).foreach { r =>
-        overlay(r.key) = r.state
+        // only CHANGED keys enter the overlay: a pure read keeps its
+        // base row authoritative (later rounds re-probe base, which is
+        // correct), the merge pass splices nothing for it, and a durable
+        // runtime under read traffic appends no changelog delta
+        if (r.changed) overlay(r.key) = r.state
         r.out.foreach { ev =>
           if (ev.eventType.isInstanceOf[EventType.Reply]) {
             replies.put(ev.eventId, ev)
@@ -297,6 +303,18 @@ final class DrainingEntityRuntime(
         Option(p.listFiles()).foreach(_.foreach(_.delete()))
         p.delete(): Unit
       }
+      // RE-POINT the live store: `base`'s lineage may still reference
+      // the files just deleted — restore()'s partitionBy shuffle only
+      // materializes on first probe, so a restart followed directly by
+      // compaction would otherwise recompute the parquet scan over
+      // removed files and throw FileNotFoundException. Every merged
+      // overlay is appended as a delta BEFORE the in-memory merge, so
+      // the folded delta holds exactly the live store's state; a fresh
+      // restore over it is the same store with clean lineage.
+      retained.foreach(_.unpersist(false))
+      retained.clear()
+      base.unpersist(false)
+      base = DrainingEntityRuntime.restore(spark, dir, partitioner)
     }
   }
 
@@ -336,9 +354,16 @@ final class DrainingEntityRuntime(
 }
 
 object DrainingEntityRuntime {
-  /** Per-key drain step result: output events + the key's new state. */
+  /** Per-key drain step result: output events + the key's new state.
+    * `changed` is value equality against the state the fold started
+    * from (states are immutable `Map`s built functionally by handlers —
+    * in-place mutation is not part of the state contract, the GroupState
+    * lowerings rely on that too): an unchanged key skips the overlay,
+    * so a read-only batch writes NO changelog delta and splices nothing.
+    */
   final case class DrainOut(
-      key: (String, String), out: Seq[Event], state: Option[State])
+      key: (String, String), out: Seq[Event], state: Option[State],
+      changed: Boolean)
 
   private[streaming] def stateBytes(st: State): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -421,6 +446,6 @@ object DrainingEntityRuntime {
       out ++= emitted
       cur = st
     }
-    DrainOut(key, out.result(), cur)
+    DrainOut(key, out.result(), cur, changed = cur != state0)
   }
 }

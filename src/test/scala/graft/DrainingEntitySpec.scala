@@ -108,6 +108,50 @@ class DrainingEntitySpec extends EntityScenarios with SparkSpec {
       EventType.KeyNotFound, "compaction must not resurrect deleted keys")
   }
 
+  test("restart then IMMEDIATE compaction: store survives without a prior probe") {
+    // the latent-lineage path: restore()'s partitionBy shuffle only
+    // materializes on first probe, so a cold restart followed directly
+    // by compactChangelog() used to leave `base` reading delta files
+    // the compaction had just deleted -> FileNotFoundException on the
+    // next state access. The fix re-points the store at the folded
+    // delta before the old files go.
+    val dir = java.nio.file.Files.createTempDirectory("drain-compact-cold").toString
+    val rt1 = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    val c1 = new graft.runtime.Client(TestEntities.registry, rt1)
+    val Right(u) = c1.create("User", Map("username" -> "cold-compact"))
+    c1.call(u, "update_balance", Map("x" -> 12))
+    rt1.close()
+    val rt2 = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    open ::= rt2
+    rt2.compactChangelog() // NO probe between restart and compaction
+    val files = new java.io.File(dir).list()
+      .filter(n => n.startsWith("delta-") && n.endsWith(".parquet"))
+    assert(files.length === 1)
+    val c2 = new graft.runtime.Client(TestEntities.registry, rt2)
+    assert(c2.getAttr(u, "balance") === 12,
+      "state access after restart+compact must not read deleted deltas")
+    c2.call(u, "update_balance", Map("x" -> 3))
+    assert(c2.getAttr(u, "balance") === 15)
+  }
+
+  test("read-only traffic appends no changelog deltas") {
+    val dir = java.nio.file.Files.createTempDirectory("drain-readonly").toString
+    val rt = new DrainingEntityRuntime(TestEntities.registry, spark,
+      stateDir = Some(dir))
+    open ::= rt
+    val c = new graft.runtime.Client(TestEntities.registry, rt)
+    val Right(u) = c.create("User", Map("username" -> "reader"))
+    c.call(u, "update_balance", Map("x" -> 9))
+    def deltas() = new java.io.File(dir).list()
+      .count(n => n.startsWith("delta-") && n.endsWith(".parquet"))
+    val before = deltas()
+    (1 to 5).foreach { _ => assert(c.getAttr(u, "balance") === 9) }
+    assert(deltas() === before,
+      "GetState-only batches must not grow the durable changelog")
+  }
+
   test("state survives batches, deletes tombstone, compaction preserves both") {
     val (rtT, c) = fresh()
     val rt = rtT.asInstanceOf[DrainingEntityRuntime]

@@ -395,4 +395,20 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(renamed === out, "screenAndPhase must honor textCol end-to-end")
   }
+
+  test("screenAndPhaseManaged: cleanup releases the two mid-pipeline cache entries") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    spark.catalog.clearCache()
+    val (report, cleanup) = TrainingPipeline.screenAndPhaseManaged(docs)
+    assert(report.collect().nonEmpty)
+    val cachedAfterRun = spark.sparkContext.getPersistentRDDs.size
+    cleanup()
+    // inner operators may hold their own (clearCache-scoped) entries;
+    // cleanup is accountable for exactly the screened+survivors pair
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedAfterRun - 2,
+      "cleanup must unpersist the two mid-pipeline frames")
+    cleanup() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedAfterRun - 2)
+    spark.catalog.clearCache()
+  }
 }
