@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataPipeline, QueryDef, Relational}
+import graft.queries.{DataPipeline, Events, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{DataPipeline, QueryDef, Relational}
   */
 object SparkEntry {
 
-  def allQueries: Seq[QueryDef] = Relational.all ++ DataPipeline.all
+  def allQueries: Seq[QueryDef] = Relational.all ++ DataPipeline.all ++ Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form — sessionization, ordered
+  * funnels, cohort retention. The reference's stateful operators keep
+  * exactly this kind of per-key event state imperatively
+  * (reference stateful_operator.py `handle`/step batching); these are
+  * the DECLARATIVE batch twins over the `events` table, planned so
+  * Catalyst picks distributed window / keyed-join strategies instead
+  * of a per-key interpreter loop.
+  *
+  * Scale shapes (100 TB events, keyed by user):
+  *   - [[sessionize]]: ONE hash shuffle on `user_id`, then two
+  *     user-partitioned window passes (lag + running sum) and a
+  *     partial-agg rollup on (user, session). Nothing is globally
+  *     sorted; a user's history sorts within its partition. Per-user
+  *     event counts are human-bounded, so no salting is needed; a
+  *     robotic hot key would bound one task's sort, not the stage.
+  *   - [[funnel]]: filters to the step types FIRST (pushed to the
+  *     parquet scan), then per-step keyed min-aggregations chained by
+  *     equi-joins on `user_id` — every stage keyed identically, so AQE
+  *     plans one co-partitioned exchange family; step frames shrink
+  *     monotonically (stage k+1 only scans stage-k survivors).
+  *   - [[retentionCohorts]]: per-user first-day via a user-keyed
+  *     min-window, then a (cohort_week, week_offset) rollup —
+  *     two shuffles total, output is cohort-grid sized (tiny).
+  *
+  * Determinism: timestamps are compared in integer MICROSECONDS
+  * (`unix_micros` ↔ DuckDB `epoch_us`) and day arithmetic in integer
+  * epoch days, so every mirror hash is exact — no float time math.
+  * Output order unspecified (callers sort at the edge; see
+  * [[Sampling]]'s contract note).
+  */
+object EventAnalytics {
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds `gapMinutes`. Returns one row per
+    * (user_id, session_idx) with event count, start (epoch µs),
+    * duration (µs) and 2-dp value sum. Ties in `ts` order by
+    * `event_id` so the running session counter is reproducible.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(order))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_s").over(running))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** Ordered three-step funnel: per user, the first `steps(0)` event,
+    * the first `steps(1)` STRICTLY after it, and the first `steps(2)`
+    * strictly after that. Returns one row per user who started the
+    * funnel: (user_id, t1_us, t2_us?, t3_us?, reached 1..3).
+    */
+  def funnel(events: DataFrame, steps: (String, String, String)): DataFrame = {
+    val e = events
+      .filter(col("event_type").isin(steps._1, steps._2, steps._3))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val t1 = e.filter(col("event_type") === steps._1)
+      .groupBy("user_id").agg(min("ts_us").as("t1_us"))
+    val t2 = e.filter(col("event_type") === steps._2)
+      .join(t1, "user_id")
+      .filter(col("ts_us") > col("t1_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t2_us"))
+    val t3 = e.filter(col("event_type") === steps._3)
+      .join(t2, "user_id")
+      .filter(col("ts_us") > col("t2_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t3_us"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (lit(1) + when(col("t2_us").isNotNull, 1).otherwise(0)
+          + when(col("t3_us").isNotNull, 1).otherwise(0)).cast("int").as("reached"))
+  }
+
+  /** Weekly cohort retention: cohort = the user's first active epoch
+    * WEEK (integer `epoch_day div 7` — pure arithmetic, no calendar
+    * semantics to disagree on), offset = whole weeks since it.
+    * Returns (cohort_week, week_offset, n_users, n_events).
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .withColumn("d0", min("d").over(byUser))
+      .select(col("user_id"),
+        expr("d0 div 7").as("cohort_week"),
+        expr("(d - d0) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+}

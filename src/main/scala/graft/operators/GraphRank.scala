@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus curation: PageRank over the domain
+  * graph, the classic crawl-prioritization / domain-authority signal a
+  * web-scale training-data pipeline feeds into source weighting (the
+  * same role the per-source quality priors play in [[Sampling]]'s
+  * mixture operators — this derives the prior from link structure
+  * instead of declaring it).
+  *
+  * Arithmetic is INTEGER FIXED-POINT on purpose: ranks live in units
+  * of 1e-9 of the total mass, every division is integral (`div`), so
+  * the iteration trajectory is EXACTLY reproducible — across runs,
+  * across partitionings (long addition is commutative/associative, so
+  * distributed sum order cannot perturb results), and across engines
+  * (the DuckDB oracle unrolls the same iterations CTE-by-CTE and
+  * matches bit-for-bit). Floating-point PageRank cannot promise any of
+  * that: a re-partition reorders the sums and the low bits walk. The
+  * truncation bias (each `div` drops < 1 unit = 1e-9 mass) is the
+  * price, and it is bounded by edges × iters units — irrelevant at
+  * ranking granularity. Dangling mass (nodes with no out-edges) drops
+  * each iteration, the standard simplification.
+  *
+  * Scale shape (nodes = domains, edges = host-level links: ~1e8 rows
+  * at web scale): per iteration ONE keyed join of the edge frame with
+  * the rank frame on `src` plus one `dst`-keyed partial-agg sum, then
+  * a left join back onto the node frame — all hash-keyed, nothing
+  * global, nothing on the driver except the node COUNT (one scalar).
+  * The edge frame with its out-degree column is computed once outside
+  * the loop and reused every iteration. Overflow bound: per-edge
+  * `rank * w` needs w < 2^63 / 1e9 ≈ 9.2e9 — cap or pre-normalize
+  * pathological edge weights above that.
+  */
+object GraphRank {
+
+  /** Total rank mass, in fixed-point units (1.0 == 1e9). */
+  val MassUnits: Long = 1000000000L
+  /** Damping factor as an integer percentage (0.85). */
+  val DampingPct: Long = 85L
+
+  /** `iters` rounds of fixed-point PageRank over a weighted edge list
+    * `(src: string, dst: string, w: long)`. Returns `(node, rank)`
+    * with rank in units of 1e-9 (sums to ~MassUnits minus dangling /
+    * truncation loss). Plan depth grows linearly with `iters`;
+    * `localCheckpoint` the returned frame between calls if you chain
+    * many more rounds than the default handful.
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val out = e.groupBy("src").agg(sum("w").as("out_w"))
+    val eo = e.join(out, "src")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge list")
+    val basePart = (MassUnits - DampingPct * MassUnits / 100L) / n
+    var ranks = nodes.select(col("node"), lit(MassUnits / n).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contrib = eo.join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * w) div out_w").as("c"))
+      val inMass = contrib.groupBy("dst").agg(sum("c").as("sc"))
+      ranks = nodes.join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(basePart) + expr(s"($DampingPct * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+      i += 1
+    }
+    ranks
+  }
+
+  /** Deterministic document→domain link edges for the `documents`
+    * fixture: each doc contributes its source domain plus two
+    * arithmetically-derived outlinks (`src{(7·id+3) mod 20}`,
+    * `src{(13·id+5) mod 20}`), aggregated to a weighted edge list.
+    * Stands in for real host-level outlink extraction (which is a
+    * narrow parse of the text column); both engines derive it from the
+    * same arithmetic so the oracle sees the identical graph.
+    */
+  def documentLinkEdges(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("source").as("src"),
+      concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string")).as("dst"))
+    val b = docs.select(col("source").as("src"),
+      concat(lit("src"), ((col("doc_id") * 13 + 5) % 20).cast("string")).as("dst"))
+    a.union(b).groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+}

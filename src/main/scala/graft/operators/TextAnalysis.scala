@@ -1290,4 +1290,102 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
         col("n_langs"), col("mean_quality"), col("n_short"))
   }
+
+  /** CCNet-style perplexity bucketing: within each language, split the
+    * corpus into head / middle / tail terciles of the unigram-LM
+    * bits-per-token signal ([[unigramLogProb]]) — the standard
+    * "keep head, sample middle, drop tail" curation gate
+    * (CCNet, Wenzek et al. 2020). Ordering ties break on `doc_id`, so
+    * the assignment is exactly reproducible; the tercile boundary is
+    * EXACT (SQL `ntile`), which costs a per-language sort.
+    *
+    * Scale: `ntile` over `PARTITION BY lang` concentrates each
+    * language in one task — fine while per-language volume fits a
+    * task's spill budget, but English at web scale does not. That is
+    * what [[pplBucketsApprox]] is for: sketch the two per-language
+    * thresholds (mergeable `percentile_approx`, one partial-agg pass),
+    * broadcast the lang-sized threshold table back, and assign buckets
+    * in a narrow pass — no per-language sort anywhere. Same
+    * exact/approx twin convention as [[lengthQuantiles]].
+    */
+  def pplBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(documents)
+      .join(documents.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "doc_id")
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("bits_per_token"), col("doc_id"))
+    scored
+      .withColumn("t", ntile(3).over(byLang))
+      .select(col("doc_id"), col("lang"), col("bits_per_token"),
+        when(col("t") === 1, "head")
+          .when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** The scale path of [[pplBuckets]]: per-language tercile THRESHOLDS
+    * via the mergeable percentile sketch, broadcast back, buckets
+    * assigned narrowly. Boundary docs may land one bucket off vs the
+    * exact form (sketch tolerance); the spec bands the agreement.
+    */
+  def pplBucketsApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val scored = unigramLogProb(documents)
+      .join(documents.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "doc_id")
+    val thresholds = scored.groupBy("lang").agg(
+      percentile_approx(col("bits_per_token"), lit(1.0 / 3), lit(accuracy)).as("t1"),
+      percentile_approx(col("bits_per_token"), lit(2.0 / 3), lit(accuracy)).as("t2"))
+    scored.join(broadcast(thresholds), "lang")
+      .select(col("doc_id"), col("lang"), col("bits_per_token"),
+        when(col("bits_per_token") <= col("t1"), "head")
+          .when(col("bits_per_token") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Keyword-taxonomy topic routing: count each topic's keyword
+    * occurrences (substring counts over the lowercased text — the
+    * `(len − len(replace)) / len(kw)` identity, exact and
+    * engine-portable), assign the argmax topic when it clears
+    * `minHits`, else `"other"`. Ties break by topic declaration order
+    * (first wins) — deterministic. The cheap router used to stratify a
+    * corpus for mixture design before a real classifier exists; the
+    * trained upgrade is [[linearQualityScore]]'s weight table.
+    *
+    * Scale: ONE narrow pass — no explode, no shuffle, no UDF; every
+    * count is codegen'd `length`/`replace` arithmetic. Topic count
+    * multiplies expression width, not data volume.
+    */
+  def topicTag(
+      documents: DataFrame,
+      topics: Seq[(String, Seq[String])] = DefaultTopics,
+      minHits: Int = 1): DataFrame = {
+    val hitCols = topics.map { case (topic, kws) =>
+      val n = kws.map { kw =>
+        require(!kw.contains("'"), s"keyword must be quote-free: $kw")
+        expr(s"(length(lower(text)) - length(replace(lower(text), '$kw', ''))) div ${kw.length}")
+      }.reduce(_ + _)
+      topic -> n.cast("long")
+    }
+    val withHits = documents.select(
+      (col("doc_id").cast("long").as("doc_id") +: hitCols.map { case (t, c) => c.as(s"h_$t") }): _*)
+    // argmax with first-declared-wins ties: fold a CASE chain
+    val best = topics.map(_._1).foldRight(lit("other")) { (t, acc) =>
+      val mine = col(s"h_$t")
+      val beatsRest = topics.map(_._1).filter(_ != t).map { o =>
+        // strictly greater than topics declared LATER, >= than EARLIER
+        if (topics.indexWhere(_._1 == t) < topics.indexWhere(_._1 == o))
+          mine >= col(s"h_$o")
+        else mine > col(s"h_$o")
+      }.reduce(_ && _)
+      when(mine >= minHits && beatsRest, t).otherwise(acc)
+    }
+    withHits.select(
+      (col("doc_id") +: topics.map(t => col(s"h_${t._1}"))) :+ best.as("topic"): _*)
+  }
+
+  /** Default taxonomy over the fixture vocabulary (TESTDATA.md). */
+  val DefaultTopics: Seq[(String, Seq[String])] = Seq(
+    "storage" -> Seq("table", "row", "column"),
+    "compute" -> Seq("join", "agg", "sort"),
+    "streaming" -> Seq("stream", "batch", "window"))
 }

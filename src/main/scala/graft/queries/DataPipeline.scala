@@ -3156,6 +3156,60 @@ object DataPipeline {
     TextAnalysis.signalCorrelations(Tables.documents(s, d))
   }
 
+  /** CCNet head/middle/tail perplexity buckets per language — the
+    * txt_ppl chain + per-lang exact terciles (ntile ties on doc_id).
+    * [[TextAnalysis.pplBucketsApprox]] is the sketch-threshold scale
+    * twin (spec-banded, same convention as rl3).
+    */
+  val txt_ppl3_buckets = QueryDef.sqlChecked(
+    "txt_ppl3_buckets",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+      |dtok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok
+      |         GROUP BY doc_id, w),
+      |cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dtok GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      |        FROM cnt),
+      |sc AS (SELECT doc_id, k, k * ln((c + 1.0) / (n + v)) AS lp
+      |       FROM dtok JOIN cnt USING (w) CROSS JOIN tot),
+      |ag AS (SELECT doc_id, sum(k) AS n_tokens, -sum(lp)/sum(k)/ln(2) AS bits
+      |       FROM sc GROUP BY doc_id),
+      |p AS (SELECT ag.doc_id, d.lang, round(bits, 4) AS bits_per_token
+      |      FROM ag JOIN documents d ON d.doc_id = ag.doc_id),
+      |t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+      |        ORDER BY bits_per_token, doc_id) AS t FROM p)
+      |SELECT doc_id, lang, bits_per_token,
+      | CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.pplBuckets(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Keyword-taxonomy topic routing — argmax of substring-count hits
+    * with first-declared-wins ties, `other` below one hit.
+    */
+  val txt_topics = QueryDef.sqlChecked(
+    "txt_topics",
+    """WITH h AS (SELECT doc_id,
+      | CAST((length(lower(text)) - length(replace(lower(text), 'table', ''))) // 5
+      |    + (length(lower(text)) - length(replace(lower(text), 'row', ''))) // 3
+      |    + (length(lower(text)) - length(replace(lower(text), 'column', ''))) // 6 AS BIGINT) AS h_storage,
+      | CAST((length(lower(text)) - length(replace(lower(text), 'join', ''))) // 4
+      |    + (length(lower(text)) - length(replace(lower(text), 'agg', ''))) // 3
+      |    + (length(lower(text)) - length(replace(lower(text), 'sort', ''))) // 4 AS BIGINT) AS h_compute,
+      | CAST((length(lower(text)) - length(replace(lower(text), 'stream', ''))) // 6
+      |    + (length(lower(text)) - length(replace(lower(text), 'batch', ''))) // 5
+      |    + (length(lower(text)) - length(replace(lower(text), 'window', ''))) // 6 AS BIGINT) AS h_streaming
+      | FROM documents)
+      |SELECT doc_id, h_storage, h_compute, h_streaming,
+      | CASE WHEN h_storage >= 1 AND h_storage >= h_compute AND h_storage >= h_streaming THEN 'storage'
+      |      WHEN h_compute >= 1 AND h_compute > h_storage AND h_compute >= h_streaming THEN 'compute'
+      |      WHEN h_streaming >= 1 AND h_streaming > h_storage AND h_streaming > h_compute THEN 'streaming'
+      |      ELSE 'other' END AS topic
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.topicTag(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
@@ -3176,7 +3230,7 @@ object DataPipeline {
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl1b, txt_ppl2, txt_clf,
     rl2_corpus_card, rl3_length_quantiles, rl5_signal_corr, sp9_curriculum,
-    dd12b_span_drop, txt_entropy,
+    dd12b_span_drop, txt_entropy, txt_ppl3_buckets, txt_topics,
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform, pk5_pack_stats,

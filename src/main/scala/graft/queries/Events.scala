@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventAnalytics, GraphRank}
+import graft.sources.Tables
+
+/** Event-analytics and graph-centrality queries (SURVEY.md §2.b
+  * extension rows): the batch twins of the reference's per-key stateful
+  * event processing — sessionization, ordered funnels, cohort
+  * retention — plus link-graph PageRank for domain-authority curation.
+  *
+  * Timestamp parity rule: all time math crosses the oracle as integer
+  * epoch MICROSECONDS (`unix_micros` ↔ DuckDB `epoch_us`) or integer
+  * epoch days — never float seconds — under the UTC session the
+  * harness pins, so every hash is exact.
+  */
+object Events {
+
+  /** 30-minute-gap sessionization over the full event stream. */
+  val ev1_sessionize = QueryDef.sqlChecked(
+    "ev1_sessionize",
+    """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+      |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+      |g AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM f),
+      |h AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      | CAST(min(ts_us) AS BIGINT) AS start_us,
+      | CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+      | round(sum(value), 2) AS sum_value
+      |FROM h GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+    EventAnalytics.sessionize(Tables.events(s, d), gapMinutes = 30)
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** view → click → purchase ordered funnel, strict-after semantics.
+    * NULL step times surface as -1 (the hasher's no-NULL convention).
+    */
+  val ev2_funnel = QueryDef.sqlChecked(
+    "ev2_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type IN ('view', 'click', 'purchase')),
+      |t1 AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS t1_us
+      |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, CAST(min(ts_us) AS BIGINT) AS t2_us
+      |       FROM e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us > t1_us GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, CAST(min(ts_us) AS BIGINT) AS t3_us
+      |       FROM e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY e.user_id)
+      |SELECT t1.user_id, t1_us,
+      | coalesce(t2_us, CAST(-1 AS BIGINT)) AS t2_us,
+      | coalesce(t3_us, CAST(-1 AS BIGINT)) AS t3_us,
+      | CAST(1 + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+      |        + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS reached
+      |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |        LEFT JOIN t3 ON t1.user_id = t3.user_id
+      |ORDER BY t1.user_id""".stripMargin) { (s, d) =>
+    EventAnalytics.funnel(Tables.events(s, d), ("view", "click", "purchase"))
+      .select(col("user_id"), col("t1_us"),
+        coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3_us"), lit(-1L)).as("t3_us"),
+        col("reached"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort retention grid (integer epoch-week arithmetic). */
+  val ev3_retention = QueryDef.sqlChecked(
+    "ev3_retention",
+    """WITH e AS (SELECT user_id,
+      |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d FROM events),
+      |f AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS d0 FROM e),
+      |g AS (SELECT user_id, d0 // 7 AS cohort_week, (d - d0) // 7 AS week_offset FROM f)
+      |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+      | CAST(week_offset AS BIGINT) AS week_offset,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      | count(*) AS n_events
+      |FROM g GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    EventAnalytics.retentionCohorts(Tables.events(s, d))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val Gr1Iters = 5
+
+  /** The DuckDB mirror unrolls the identical fixed-point iteration
+    * CTE-by-CTE (the cl1_kmeans convention); integer arithmetic makes
+    * the match exact, not approximate.
+    */
+  private val Gr1Sql: String = {
+    val rounds = (1 to Gr1Iters).map { i =>
+      s"""c$i AS (SELECT e.dst, CAST(sum((r.rank * e.w) // o.out_w) AS BIGINT) AS sc
+         |       FROM e JOIN r${i - 1} r ON e.src = r.node JOIN o ON e.src = o.src
+         |       GROUP BY e.dst),
+         |r$i AS (SELECT node, (150000000 // n) + (85 * coalesce(sc, 0)) // 100 AS rank
+         |       FROM nodes CROSS JOIN nn LEFT JOIN c$i ON node = dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT source AS src, 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT source AS src, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) AS dst FROM documents),
+       |e AS (SELECT src, dst, count(*) AS w FROM ed GROUP BY src, dst),
+       |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000 // n AS rank FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank_units
+       |FROM r$Gr1Iters ORDER BY node""".stripMargin
+  }
+
+  /** Domain-authority PageRank over the doc-derived link graph —
+    * 5 fixed-point iterations ([[GraphRank.pageRankFixedPoint]]). */
+  val gr1_pagerank = QueryDef.sqlChecked("gr1_pagerank", Gr1Sql) { (s, d) =>
+    val edges = GraphRank.documentLinkEdges(Tables.documents(s, d))
+    GraphRank.pageRankFixedPoint(edges, Gr1Iters)
+      .select(col("node"), col("rank").as("rank_units"))
+      .orderBy("node")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(ev1_sessionize, ev2_funnel, ev3_retention, gr1_pagerank)
+}

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{EventAnalytics, GraphRank, TextAnalysis}
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (user, epoch_sec, type, value, event_id) fixture -> events frame. */
+  private def ev(rows: (Long, Long, String, Double, Long)*): DataFrame =
+    rows.toSeq.toDF("user_id", "sec", "event_type", "value", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        timestamp_seconds(col("sec")).as("ts"))
+
+  test("sessionize: 30-min gap splits sessions, stats are exact") {
+    val events = ev(
+      (1L, 0L, "view", 1.0, 10L),
+      (1L, 600L, "click", 2.5, 11L),        // +10 min: same session
+      (1L, 600L + 1801L, "view", 0.5, 12L), // gap 1801 s > 1800 s: new session
+      (2L, 50L, "view", 4.0, 20L))
+    val out = EventAnalytics.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out === Array(
+      (1L, 1L, 2L, 0L, 600000000L, 3.5),
+      (1L, 2L, 1L, 2401000000L, 0L, 0.5),
+      (2L, 1L, 1L, 50000000L, 0L, 4.0)))
+  }
+
+  test("sessionize: gap exactly at the threshold does NOT split") {
+    val events = ev((1L, 0L, "view", 1.0, 1L), (1L, 1800L, "view", 1.0, 2L))
+    val out = EventAnalytics.sessionize(events, 30).collect()
+    assert(out.length === 1 && out(0).getAs[Long]("n_events") === 2L)
+  }
+
+  test("funnel: strict-after ordering, partial depths, pre-step noise ignored") {
+    val events = ev(
+      // u1 completes: view@10, click@20, purchase@30 (earlier click@5 ignored)
+      (1L, 5L, "click", 0, 1L), (1L, 10L, "view", 0, 2L),
+      (1L, 20L, "click", 0, 3L), (1L, 30L, "purchase", 0, 4L),
+      // u2: view then purchase but NO click after view -> reached 1
+      (2L, 10L, "view", 0, 5L), (2L, 20L, "purchase", 0, 6L),
+      // u3: click at the SAME second as view -> strict after fails -> reached 1
+      (3L, 10L, "view", 0, 7L), (3L, 10L, "click", 0, 8L),
+      // u4: never views -> absent from the funnel
+      (4L, 10L, "click", 0, 9L), (4L, 20L, "purchase", 0, 10L))
+    val out = EventAnalytics.funnel(events, ("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "reached").as[(Long, Int)].collect()
+    assert(out === Array((1L, 3), (2L, 1), (3L, 1)))
+  }
+
+  test("funnel: step times are the first qualifying events") {
+    val events = ev(
+      (1L, 10L, "view", 0, 1L), (1L, 40L, "view", 0, 2L),
+      (1L, 20L, "click", 0, 3L), (1L, 25L, "click", 0, 4L),
+      (1L, 22L, "purchase", 0, 5L))
+    val r = EventAnalytics.funnel(events, ("view", "click", "purchase")).collect()(0)
+    assert(r.getAs[Long]("t1_us") === 10000000L)
+    assert(r.getAs[Long]("t2_us") === 20000000L)   // first click after first view
+    assert(r.getAs[Long]("t3_us") === 22000000L)   // purchase after the click
+  }
+
+  test("retentionCohorts: integer week arithmetic") {
+    val day = 86400L
+    val events = ev(
+      (1L, 0L, "view", 0, 1L),            // cohort day 0 -> week 0
+      (1L, 8L * day, "view", 0, 2L),      // offset (8-0)/7 = 1
+      (1L, 13L * day, "view", 0, 3L),     // offset 1
+      (2L, 7L * day, "view", 0, 4L),      // cohort week 1
+      (2L, 7L * day + 1, "view", 0, 5L))  // same day -> offset 0
+    val out = EventAnalytics.retentionCohorts(events)
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array((0L, 0L, 1L, 1L), (0L, 1L, 1L, 2L), (1L, 0L, 1L, 2L)))
+  }
+
+  // ------------------------------------------------------------ GraphRank
+
+  private def edges(rows: (String, String, Long)*): DataFrame =
+    rows.toSeq.toDF("src", "dst", "w")
+
+  test("pageRank: symmetric 2-cycle is the uniform fixed point") {
+    val out = GraphRank.pageRankFixedPoint(
+      edges(("a", "b", 1L), ("b", "a", 1L)), iters = 7)
+      .orderBy("node").as[(String, Long)].collect()
+    assert(out === Array(("a", 500000000L), ("b", 500000000L)))
+  }
+
+  test("pageRank: one hand-computed iteration on the 3-node graph") {
+    // A->B, A->C, B->C, C->A; n=3, r0=333333333, base=50000000
+    val e = edges(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L), ("c", "a", 1L))
+    val out = GraphRank.pageRankFixedPoint(e, iters = 1)
+      .orderBy("node").as[(String, Long)].collect().toMap
+    assert(out("a") === 50000000L + 85L * 333333333L / 100L)
+    assert(out("b") === 50000000L + 85L * (333333333L / 2L) / 100L)
+    assert(out("c") === 50000000L + 85L * (333333333L / 2L + 333333333L) / 100L)
+  }
+
+  test("pageRank: trajectory is invariant under repartitioning") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val e = GraphRank.documentLinkEdges(docs)
+    val a = GraphRank.pageRankFixedPoint(e, 5).orderBy("node")
+      .as[(String, Long)].collect()
+    val b = GraphRank.pageRankFixedPoint(e.repartition(7), 5).orderBy("node")
+      .as[(String, Long)].collect()
+    assert(a === b)
+    // total mass within truncation loss of the full unit
+    val total = a.map(_._2).sum
+    assert(total <= GraphRank.MassUnits && total > GraphRank.MassUnits * 97 / 100)
+  }
+
+  test("pageRank: dangling sink keeps base mass, feeder decays") {
+    // a -> b, b has no out-edges: b's in-mass arrives, a only keeps base
+    val out = GraphRank.pageRankFixedPoint(edges(("a", "b", 1L)), iters = 3)
+      .orderBy("node").as[(String, Long)].collect().toMap
+    val base = (GraphRank.MassUnits - 85L * GraphRank.MassUnits / 100L) / 2
+    assert(out("a") === base)
+    assert(out("b") === base + 85L * base / 100L)
+  }
+
+  // ------------------------------------------- pplBuckets / topicTag
+
+  test("pplBuckets: per-lang terciles are balanced and ordered") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = TextAnalysis.pplBuckets(docs)
+    val sizes = out.groupBy("lang", "bucket").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    sizes.foreach { case (lang, ns) =>
+      assert(ns.max - ns.min <= 1, s"$lang tercile sizes $ns")
+    }
+    // every head doc scores <= every tail doc within its language
+    val byLang = out.select("lang", "bucket", "bits_per_token")
+      .as[(String, String, Double)].collect().groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val head = rows.filter(_._2 == "head").map(_._3)
+      val tail = rows.filter(_._2 == "tail").map(_._3)
+      assert(head.max <= tail.min, s"$lang head ${head.max} > tail ${tail.min}")
+    }
+  }
+
+  test("pplBucketsApprox agrees with the exact form away from boundaries") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = TextAnalysis.pplBuckets(docs)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approx = TextAnalysis.pplBucketsApprox(docs)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(exact.keySet === approx.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree.toDouble / exact.size >= 0.8,
+      s"only $agree/${exact.size} bucket assignments agree")
+  }
+
+  test("topicTag: hit counts, argmax, first-declared tie-break, other") {
+    val docs = Seq(
+      (1L, "table row table"),          // storage 3
+      (2L, "join sort stream batch"),   // compute 2 ties streaming 2 -> compute
+      (3L, "quartz quartz"),            // no hits -> other
+      (4L, "stream stream join"))       // streaming 2 beats compute 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topicTag(docs).orderBy("doc_id")
+      .select("doc_id", "h_storage", "h_compute", "h_streaming", "topic")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 3L, 0L, 0L, "storage"),
+      (2L, 0L, 2L, 2L, "compute"),
+      (3L, 0L, 0L, 0L, "other"),
+      (4L, 0L, 1L, 2L, "streaming")))
+  }
+}

@@ -861,4 +861,70 @@ class PlanSpec extends SparkSpec {
         s"prebuilt-centroid plan construction ran ${jobs.get()} setup jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  // ---- event analytics / graph rank / text buckets (round 13) ----
+
+  private def fmtPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Sessionize must reuse ONE user-keyed exchange across both window
+    * passes and the (user, session) rollup — hash(user_id) satisfies
+    * the rollup's clustering since user_id is a prefix of its keys. A
+    * second exchange here doubles the operator's shuffle volume at
+    * 100 TB; a range exchange would mean an accidental global sort.
+    */
+  test("ev1: bare sessionize plans exactly one user-keyed hash exchange") {
+    val p = fmtPlan(graft.operators.EventAnalytics.sessionize(
+      graft.sources.Tables.events(spark, sf), 30))
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(n === 1, s"expected one exchange, got $n:\n$p")
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), s"window collapsed to one partition:\n$p")
+  }
+
+  test("ev2: funnel pushes the step-type filter into the parquet scan, no cartesian") {
+    val p = fmtPlan(graft.operators.EventAnalytics.funnel(
+      graft.sources.Tables.events(spark, sf), ("view", "click", "purchase")))
+    assert(p.contains("In(event_type"), s"step filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ev3: retention plans keyed exchanges only (no range, no cartesian)") {
+    val p = fmtPlan(graft.operators.EventAnalytics.retentionCohorts(
+      graft.sources.Tables.events(spark, sf)))
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), s"window collapsed to one partition:\n$p")
+  }
+
+  /** PageRank's per-iteration joins are keyed equi-joins; a cartesian
+    * or nested-loop anywhere in the unrolled plan would be quadratic
+    * in the edge list.
+    */
+  test("gr1: pageRank iterations plan keyed joins only") {
+    val e = graft.operators.GraphRank.documentLinkEdges(
+      graft.sources.Tables.documents(spark, sf))
+    val p = fmtPlan(graft.operators.GraphRank.pageRankFixedPoint(e, 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("txt_topics: bare topicTag is a zero-exchange narrow pass") {
+    val p = fmtPlan(graft.operators.TextAnalysis.topicTag(
+      graft.sources.Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), s"topicTag planned an exchange:\n$p")
+  }
+
+  /** The approx bucket twin is the English-at-web-scale path: the
+    * per-language sort (Window/ntile) must NOT appear — thresholds come
+    * from a mergeable sketch agg and return via a broadcast join.
+    */
+  test("txt_ppl3: pplBucketsApprox plans no per-language sort, thresholds broadcast") {
+    val p = fmtPlan(graft.operators.TextAnalysis.pplBucketsApprox(
+      graft.sources.Tables.documents(spark, sf)))
+    assert(!p.contains("Window"), s"approx path still plans a window:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+  }
 }
