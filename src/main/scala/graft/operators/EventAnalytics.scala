@@ -89,6 +89,23 @@ object EventAnalytics {
           + when(col("t3_us").isNotNull, 1).otherwise(0)).cast("int").as("reached"))
   }
 
+  /** Tumbling event-time windows in batch via Spark's native
+    * `window()` grouping — the same operator the streaming layer
+    * aggregates under watermarks (S7), run over history: per
+    * (day, event_type) volumes and value totals (a 2-dp money sum —
+    * a mean would sit on 4th-decimal rounding boundaries across
+    * engines). ONE partial-agg shuffle on (window, type); window start
+    * crosses the oracle as epoch µs. 100-TB note: grouping keys are
+    * day×type — the output is calendar-sized, the shuffle carries only
+    * partial aggregates.
+    */
+  def dailyRates(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("day_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Weekly cohort retention: cohort = the user's first active epoch
     * WEEK (integer `epoch_day div 7` — pure arithmetic, no calendar
     * semantics to disagree on), offset = whole weeks since it.

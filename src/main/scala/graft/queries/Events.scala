@@ -82,6 +82,20 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Native tumbling-window grouping in batch (the streaming S7
+    * operator over history). DuckDB mirrors the UTC day floor.
+    */
+  val ev4_daily_rates = QueryDef.sqlChecked(
+    "ev4_daily_rates",
+    """SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start_us,
+      | event_type, count(*) AS n_events,
+      | round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY day_start_us, event_type
+      |ORDER BY day_start_us, event_type""".stripMargin) { (s, d) =>
+    EventAnalytics.dailyRates(Tables.events(s, d))
+      .orderBy("day_start_us", "event_type")
+  }
+
   private val Gr1Iters = 5
 
   /** The DuckDB mirror unrolls the identical fixed-point iteration
@@ -120,5 +134,5 @@ object Events {
   }
 
   val all: Seq[QueryDef] =
-    Seq(ev1_sessionize, ev2_funnel, ev3_retention, gr1_pagerank)
+    Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, gr1_pagerank)
 }

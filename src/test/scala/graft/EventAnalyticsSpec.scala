@@ -62,6 +62,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("t3_us") === 22000000L)   // purchase after the click
   }
 
+  test("dailyRates: UTC day floor, counts and 2-dp sums") {
+    val day = 86400L
+    val events = ev(
+      (1L, 10L, "view", 1.25, 1L),
+      (2L, day - 1L, "view", 2.50, 2L),   // same UTC day
+      (1L, day + 5L, "view", 4.00, 3L),   // next day
+      (1L, day + 6L, "click", 0.75, 4L))
+    val out = EventAnalytics.dailyRates(events)
+      .orderBy("day_start_us", "event_type")
+      .as[(Long, String, Long, Double)].collect()
+    assert(out === Array(
+      (0L, "view", 2L, 3.75),
+      (day * 1000000L, "click", 1L, 0.75),
+      (day * 1000000L, "view", 1L, 4.0)))
+  }
+
   test("retentionCohorts: integer week arithmetic") {
     val day = 86400L
     val events = ev(

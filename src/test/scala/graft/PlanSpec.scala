@@ -898,6 +898,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"window collapsed to one partition:\n$p")
   }
 
+  test("ev4: dailyRates is one partial-agg exchange on (window, type)") {
+    val p = fmtPlan(graft.operators.EventAnalytics.dailyRates(
+      graft.sources.Tables.events(spark, sf)))
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(n === 1, s"expected one exchange, got $n:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side combine:\n$p")
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   /** PageRank's per-iteration joins are keyed equi-joins; a cartesian
     * or nested-loop anywhere in the unrolled plan would be quadratic
     * in the edge list.

@@ -121,4 +121,46 @@ class StreamingWindowsSpec extends SparkSpec {
       assert(!rows.contains(200L)) // user 2's click was 2.5h earlier -> no match
     } finally q.stop()
   }
+
+  /** Cross-surface pin: Structured Streaming's native `session_window`
+    * over micro-batches produces the SAME sessions as the batch
+    * window-function form ([[graft.operators.EventAnalytics.sessionize]])
+    * on the full fixture — session state merges correctly across the
+    * batch boundary mid-stream. (Boundary semantics differ only at a
+    * gap of EXACTLY 30:00.000000, which organic µs data never hits.)
+    */
+  test("S8b: streaming session_window agrees with batch sessionize") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      .as[(Timestamp, Long, Long, Double)].collect().toSeq
+    val (c1, c2) = ev.sortBy(_._1.getTime).splitAt(ev.size / 2)
+    val input = MemoryStream[(Timestamp, Long, Long, Double)](spark, numPartitions = 1)
+    val agg = input.toDF().toDF("ts", "user_id", "event_id", "value")
+      .withWatermark("ts", "40 days")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("s8b").start()
+    try {
+      input.addData(c1)
+      q.processAllAvailable()
+      input.addData(c2)
+      q.processAllAvailable()
+      // flush: a far-future sentinel pushes the watermark past everything
+      input.addData(Seq((t("2030-01-01 00:00:00"), -1L, 0L, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("s8b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap.filter { case ((user, _), _) => user >= 0 }
+      val batch = graft.operators.EventAnalytics
+        .sessionize(graft.sources.Tables.events(spark, sf), 30)
+        .select("user_id", "start_us", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
