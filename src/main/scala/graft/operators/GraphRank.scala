@@ -43,34 +43,69 @@ object GraphRank {
   /** `iters` rounds of fixed-point PageRank over a weighted edge list
     * `(src: string, dst: string, w: long)`. Returns `(node, rank)`
     * with rank in units of 1e-9 (sums to ~MassUnits minus dangling /
-    * truncation loss). Plan depth grows linearly with `iters`;
-    * `localCheckpoint` the returned frame between calls if you chain
-    * many more rounds than the default handful.
+    * truncation loss).
+    *
+    * Strategy choice, same discipline as
+    * [[Dedup.duplicateClusters]]'s `smallGraphMaxEdges`: an
+    * (aggregated) edge list at or under the cap collects to the driver
+    * and iterates locally — 2 jobs total instead of 3 per iteration —
+    * because the integer arithmetic is EXACTLY the same either way
+    * (spec-pinned fast==loop). Above the cap, the distributed loop:
+    * per iteration one src-keyed join of edges×ranks, one dst-keyed
+    * partial-agg sum, one left join back onto nodes. Plan depth grows
+    * linearly with `iters`; `localCheckpoint` the returned frame
+    * between calls if you chain many more rounds than the default
+    * handful.
     */
-  def pageRankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankFixedPoint(
+      edges: DataFrame,
+      iters: Int,
+      smallGraphMaxEdges: Long = 100000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val out = e.groupBy("src").agg(sum("w").as("out_w"))
-    val eo = e.join(out, "src")
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-    val n = nodes.count()
-    require(n > 0, "pageRank over an empty edge list")
-    val basePart = (MassUnits - DampingPct * MassUnits / 100L) / n
-    var ranks = nodes.select(col("node"), lit(MassUnits / n).as("rank"))
-    var i = 0
-    while (i < iters) {
-      val contrib = eo.join(ranks, eo("src") === ranks("node"))
-        .select(col("dst"), expr("(rank * w) div out_w").as("c"))
-      val inMass = contrib.groupBy("dst").agg(sum("c").as("sc"))
-      ranks = nodes.join(inMass, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(basePart) + expr(s"($DampingPct * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
-            .as("rank"))
-      i += 1
+    if (smallGraphMaxEdges > 0 && e.count() <= smallGraphMaxEdges) {
+      // driver fast path: cap-bounded state, identical trajectory
+      val rows = e.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val outW = rows.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+      val n = nodes.length.toLong
+      require(n > 0, "pageRank over an empty edge list")
+      val basePart = (MassUnits - DampingPct * MassUnits / 100L) / n
+      var rank = nodes.map(_ -> MassUnits / n).toMap
+      (0 until iters).foreach { _ =>
+        val in = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { case (s, d, w) =>
+          in(d) = in.getOrElse(d, 0L) + rank(s) * w / outW(s)
+        }
+        rank = nodes.map(nd =>
+          nd -> (basePart + DampingPct * in.getOrElse(nd, 0L) / 100L)).toMap
+      }
+      import spark.implicits._
+      nodes.map(nd => (nd, rank(nd))).toSeq.toDF("node", "rank")
+    } else {
+      val out = e.groupBy("src").agg(sum("w").as("out_w"))
+      val eo = e.join(out, "src")
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+      val n = nodes.count()
+      require(n > 0, "pageRank over an empty edge list")
+      val basePart = (MassUnits - DampingPct * MassUnits / 100L) / n
+      var ranks = nodes.select(col("node"), lit(MassUnits / n).as("rank"))
+      var i = 0
+      while (i < iters) {
+        val contrib = eo.join(ranks, eo("src") === ranks("node"))
+          .select(col("dst"), expr("(rank * w) div out_w").as("c"))
+        val inMass = contrib.groupBy("dst").agg(sum("c").as("sc"))
+        ranks = nodes.join(inMass, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(basePart) + expr(s"($DampingPct * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+              .as("rank"))
+        i += 1
+      }
+      ranks
     }
-    ranks
   }
 
   /** Deterministic document→domain link edges for the `documents`

@@ -97,43 +97,52 @@ class EventAnalyticsSpec extends SparkSpec {
   private def edges(rows: (String, String, Long)*): DataFrame =
     rows.toSeq.toDF("src", "dst", "w")
 
-  test("pageRank: symmetric 2-cycle is the uniform fixed point") {
-    val out = GraphRank.pageRankFixedPoint(
-      edges(("a", "b", 1L), ("b", "a", 1L)), iters = 7)
-      .orderBy("node").as[(String, Long)].collect()
-    assert(out === Array(("a", 500000000L), ("b", 500000000L)))
+  test("pageRank: symmetric 2-cycle is the uniform fixed point (both strategies)") {
+    Seq(0L, 100L).foreach { cap =>
+      val out = GraphRank.pageRankFixedPoint(
+        edges(("a", "b", 1L), ("b", "a", 1L)), iters = 7, smallGraphMaxEdges = cap)
+        .orderBy("node").as[(String, Long)].collect()
+      assert(out === Array(("a", 500000000L), ("b", 500000000L)), s"cap=$cap")
+    }
   }
 
-  test("pageRank: one hand-computed iteration on the 3-node graph") {
+  test("pageRank: one hand-computed iteration on the 3-node graph, loop pinned") {
     // A->B, A->C, B->C, C->A; n=3, r0=333333333, base=50000000
     val e = edges(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L), ("c", "a", 1L))
-    val out = GraphRank.pageRankFixedPoint(e, iters = 1)
+    val out = GraphRank.pageRankFixedPoint(e, iters = 1, smallGraphMaxEdges = 0)
       .orderBy("node").as[(String, Long)].collect().toMap
     assert(out("a") === 50000000L + 85L * 333333333L / 100L)
     assert(out("b") === 50000000L + 85L * (333333333L / 2L) / 100L)
     assert(out("c") === 50000000L + 85L * (333333333L / 2L + 333333333L) / 100L)
   }
 
-  test("pageRank: trajectory is invariant under repartitioning") {
+  test("pageRank: distributed loop is repartition-invariant and equals the fast path") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val e = GraphRank.documentLinkEdges(docs)
-    val a = GraphRank.pageRankFixedPoint(e, 5).orderBy("node")
+    val loop = GraphRank.pageRankFixedPoint(e, 5, smallGraphMaxEdges = 0)
+      .orderBy("node").as[(String, Long)].collect()
+    val loopRepart = GraphRank.pageRankFixedPoint(
+      e.repartition(7), 5, smallGraphMaxEdges = 0)
+      .orderBy("node").as[(String, Long)].collect()
+    val fast = GraphRank.pageRankFixedPoint(e, 5).orderBy("node")
       .as[(String, Long)].collect()
-    val b = GraphRank.pageRankFixedPoint(e.repartition(7), 5).orderBy("node")
-      .as[(String, Long)].collect()
-    assert(a === b)
+    assert(loop === loopRepart)
+    assert(loop === fast) // strategy choice never changes the trajectory
     // total mass within truncation loss of the full unit
-    val total = a.map(_._2).sum
+    val total = loop.map(_._2).sum
     assert(total <= GraphRank.MassUnits && total > GraphRank.MassUnits * 97 / 100)
   }
 
-  test("pageRank: dangling sink keeps base mass, feeder decays") {
-    // a -> b, b has no out-edges: b's in-mass arrives, a only keeps base
-    val out = GraphRank.pageRankFixedPoint(edges(("a", "b", 1L)), iters = 3)
-      .orderBy("node").as[(String, Long)].collect().toMap
-    val base = (GraphRank.MassUnits - 85L * GraphRank.MassUnits / 100L) / 2
-    assert(out("a") === base)
-    assert(out("b") === base + 85L * base / 100L)
+  test("pageRank: dangling sink keeps base mass, feeder decays (both strategies)") {
+    Seq(0L, 100L).foreach { cap =>
+      // a -> b, b has no out-edges: b's in-mass arrives, a only keeps base
+      val out = GraphRank.pageRankFixedPoint(
+        edges(("a", "b", 1L)), iters = 3, smallGraphMaxEdges = cap)
+        .orderBy("node").as[(String, Long)].collect().toMap
+      val base = (GraphRank.MassUnits - 85L * GraphRank.MassUnits / 100L) / 2
+      assert(out("a") === base, s"cap=$cap")
+      assert(out("b") === base + 85L * base / 100L, s"cap=$cap")
+    }
   }
 
   // ------------------------------------------- pplBuckets / topicTag

@@ -915,7 +915,8 @@ class PlanSpec extends SparkSpec {
   test("gr1: pageRank iterations plan keyed joins only") {
     val e = graft.operators.GraphRank.documentLinkEdges(
       graft.sources.Tables.documents(spark, sf))
-    val p = fmtPlan(graft.operators.GraphRank.pageRankFixedPoint(e, 2))
+    val p = fmtPlan(graft.operators.GraphRank.pageRankFixedPoint(
+      e, 2, smallGraphMaxEdges = 0))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
