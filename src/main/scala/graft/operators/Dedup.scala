@@ -1209,6 +1209,34 @@ object Dedup {
         col("n_toks").as("keep_toks"),
         (col("cluster_size") - 1).cast("long").as("n_dropped"))
   }
+
+  /** Template-spam detection: documents that share a SHAPE (text with
+    * every digit run collapsed to `0`, case-folded) are instances of
+    * one fill-in template — invoices, listings, log lines, SEO spam —
+    * which exact dedup misses (the fills differ) and near-dup treats
+    * too leniently (large templates swamp MinHash bands). Emits every
+    * doc with its shape digest, template-group size, and the
+    * `is_template` verdict at `minGroup`.
+    *
+    * Scale shape: one narrow shape-digest projection, then ONE
+    * shape-keyed exchange for the whole-partition count window (no
+    * sort — the frame is the full partition). Group sizes are
+    * Zipf-bounded by real template populations; a pathological
+    * mega-template bounds one task's count, not a sort.
+    */
+  def templateSpam(
+      documents: DataFrame,
+      minGroup: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shape = md5(regexp_replace(lower(col(textCol)), "[0-9]+", "0"))
+    val w = Window.partitionBy("shape_md5")
+    documents
+      .select(col(idCol).cast("long").as("doc_id"), shape.as("shape_md5"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_template", col("group_size") >= minGroup)
+  }
 }
 
 /** MinHash parameter table, computed once per JVM per size. */

@@ -230,4 +230,35 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))
   }
+
+  /** Sparse random projection (Achlioptas 2003): reduce `embedding`
+    * to `k` dimensions through a deterministic ±1/0 matrix derived
+    * arithmetically from (i, j) — no materialized matrix, no
+    * randomness source, so any worker (or engine) regenerates the
+    * identical projection. `R(i,j) = ((i·1315423911 + j·2654435761)
+    * mod 1000003) mod 3 − 1 ∈ {−1, 0, 1}`; `out[j] = Σᵢ v[i]·R(i,j)`
+    * folded in index order (bit-reproducible), round-6 at the edge.
+    *
+    * Scale shape: a PURE NARROW pass — the fold is a codegen'd
+    * higher-order `aggregate` over `zip_with(embedding, sequence)`;
+    * no shuffle, no UDF, no driver state. The standard prefilter
+    * before ANN/clustering when 64→8 dims keeps enough cosine
+    * geometry (Johnson–Lindenstrauss).
+    */
+  def randomProjection(
+      embeddings: DataFrame,
+      k: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val outCols = (0 until k).map { j =>
+      expr(
+        s"""round(aggregate(
+           |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
+           |    (x, i) -> CAST(x AS DOUBLE) *
+           |      CAST(((CAST(i AS BIGINT) * 1315423911 + $j * 2654435761) % 1000003) % 3 - 1 AS DOUBLE)),
+           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6)""".stripMargin)
+        .as(s"p$j")
+    }
+    embeddings.select(col(idCol) +: outCols: _*)
+  }
 }

@@ -3156,6 +3156,63 @@ object DataPipeline {
     TextAnalysis.signalCorrelations(Tables.documents(s, d))
   }
 
+  /** Template-spam detection over the corpus plus 30 planted invoice
+    * instances (same template, different numeric fills) — the planted
+    * group is the only one crossing `minGroup`, so the verdict branch
+    * is live at oracle level.
+    */
+  val dd17_template_spam = QueryDef.sqlChecked(
+    "dd17_template_spam",
+    """WITH fixture AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT 5000 + i AS doc_id,
+      |    'invoice ' || CAST(1000 + i * 37 AS VARCHAR) || ' total ' ||
+      |    CAST(i * 13 AS VARCHAR) || ' due day ' || CAST(i % 28 AS VARCHAR) AS text
+      |  FROM range(30) t(i)),
+      |s AS (SELECT doc_id, md5(regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS shape_md5
+      |      FROM fixture),
+      |g AS (SELECT *, CAST(count(*) OVER (PARTITION BY shape_md5) AS BIGINT) AS group_size
+      |      FROM s)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, shape_md5, group_size,
+      | group_size >= 5 AS is_template
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = s.range(30).select((col("id") + 5000L).as("doc_id"),
+      concat(lit("invoice "), (col("id") * 37 + 1000L).cast("string"),
+        lit(" total "), (col("id") * 13).cast("string"),
+        lit(" due day "), (col("id") % 28).cast("string")).as("text"))
+    Dedup.templateSpam(base.unionByName(planted)).orderBy("doc_id")
+  }
+
+  private val Emb1K = 8
+
+  /** The mirror regenerates the same ±1/0 Achlioptas matrix
+    * arithmetically and folds each vector in list order, so the
+    * doubles match bit-for-bit before the round-6 edge.
+    */
+  private val Emb1Sql: String = {
+    val cols = (0 until Emb1K).map { j =>
+      s""" round(list_sum(list_transform(embedding, (x, i) ->
+         |   CAST(x AS DOUBLE) *
+         |   ((((i - 1) * 1315423911 + $j * 2654435761) % 1000003) % 3 - 1))), 6) AS p$j""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT vec_id,
+       |$cols
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  /** Johnson–Lindenstrauss sparse random projection 64 -> 8 dims —
+    * deterministic, matrix-free, one narrow codegen'd pass
+    * ([[Similarity.randomProjection]]).
+    */
+  val emb1_random_projection = QueryDef.sqlChecked(
+    "emb1_random_projection", Emb1Sql) { (s, d) =>
+    Similarity.randomProjection(Tables.embeddings(s, d), Emb1K)
+      .orderBy("vec_id")
+  }
+
   /** CCNet head/middle/tail perplexity buckets per language — the
     * txt_ppl chain + per-lang exact terciles (ntile ties on doc_id).
     * [[TextAnalysis.pplBucketsApprox]] is the sketch-threshold scale
@@ -3215,7 +3272,8 @@ object DataPipeline {
     dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
-    dd15_incremental_neardup, dd16_containment,
+    dd15_incremental_neardup, dd16_containment, dd17_template_spam,
+    emb1_random_projection,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,

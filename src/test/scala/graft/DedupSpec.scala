@@ -601,4 +601,21 @@ class DedupSpec extends SparkSpec {
     assert(out(10L) === ((11L, 5L, 2L)), "longest member wins")
     assert(out(20L) === ((20L, 3L, 1L)), "equal length -> min id wins")
   }
+
+  test("templateSpam: digit-run shapes group, verdict at minGroup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Invoice 12 total 5"),     // same shape: digit runs + case fold
+      (2L, "invoice 9999 total 410"),
+      (3L, "invoice 0 TOTAL 77"),
+      (4L, "invoice 12 amount 5"),    // different word -> different shape
+      (5L, "plain text no digits"))
+      .toDF("doc_id", "text")
+    val out = Dedup.templateSpam(docs, minGroup = 3)
+      .select("doc_id", "group_size", "is_template")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 3L, true), (2L, 3L, true), (3L, 3L, true),
+      (4L, 1L, false), (5L, 1L, false)))
+  }
 }

@@ -921,6 +921,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("dd17: templateSpam is one shape-keyed exchange, no sort") {
+    val p = fmtPlan(graft.operators.Dedup.templateSpam(
+      graft.sources.Tables.documents(spark, sf)))
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(n === 1, s"expected one exchange, got $n:\n$p")
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("emb1: randomProjection is a zero-exchange narrow pass") {
+    val p = fmtPlan(graft.operators.Similarity.randomProjection(
+      graft.sources.Tables.embeddings(spark, sf)))
+    assert(!p.contains("Exchange"), s"randomProjection planned an exchange:\n$p")
+  }
+
   test("txt_topics: bare topicTag is a zero-exchange narrow pass") {
     val p = fmtPlan(graft.operators.TextAnalysis.topicTag(
       graft.sources.Tables.documents(spark, sf)))

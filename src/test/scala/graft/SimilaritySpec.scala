@@ -169,4 +169,23 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.filter(!col("kept")).count() === 0L,
       "a cap of 1 leaves no pairable participants — nothing may drop")
   }
+
+  test("randomProjection: hand-computed Achlioptas coefficients") {
+    import spark.implicits._
+    // R(0,0)=-1, R(1,0)=+1, R(0,1)=+1, R(1,1)=0 (mod-1000003/mod-3 chain)
+    val emb = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.randomProjection(emb, k = 2).collect()(0)
+    assert(r.getAs[Double]("p0") === 1.0) // 1*(-1) + 2*(+1)
+    assert(r.getAs[Double]("p1") === 1.0) // 1*(+1) + 2*0
+  }
+
+  test("randomProjection: deterministic under repartition, full width") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = graft.operators.Similarity.randomProjection(emb, 8)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val b = graft.operators.Similarity.randomProjection(emb.repartition(5), 8)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(a.length === 500)
+    assert(a.toSeq === b.toSeq)
+  }
 }
