@@ -79,8 +79,25 @@ object ScaleSoak {
     import spark.implicits._
     val nn = n
     spark.range(n).as[Long]
-      .map(id => (id, docText(id, nn)))
-      .toDF("doc_id", "text")
+      .map(id => (id, docText(id, nn), "l" + Math.floorMod(mix(id * 5L), 5L)))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  /** Event stream: n events over n/50 users across 30 days, value a
+    * 2-dp hash amount — the sessionize/window-analytics family's food.
+    */
+  private def synthEvents(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val users = math.max(n / 50L, 1L)
+    spark.range(n).as[Long]
+      .map { id =>
+        val tsUs = 1704067200000000L + Math.floorMod(mix(id * 13L), 2592000000000L)
+        (id, Math.floorMod(mix(id * 7L), users), tsUs,
+          Math.floorMod(mix(id * 3L), 10000L) / 100.0)
+      }
+      .toDF("event_id", "user_id", "ts_us", "value")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("value"))
   }
 
   /** Zipf-vocabulary corpus for the TOKENIZER row: natural language has
@@ -139,6 +156,8 @@ object ScaleSoak {
         .write.mode("overwrite").parquet(s"$base/$tag/zipfdocs.parquet")
       synthEmbeddings(spark, (2 * n) / 5).repartition(32)
         .write.mode("overwrite").parquet(s"$base/$tag/embeddings.parquet")
+      synthEvents(spark, n).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/$tag/events.parquet")
     }
     // the tokenizer is trained ONCE on a fixed 500-doc slice (a frozen
     // artifact does not grow with the corpus; tok1 times TOKENIZATION)
@@ -148,6 +167,7 @@ object ScaleSoak {
 
     def docs(tag: String) = spark.read.parquet(s"$base/$tag/documents.parquet")
     def emb(tag: String) = spark.read.parquet(s"$base/$tag/embeddings.parquet")
+    def evs(tag: String) = spark.read.parquet(s"$base/$tag/events.parquet")
 
     val queries: Seq[(String, String => DataFrame)] = Seq(
       "dd2_minhash_lsh" -> (t => graft.operators.Dedup.minhashLsh(docs(t))),
@@ -181,7 +201,29 @@ object ScaleSoak {
       },
       "cl1_kmeans" -> (t => graft.operators.Clustering.kmeans(emb(t))),
       "tok1_bpe_tokenize" -> (t => graft.operators.TextAnalysis.bpeTokenize(
-        spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)))
+        spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
+      "ev1_sessionize" ->
+        (t => graft.operators.EventAnalytics.sessionize(evs(t), 30)),
+      "dd17_template_spam" ->
+        (t => graft.operators.Dedup.templateSpam(docs(t))),
+      "txt_ppl3_approx" ->
+        (t => graft.operators.TextAnalysis.pplBucketsApprox(docs(t))),
+      "emb1_random_projection" ->
+        (t => graft.operators.Similarity.randomProjection(emb(t))),
+      "gr1_pagerank_loop" -> { t =>
+        // domain count scales with the corpus; loop pinned (cap=0)
+        val n = scales.toMap.apply(t)
+        val k = math.max(n / 100L, 20L)
+        val d = docs(t)
+        def node(c: org.apache.spark.sql.Column) =
+          concat(lit("d"), pmod(c, lit(k)).cast("string"))
+        val e = d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 7 + 3).as("dst"))
+          .union(d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 13 + 5).as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphRank.pageRankFixedPoint(e, 5, smallGraphMaxEdges = 0)
+      })
 
     def timeIt(f: => Long): (Double, Long) = {
       spark.catalog.clearCache()
