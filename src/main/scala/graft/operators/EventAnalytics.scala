@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,49 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(unix_micros(col("w.start")).as("day_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** RFM scoring: per-user recency (latest active epoch day),
+    * frequency (event count) and monetary (2-dp purchase sum), each
+    * bucketed 1–5 against EXACT interpolated quintile thresholds of
+    * the user population (`percentile` == DuckDB `quantile_cont`, the
+    * rl3 parity convention), composed as `rfm = r·100 + f·10 + m`.
+    * Higher bucket = more recent / more active / higher spend.
+    *
+    * Scale shape: one user-keyed rollup, ONE single-row threshold
+    * aggregate broadcast back, then a narrow bucket pass — no global
+    * sort, no ntile over an unpartitioned window (the q12b trap).
+    * Exact `percentile` buffers the user-level frame per aggregate —
+    * the group-buffered audit form; swap `percentile_approx` in for a
+    * mergeable sketch at web-scale user counts (rl3's exact/approx
+    * convention).
+    */
+  def rfmScores(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        max("d").as("recency_d"),
+        count(lit(1)).as("frequency"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("monetary"))
+    val th = perUser.agg(
+      expr("percentile(recency_d, array(0.2D, 0.4D, 0.6D, 0.8D))").as("tr"),
+      expr("percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("tf"),
+      expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("tm"))
+    def bucket(v: Column, t: String): Column =
+      (1 to 4).map(i => when(v > element_at(col(t), i), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    perUser.crossJoin(broadcast(th))
+      .select(col("user_id"), col("recency_d"), col("frequency"), col("monetary"),
+        bucket(col("recency_d"), "tr").cast("int").as("r"),
+        bucket(col("frequency"), "tf").cast("int").as("f"),
+        bucket(col("monetary"), "tm").cast("int").as("m"))
+      .withColumn("rfm",
+        (col("r") * 100 + col("f") * 10 + col("m")).cast("int"))
+  }
 
   /** Weekly cohort retention: cohort = the user's first active epoch
     * WEEK (integer `epoch_day div 7` — pure arithmetic, no calendar

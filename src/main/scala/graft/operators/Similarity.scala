@@ -261,4 +261,26 @@ object Similarity {
     }
     embeddings.select(col(idCol) +: outCols: _*)
   }
+
+  /** ANN index QA: recall@k of an approximate result set against the
+    * exact one — the acceptance number an IVF/LSH index ships with
+    * (and re-checks after every re-fit). Both inputs are (qid, rnk,
+    * id, …) top-k frames; output one row per query with hit count and
+    * recall. One qid-keyed left join + rollup over k×|queries| rows —
+    * probe-sample-sized, never corpus-sized: at scale you audit a
+    * sampled query panel, not every vector.
+    */
+  def annRecall(
+      exact: DataFrame,
+      approx: DataFrame,
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val hits = approx.select(col("qid"), col(idCol), lit(1L).as("hit"))
+    exact.select(col("qid"), col(idCol))
+      .join(hits, Seq("qid", idCol), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / k, 4).as(s"recall_at_$k"))
+  }
 }

@@ -425,8 +425,7 @@ object DataPipeline {
   }
 
   // -------------------------------------------------- similarity search
-  val ann_brute_topk = QueryDef.sqlChecked(
-    "ann_brute_topk",
+  private val AnnBruteSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
       |sc AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 4) AS sim
@@ -434,7 +433,9 @@ object DataPipeline {
       |r AS (SELECT qid, vec_id, sim,
       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
       |      FROM sc)
-      |SELECT qid, rnk, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) {
+      |SELECT qid, rnk, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  val ann_brute_topk = QueryDef.sqlChecked("ann_brute_topk", AnnBruteSql) {
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryIds = AnnQueryIds)
       .orderBy("qid", "rnk")
   }
@@ -576,6 +577,29 @@ object DataPipeline {
     graft.operators.IvfSearch.ivfTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
       .orderBy("qid", "rnk")
+  }
+
+  /** ANN QA: recall@10 of the IVF index against the exact brute-force
+    * panel ([[Similarity.annRecall]]). The mirror nests BOTH existing
+    * oracle chains as subqueries, so the recall audit is cross-checked
+    * end-to-end — index drift, probe-ring changes, or quantizer
+    * re-fits all move this hash.
+    */
+  val emb2_ann_recall = QueryDef.sqlChecked(
+    "emb2_ann_recall",
+    s"""WITH b AS (SELECT qid, vec_id FROM ($AnnBruteSql)),
+       |i AS (SELECT qid, vec_id, 1 AS hit FROM ($AnnIvfSql)),
+       |h AS (SELECT b.qid, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hit
+       |      FROM b LEFT JOIN i ON i.qid = b.qid AND i.vec_id = b.vec_id
+       |      GROUP BY b.qid)
+       |SELECT qid, n_hit, round(n_hit / 10.0, 4) AS recall_at_10
+       |FROM h ORDER BY qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecall(
+      Similarity.bruteForceTopK(emb, queryIds = AnnQueryIds),
+      graft.operators.IvfSearch.ivfTopK(emb, queryIds = AnnQueryIds),
+      k = 10)
+      .orderBy("qid")
   }
 
   /** Semantic-dedup fixture: 40 exact copies of organic vectors are
@@ -3275,6 +3299,7 @@ object DataPipeline {
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
     emb1_random_projection,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
+    emb2_ann_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,

@@ -96,6 +96,38 @@ object Events {
       .orderBy("day_start_us", "event_type")
   }
 
+  /** RFM quintile scoring against exact interpolated thresholds. */
+  val ev5_rfm = QueryDef.sqlChecked(
+    "ev5_rfm",
+    """WITH pu AS (SELECT user_id,
+      |        CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT) AS recency_d,
+      |        count(*) AS frequency,
+      |        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS monetary
+      |      FROM events GROUP BY user_id),
+      |th AS (SELECT quantile_cont(recency_d, [0.2, 0.4, 0.6, 0.8]) AS tr,
+      |        quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS tf,
+      |        quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS tm
+      |       FROM pu),
+      |b AS (SELECT user_id, recency_d, frequency, monetary,
+      |       CAST(1 + (CASE WHEN recency_d > tr[1] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN recency_d > tr[2] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN recency_d > tr[3] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN recency_d > tr[4] THEN 1 ELSE 0 END) AS INTEGER) AS r,
+      |       CAST(1 + (CASE WHEN frequency > tf[1] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN frequency > tf[2] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN frequency > tf[3] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN frequency > tf[4] THEN 1 ELSE 0 END) AS INTEGER) AS f,
+      |       CAST(1 + (CASE WHEN monetary > tm[1] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN monetary > tm[2] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN monetary > tm[3] THEN 1 ELSE 0 END)
+      |              + (CASE WHEN monetary > tm[4] THEN 1 ELSE 0 END) AS INTEGER) AS m
+      |      FROM pu CROSS JOIN th)
+      |SELECT user_id, recency_d, frequency, monetary, r, f, m,
+      | CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm
+      |FROM b ORDER BY user_id""".stripMargin) { (s, d) =>
+    EventAnalytics.rfmScores(Tables.events(s, d)).orderBy("user_id")
+  }
+
   private val Gr1Iters = 5
 
   /** The DuckDB mirror unrolls the identical fixed-point iteration
@@ -134,5 +166,6 @@ object Events {
   }
 
   val all: Seq[QueryDef] =
-    Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, gr1_pagerank)
+    Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
+      gr1_pagerank)
 }

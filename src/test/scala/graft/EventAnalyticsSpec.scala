@@ -78,6 +78,21 @@ class EventAnalyticsSpec extends SparkSpec {
       (day * 1000000L, "view", 1L, 4.0)))
   }
 
+  test("rfmScores: hand-computed quintiles, composed score") {
+    val day = 86400L
+    // user u: u purchase events on day u, value 10 each ->
+    // recency_d = u, frequency = u, monetary = 10u -> all buckets = u
+    val rows = for {
+      u <- 1L to 5L
+      j <- 0L until u
+    } yield (u, u * day + j, "purchase", 10.0, u * 10 + j)
+    val out = EventAnalytics.rfmScores(ev(rows: _*))
+      .orderBy("user_id")
+      .select("user_id", "r", "f", "m", "rfm")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out === (1 to 5).map(u => (u.toLong, u, u, u, 111 * u)).toArray)
+  }
+
   test("retentionCohorts: integer week arithmetic") {
     val day = 86400L
     val events = ev(

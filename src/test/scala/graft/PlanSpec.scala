@@ -908,6 +908,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  /** RFM must bucket against broadcast thresholds, never sort the user
+    * population through an unpartitioned ntile window (the q12b trap).
+    */
+  test("ev5: rfm plans no window and no range exchange — thresholds broadcast") {
+    val p = fmtPlan(graft.operators.EventAnalytics.rfmScores(
+      graft.sources.Tables.events(spark, sf)))
+    assert(!p.contains("Window"), s"rfm planned a window:\n$p")
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("Broadcast"), s"threshold row not broadcast:\n$p")
+  }
+
   /** PageRank's per-iteration joins are keyed equi-joins; a cartesian
     * or nested-loop anywhere in the unrolled plan would be quadratic
     * in the edge list.

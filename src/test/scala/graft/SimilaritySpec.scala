@@ -179,6 +179,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("p1") === 1.0) // 1*(+1) + 2*0
   }
 
+  test("annRecall: self-recall is 1, partial overlap counts exactly") {
+    import spark.implicits._
+    val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L), (1L, 1, 20L))
+      .toDF("qid", "rnk", "vec_id")
+    val self = graft.operators.Similarity.annRecall(exact, exact, k = 3)
+      .orderBy("qid").as[(Long, Long, Double)].collect()
+    assert(self === Array((0L, 3L, 1.0), (1L, 1L, 0.3333)))
+    val approx = Seq((0L, 1, 10L), (0L, 2, 99L), (0L, 3, 12L), (1L, 1, 77L))
+      .toDF("qid", "rnk", "vec_id")
+    val part = graft.operators.Similarity.annRecall(exact, approx, k = 3)
+      .orderBy("qid").as[(Long, Long, Double)].collect()
+    assert(part === Array((0L, 2L, 0.6667), (1L, 0L, 0.0)))
+  }
+
+  test("annRecall: IVF panel recall against brute is high and bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = graft.operators.Similarity.annRecall(
+      graft.operators.Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L, 3L, 4L)),
+      graft.operators.IvfSearch.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L)), 10)
+      .collect().map(_.getAs[Double]("recall_at_10"))
+    assert(r.length === 5)
+    assert(r.forall(x => x > 0.0 && x <= 1.0), r.mkString(","))
+  }
+
   test("randomProjection: deterministic under repartition, full width") {
     val emb = Tables.embeddings(spark, sf)
     val a = graft.operators.Similarity.randomProjection(emb, 8)
