@@ -20,7 +20,10 @@ import graft.operators.Dedup.tokens
   */
 object TextAnalysis {
 
-  private[operators] val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  /** Public like [[LangProfiles]] so oracle SQL generates from the
+    * same table the operator uses (no drift).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Quality signals: length ratios, stopword ratio, a bounded composite
     * score. Pure integer/rational arithmetic so an SQL oracle matches
@@ -1388,4 +1391,87 @@ object TextAnalysis {
     "storage" -> Seq("table", "row", "column"),
     "compute" -> Seq("join", "agg", "sort"),
     "streaming" -> Seq("stream", "batch", "window"))
+
+  /** FineWeb-style fused filter stack: quality score, 3-gram
+    * repetition, char entropy and language-ID computed in ONE typed
+    * pass (tokenize once, score everything), each rule emitted as its
+    * own flag so the verdict is auditable per rule — which filter
+    * killed a doc is the first question every curation post-mortem
+    * asks. Signal formulas are the exact twins of [[quality]],
+    * [[repetition]], [[charStats]] and [[languageId]] (spec-pinned),
+    * with rule comparisons made on the ROUNDED (round-4) signals so
+    * engine mirrors agree on the verdicts.
+    *
+    * Scale shape: one narrow typed map — the corpus is scanned and
+    * tokenized ONCE for all four signals, where running the individual
+    * operators would scan it four times. No shuffle, no driver state.
+    */
+  def filterStack(
+      documents: DataFrame,
+      minQuality: Double = 0.15,
+      maxRepetition: Double = 0.05,
+      minEntropy: Double = 3.5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val profiles = LangProfiles
+    val stops = Stopwords.toSet
+    Dedup.spread(documents.select(col("doc_id").cast("long"), col("text")))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val r4 = graft.functions.TextHashing.round4 _
+        val toks = graft.functions.TextHashing.tokens(text)
+        val nw = toks.length
+        val q =
+          if (nw == 0) 0.0
+          else r4(toks.count(stops.contains).toDouble / nw * 0.5
+            + math.min(nw, 100).toDouble / 100 * 0.5)
+        val nGrams = math.max(nw - 2, 0)
+        val rep =
+          if (nGrams == 0) 0.0
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i + 2 < nw) {
+              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)): Unit
+              i += 1
+            }
+            r4(1.0 - seen.size.toDouble / nGrams)
+          }
+        val ent =
+          if (text.isEmpty) 0.0
+          else {
+            val freq = new java.util.HashMap[Char, Integer]()
+            var i = 0
+            while (i < text.length) {
+              freq.merge(text.charAt(i), 1, (a, b) => a + b): Unit
+              i += 1
+            }
+            var e = 0.0
+            val it = freq.values().iterator()
+            while (it.hasNext) {
+              val p = it.next().toDouble / text.length
+              e -= p * math.log(p) / math.log(2.0)
+            }
+            r4(e)
+          }
+        val lang =
+          if (nw == 0) "und"
+          else {
+            val scores = profiles.map { case (l, st) =>
+              val s = st.toSet
+              (l, r4(toks.count(s.contains).toDouble / nw))
+            }
+            val best = scores.map(_._2).max
+            if (best <= 0) "und" else scores.find(_._2 == best).get._1
+          }
+        val kq = q >= minQuality
+        val kr = rep <= maxRepetition
+        val ke = ent >= minEntropy
+        val kl = lang != "und"
+        (id, q, rep, ent, lang, kq, kr, ke, kl, kq && kr && ke && kl)
+      }
+      .toDF("doc_id", "quality_score", "rep_ratio", "entropy_bits",
+        "predicted_lang", "keep_quality", "keep_repetition", "keep_entropy",
+        "keep_lang", "keep")
+  }
 }

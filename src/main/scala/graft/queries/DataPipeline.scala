@@ -3237,6 +3237,95 @@ object DataPipeline {
       .orderBy("vec_id")
   }
 
+  private val FsRun: String = Seq.fill(30)("fsrun").mkString(" ")
+
+  /** Mirror generated from the SAME stopword and language-profile
+    * tables the operator uses (the LangIdSql convention). The fixture
+    * plants three rule-violating populations so every flag column has
+    * both branches live: %13 docs get a 30-token repeat run (rep + a
+    * slight entropy dent), 10 novel-token docs trip lang='und' and the
+    * quality floor, 5 single-token docs trip the entropy floor.
+    */
+  private val FilterStackSql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val scores = TextAnalysis.LangProfiles.map { case (l, st) =>
+      val lst = st.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""CASE WHEN len(ws)=0 THEN 0.0
+         | ELSE round(len(list_filter(ws, w -> list_contains($lst, w)))*1.0/len(ws), 4)
+         | END AS score_$l""".stripMargin
+    }.mkString(",\n ")
+    val names = TextAnalysis.LangProfiles.map(p => s"score_${p._1}")
+    val pred = TextAnalysis.LangProfiles
+      .map { case (l, _) => s"WHEN score_$l = best THEN '$l'" }.mkString(" ")
+    s"""WITH fixture AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' $FsRun' ELSE text END AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 6000 + i AS doc_id,
+       |    array_to_string(list_transform(range(20),
+       |      j -> 'qx' || CAST(i AS VARCHAR) || 't' || CAST(j AS VARCHAR)), ' ') AS text
+       |  FROM range(10) t(i)
+       |  UNION ALL
+       |  SELECT 6100 + i AS doc_id,
+       |    array_to_string(list_transform(range(20), j -> 'aaa'), ' ') AS text
+       |  FROM range(5) t(i)),
+       |wl AS MATERIALIZED (SELECT doc_id, text,
+       |      list_filter(string_split(text,' '), x -> x <> '') AS ws FROM fixture),
+       |q AS (SELECT doc_id, CASE WHEN len(ws)=0 THEN 0.0 ELSE
+       |       round(len(list_filter(ws, w -> list_contains($stops, w)))*1.0/len(ws)*0.5
+       |         + least(len(ws),100)/100.0*0.5, 4) END AS quality_score FROM wl),
+       |g AS (SELECT doc_id, list_transform(range(greatest(len(ws)-2,0)),
+       |       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS grams FROM wl),
+       |rp AS (SELECT doc_id, CASE WHEN len(grams) > 0
+       |        THEN round(1.0 - len(list_distinct(grams))*1.0/len(grams), 4)
+       |        ELSE 0.0 END AS rep_ratio FROM g),
+       |ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c FROM wl),
+       |cf AS (SELECT doc_id, c, count(*) AS f FROM ch GROUP BY doc_id, c),
+       |cl AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS L FROM cf GROUP BY doc_id),
+       |en AS (SELECT cf.doc_id,
+       |        round(-sum((CAST(f AS DOUBLE)/L) * ln(CAST(f AS DOUBLE)/L)/ln(2)), 4)
+       |          AS entropy_bits
+       |       FROM cf JOIN cl USING (doc_id) GROUP BY cf.doc_id),
+       |ls AS (SELECT doc_id, $scores FROM wl),
+       |lm AS (SELECT *, greatest(${names.mkString(", ")}) AS best FROM ls),
+       |lp AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und' $pred END AS predicted_lang
+       |       FROM lm),
+       |m AS (SELECT q.doc_id, quality_score, rep_ratio,
+       |       coalesce(entropy_bits, 0.0) AS entropy_bits, predicted_lang
+       |      FROM q JOIN rp USING (doc_id) LEFT JOIN en USING (doc_id)
+       |           JOIN lp USING (doc_id))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, quality_score, rep_ratio,
+       | entropy_bits, predicted_lang,
+       | quality_score >= 0.15 AS keep_quality,
+       | rep_ratio <= 0.05 AS keep_repetition,
+       | entropy_bits >= 3.5 AS keep_entropy,
+       | predicted_lang <> 'und' AS keep_lang,
+       | (quality_score >= 0.15 AND rep_ratio <= 0.05 AND entropy_bits >= 3.5
+       |  AND predicted_lang <> 'und') AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fused FineWeb-style filter stack with per-rule attribution
+    * ([[TextAnalysis.filterStack]]): corpus scanned ONCE for all four
+    * signals.
+    */
+  val txt_filter_stack = QueryDef.sqlChecked(
+    "txt_filter_stack", FilterStackSql) { (s, d) =>
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" " + FsRun))).otherwise(col("text")).as("text"))
+    val novel = (0 until 10)
+      .map(i => (6000L + i, (0 until 20).map(j => s"qx${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val flat = (0 until 5)
+      .map(i => (6100L + i, Seq.fill(20)("aaa").mkString(" ")))
+      .toDF("doc_id", "text")
+    TextAnalysis.filterStack(base.unionByName(novel).unionByName(flat))
+      .orderBy("doc_id")
+  }
+
   /** CCNet head/middle/tail perplexity buckets per language — the
     * txt_ppl chain + per-lang exact terciles (ntile ties on doc_id).
     * [[TextAnalysis.pplBucketsApprox]] is the sketch-threshold scale
@@ -3314,6 +3403,7 @@ object DataPipeline {
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl1b, txt_ppl2, txt_clf,
     rl2_corpus_card, rl3_length_quantiles, rl5_signal_corr, sp9_curriculum,
     dd12b_span_drop, txt_entropy, txt_ppl3_buckets, txt_topics,
+    txt_filter_stack,
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform, pk5_pack_stats,

@@ -193,6 +193,37 @@ class EventAnalyticsSpec extends SparkSpec {
       s"only $agree/${exact.size} bucket assignments agree")
   }
 
+  test("filterStack: fused signals equal the individual operators") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fused = TextAnalysis.filterStack(docs)
+      .select("doc_id", "quality_score", "rep_ratio", "entropy_bits", "predicted_lang")
+      .as[(Long, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val q = TextAnalysis.quality(docs).select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    val rep = TextAnalysis.repetition(docs).select("doc_id", "rep_ratio")
+      .as[(Long, Double)].collect().toMap
+    val ent = TextAnalysis.charStats(docs).select("doc_id", "entropy_bits")
+      .as[(Long, Double)].collect().toMap
+    val lang = TextAnalysis.languageId(docs).select("doc_id", "predicted_lang")
+      .as[(Long, String)].collect().toMap
+    assert(fused.size === q.size)
+    fused.foreach { case (id, (fq, fr, fe, fl)) =>
+      assert(fq === q(id), s"quality drift at $id")
+      assert(fr === rep(id), s"repetition drift at $id")
+      assert(fe === ent(id), s"entropy drift at $id")
+      assert(fl === lang(id), s"langid drift at $id")
+    }
+  }
+
+  test("filterStack: verdict is the conjunction of its own flags") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = TextAnalysis.filterStack(docs)
+      .select("keep_quality", "keep_repetition", "keep_entropy", "keep_lang", "keep")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    rows.foreach { case (a, b, c, d, k) => assert(k === (a && b && c && d)) }
+  }
+
   test("topicTag: hit counts, argmax, first-declared tie-break, other") {
     val docs = Seq(
       (1L, "table row table"),          // storage 3

@@ -946,6 +946,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"randomProjection planned an exchange:\n$p")
   }
 
+  /** One corpus scan for all four signals; the only exchange allowed
+    * is `Dedup.spread`'s deliberate round-robin redistribution (the
+    * skinny-parquet fan-out repetition/topBigrams also ride) — never a
+    * hash or range shuffle.
+    */
+  test("txt_filter_stack: fused stack is one scan, no keyed shuffle") {
+    spark.catalog.clearCache()
+    val df = graft.operators.TextAnalysis.filterStack(
+      graft.sources.Tables.documents(spark, sf))
+    val p = fmtPlan(df)
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"filterStack planned a keyed shuffle:\n$p")
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(n <= 1, s"expected at most the spread exchange, got $n:\n$p")
+    val scans = "Scan parquet[^(\n]*\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scans.size <= 1, s"expected one corpus scan, got ${scans.size}:\n$p")
+  }
+
   test("txt_topics: bare topicTag is a zero-exchange narrow pass") {
     val p = fmtPlan(graft.operators.TextAnalysis.topicTag(
       graft.sources.Tables.documents(spark, sf)))
