@@ -108,6 +108,31 @@ object GraphRank {
     }
   }
 
+  /** Authority-weighted corpus sampling: the PageRank prior feeding
+    * the mixture sampler — keep probability per source ∝ its rank
+    * share, decided per document by the same integer mix32-threshold
+    * rule every [[Sampling]] operator uses (coordination-free, exactly
+    * reproducible). `thr = rank·1e6 div total` stays integral end to
+    * end, so the whole chain — 5 PageRank iterations included —
+    * mirrors exactly.
+    *
+    * Scale shape: the rank frame is domain-count-sized → broadcast
+    * onto a narrow per-doc decision pass; the single-row total rides a
+    * broadcast cross join. No corpus shuffle anywhere.
+    */
+  def authoritySample(documents: DataFrame, iters: Int = 5): DataFrame = {
+    val ranks = pageRankFixedPoint(documentLinkEdges(documents), iters)
+    val tot = ranks.agg(sum("rank").as("total"))
+    val thr = ranks.crossJoin(broadcast(tot))
+      .select(col("node"), expr("(rank * 1000000) div total").as("thr"))
+    documents
+      .join(broadcast(thr), col("source") === col("node"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("thr"),
+        pmod(IvfSearch.mix32(col("doc_id")), lit(1000000L)).as("bucket"))
+      .filter(col("bucket") < col("thr"))
+      .select(col("doc_id"), col("source"), col("thr"))
+  }
+
   /** Deterministic document→domain link edges for the `documents`
     * fixture: each doc contributes its source domain plus two
     * arithmetically-derived outlinks (`src{(7·id+3) mod 20}`,

@@ -130,11 +130,12 @@ object Events {
 
   private val Gr1Iters = 5
 
-  /** The DuckDB mirror unrolls the identical fixed-point iteration
-    * CTE-by-CTE (the cl1_kmeans convention); integer arithmetic makes
-    * the match exact, not approximate.
+  /** The shared PageRank CTE chain (edge fixture + 5 unrolled
+    * fixed-point iterations — the cl1_kmeans convention); integer
+    * arithmetic makes the match exact, not approximate. Reused by
+    * gr1 (ranks out) and gr2 (ranks feeding the sampler).
     */
-  private val Gr1Sql: String = {
+  private val Gr1Ctes: String = {
     val rounds = (1 to Gr1Iters).map { i =>
       s"""c$i AS (SELECT e.dst, CAST(sum((r.rank * e.w) // o.out_w) AS BIGINT) AS sc
          |       FROM e JOIN r${i - 1} r ON e.src = r.node JOIN o ON e.src = o.src
@@ -142,7 +143,7 @@ object Events {
          |r$i AS (SELECT node, (150000000 // n) + (85 * coalesce(sc, 0)) // 100 AS rank
          |       FROM nodes CROSS JOIN nn LEFT JOIN c$i ON node = dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ed AS (
+    s"""ed AS (
        |  SELECT source AS src, 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
        |  UNION ALL
        |  SELECT source AS src, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) AS dst FROM documents),
@@ -151,10 +152,13 @@ object Events {
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |r0 AS (SELECT node, 1000000000 // n AS rank FROM nodes CROSS JOIN nn),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val Gr1Sql: String =
+    s"""WITH $Gr1Ctes
        |SELECT node, CAST(rank AS BIGINT) AS rank_units
        |FROM r$Gr1Iters ORDER BY node""".stripMargin
-  }
 
   /** Domain-authority PageRank over the doc-derived link graph —
     * 5 fixed-point iterations ([[GraphRank.pageRankFixedPoint]]). */
@@ -165,7 +169,36 @@ object Events {
       .orderBy("node")
   }
 
+  /** Authority-weighted sampling: ranks → integer keep thresholds →
+    * the mix32 decision rule (the same positive-modulo chain as the
+    * sp1/dc1 mirrors). Fully integral, so PageRank iterations AND the
+    * sampling verdicts mirror exactly.
+    */
+  private val Gr2Sql: String =
+    s"""WITH $Gr1Ctes,
+       |tot AS (SELECT CAST(sum(rank) AS BIGINT) AS total FROM r$Gr1Iters),
+       |thr AS (SELECT node, (rank * 1000000) // total AS thr
+       |        FROM r$Gr1Iters CROSS JOIN tot),
+       |mx AS (SELECT doc_id, source, xor(m2, m2 >> 13) AS hs FROM (
+       |  SELECT doc_id, source, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+       |    SELECT doc_id, source, ((doc_id % 4294967296) + 4294967296) % 4294967296 AS h0
+       |    FROM documents)))
+       |SELECT CAST(m.doc_id AS BIGINT) AS doc_id, m.source,
+       | CAST(t.thr AS BIGINT) AS thr
+       |FROM mx m JOIN thr t ON m.source = t.node
+       |WHERE m.hs % 1000000 < t.thr
+       |ORDER BY doc_id""".stripMargin
+
+  /** PageRank authority share → per-source keep threshold → mix32
+    * per-doc decision ([[GraphRank.authoritySample]]).
+    */
+  val gr2_authority_sample = QueryDef.sqlChecked("gr2_authority_sample", Gr2Sql) {
+    (s, d) =>
+      GraphRank.authoritySample(Tables.documents(s, d), Gr1Iters)
+        .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
-      gr1_pagerank)
+      gr1_pagerank, gr2_authority_sample)
 }

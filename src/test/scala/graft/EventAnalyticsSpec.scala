@@ -160,6 +160,22 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("authoritySample: thresholds are exact rank shares, repartition-stable") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ranks = GraphRank.pageRankFixedPoint(GraphRank.documentLinkEdges(docs), 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = ranks.values.sum
+    val out = GraphRank.authoritySample(docs).orderBy("doc_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("thr") ===
+        ranks(r.getAs[String]("source")) * 1000000L / total)
+    }
+    val again = GraphRank.authoritySample(docs.repartition(7))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   // ------------------------------------------- pplBuckets / topicTag
 
   test("pplBuckets: per-lang terciles are balanced and ordered") {

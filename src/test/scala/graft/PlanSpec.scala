@@ -965,6 +965,18 @@ class PlanSpec extends SparkSpec {
     assert(scans.size <= 1, s"expected one corpus scan, got ${scans.size}:\n$p")
   }
 
+  /** The corpus-side decision must ride a broadcast of the
+    * domain-sized threshold table — the corpus itself never shuffles
+    * for the sampling decision (the single-row total crossJoin is the
+    * accepted broadcast-1-row pattern).
+    */
+  test("gr2: authority thresholds broadcast onto the corpus, no range exchange") {
+    val p = fmtPlan(graft.operators.GraphRank.authoritySample(
+      graft.sources.Tables.documents(spark, sf), iters = 2))
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("txt_topics: bare topicTag is a zero-exchange narrow pass") {
     val p = fmtPlan(graft.operators.TextAnalysis.topicTag(
       graft.sources.Tables.documents(spark, sf)))
