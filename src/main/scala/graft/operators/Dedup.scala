@@ -1210,6 +1210,73 @@ object Dedup {
         (col("cluster_size") - 1).cast("long").as("n_dropped"))
   }
 
+  /** MinHash calibration audit: over the LSH candidate set, compare
+    * the ESTIMATED Jaccard (fraction of the 64 signature rows that
+    * agree — what the index believes) against the TRUE shingle Jaccard
+    * (what verification computes), micro-averaged per estimate decile.
+    * The acceptance card a near-dup index ships with: a mis-sized hash
+    * family or broken band arithmetic shows up as decile rows whose
+    * estimate and truth diverge, before any corpus is harmed. (The
+    * vector-side twin is [[Similarity.annRecall]].)
+    *
+    * Micro-averages are INTEGER sums (Σagree, Σ|∩|, Σ|∪|) divided
+    * once, so the doubles match across engines bit-for-bit before the
+    * round-4 edge — no order-dependent float accumulation.
+    *
+    * Scale shape: identical to [[minhashLsh]] (signature pass,
+    * capped band self-join) plus one 64-row-per-pair signature
+    * comparison folded as a codegen'd `zip_with`/`aggregate` — output
+    * is 11 rows.
+    */
+  def minhashCalibration(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sigs = spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = TextHashing.shingles(TextHashing.tokens(text))
+        val sig = TextHashing.minhashSignature(sh, MinhashParams.value(numHashes))
+        (id, sh, sig, TextHashing.bandHashes(sig, bands))
+      }
+      .toDF("doc_id", "sh", "sig", "band_hashes")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = capDocFreq(
+      sigs.select(col("doc_id"), posexplode(col("band_hashes")))
+        .toDF("doc_id", "band", "band_hash"),
+      Seq("band", "band_hash"), maxBucket)
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
+    val sa = sigs.select(col("doc_id").as("da"), col("sh").as("sha"), col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("db"), col("sh").as("shb"), col("sig").as("sigb"))
+    val pair = candidates.join(sa, "da").join(sb, "db")
+      .withColumn("agree", expr(
+        """aggregate(zip_with(siga, sigb,
+          |  (x, y) -> IF(x = y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("u",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .filter(col("u") > 0)
+    pair
+      .groupBy(expr(s"CAST((agree * 10) div $numHashes AS INT)").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum("agree").as("sag"),
+        sum("inter").as("si"), sum("u").as("su"))
+      .select(col("bin"), col("n_pairs"),
+        round(col("sag").cast("double") / (col("n_pairs") * numHashes), 4)
+          .as("est_jaccard"),
+        round(col("si").cast("double") / col("su"), 4).as("true_jaccard"))
+  }
+
   /** Template-spam detection: documents that share a SHAPE (text with
     * every digit run collapsed to `0`, case-folded) are instances of
     * one fill-in template — invoices, listings, log lines, SEO spam —

@@ -106,6 +106,71 @@ object DataPipeline {
 
   private val MinhashLshSql = minhashLshSqlFor("documents", 1000)
 
+  /** dd18 mirror: the dd2 chain through `cand`, then per-pair
+    * signature agreement (64 rows per pair), TRUE Jaccard via the
+    * shingle join, and per-decile INTEGER micro-sums divided once —
+    * bit-equal doubles before the round-4 edge.
+    */
+  private val MinhashCalibrationSql: String = {
+    val params = graft.functions.TextHashing.minhashParams(64)
+    val paramRows = params.zipWithIndex
+      .map { case ((a, b), k) => s"($k, ${a}, ${b})" }.mkString(",\n   ")
+    s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |            FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM wl),
+       |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |hs0 AS (SELECT doc_id, s, ${polySql("s", 41)} AS hv FROM sh),
+       |${mixCtes("hs0", "hsm", keep = Seq("doc_id", "s"), cols = Seq("hv"))},
+       |hs AS (SELECT doc_id, hv % 2147483648 AS h FROM hsm),
+       |params AS (SELECT * FROM (VALUES
+       |   $paramRows) t(k, a, b)),
+       |sig AS MATERIALIZED (SELECT doc_id, k, min((a * h + b) % 2305843009213693951) AS sg
+       |        FROM hs, params GROUP BY doc_id, k),
+       |band AS (SELECT s0.doc_id, s0.k // 2 AS band,
+       |          (((97 * 131 + (s0.sg % 4294967296)) % 4294967296) * 131
+       |            + (s1.sg % 4294967296)) % 4294967296 AS band_hash
+       |         FROM sig s0 JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.k = s0.k + 1
+       |         WHERE s0.k % 2 = 0),
+       |keep AS (SELECT band, band_hash FROM band GROUP BY band, band_hash
+       |         HAVING count(*) <= 1000),
+       |bk AS (SELECT b.doc_id, b.band, b.band_hash FROM band b JOIN keep USING (band, band_hash)),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bk x JOIN bk y USING (band, band_hash) WHERE x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS i
+       |          FROM cand c JOIN sh a ON a.doc_id = c.da
+       |                      JOIN sh b2 ON b2.doc_id = c.db AND b2.s = a.s
+       |          GROUP BY c.da, c.db),
+       |estc AS (SELECT c.da, c.db,
+       |          CAST(sum(CASE WHEN sa.sg = sb.sg THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |         FROM cand c JOIN sig sa ON sa.doc_id = c.da
+       |                     JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+       |         GROUP BY c.da, c.db),
+       |pair AS (SELECT e.da, e.db, e.agree, coalesce(i.i, 0) AS i,
+       |          coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.i, 0) AS u
+       |         FROM estc e
+       |         LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+       |         LEFT JOIN sz sa ON sa.doc_id = e.da
+       |         LEFT JOIN sz sb ON sb.doc_id = e.db),
+       |p2 AS (SELECT * FROM pair WHERE u > 0)
+       |SELECT CAST((agree * 10) // 64 AS INTEGER) AS bin,
+       | CAST(count(*) AS BIGINT) AS n_pairs,
+       | round(CAST(sum(agree) AS DOUBLE)/(64*count(*)), 4) AS est_jaccard,
+       | round(CAST(sum(i) AS DOUBLE)/sum(u), 4) AS true_jaccard
+       |FROM p2 GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  /** LSH index calibration card ([[Dedup.minhashCalibration]]):
+    * estimated vs true Jaccard per estimate decile over the candidate
+    * set — the lexical-index QA twin of emb2's ANN recall audit.
+    */
+  val dd18_minhash_calibration = QueryDef.sqlChecked(
+    "dd18_minhash_calibration", MinhashCalibrationSql) { (s, d) =>
+    Dedup.minhashCalibration(Tables.documents(s, d)).orderBy("bin")
+  }
+
   /** dd15 mirror: the dd2 chain with the candidate stage split — corpus
     * (< 400) buckets capped at index-build time over corpus members
     * only, batch (>= 400) bands uncapped, candidates = corpus × batch
@@ -3386,7 +3451,7 @@ object DataPipeline {
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
-    emb1_random_projection,
+    dd18_minhash_calibration, emb1_random_projection,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
     emb2_ann_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,

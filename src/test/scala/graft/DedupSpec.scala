@@ -602,6 +602,29 @@ class DedupSpec extends SparkSpec {
     assert(out(20L) === ((20L, 3L, 1L)), "equal length -> min id wins")
   }
 
+  test("minhashCalibration: identical docs land in bin 10 at est=true=1") {
+    import spark.implicits._
+    val text = (0 until 30).map(i => s"mc$i").mkString(" ")
+    val other = (100 until 130).map(i => s"mz$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs).collect()
+    assert(out.length === 1) // only the identical pair is a candidate
+    val r = out(0)
+    assert(r.getAs[Int]("bin") === 10)
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Double]("est_jaccard") === 1.0)
+    assert(r.getAs[Double]("true_jaccard") === 1.0)
+  }
+
+  test("minhashCalibration: card is repartition-stable on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val a = Dedup.minhashCalibration(docs).orderBy("bin").collect().map(_.toSeq)
+    val b = Dedup.minhashCalibration(docs.repartition(7)).orderBy("bin")
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
+
   test("templateSpam: digit-run shapes group, verdict at minGroup") {
     import spark.implicits._
     val docs = Seq(

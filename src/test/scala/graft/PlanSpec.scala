@@ -77,7 +77,7 @@ class PlanSpec extends SparkSpec {
   test("dedup + ANN bucketed operators never go cartesian") {
     Seq("dd2_minhash_lsh", "dd3_ngram_jaccard", "dd4_simhash",
       "dd5b_embedding_lsh", "dd6_winnow_fragments", "dd16_containment",
-      "ann_lsh_topk").foreach { q =>
+      "dd18_minhash_calibration", "ann_lsh_topk").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian join")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop")
