@@ -922,4 +922,45 @@ object TrainingPipeline {
       (sketch, new Decontamination.PreparedEval(side, gramSize))
     } finally in.close()
   }
+
+  /** Per-source curation scorecard: the release-review card a data
+    * team reads before shipping a corpus — for every source, how many
+    * docs survive the filter stack, sit in the perplexity head/tail,
+    * look like fill-in templates, and what the modal topic is. Composes
+    * [[TextAnalysis.filterStack]], [[TextAnalysis.pplBuckets]],
+    * [[Dedup.templateSpam]] and [[TextAnalysis.topicTag]] via doc-keyed
+    * equi-joins, then one source rollup (+ a source-partitioned argmax
+    * window over source×topic counts — topic-cardinality rows).
+    * Output is source-count-sized.
+    *
+    * The joined signal frame is persisted for its two consumers (the
+    * rollup and the modal-topic count); batch harnesses clear the
+    * cache between queries — a long-lived caller invoking this
+    * repeatedly should `spark.catalog.clearCache()` (the
+    * [[screenAndPhase]] convention).
+    */
+  def curationReport(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = documents
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+    val fs = TextAnalysis.filterStack(documents).select(col("doc_id"), col("keep"))
+    val pb = TextAnalysis.pplBuckets(documents).select(col("doc_id"), col("bucket"))
+    val tg = Dedup.templateSpam(documents).select(col("doc_id"), col("is_template"))
+    val tp = TextAnalysis.topicTag(documents).select(col("doc_id"), col("topic"))
+    val j = ids.join(fs, "doc_id").join(pb, "doc_id")
+      .join(tg, "doc_id").join(tp, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val agg = j.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("n_head"),
+      sum(when(col("bucket") === "tail", 1L).otherwise(0L)).as("n_tail"),
+      sum(when(col("is_template"), 1L).otherwise(0L)).as("n_template"))
+    val tc = j.groupBy("source", "topic").agg(count(lit(1)).as("c"))
+    val tm = tc.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("topic"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("topic").as("top_topic"))
+    agg.join(tm, "source")
+  }
 }

@@ -3391,6 +3391,111 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** pipe3 mirror: the filter-stack, ppl-bucket, template-shape and
+    * topic chains over ONE shared word-list CTE, joined per doc, then
+    * the per-source rollup + modal-topic argmax. Signal fragments are
+    * generated from the same engine tables as their standalone
+    * queries, so a drift in any component breaks BOTH hashes.
+    */
+  private val Pipe3Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val scores = TextAnalysis.LangProfiles.map { case (l, st) =>
+      val lst = st.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""CASE WHEN len(ws)=0 THEN 0.0
+         | ELSE round(len(list_filter(ws, w -> list_contains($lst, w)))*1.0/len(ws), 4)
+         | END AS score_$l""".stripMargin
+    }.mkString(",\n ")
+    val names = TextAnalysis.LangProfiles.map(p => s"score_${p._1}")
+    val pred = TextAnalysis.LangProfiles
+      .map { case (l, _) => s"WHEN score_$l = best THEN '$l'" }.mkString(" ")
+    s"""WITH wl AS MATERIALIZED (SELECT doc_id, source, lang, text,
+       |      list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |q AS (SELECT doc_id, CASE WHEN len(ws)=0 THEN 0.0 ELSE
+       |       round(len(list_filter(ws, w -> list_contains($stops, w)))*1.0/len(ws)*0.5
+       |         + least(len(ws),100)/100.0*0.5, 4) END AS quality_score FROM wl),
+       |g AS (SELECT doc_id, list_transform(range(greatest(len(ws)-2,0)),
+       |       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS grams FROM wl),
+       |rp AS (SELECT doc_id, CASE WHEN len(grams) > 0
+       |        THEN round(1.0 - len(list_distinct(grams))*1.0/len(grams), 4)
+       |        ELSE 0.0 END AS rep_ratio FROM g),
+       |ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c FROM wl),
+       |cf AS (SELECT doc_id, c, count(*) AS f FROM ch GROUP BY doc_id, c),
+       |cl AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS L FROM cf GROUP BY doc_id),
+       |en AS (SELECT cf.doc_id,
+       |        round(-sum((CAST(f AS DOUBLE)/L) * ln(CAST(f AS DOUBLE)/L)/ln(2)), 4)
+       |          AS entropy_bits
+       |       FROM cf JOIN cl USING (doc_id) GROUP BY cf.doc_id),
+       |ls AS (SELECT doc_id, $scores FROM wl),
+       |lm AS (SELECT *, greatest(${names.mkString(", ")}) AS best FROM ls),
+       |lpr AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und' $pred END AS predicted_lang
+       |       FROM lm),
+       |fs AS (SELECT q.doc_id,
+       |        (quality_score >= 0.15 AND rep_ratio <= 0.05
+       |         AND coalesce(entropy_bits, 0.0) >= 3.5 AND predicted_lang <> 'und') AS keep
+       |       FROM q JOIN rp USING (doc_id) LEFT JOIN en USING (doc_id)
+       |            JOIN lpr USING (doc_id)),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+       |dtok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok
+       |         GROUP BY doc_id, w),
+       |cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS cw FROM dtok GROUP BY w),
+       |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+       |        FROM cnt),
+       |scp AS (SELECT doc_id, k, k * ln((cw + 1.0) / (n + v)) AS lp2
+       |       FROM dtok JOIN cnt USING (w) CROSS JOIN tot),
+       |ag AS (SELECT doc_id, -sum(lp2)/sum(k)/ln(2) AS bits FROM scp GROUP BY doc_id),
+       |pp AS (SELECT ag.doc_id, w.lang, round(bits, 4) AS bpt
+       |      FROM ag JOIN wl w USING (doc_id)),
+       |pt AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY bpt, doc_id) AS t
+       |      FROM pp),
+       |pb AS (SELECT doc_id, CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+       |        ELSE 'tail' END AS bucket FROM pt),
+       |shp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS shape_md5
+       |       FROM wl),
+       |tg AS (SELECT doc_id, count(*) OVER (PARTITION BY shape_md5) >= 5 AS is_template
+       |      FROM shp),
+       |th AS (SELECT doc_id,
+       | CAST((length(lower(text)) - length(replace(lower(text), 'table', ''))) // 5
+       |    + (length(lower(text)) - length(replace(lower(text), 'row', ''))) // 3
+       |    + (length(lower(text)) - length(replace(lower(text), 'column', ''))) // 6 AS BIGINT) AS h_storage,
+       | CAST((length(lower(text)) - length(replace(lower(text), 'join', ''))) // 4
+       |    + (length(lower(text)) - length(replace(lower(text), 'agg', ''))) // 3
+       |    + (length(lower(text)) - length(replace(lower(text), 'sort', ''))) // 4 AS BIGINT) AS h_compute,
+       | CAST((length(lower(text)) - length(replace(lower(text), 'stream', ''))) // 6
+       |    + (length(lower(text)) - length(replace(lower(text), 'batch', ''))) // 5
+       |    + (length(lower(text)) - length(replace(lower(text), 'window', ''))) // 6 AS BIGINT) AS h_streaming
+       | FROM wl),
+       |tpz AS (SELECT doc_id,
+       | CASE WHEN h_storage >= 1 AND h_storage >= h_compute AND h_storage >= h_streaming THEN 'storage'
+       |      WHEN h_compute >= 1 AND h_compute > h_storage AND h_compute >= h_streaming THEN 'compute'
+       |      WHEN h_streaming >= 1 AND h_streaming > h_storage AND h_streaming > h_compute THEN 'streaming'
+       |      ELSE 'other' END AS topic FROM th),
+       |j AS (SELECT w.doc_id, w.source, fs.keep, pb.bucket, tg.is_template, tpz.topic
+       |      FROM wl w JOIN fs USING (doc_id) JOIN pb USING (doc_id)
+       |           JOIN tg USING (doc_id) JOIN tpz USING (doc_id)),
+       |agg AS (SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |         CAST(sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+       |         CAST(sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       |         CAST(sum(CASE WHEN is_template THEN 1 ELSE 0 END) AS BIGINT) AS n_template
+       |        FROM j GROUP BY source),
+       |tc AS (SELECT source, topic, count(*) AS c FROM j GROUP BY source, topic),
+       |tm AS (SELECT source, topic AS top_topic,
+       |        row_number() OVER (PARTITION BY source ORDER BY c DESC, topic) AS rn
+       |       FROM tc)
+       |SELECT a.source, n_docs, n_keep, n_head, n_tail, n_template, tm.top_topic
+       |FROM agg a JOIN tm ON tm.source = a.source AND tm.rn = 1
+       |ORDER BY a.source""".stripMargin
+  }
+
+  /** Per-source curation scorecard composing the round's signal
+    * operators ([[graft.operators.TrainingPipeline.curationReport]]).
+    */
+  val pipe3_curation_report = QueryDef.sqlChecked(
+    "pipe3_curation_report", Pipe3Sql) { (s, d) =>
+    graft.operators.TrainingPipeline.curationReport(Tables.documents(s, d))
+      .orderBy("source")
+  }
+
   /** CCNet head/middle/tail perplexity buckets per language — the
     * txt_ppl chain + per-lang exact terciles (ntile ties on doc_id).
     * [[TextAnalysis.pplBucketsApprox]] is the sketch-threshold scale
@@ -3475,7 +3580,7 @@ object DataPipeline {
     tok1_bpe_tokenize, tok2_fertility, sp8b_bpe_budget, pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
     cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,
-    pipe1_training_pipeline,
+    pipe1_training_pipeline, pipe3_curation_report,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_dhash_incremental,
     mm_video_pairs, mm_audio_pairs)

@@ -240,6 +240,30 @@ class EventAnalyticsSpec extends SparkSpec {
     rows.foreach { case (a, b, c, d, k) => assert(k === (a && b && c && d)) }
   }
 
+  test("curationReport: rollup totals equal the standalone operators") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rep = graft.operators.TrainingPipeline.curationReport(docs).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rep.map(_.getAs[Long]("n_keep")).sum ===
+      TextAnalysis.filterStack(docs).filter(col("keep")).count())
+    assert(rep.map(_.getAs[Long]("n_head")).sum ===
+      TextAnalysis.pplBuckets(docs).filter(col("bucket") === "head").count())
+    assert(rep.map(_.getAs[Long]("n_template")).sum ===
+      graft.operators.Dedup.templateSpam(docs).filter(col("is_template")).count())
+    // modal topic per source matches a direct argmax
+    val direct = TextAnalysis.topicTag(docs)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "topic").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(rows => rows.sortBy(r => (-r._3, r._2)).head._2)
+    rep.foreach { r =>
+      val src = r.getAs[String]("source")
+      val expected = direct(src)
+      assert(r.getAs[String]("top_topic") === expected, s"modal topic for $src")
+    }
+  }
+
   test("topicTag: hit counts, argmax, first-declared tie-break, other") {
     val docs = Seq(
       (1L, "table row table"),          // storage 3
