@@ -149,6 +149,31 @@ object EventAnalytics {
         (col("r") * 100 + col("f") * 10 + col("m")).cast("int"))
   }
 
+  /** Error-rate anomaly screen: per-user error share z-scored against
+    * the population (stats ROUNDED before the z so engine mirrors
+    * agree), flag at |z| ≥ `zThreshold`. The ops-facing cousin of the
+    * curation outlier screens. Same scale shape as [[rfmScores]]: one
+    * user rollup, single broadcast stats row, narrow decision — no
+    * global sort.
+    */
+  def errorAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val pu = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("err_rate",
+        round(col("n_errors").cast("double") / col("n_events"), 4))
+    val st = pu.agg(round(avg("err_rate"), 4).as("mu"),
+      round(stddev_samp(col("err_rate")), 4).as("sd"))
+    pu.crossJoin(broadcast(st))
+      // + 0.0 folds IEEE negative zero to +0.0 (DuckDB keeps -0.0 and
+      // the hasher prints them differently)
+      .withColumn("z",
+        round((col("err_rate") - col("mu")) / col("sd"), 2) + lit(0.0))
+      .withColumn("flagged", abs(col("z")) >= zThreshold)
+      .select(col("user_id"), col("n_events"), col("n_errors"),
+        col("err_rate"), col("z"), col("flagged"))
+  }
+
   /** Weekly cohort retention: cohort = the user's first active epoch
     * WEEK (integer `epoch_day div 7` — pure arithmetic, no calendar
     * semantics to disagree on), offset = whole weeks since it.

@@ -128,6 +128,22 @@ object Events {
     EventAnalytics.rfmScores(Tables.events(s, d)).orderBy("user_id")
   }
 
+  /** Per-user error-rate z-score screen; stats rounded before the z. */
+  val ev6_error_anomaly = QueryDef.sqlChecked(
+    "ev6_error_anomaly",
+    """WITH pu AS (SELECT user_id, count(*) AS n_events,
+      |        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+      |       FROM events GROUP BY user_id),
+      |p2 AS (SELECT *, round(CAST(n_errors AS DOUBLE)/n_events, 4) AS err_rate FROM pu),
+      |st AS (SELECT round(avg(err_rate), 4) AS mu,
+      |        round(stddev_samp(err_rate), 4) AS sd FROM p2)
+      |SELECT user_id, n_events, n_errors, err_rate,
+      | round((err_rate - mu)/sd, 2) + 0.0 AS z,
+      | abs(round((err_rate - mu)/sd, 2)) >= 2.0 AS flagged
+      |FROM p2 CROSS JOIN st ORDER BY user_id""".stripMargin) { (s, d) =>
+    EventAnalytics.errorAnomalies(Tables.events(s, d)).orderBy("user_id")
+  }
+
   private val Gr1Iters = 5
 
   /** The shared PageRank CTE chain (edge fixture + 5 unrolled
@@ -200,5 +216,5 @@ object Events {
 
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
-      gr1_pagerank, gr2_authority_sample)
+      ev6_error_anomaly, gr1_pagerank, gr2_authority_sample)
 }

@@ -93,6 +93,18 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === (1 to 5).map(u => (u.toLong, u, u, u, 111 * u)).toArray)
   }
 
+  test("errorAnomalies: planted all-error user is the only flag") {
+    // 12 users with 1 error in 10 events; user 99 errors every time
+    val rows = (1L to 12L).flatMap { u =>
+      (0L until 10L).map(j =>
+        (u, u * 1000 + j, if (j == 0) "error" else "view", 1.0, u * 100 + j))
+    } ++ (0L until 10L).map(j => (99L, 99000 + j, "error", 1.0, 9900 + j))
+    val out = EventAnalytics.errorAnomalies(ev(rows: _*))
+      .select("user_id", "flagged").as[(Long, Boolean)].collect().toMap
+    assert(out(99L) === true)
+    (1L to 12L).foreach(u => assert(out(u) === false, s"user $u"))
+  }
+
   test("retentionCohorts: integer week arithmetic") {
     val day = 86400L
     val events = ev(
