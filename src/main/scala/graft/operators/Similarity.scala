@@ -262,6 +262,37 @@ object Similarity {
     embeddings.select(col(idCol) +: outCols: _*)
   }
 
+  /** Matryoshka truncation audit: per label, how much of each vector's
+    * L2 mass lives in the first `k` dimensions — the feasibility card
+    * before switching ANN/clustering to cheap prefix-dim embeddings
+    * (Kusupati et al. 2022). Per-vector mass is a round-4 double
+    * computed by an index-ordered fold (bit-reproducible); the label
+    * rollup uses only ORDER-FREE aggregates over those rounded values
+    * (count, min, max, threshold count), so no cross-engine float
+    * accumulation exists anywhere. One narrow pass + a label-keyed
+    * partial agg; output is label-count-sized.
+    */
+  def matryoshkaAudit(
+      embeddings: DataFrame,
+      k: Int = 16,
+      minMass: Double = 0.5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val mass = expr(
+      s"""round(
+         |  aggregate(slice($vecCol, 1, $k), CAST(0.0 AS DOUBLE),
+         |    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         |  / aggregate($vecCol, CAST(0.0 AS DOUBLE),
+         |      (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 4)""".stripMargin)
+    embeddings
+      .select(col("label"), mass.as("mass"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("mass") >= minMass, 1L).otherwise(0L)).as("n_concentrated"),
+        min("mass").as("min_mass"),
+        max("mass").as("max_mass"))
+  }
+
   /** ANN index QA: recall@k of an approximate result set against the
     * exact one — the acceptance number an IVF/LSH index ships with
     * (and re-checks after every re-fit). Both inputs are (qid, rnk,

@@ -3496,6 +3496,24 @@ object DataPipeline {
       .orderBy("source")
   }
 
+  /** Matryoshka prefix-mass audit at k=16; the 0.25 threshold sits at
+    * the uniform-vector expectation (16/64) so both verdict branches
+    * are live on the synthetic embeddings.
+    */
+  val emb3_matryoshka_audit = QueryDef.sqlChecked(
+    "emb3_matryoshka_audit",
+    """WITH m AS (SELECT label,
+      |  round(list_sum(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+      |    / list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 4) AS mass
+      |  FROM embeddings)
+      |SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vecs,
+      | CAST(sum(CASE WHEN mass >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_concentrated,
+      | min(mass) AS min_mass, max(mass) AS max_mass
+      |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    Similarity.matryoshkaAudit(Tables.embeddings(s, d), k = 16, minMass = 0.25)
+      .orderBy("label")
+  }
+
   /** CCNet head/middle/tail perplexity buckets per language — the
     * txt_ppl chain + per-lang exact terciles (ntile ties on doc_id).
     * [[TextAnalysis.pplBucketsApprox]] is the sketch-threshold scale
@@ -3558,7 +3576,7 @@ object DataPipeline {
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
     dd18_minhash_calibration, emb1_random_projection,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
-    emb2_ann_recall,
+    emb2_ann_recall, emb3_matryoshka_audit,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,

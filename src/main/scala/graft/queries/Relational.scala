@@ -742,8 +742,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q23
+  // QUALIFY-style latest-row-per-key dedup: the single most common
+  // warehouse pattern (dedupe a CDC/event feed to each key's newest
+  // row). row_number over the natural (user) key — the window
+  // partitions by user_id, so state per partition stays bounded and
+  // nothing sorts globally; the rank filter prunes to one row per key.
+  val q23_latest_per_key = QueryDef.sqlChecked(
+    "q23_latest_per_key",
+    """SELECT user_id, event_id, event_type, round(value, 2) AS value
+      |FROM (SELECT user_id, event_id, event_type, value,
+      |       row_number() OVER (PARTITION BY user_id
+      |         ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q21_scalar_subquery, q22_pivot, q12b_distribution,
+    q21_scalar_subquery, q22_pivot, q12b_distribution, q23_latest_per_key,
     q1_agg, q2_predicates, q3_broadcast_join, q4_sortmerge_join,
     q5_outer_join, q5b_full_outer, q6_semi_anti, q7_range_join,
     q7b_theta_join, q8_asof_join, q9_topk_revenue, q10_distinct,

@@ -977,6 +977,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q23/emb3: keyed windows and label rollups never collapse to one partition") {
+    val p23 = plan("q23_latest_per_key")
+    assert(!p23.contains("SinglePartition"), s"q23 window unpartitioned:\n$p23")
+    val p3 = fmtPlan(graft.operators.Similarity.matryoshkaAudit(
+      graft.sources.Tables.embeddings(spark, sf)))
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p3).length
+    assert(n <= 2, s"matryoshka audit over-shuffles ($n):\n$p3")
+    assert(!p3.contains("rangepartitioning"), p3)
+  }
+
   test("txt_topics: bare topicTag is a zero-exchange narrow pass") {
     val p = fmtPlan(graft.operators.TextAnalysis.topicTag(
       graft.sources.Tables.documents(spark, sf)))

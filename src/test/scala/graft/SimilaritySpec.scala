@@ -203,6 +203,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r.forall(x => x > 0.0 && x <= 1.0), r.mkString(","))
   }
 
+  test("matryoshkaAudit: hand-computed prefix mass and verdict count") {
+    import spark.implicits._
+    // v1: all mass in dim 1 -> mass 1.0; v2: uniform 64 dims -> 16/64 = 0.25
+    val emb = Seq(
+      (1L, (Seq(2.0f) ++ Seq.fill(63)(0.0f)), 7),
+      (2L, Seq.fill(64)(1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity.matryoshkaAudit(emb, k = 16, minMass = 0.5)
+      .collect()(0)
+    assert(r.getAs[Long]("n_vecs") === 2L)
+    assert(r.getAs[Long]("n_concentrated") === 1L) // only the spiked vector
+    assert(r.getAs[Double]("min_mass") === 0.25)
+    assert(r.getAs[Double]("max_mass") === 1.0)
+  }
+
   test("randomProjection: deterministic under repartition, full width") {
     val emb = Tables.embeddings(spark, sf)
     val a = graft.operators.Similarity.randomProjection(emb, 8)
