@@ -79,8 +79,9 @@ object ScaleSoak {
     import spark.implicits._
     val nn = n
     spark.range(n).as[Long]
-      .map(id => (id, docText(id, nn), "l" + Math.floorMod(mix(id * 5L), 5L)))
-      .toDF("doc_id", "text", "lang")
+      .map(id => (id, docText(id, nn), "l" + Math.floorMod(mix(id * 5L), 5L),
+        "s" + Math.floorMod(mix(id * 11L), 20L)))
+      .toDF("doc_id", "text", "lang", "source")
   }
 
   /** Event stream: n events over n/50 users across 30 days, value a
@@ -210,6 +211,10 @@ object ScaleSoak {
         (t => graft.operators.TextAnalysis.pplBucketsApprox(docs(t))),
       "emb1_random_projection" ->
         (t => graft.operators.Similarity.randomProjection(emb(t))),
+      "txt_filter_stack" ->
+        (t => graft.operators.TextAnalysis.filterStack(docs(t))),
+      "pipe3_curation_report" ->
+        (t => graft.operators.TrainingPipeline.curationReport(docs(t))),
       "gr1_pagerank_loop" -> { t =>
         // domain count scales with the corpus; loop pinned (cap=0)
         val n = scales.toMap.apply(t)
