@@ -667,6 +667,65 @@ object DataPipeline {
       .orderBy("qid")
   }
 
+  /** ann_pq: product-quantization ADC top-k ([[graft.operators.PqSearch.pqTopK]],
+    * Jégou et al. 2011). The mirror replays the ENTIRE per-subspace
+    * Lloyd fit (first-8-ids init on each 16-dim slice, round-6 argmins
+    * with lower-code ties, one round-6 mean update, the re-assign that
+    * IS the encode), then the query-side distance tables as integer
+    * MICRO-distances and the 4-integer ADC sums — so codebook drift,
+    * encode drift, or table drift all break the hash, and the summed
+    * distances compare EXACTLY (integer arithmetic: no fold order, no
+    * final rounding edge). Pins the operator defaults (m=8, k=8,
+    * iters=2, topK=10).
+    */
+  private val AnnPqSql: String = {
+    val M = 8; val K = 8; val SubDim = 8
+    def d2(v: String, c: String) =
+      s"round(list_sum(list_transform(range($SubDim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |es AS MATERIALIZED (SELECT vec_id, sub,
+       |        list_slice(v, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
+       |      FROM e CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
+       |c0 AS (SELECT sub, rn - 1 AS code, sv AS c FROM (
+       |  SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+       |  FROM es) WHERE rn <= $K),
+       |a1 AS (SELECT vec_id, sub, sv, code FROM (
+       |  SELECT es.vec_id, es.sub, es.sv, c.code,
+       |    row_number() OVER (PARTITION BY es.vec_id, es.sub
+       |      ORDER BY ${d2("es.sv", "c.c")}, c.code) AS rn
+       |  FROM es JOIN c0 c ON c.sub = es.sub) WHERE rn = 1),
+       |m1 AS (SELECT sub, code, dim, avg(x) AS m FROM (
+       |  SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim FROM a1)
+       |  GROUP BY sub, code, dim),
+       |c1 AS MATERIALIZED (SELECT sub, code, list(round(m, 6) ORDER BY dim) AS c
+       |      FROM m1 GROUP BY sub, code),
+       |a2 AS (SELECT vec_id, sub, code FROM (
+       |  SELECT es.vec_id, es.sub, c.code,
+       |    row_number() OVER (PARTITION BY es.vec_id, es.sub
+       |      ORDER BY ${d2("es.sv", "c.c")}, c.code) AS rn
+       |  FROM es JOIN c1 c ON c.sub = es.sub) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, sub, sv FROM es WHERE vec_id < 5),
+       |dt AS (SELECT q.qid, c.sub, c.code,
+       |        CAST(round(${d2("q.sv", "c.c")} * 1000000) AS BIGINT) AS dmic
+       |       FROM q JOIN c1 c ON c.sub = q.sub),
+       |ad AS (SELECT dt.qid, a.vec_id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micro
+       |       FROM a2 a JOIN dt ON dt.sub = a.sub AND dt.code = a.code
+       |         AND a.vec_id <> dt.qid
+       |       GROUP BY dt.qid, a.vec_id),
+       |r AS (SELECT qid, vec_id, adist_micro,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_micro, vec_id)
+       |            AS INTEGER) AS rnk
+       |      FROM ad)
+       |SELECT qid, rnk, vec_id, adist_micro FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  val ann_pq_topk = QueryDef.sqlChecked("ann_pq_topk", AnnPqSql) { (s, d) =>
+    graft.operators.PqSearch.pqTopK(Tables.embeddings(s, d),
+      queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
   /** Semantic-dedup fixture: 40 exact copies of organic vectors are
     * planted in-query in BOTH engines (re-keyed +10000) — an identical
     * vector lands in the identical cell and scores cosine 1.0, so every
@@ -3575,8 +3634,8 @@ object DataPipeline {
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
     dd18_minhash_calibration, emb1_random_projection,
-    ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_label_noise,
-    emb2_ann_recall, emb3_matryoshka_audit,
+    ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
+    ann_label_noise, emb2_ann_recall, emb3_matryoshka_audit,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,

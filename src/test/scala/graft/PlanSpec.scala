@@ -492,6 +492,18 @@ class PlanSpec extends SparkSpec {
       s"query-id IN ($ids) predicate missing from probe pass:\n$p")
   }
 
+  test("ann_pq: ADC scoring is join-free — one narrow pass then the top-k window") {
+    // PQ's whole point: after encode, scoring is per-row table lookups
+    // against broadcast distance tables. Any join/cartesian appearing in
+    // the returned plan means the ADC scan regressed to a pair join.
+    val p = plan("ann_pq_topk")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct", "BroadcastNestedLoopJoin").foreach { j =>
+      assert(!p.contains(j), s"ann_pq scoring plan must not contain $j:\n$p")
+    }
+    assert(p.contains("Window"), s"per-query top-k window missing:\n$p")
+  }
+
   /** Logical-plan windows: the physical WindowExec hides behind
     * AdaptiveSparkPlanExec/QueryStageExec boundaries (TreeNode.collect
     * does not traverse them, so a physical collect is silently EMPTY
