@@ -107,11 +107,33 @@ object IvfSearch {
       nClusters: Int,
       lloydIter: Int,
       fitSampleMod: Long,
-      fitMaxRows: Int = 4096): Array[Array[Double]] = {
+      fitMaxRows: Int = 4096): Array[Array[Double]] =
+    fitCentroidsOnSample(
+      collectFitSample(e, fitSampleMod, fitMaxRows), nClusters, lloydIter)
+
+  /** The bounded deterministic fit sample (see [[fitCentroids]]),
+    * ascending-id on the driver — exposed so composed indexes (IVF-PQ)
+    * can fit several quantizers from ONE sample job.
+    */
+  def collectFitSample(
+      e: Dataset[(Long, Array[Double])],
+      fitSampleMod: Long,
+      fitMaxRows: Int = 4096): Array[(Long, Array[Double])] = {
     val sample = e.filter(pmod(mix32(col("id")), lit(fitSampleMod)) === 0)
       .orderBy(mix32(col("id")), col("id")).limit(fitMaxRows)
       .collect().sortBy(_._1) // deterministic ascending-id order
     require(sample.nonEmpty, "IVF fit sample is empty — lower fitSampleMod")
+    sample
+  }
+
+  /** Driver-side Lloyd over an already-bounded sample — the arithmetic
+    * half of [[fitCentroids]], unchanged.
+    */
+  def fitCentroidsOnSample(
+      sample: Array[(Long, Array[Double])],
+      nClusters: Int,
+      lloydIter: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF fit sample is empty")
     var centroids: Array[Array[Double]] =
       sample.take(nClusters).map(_._2.map(rnd6))
     var it = 0

@@ -197,4 +197,149 @@ object PqSearch {
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
+
+  /** Driver-side per-subspace Lloyd fit over an already-bounded sample —
+    * the [[pqTopK]] fit arithmetic (first-k-ids init, round-6 argmin with
+    * lower-code ties, round-6 means, empty codes drop) with the
+    * distributed update pass collapsed to a driver loop: over a bounded
+    * sample the pass is pure scheduling overhead (the
+    * [[IvfSearch.fitCentroids]] rationale). Summation runs in ascending
+    * sample-id order; round-6 keeps it interchangeable with the
+    * partition-order avg() of the distributed fit and with SQL.
+    */
+  private[operators] def fitCodebooksOnSample(
+      sample: Array[(Long, Array[Double])],
+      m: Int,
+      k: Int,
+      iters: Int): Array[Array[(Int, Array[Double])]] = {
+    require(sample.nonEmpty, "PQ fit sample is empty")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    var books: Array[Array[(Int, Array[Double])]] =
+      Array.tabulate(m) { sub =>
+        sample.take(k).zipWithIndex.map { case ((_, v), i) =>
+          (i, v.slice(sub * subDim, (sub + 1) * subDim))
+        }
+      }
+    var it = 1
+    while (it < iters) {
+      val prev = books
+      books = Array.tabulate(m) { sub =>
+        val byCode = prev(sub)
+        val maxCode = byCode.map(_._1).max
+        val sums = Array.fill(maxCode + 1)(new Array[Double](subDim))
+        val counts = new Array[Long](maxCode + 1)
+        sample.foreach { case (_, v) =>
+          val code = nearestCode(byCode, v, sub * subDim)
+          counts(code) += 1
+          var j = 0
+          while (j < subDim) { sums(code)(j) += v(sub * subDim + j); j += 1 }
+        }
+        (0 to maxCode).iterator.filter(counts(_) > 0).map { code =>
+          (code, sums(code).map(s => TextAnalysis.round6(s / counts(code))))
+        }.toArray
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** IVF-PQ top-k (the FAISS IVFPQ layout, non-residual variant —
+    * `by_residual=false` in the public API): [[IvfSearch]]'s
+    * deterministic coarse quantizer prunes the corpus to each query's
+    * `nProbe` nearest cells; within visited cells scoring is [[pqTopK]]'s
+    * integer ADC over m-code compressed vectors. BOTH quantizers fit on
+    * ONE bounded deterministic hash sample
+    * ([[IvfSearch.collectFitSample]]) — at corpus scale the fit never
+    * scans the data (set `fitSampleMod`), and the sample collect is a
+    * single job.
+    *
+    * Scale shape on top of [[pqTopK]]'s: the corpus pass additionally
+    * assigns the coarse cell (nClusters distances), and scoring becomes
+    * a broadcast equi-join on the cell id against the #queries × nProbe
+    * probe list — so per-query ADC work scans nProbe/nClusters of the
+    * codes, and with codes persisted partitioned by cell (the dd15 band
+    * index discipline) the scan itself prunes. Distances stay integer
+    * micro-sums end to end.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      m: Int = 8,
+      k: Int = 8,
+      nClusters: Int = 16,
+      nProbe: Int = 4,
+      lloydIter: Int = 3,
+      pqIters: Int = 2,
+      topK: Int = 10,
+      fitSampleMod: Long = 1,
+      fitMaxRows: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && k > 0 && pqIters >= 1 && nProbe > 0 && nProbe <= nClusters,
+      s"invalid m=$m k=$k pqIters=$pqIters nProbe=$nProbe nClusters=$nClusters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = Dedup.spread(embeddings.select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull))
+      .as[(Long, Array[Double])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ONE sample job fits the coarse quantizer AND the m codebooks
+    val sample = IvfSearch.collectFitSample(e, fitSampleMod, fitMaxRows)
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    val centroids = IvfSearch.fitCentroidsOnSample(sample, nClusters, lloydIter)
+    val books = fitCodebooksOnSample(sample, m, k, pqIters)
+
+    // query fixture rows (bounded): probe cells + ADC tables
+    val qRows = e.filter(col("id").isin(queryIds: _*)).collect().sortBy(_._1)
+    val probes = qRows.flatMap { case (qid, qv) =>
+      IvfSearch.probeCellsOf(qv, centroids, nProbe).map(c => (qid, c))
+    }.toSeq.toDF("qid", "cell")
+    val tables: Map[Long, Array[Array[Long]]] = qRows.map { case (qid, qv) =>
+      qid -> Array.tabulate(m) { sub =>
+        val byCode = books(sub)
+        val row = new Array[Long](byCode.map(_._1).max + 1)
+        byCode.foreach { case (code, c) =>
+          row(code) = math.rint(subDist(qv, sub * subDim, c) * 1e6).toLong
+        }
+        row
+      }
+    }.toMap
+
+    // ONE corpus pass: coarse cell + m PQ codes per row (in a production
+    // store this frame is the persisted, cell-partitioned index)
+    val bcCs = spark.sparkContext.broadcast(centroids)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val encoded = e.map { case (vid, v) =>
+      val cs = bcCs.value
+      val bks = bcBooks.value
+      val sd = bks(0)(0)._2.length
+      val codes = Array.tabulate(bks.length)(sub => nearestCode(bks(sub), v, sub * sd))
+      (vid, IvfSearch.nearestCell(v, cs), codes)
+    }.toDF("vec_id", "cell", "codes")
+
+    // probe join prunes to nProbe/nClusters of the codes; ADC lookups
+    // against the broadcast tables score each surviving (query, code) row
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+      val t = bcTables.value(qid)
+      var s = 0L
+      var sub = 0
+      while (sub < t.length) { s += t(sub)(codes(sub)); sub += 1 }
+      s
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
+    encoded.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist_micro", adc(col("qid"), col("codes")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
+  }
 }

@@ -726,6 +726,78 @@ object DataPipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** ann_ivfpq: the composed FAISS-style IVF-PQ index
+    * ([[graft.operators.PqSearch.ivfPqTopK]], non-residual variant) —
+    * coarse cells prune, integer ADC scores. The mirror splices the
+    * PROVEN fragments end to end: [[ivfAsgCtes]] replays the coarse
+    * quantizer (shared verbatim with ann_ivf — the two oracles can't
+    * drift apart), then the per-subspace Lloyd fit runs over the SAME
+    * bounded hash sample (`samp`) the coarse fit used, the corpus
+    * encode, the probe-cell selection, and the cell-restricted ADC sum.
+    * Every stage of both quantizers is hash-checked in one statement.
+    */
+  private val AnnIvfPqSql: String = {
+    val M = 8; val K = 8; val SubDim = 8; val NProbe = 4; val Iter = 3; val Dim = 64
+    def d2f(v: String, c: String) =
+      s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    def d2s(v: String, c: String) =
+      s"round(list_sum(list_transform(range($SubDim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    s"""WITH ${ivfAsgCtes("embeddings", matAsg = false)},
+       |pqs AS (SELECT vec_id, sub,
+       |        list_slice(v, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
+       |      FROM samp CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
+       |ps0 AS (SELECT sub, rn - 1 AS code, sv AS c FROM (
+       |  SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+       |  FROM pqs) WHERE rn <= $K),
+       |pa1 AS (SELECT vec_id, sub, sv, code FROM (
+       |  SELECT pqs.vec_id, pqs.sub, pqs.sv, c.code,
+       |    row_number() OVER (PARTITION BY pqs.vec_id, pqs.sub
+       |      ORDER BY ${d2s("pqs.sv", "c.c")}, c.code) AS rn
+       |  FROM pqs JOIN ps0 c ON c.sub = pqs.sub) WHERE rn = 1),
+       |pm1 AS (SELECT sub, code, dim, avg(x) AS m FROM (
+       |  SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim FROM pa1)
+       |  GROUP BY sub, code, dim),
+       |ps1 AS MATERIALIZED (SELECT sub, code, list(round(m, 6) ORDER BY dim) AS c
+       |      FROM pm1 GROUP BY sub, code),
+       |ces AS (SELECT vec_id, sub,
+       |        list_slice(v, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
+       |      FROM e CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |  SELECT ces.vec_id, ces.sub, c.code,
+       |    row_number() OVER (PARTITION BY ces.vec_id, ces.sub
+       |      ORDER BY ${d2s("ces.sv", "c.c")}, c.code) AS rn
+       |  FROM ces JOIN ps1 c ON c.sub = ces.sub) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |pc AS (SELECT qid, cell FROM (
+       |  SELECT q.qid, c.cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${d2f("q.qv", "c.c")}, c.cell) AS rn
+       |  FROM q CROSS JOIN c$Iter c) WHERE rn <= $NProbe),
+       |qs AS (SELECT vec_id AS qid, sub, sv FROM ces WHERE vec_id < 5),
+       |dt AS (SELECT qs.qid, c.sub, c.code,
+       |        CAST(round(${d2s("qs.sv", "c.c")} * 1000000) AS BIGINT) AS dmic
+       |       FROM qs JOIN ps1 c ON c.sub = qs.sub),
+       |ad AS (SELECT dt.qid, a.vec_id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micro
+       |       FROM enc a
+       |       JOIN asg g ON g.vec_id = a.vec_id
+       |       JOIN pc ON pc.cell = g.cell
+       |       JOIN dt ON dt.sub = a.sub AND dt.code = a.code AND dt.qid = pc.qid
+       |       WHERE a.vec_id <> pc.qid
+       |       GROUP BY dt.qid, a.vec_id),
+       |r AS (SELECT qid, vec_id, adist_micro,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_micro, vec_id)
+       |            AS INTEGER) AS rnk
+       |      FROM ad)
+       |SELECT qid, rnk, vec_id, adist_micro FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  val ann_ivfpq_topk = QueryDef.sqlChecked("ann_ivfpq_topk", AnnIvfPqSql) { (s, d) =>
+    graft.operators.PqSearch.ivfPqTopK(Tables.embeddings(s, d),
+      queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
   /** Semantic-dedup fixture: 40 exact copies of organic vectors are
     * planted in-query in BOTH engines (re-keyed +10000) — an identical
     * vector lands in the identical cell and scores cosine 1.0, so every
@@ -3635,7 +3707,7 @@ object DataPipeline {
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
     dd18_minhash_calibration, emb1_random_projection,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
-    ann_label_noise, emb2_ann_recall, emb3_matryoshka_audit,
+    ann_ivfpq_topk, ann_label_noise, emb2_ann_recall, emb3_matryoshka_audit,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,

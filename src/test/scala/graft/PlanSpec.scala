@@ -116,10 +116,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(vec_id, [0,1,2,3,4])"), "query-id pushdown missing")
   }
 
-  test("ann_lsh/ann_ivf: corpus joins against broadcast probes (one corpus pass)") {
-    Seq("ann_lsh_topk", "ann_ivf_topk").foreach { q =>
+  test("ann_lsh/ann_ivf/ann_ivfpq: corpus joins against broadcast probes (one corpus pass)") {
+    Seq("ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q: probe join must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian join")
     }
   }
 

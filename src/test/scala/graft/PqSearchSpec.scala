@@ -56,6 +56,41 @@ class PqSearchSpec extends SparkSpec {
     assert(mean >= 0.25, s"mean PQ recall@10 too low: $mean (per-query $recalls)")
   }
 
+  test("ivfPqTopK: probing ALL cells reproduces pqTopK exactly") {
+    // with nProbe = nClusters the coarse quantizer prunes nothing, and
+    // with the fit sample covering the whole corpus the driver-side
+    // codebook fit must land on the same round-6 codebooks as pqTopK's
+    // distributed fit — so the composed index degrades EXACTLY to PQ
+    val pq = PqSearch.pqTopK(emb, qids).orderBy("qid", "rnk").collect().toSeq
+    val ivfpq = PqSearch.ivfPqTopK(emb, qids, nProbe = 16, nClusters = 16)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(ivfpq === pq)
+  }
+
+  test("ivfPqTopK: results are a subset of each query's probed cells") {
+    import spark.implicits._
+    val cs = graft.operators.IvfSearch.fitCentroids(
+      emb.selectExpr("cast(vec_id as long) as id",
+        "cast(embedding as array<double>) as v")
+        .as[(Long, Array[Double])],
+      nClusters = 16, lloydIter = 3, fitSampleMod = 1L)
+    val cells = emb.selectExpr("cast(vec_id as long) as id",
+        "cast(embedding as array<double>) as v")
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, graft.operators.IvfSearch.nearestCell(v, cs)) }
+      .collect().toMap
+    val qProbe = qids.map { q =>
+      q -> graft.operators.IvfSearch.probeCellsOf(
+        emb.filter(s"vec_id = $q").selectExpr("cast(embedding as array<double>)")
+          .collect().head.getSeq[Double](0).toArray, cs, 4).toSet
+    }.toMap
+    PqSearch.ivfPqTopK(emb, qids).collect().foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(2))
+      assert(qProbe(q).contains(cells(v)),
+        s"result $v for query $q sits outside its probed cells")
+    }
+  }
+
   test("pqTopK: deterministic across runs; distances ranked ascending") {
     val a = PqSearch.pqTopK(emb, qids).orderBy("qid", "rnk").collect().toSeq
     val b = PqSearch.pqTopK(emb, qids).orderBy("qid", "rnk").collect().toSeq
