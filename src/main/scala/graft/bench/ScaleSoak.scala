@@ -201,6 +201,13 @@ object ScaleSoak {
         graft.operators.Similarity.lshTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       },
       "cl1_kmeans" -> (t => graft.operators.Clustering.kmeans(emb(t))),
+      "ann_pq_topk" -> { t =>
+        graft.operators.PqSearch.pqTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      },
+      "ann_ivfpq_topk" -> { t =>
+        // sample-capped fit (4096) at every scale — the steady-state shape
+        graft.operators.PqSearch.ivfPqTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      },
       "tok1_bpe_tokenize" -> (t => graft.operators.TextAnalysis.bpeTokenize(
         spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
       "ev1_sessionize" ->

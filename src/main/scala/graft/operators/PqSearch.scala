@@ -245,6 +245,209 @@ object PqSearch {
     books
   }
 
+  /** A fitted IVF-PQ model: the coarse cell centroids plus the m
+    * per-subspace codebooks — everything a probe needs besides the
+    * encoded codes frame. Driver-bounded by construction
+    * (nClusters×dim + m×k×subDim doubles).
+    */
+  final case class PqModel(
+      centroids: Array[Array[Double]],
+      books: Array[Array[(Int, Array[Double])]]) {
+    def m: Int = books.length
+    def subDim: Int = books(0)(0)._2.length
+    def dim: Int = centroids(0).length
+    def nClusters: Int = centroids.length
+  }
+
+  private[operators] def project(
+      df: DataFrame, idCol: String, vecCol: String) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Dedup.spread(df.select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull))
+      .as[(Long, Array[Double])]
+  }
+
+  /** Fit both quantizers from ONE bounded deterministic hash sample
+    * ([[IvfSearch.collectFitSample]]) — the model-building half of
+    * [[ivfPqTopK]], exposed so a release can fit ONCE and persist
+    * ([[savePqModel]]); at corpus scale set `fitSampleMod` so the
+    * sample filter prunes the scan.
+    */
+  def fitPqModel(
+      corpus: DataFrame,
+      m: Int = 8,
+      k: Int = 8,
+      nClusters: Int = 16,
+      lloydIter: Int = 3,
+      pqIters: Int = 2,
+      fitSampleMod: Long = 1,
+      fitMaxRows: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): PqModel = {
+    val sample = IvfSearch.collectFitSample(
+      project(corpus, idCol, vecCol), fitSampleMod, fitMaxRows)
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
+    PqModel(
+      IvfSearch.fitCentroidsOnSample(sample, nClusters, lloydIter),
+      fitCodebooksOnSample(sample, m, k, pqIters))
+  }
+
+  /** Encode a corpus against a fitted model: ONE narrow pass emitting
+    * (vec_id, cell, codes) — the compressed index frame. The model
+    * parameters ride the `codes` column metadata (the
+    * [[Dedup.minhashBands]] stamp discipline) so a probe built with
+    * mismatched m/k/nClusters fails fast instead of silently returning
+    * garbage distances.
+    */
+  def encodePq(
+      corpus: DataFrame,
+      model: PqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCs = spark.sparkContext.broadcast(model.centroids)
+    val bcBooks = spark.sparkContext.broadcast(model.books)
+    Dedup.stampIndexMeta(
+      project(corpus, idCol, vecCol).map { case (vid, v) =>
+        val cs = bcCs.value
+        val bks = bcBooks.value
+        val sd = bks(0)(0)._2.length
+        val codes = Array.tabulate(bks.length)(sub =>
+          nearestCode(bks(sub), v, sub * sd))
+        (vid, IvfSearch.nearestCell(v, cs), codes)
+      }.toDF("vec_id", "cell", "codes"),
+      "codes", "pq_codes",
+      Map("m" -> model.m.toLong, "k" -> model.books.map(_.length).max.toLong,
+        "nClusters" -> model.nClusters.toLong, "dim" -> model.dim.toLong))
+  }
+
+  /** Incremental ADC probe of a PERSISTED code index: every batch
+    * vector becomes a query — probe cells from the model's coarse
+    * centroids, integer micro-distance tables against the codebooks,
+    * then a broadcast equi-join on the cell id into the codes frame.
+    * The released corpus is NEVER re-encoded (the
+    * [[Dedup.incrementalNearDup]] steady-state contract: index frozen
+    * at release, batches only probe).
+    *
+    * The batch is collected to build the per-query tables —
+    * batch-bounded driver state (#batch × m × k longs), the same bound
+    * every ANN fixture here carries; a million-query batch would
+    * instead compute tables distributively and join them in (the
+    * relational ADC the oracle replays), at the cost of an m-fold
+    * explode.
+    */
+  def probePqCodes(
+      batch: DataFrame,
+      model: PqModel,
+      codes: DataFrame,
+      nProbe: Int = 4,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbe > 0 && nProbe <= model.nClusters,
+      s"invalid nProbe=$nProbe for nClusters=${model.nClusters}")
+    Dedup.checkIndexMeta(codes, "codes", "pq_codes",
+      Map("m" -> model.m.toLong, "nClusters" -> model.nClusters.toLong,
+        "dim" -> model.dim.toLong))
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val m = model.m
+    val subDim = model.subDim
+    val qRows = project(batch, idCol, vecCol).collect().sortBy(_._1)
+    val probes = qRows.flatMap { case (qid, qv) =>
+      IvfSearch.probeCellsOf(qv, model.centroids, nProbe).map(c => (qid, c))
+    }.toSeq.toDF("qid", "cell")
+    val tables: Map[Long, Array[Array[Long]]] = qRows.map { case (qid, qv) =>
+      qid -> Array.tabulate(m) { sub =>
+        val byCode = model.books(sub)
+        val row = new Array[Long](byCode.map(_._1).max + 1)
+        byCode.foreach { case (code, c) =>
+          row(code) = math.rint(subDist(qv, sub * subDim, c) * 1e6).toLong
+        }
+        row
+      }
+    }.toMap
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val adc = udf { (qid: Long, cs: Seq[Int]) =>
+      val t = bcTables.value(qid)
+      var s = 0L
+      var sub = 0
+      while (sub < t.length) { s += t(sub)(cs(sub)); sub += 1 }
+      s
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
+    codes.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist_micro", adc(col("qid"), col("codes")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
+  }
+
+  private val PqModelMagic = 0x47505151 // "GPQQ"
+
+  /** Persist a fitted model (coarse centroids + codebooks) — the
+    * [[IvfSearch.saveCentroids]] discipline: versioned magic header,
+    * fixed layout, zero Spark jobs either direction. Cell and code
+    * order are part of the index identity (codes are index-addressed),
+    * so both arrays round-trip order-exact.
+    */
+  def savePqModel(model: PqModel, path: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try {
+      out.writeInt(PqModelMagic)
+      out.writeInt(1) // version
+      out.writeInt(model.centroids.length)
+      model.centroids.foreach { c =>
+        out.writeInt(c.length)
+        c.foreach(out.writeDouble)
+      }
+      out.writeInt(model.books.length)
+      model.books.foreach { book =>
+        out.writeInt(book.length)
+        book.foreach { case (code, c) =>
+          out.writeInt(code)
+          out.writeInt(c.length)
+          c.foreach(out.writeDouble)
+        }
+      }
+    } finally out.close()
+  }
+
+  /** Load a model persisted by [[savePqModel]]; zero Spark jobs. */
+  def loadPqModel(path: java.nio.file.Path): PqModel = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path)))
+    try {
+      require(in.readInt() == PqModelMagic, s"not a PQ model file: $path")
+      val version = in.readInt()
+      require(version == 1, s"unknown PQ model version $version")
+      val centroids = Array.fill(in.readInt()) {
+        val c = new Array[Double](in.readInt())
+        var j = 0
+        while (j < c.length) { c(j) = in.readDouble(); j += 1 }
+        c
+      }
+      val books = Array.fill(in.readInt()) {
+        Array.fill(in.readInt()) {
+          val code = in.readInt()
+          val c = new Array[Double](in.readInt())
+          var j = 0
+          while (j < c.length) { c(j) = in.readDouble(); j += 1 }
+          (code, c)
+        }
+      }
+      PqModel(centroids, books)
+    } finally in.close()
+  }
+
   /** IVF-PQ top-k (the FAISS IVFPQ layout, non-residual variant —
     * `by_residual=false` in the public API): [[IvfSearch]]'s
     * deterministic coarse quantizer prunes the corpus to each query's
@@ -277,69 +480,19 @@ object PqSearch {
       fitMaxRows: Int = 4096,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(m > 0 && k > 0 && pqIters >= 1 && nProbe > 0 && nProbe <= nClusters,
-      s"invalid m=$m k=$k pqIters=$pqIters nProbe=$nProbe nClusters=$nClusters")
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val e = Dedup.spread(embeddings.select(
-        col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-        .filter(col("v").isNotNull))
-      .as[(Long, Array[Double])]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ONE sample job fits the coarse quantizer AND the m codebooks
-    val sample = IvfSearch.collectFitSample(e, fitSampleMod, fitMaxRows)
-    val dim = sample.head._2.length
-    require(dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
-    val subDim = dim / m
-    val centroids = IvfSearch.fitCentroidsOnSample(sample, nClusters, lloydIter)
-    val books = fitCodebooksOnSample(sample, m, k, pqIters)
-
-    // query fixture rows (bounded): probe cells + ADC tables
-    val qRows = e.filter(col("id").isin(queryIds: _*)).collect().sortBy(_._1)
-    val probes = qRows.flatMap { case (qid, qv) =>
-      IvfSearch.probeCellsOf(qv, centroids, nProbe).map(c => (qid, c))
-    }.toSeq.toDF("qid", "cell")
-    val tables: Map[Long, Array[Array[Long]]] = qRows.map { case (qid, qv) =>
-      qid -> Array.tabulate(m) { sub =>
-        val byCode = books(sub)
-        val row = new Array[Long](byCode.map(_._1).max + 1)
-        byCode.foreach { case (code, c) =>
-          row(code) = math.rint(subDist(qv, sub * subDim, c) * 1e6).toLong
-        }
-        row
-      }
-    }.toMap
-
-    // ONE corpus pass: coarse cell + m PQ codes per row (in a production
-    // store this frame is the persisted, cell-partitioned index)
-    val bcCs = spark.sparkContext.broadcast(centroids)
-    val bcBooks = spark.sparkContext.broadcast(books)
-    val encoded = e.map { case (vid, v) =>
-      val cs = bcCs.value
-      val bks = bcBooks.value
-      val sd = bks(0)(0)._2.length
-      val codes = Array.tabulate(bks.length)(sub => nearestCode(bks(sub), v, sub * sd))
-      (vid, IvfSearch.nearestCell(v, cs), codes)
-    }.toDF("vec_id", "cell", "codes")
-
-    // probe join prunes to nProbe/nClusters of the codes; ADC lookups
-    // against the broadcast tables score each surviving (query, code) row
-    val bcTables = spark.sparkContext.broadcast(tables)
-    val adc = udf { (qid: Long, codes: Seq[Int]) =>
-      val t = bcTables.value(qid)
-      var s = 0L
-      var sub = 0
-      while (sub < t.length) { s += t(sub)(codes(sub)); sub += 1 }
-      s
-    }
-    val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
-    encoded.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adist_micro", adc(col("qid"), col("codes")))
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
+    require(m > 0 && k > 0 && pqIters >= 1,
+      s"invalid m=$m k=$k pqIters=$pqIters")
+    // fit once, encode once, probe the fixture ids — exactly the
+    // build-index / probe-batch composition ([[fitPqModel]] /
+    // [[encodePq]] / [[probePqCodes]]), with the fixture queries drawn
+    // from the corpus itself. Each stage scans its input narrowly; no
+    // shared cache is needed because no stage is consumed twice.
+    val model = fitPqModel(embeddings, m, k, nClusters, lloydIter, pqIters,
+      fitSampleMod, fitMaxRows, idCol, vecCol)
+    probePqCodes(
+      embeddings.filter(col(idCol).isin(queryIds: _*)),
+      model,
+      encodePq(embeddings, model, idCol, vecCol),
+      nProbe, topK, idCol, vecCol)
   }
 }

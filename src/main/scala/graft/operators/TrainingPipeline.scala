@@ -786,6 +786,45 @@ object TrainingPipeline {
           .resolve("minhash_bands").toString),
       "band_hash", "minhash_bands", s"loadMinhashBands($releasePath)")
 
+  /** Persist the released corpus's IVF-PQ embedding index — the
+    * compressed-domain analog of [[writeMinhashBands]]: a small binary
+    * model artifact ([[PqSearch.savePqModel]]: coarse centroids +
+    * per-subspace codebooks) plus the encoded codes parquet (m bytes'
+    * worth of codes per vector instead of the vectors). Vectors fit and
+    * encode ONCE at release; every incoming batch probes the codes
+    * ([[PqSearch.probePqCodes]]) without touching a released vector
+    * again.
+    */
+  def writePqIndex(released: DataFrame, releasePath: String,
+      m: Int = 8, k: Int = 8, nClusters: Int = 16,
+      nProbe: Int = 4, lloydIter: Int = 3, pqIters: Int = 2,
+      fitSampleMod: Long = 1, fitMaxRows: Int = 4096): Unit = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    val model = PqSearch.fitPqModel(released, m, k, nClusters, lloydIter,
+      pqIters, fitSampleMod, fitMaxRows)
+    PqSearch.savePqModel(model, dir.resolve("pq_model.bin"))
+    PqSearch.encodePq(released, model)
+      .orderBy("vec_id")
+      .write.mode("overwrite").parquet(dir.resolve("pq_codes").toString)
+  }
+
+  /** Load the IVF-PQ index [[writePqIndex]] persisted: the model (zero
+    * Spark jobs) and the codes as a lazy parquet frame. Fails fast
+    * unless the codes parquet carries the `pq_codes` kind stamp; the
+    * build parameters ride the `codes` column metadata and are
+    * re-checked against the probe model's at probe time.
+    */
+  def loadPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): (PqSearch.PqModel, DataFrame) = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    (PqSearch.loadPqModel(dir.resolve("pq_model.bin")),
+      Dedup.requireIndexKind(
+        spark.read.parquet(dir.resolve("pq_codes").toString),
+        "codes", "pq_codes", s"loadPqIndex($releasePath)"))
+  }
+
   /** Persist an image set's dHash band index with the release — the
     * visual analog of [[writeMinhashBands]]: images decode and
     * signature ONCE at release time; every incoming batch probes the

@@ -736,13 +736,13 @@ object DataPipeline {
     * encode, the probe-cell selection, and the cell-restricted ADC sum.
     * Every stage of both quantizers is hash-checked in one statement.
     */
-  private val AnnIvfPqSql: String = {
+  private def ivfPqSqlFor(corpusRel: String, queryRel: String): String = {
     val M = 8; val K = 8; val SubDim = 8; val NProbe = 4; val Iter = 3; val Dim = 64
     def d2f(v: String, c: String) =
       s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
     def d2s(v: String, c: String) =
       s"round(list_sum(list_transform(range($SubDim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
-    s"""WITH ${ivfAsgCtes("embeddings", matAsg = false)},
+    s"""WITH ${ivfAsgCtes(corpusRel, matAsg = false)},
        |pqs AS (SELECT vec_id, sub,
        |        list_slice(v, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
        |      FROM samp CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
@@ -767,13 +767,15 @@ object DataPipeline {
        |    row_number() OVER (PARTITION BY ces.vec_id, ces.sub
        |      ORDER BY ${d2s("ces.sv", "c.c")}, c.code) AS rn
        |  FROM ces JOIN ps1 c ON c.sub = ces.sub) WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM $queryRel),
        |pc AS (SELECT qid, cell FROM (
        |  SELECT q.qid, c.cell,
        |    row_number() OVER (PARTITION BY q.qid
        |      ORDER BY ${d2f("q.qv", "c.c")}, c.cell) AS rn
        |  FROM q CROSS JOIN c$Iter c) WHERE rn <= $NProbe),
-       |qs AS (SELECT vec_id AS qid, sub, sv FROM ces WHERE vec_id < 5),
+       |qs AS (SELECT qid, sub,
+       |        list_slice(qv, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
+       |      FROM q CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
        |dt AS (SELECT qs.qid, c.sub, c.code,
        |        CAST(round(${d2s("qs.sv", "c.c")} * 1000000) AS BIGINT) AS dmic
        |       FROM qs JOIN ps1 c ON c.sub = qs.sub),
@@ -792,9 +794,40 @@ object DataPipeline {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  private val AnnIvfPqSql: String =
+    ivfPqSqlFor("embeddings", "(SELECT * FROM embeddings WHERE vec_id < 5)")
+
   val ann_ivfpq_topk = QueryDef.sqlChecked("ann_ivfpq_topk", AnnIvfPqSql) { (s, d) =>
     graft.operators.PqSearch.ivfPqTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
+  /** ann_pq_incremental: the IVF-PQ steady state — the first 4/5 of the
+    * vectors are the RELEASED corpus (model fit + codes frozen there);
+    * the remaining 1/5 arrive as a batch and every batch vector probes
+    * the code index ([[graft.operators.PqSearch.probePqCodes]]). The
+    * released side is never re-encoded (the dd15 incremental contract,
+    * embedding-index edition). The mirror is the SAME spliced IVF-PQ
+    * chain with corpus/query relations swapped to the split — the
+    * integer cutoff `(4·(max+1)) div 5` computes identically in both
+    * engines.
+    */
+  private val AnnPqIncSql: String = ivfPqSqlFor(
+    "(SELECT * FROM embeddings WHERE vec_id < (SELECT (4 * (max(vec_id) + 1)) // 5 FROM embeddings))",
+    "(SELECT * FROM embeddings WHERE vec_id >= (SELECT (4 * (max(vec_id) + 1)) // 5 FROM embeddings))")
+
+  val ann_pq_incremental = QueryDef.sqlChecked(
+    "ann_pq_incremental", AnnPqIncSql) { (s, d) =>
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = Tables.embeddings(s, d)
+    val n = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1
+    val cut = 4 * n / 5
+    val released = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    val model = graft.operators.PqSearch.fitPqModel(released)
+    graft.operators.PqSearch.probePqCodes(
+        batch, model, graft.operators.PqSearch.encodePq(released, model))
       .orderBy("qid", "rnk")
   }
 
@@ -3707,7 +3740,8 @@ object DataPipeline {
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
     dd18_minhash_calibration, emb1_random_projection,
     ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
-    ann_ivfpq_topk, ann_label_noise, emb2_ann_recall, emb3_matryoshka_audit,
+    ann_ivfpq_topk, ann_pq_incremental, ann_label_noise,
+    emb2_ann_recall, emb3_matryoshka_audit,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,

@@ -493,6 +493,25 @@ class PlanSpec extends SparkSpec {
       s"query-id IN ($ids) predicate missing from probe pass:\n$p")
   }
 
+  test("loaded PQ codes probe as a parquet scan — released vectors never re-encode") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val released = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150)
+    val dir = java.nio.file.Files.createTempDirectory("pq-gate").toString
+    graft.operators.TrainingPipeline.writePqIndex(released, dir)
+    val (model, codes) = graft.operators.TrainingPipeline.loadPqIndex(spark, dir)
+    val p = graft.operators.PqSearch.probePqCodes(batch, model, codes)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("pq_codes"),
+      s"probe side must scan the persisted codes parquet:\n$p")
+    // zero typed encode passes in the probe plan: the corpus is its
+    // codes; the batch side is driver-collected fixture tables
+    assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+      s"probe plan re-encodes vectors:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("ann_pq: ADC scoring is join-free — one narrow pass then the top-k window") {
     // PQ's whole point: after encode, scoring is per-row table lookups
     // against broadcast distance tables. Any join/cartesian appearing in

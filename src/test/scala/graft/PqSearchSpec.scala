@@ -91,6 +91,39 @@ class PqSearchSpec extends SparkSpec {
     }
   }
 
+  test("pq index artifacts: save/load round-trip, probe equals in-session") {
+    import graft.operators.{PqSearch, TrainingPipeline}
+    import org.apache.spark.sql.functions.{col, max}
+    val n = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1
+    val cut = 4 * n / 5
+    val released = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    val dir = java.nio.file.Files.createTempDirectory("pq-release").toString
+    TrainingPipeline.writePqIndex(released, dir)
+    val (model, codes) = TrainingPipeline.loadPqIndex(spark, dir)
+    // the binary model round-trips order-exact
+    val live = PqSearch.fitPqModel(released)
+    assert(model.centroids.map(_.toSeq).toSeq === live.centroids.map(_.toSeq).toSeq)
+    assert(model.books.map(_.map { case (c, v) => (c, v.toSeq) }.toSeq).toSeq ===
+      live.books.map(_.map { case (c, v) => (c, v.toSeq) }.toSeq).toSeq)
+    // probing the loaded artifact = probing the in-session index
+    val a = PqSearch.probePqCodes(batch, model, codes)
+      .orderBy("qid", "rnk").collect().toSeq
+    val b = PqSearch.probePqCodes(batch, live, PqSearch.encodePq(released, live))
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("probePqCodes: mismatched index parameters fail fast") {
+    import graft.operators.PqSearch
+    val codes8 = PqSearch.encodePq(emb, PqSearch.fitPqModel(emb, m = 8))
+    val model4 = PqSearch.fitPqModel(emb, m = 4)
+    val err = intercept[IllegalArgumentException] {
+      PqSearch.probePqCodes(emb.filter("vec_id < 5"), model4, codes8)
+    }
+    assert(err.getMessage.contains("mismatch"))
+  }
+
   test("pqTopK: deterministic across runs; distances ranked ascending") {
     val a = PqSearch.pqTopK(emb, qids).orderBy("qid", "rnk").collect().toSeq
     val b = PqSearch.pqTopK(emb, qids).orderBy("qid", "rnk").collect().toSeq
