@@ -71,6 +71,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen squared euclidean distance over two `array<double>`
+  * columns — [[CosineSimilarity]]'s L2 sibling (PQ/IVF quantizers rank
+  * by L2, so their exact baselines must too). The sum folds in
+  * ascending dimension order, the same order DuckDB's
+  * `list_sum(list_transform(...))` folds, so the raw double is
+  * bit-equal across engines (the IvfSearch.sqDist contract, as a
+  * codegen Column). Mismatched lengths compare the common prefix;
+  * null if either side is null.
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "squared_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double dv = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += dv * dv;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column wrappers + SQL registration for graft's native expressions.
   *
   * Spark 4 made the Column-from-Expression constructors private[sql], so
@@ -90,6 +150,18 @@ object GraftFunctions {
       "bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_l2",
+      exprs => SquaredL2(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Native codegen squared L2 as a Column function; registers on the
+    * active session on first use.
+    */
+  def squared_l2(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
+    org.apache.spark.sql.functions.call_function("squared_l2", a, b)
   }
 
   /** Native codegen cosine similarity as a Column function; registers on

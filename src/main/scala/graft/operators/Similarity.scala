@@ -43,6 +43,36 @@ object Similarity {
       .select(col("qid"), col("rnk"), col(idCol), col("sim"))
   }
 
+  /** Exact squared-L2 top-k — the metric-matched baseline for the PQ
+    * family ([[PqSearch]] quantizes L2, so its recall audit must
+    * compare against exact L2, not cosine). Same shape as
+    * [[bruteForceTopK]]: broadcast query set, one corpus pass, per-query
+    * top-k window. Distances cross the engine boundary as integer
+    * MICRO-L2 (`floor(d²·1e6 + 0.5)`): the raw double folds in ascending
+    * dim order on both engines (the codegen
+    * [[graft.functions.SquaredL2]] loop vs `list_sum(list_transform)`),
+    * so the integer is exact — no final rounding edge.
+    */
+  def bruteForceTopKL2(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = Dedup.spread(
+      embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val q = e.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("dist_micro",
+        floor(graft.functions.GraftFunctions.squared_l2(col("qv"), col("v")) * lit(1e6)
+          + lit(0.5)).cast("long"))
+    val w = Window.partitionBy("qid").orderBy(col("dist_micro"), col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col(idCol), col("dist_micro"))
+  }
+
   /** Label-noise screen: for each audited vector, the majority label of
     * its k nearest neighbors vs its own — the neighborhood-agreement
     * mislabel detector (the intuition behind confident-learning-style

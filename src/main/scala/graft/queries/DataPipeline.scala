@@ -831,6 +831,55 @@ object DataPipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** ann_brute_l2: exact squared-L2 top-k — the metric-matched baseline
+    * for the PQ family (PQ quantizes L2; recall audits against cosine
+    * would mis-grade it). Distances cross as integer micro-L2: the raw
+    * double folds ascending-dim on both engines, so
+    * `round(d2 * 1e6)::BIGINT` is exact.
+    */
+  private val AnnBruteL2Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |sc AS (SELECT qid, vec_id,
+      |        CAST(round(list_sum(list_transform(range(64),
+      |          j -> (qv[j+1] - v[j+1]) * (qv[j+1] - v[j+1]))) * 1000000) AS BIGINT)
+      |          AS dist_micro
+      |       FROM q, e WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, dist_micro,
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist_micro, vec_id)
+      |            AS INTEGER) AS rnk
+      |      FROM sc)
+      |SELECT qid, rnk, vec_id, dist_micro FROM r WHERE rnk <= 10
+      |ORDER BY qid, rnk""".stripMargin
+
+  val ann_brute_l2 = QueryDef.sqlChecked("ann_brute_l2", AnnBruteL2Sql) { (s, d) =>
+    Similarity.bruteForceTopKL2(Tables.embeddings(s, d), queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
+  /** emb4: recall@10 of the PQ index against the exact L2 panel — the
+    * acceptance number a PQ codebook re-fit ships with (the emb2
+    * pattern, compressed-domain edition). The mirror nests BOTH oracle
+    * chains as subqueries, so codebook drift, encode drift, or
+    * baseline drift all move this hash.
+    */
+  val emb4_pq_recall = QueryDef.sqlChecked(
+    "emb4_pq_recall",
+    s"""WITH b AS (SELECT qid, vec_id FROM ($AnnBruteL2Sql)),
+       |i AS (SELECT qid, vec_id, 1 AS hit FROM ($AnnPqSql)),
+       |h AS (SELECT b.qid, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hit
+       |      FROM b LEFT JOIN i ON i.qid = b.qid AND i.vec_id = b.vec_id
+       |      GROUP BY b.qid)
+       |SELECT qid, n_hit, round(n_hit / 10.0, 4) AS recall_at_10
+       |FROM h ORDER BY qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecall(
+      Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
+      graft.operators.PqSearch.pqTopK(emb, queryIds = AnnQueryIds),
+      k = 10)
+      .orderBy("qid")
+  }
+
   /** Semantic-dedup fixture: 40 exact copies of organic vectors are
     * planted in-query in BOTH engines (re-keyed +10000) — an identical
     * vector lands in the identical cell and scores cosine 1.0, so every
@@ -3739,9 +3788,9 @@ object DataPipeline {
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
     dd18_minhash_calibration, emb1_random_projection,
-    ann_brute_topk, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
+    ann_brute_topk, ann_brute_l2, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
     ann_ivfpq_topk, ann_pq_incremental, ann_label_noise,
-    emb2_ann_recall, emb3_matryoshka_audit,
+    emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
