@@ -114,6 +114,45 @@ class PqSearchSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("streaming PQ probe: per-micro-batch parity vs the batch probe, index loaded once") {
+    import spark.implicits._
+    import graft.operators.{PqSearch, TrainingPipeline}
+    import org.apache.spark.sql.functions.{col, max}
+    // release: fit + encode + persist ONCE; the stream only probes
+    val n = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1
+    val cut = 4 * n / 5
+    val released = emb.filter(col("vec_id") < cut)
+    val dir = java.nio.file.Files.createTempDirectory("pq-stream").toString
+    TrainingPipeline.writePqIndex(released, dir)
+    val (model, codes) = TrainingPipeline.loadPqIndex(spark, dir)
+    val batchRows = emb.filter(col("vec_id") >= cut)
+      .selectExpr("cast(vec_id as long)", "cast(embedding as array<double>)")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Int, Long, Long)]]()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Double])](spark, numPartitions = 1)
+    val q = input.toDS().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        got(batchId) = rowSet(PqSearch.probePqCodes(df, model, codes))
+        ()
+      }.start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def batchProbe(rows: Array[(Long, Array[Double])]) =
+      rowSet(PqSearch.probePqCodes(
+        rows.toSeq.toDF("vec_id", "embedding"), model, codes))
+    assert(got(0L) === batchProbe(b1) && got(0L).nonEmpty)
+    assert(got(1L) === batchProbe(b2) && got(1L).nonEmpty)
+  }
+
   test("probePqCodes: mismatched index parameters fail fast") {
     import graft.operators.PqSearch
     val codes8 = PqSearch.encodePq(emb, PqSearch.fitPqModel(emb, m = 8))
