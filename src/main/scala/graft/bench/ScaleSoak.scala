@@ -235,6 +235,20 @@ object ScaleSoak {
             node(col("doc_id") * 13 + 5).as("dst")))
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         graft.operators.GraphRank.pageRankFixedPoint(e, 5, smallGraphMaxEdges = 0)
+      },
+      "gr3_hits_loop" -> { t =>
+        // same scaling edge fixture as gr1; loop pinned (cap=0)
+        val n = scales.toMap.apply(t)
+        val k = math.max(n / 100L, 20L)
+        val d = docs(t)
+        def node(c: org.apache.spark.sql.Column) =
+          concat(lit("d"), pmod(c, lit(k)).cast("string"))
+        val e = d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 7 + 3).as("dst"))
+          .union(d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 13 + 5).as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphRank.hitsFixedPoint(e, 3, smallGraphMaxEdges = 0)
       })
 
     def timeIt(f: => Long): (Double, Long) = {

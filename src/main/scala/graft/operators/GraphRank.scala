@@ -108,6 +108,102 @@ object GraphRank {
     }
   }
 
+  /** `iters` rounds of fixed-point HITS (Kleinberg's hubs and
+    * authorities — the other classic link-centrality prior a curation
+    * pipeline derives source weights from; PageRank rewards being
+    * linked FROM good pages, HITS separates pages that point AT good
+    * content, the hub signal a crawler's frontier scoring wants).
+    *
+    * Same determinism contract as [[pageRankFixedPoint]], with the
+    * normalization each HITS round needs done in EXACT wide integers:
+    * raw scores are sums of `rank × w` products (summed as
+    * decimal(38,0) here, HUGEINT in the DuckDB mirror — both exact,
+    * both order-independent), and the re-normalization
+    * `(raw × 1e9) div total` is integral division of exact integers,
+    * so the trajectory is bit-reproducible across partitionings and
+    * engines. Bounds: per-edge `rank·w` needs w < 9.2e9 (the PageRank
+    * cap note), and `total·1e9` must fit decimal(38,0) → total raw
+    * mass < 1e29 — ~10 orders looser than web-scale needs.
+    *
+    * Nodes with no in-edges get authority 0; no out-edges, hub 0 (the
+    * dangling simplification). Scale shape per iteration: two keyed
+    * edge×score joins + two dst/src-keyed partial-agg sums + two
+    * broadcast-scalar normalizations — nothing global but the two
+    * 1-row totals.
+    *
+    * @return (node, hub, authority) in units of 1e-9 of each side's
+    *         normalized mass
+    */
+  def hitsFixedPoint(
+      edges: DataFrame,
+      iters: Int,
+      smallGraphMaxEdges: Long = 100000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    if (smallGraphMaxEdges > 0 && e.count() <= smallGraphMaxEdges) {
+      // driver fast path — BigInt replays the decimal/HUGEINT arithmetic
+      val rows = e.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+      val n = nodes.length.toLong
+      require(n > 0, "hits over an empty edge list")
+      var hub = nodes.map(_ -> BigInt(MassUnits / n)).toMap
+      var auth = nodes.map(_ -> BigInt(0)).toMap
+      def normalize(raw: Map[String, BigInt]): Map[String, BigInt] = {
+        val tot = raw.values.sum
+        nodes.map(nd => nd -> (if (tot == 0) BigInt(0)
+          else raw.getOrElse(nd, BigInt(0)) * MassUnits / tot)).toMap
+      }
+      (0 until iters).foreach { _ =>
+        val ar = scala.collection.mutable.HashMap.empty[String, BigInt]
+        rows.foreach { case (s, d, w) =>
+          ar(d) = ar.getOrElse(d, BigInt(0)) + hub(s) * w
+        }
+        auth = normalize(ar.toMap)
+        val hr = scala.collection.mutable.HashMap.empty[String, BigInt]
+        rows.foreach { case (s, d, w) =>
+          hr(s) = hr.getOrElse(s, BigInt(0)) + auth(d) * w
+        }
+        hub = normalize(hr.toMap)
+      }
+      import spark.implicits._
+      nodes.map(nd => (nd, hub(nd).toLong, auth(nd).toLong)).toSeq
+        .toDF("node", "hub", "authority")
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+      val n = nodes.count()
+      require(n > 0, "hits over an empty edge list")
+      var hub = nodes.select(col("node"), lit(MassUnits / n).as("s"))
+      var auth: DataFrame = null
+      def normalized(raw: DataFrame, key: String): DataFrame = {
+        val tot = raw.agg(sum("raw").as("t"))
+        nodes.join(raw, col("node") === col(key), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("node"),
+            coalesce(expr(s"(raw * $MassUnits) div t"), lit(0L)).as("s"))
+      }
+      var i = 0
+      while (i < iters) {
+        auth = normalized(
+          e.join(hub, e("src") === hub("node"))
+            .select(col("dst"),
+              (col("s").cast("decimal(38,0)") * col("w")).as("c"))
+            .groupBy("dst").agg(sum("c").as("raw")), "dst")
+        hub = normalized(
+          e.join(auth, e("dst") === auth("node"))
+            .select(col("src"),
+              (col("s").cast("decimal(38,0)") * col("w")).as("c"))
+            .groupBy("src").agg(sum("c").as("raw")), "src")
+        i += 1
+      }
+      hub.select(col("node"), col("s").as("hub"))
+        .join(auth.select(col("node"), col("s").as("authority")), "node")
+        .select(col("node"), col("hub"), col("authority"))
+    }
+  }
+
   /** Authority-weighted corpus sampling: the PageRank prior feeding
     * the mixture sampler — keep probability per source ∝ its rank
     * share, decided per document by the same integer mix32-threshold

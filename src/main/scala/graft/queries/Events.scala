@@ -214,7 +214,52 @@ object Events {
         .orderBy("doc_id")
   }
 
+  private val Gr3Iters = 3
+
+  /** gr3 mirror: HITS unrolled — per round, the hub→authority sum, the
+    * exact HUGEINT normalization `(raw·1e9) // total`, then the
+    * authority→hub sum and its normalization (the engine does the
+    * identical arithmetic in decimal(38,0) — both exact, so the
+    * trajectory matches bit-for-bit like gr1's).
+    */
+  private val Gr3Sql: String = {
+    val rounds = (1 to Gr3Iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(CAST(h.s AS HUGEINT) * e.w) AS raw
+         |        FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a$i AS MATERIALIZED (SELECT n.node,
+         |         CAST(coalesce((ar.raw * 1000000000) // (SELECT sum(raw) FROM ar$i), 0) AS BIGINT) AS s
+         |        FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node, sum(CAST(a.s AS HUGEINT) * e.w) AS raw
+         |        FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT n.node,
+         |         CAST(coalesce((hr.raw * 1000000000) // (SELECT sum(raw) FROM hr$i), 0) AS BIGINT) AS s
+         |        FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT source AS src, 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT source AS src, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) AS dst FROM documents),
+       |e AS (SELECT src, dst, count(*) AS w FROM ed GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |h0 AS (SELECT node, 1000000000 // n AS s FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT h.node, CAST(h.s AS BIGINT) AS hub, CAST(a.s AS BIGINT) AS authority
+       |FROM h$Gr3Iters h JOIN a$Gr3Iters a ON a.node = h.node
+       |ORDER BY h.node""".stripMargin
+  }
+
+  /** HITS hubs/authorities over the doc-derived link graph — the other
+    * classic curation prior next to gr1's PageRank
+    * ([[GraphRank.hitsFixedPoint]], exact integer trajectory).
+    */
+  val gr3_hits = QueryDef.sqlChecked("gr3_hits", Gr3Sql) { (s, d) =>
+    GraphRank.hitsFixedPoint(
+        GraphRank.documentLinkEdges(Tables.documents(s, d)), Gr3Iters)
+      .orderBy("node")
+  }
+
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
-      ev6_error_anomaly, gr1_pagerank, gr2_authority_sample)
+      ev6_error_anomaly, gr1_pagerank, gr2_authority_sample, gr3_hits)
 }

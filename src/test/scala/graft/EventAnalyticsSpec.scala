@@ -172,6 +172,52 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("hits: symmetric 2-cycle is the uniform fixed point (both strategies)") {
+    Seq(0L, 100L).foreach { cap =>
+      val out = GraphRank.hitsFixedPoint(
+        edges(("a", "b", 1L), ("b", "a", 1L)), iters = 5, smallGraphMaxEdges = cap)
+        .orderBy("node").as[(String, Long, Long)].collect()
+      assert(out === Array(("a", 500000000L, 500000000L),
+        ("b", 500000000L, 500000000L)), s"cap=$cap")
+    }
+  }
+
+  test("hits: one hand-computed round on the 3-node graph (both strategies)") {
+    // a->b, a->c, b->c; h0 = 333333333 each.
+    // authority raw: b=333333333, c=666666666, total 999999999 ->
+    //   a(b)=333333333, a(c)=666666666 (exact integral shares), a(a)=0.
+    // hub raw: a=a(b)+a(c)=999999999, b=a(c)=666666666, total 1666666665
+    //   -> 1666666665*0.6 and *0.4 are EXACT: h(a)=600000000, h(b)=400000000.
+    Seq(0L, 100L).foreach { cap =>
+      val out = GraphRank.hitsFixedPoint(
+        edges(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)),
+        iters = 1, smallGraphMaxEdges = cap)
+        .orderBy("node").as[(String, Long, Long)].collect()
+      assert(out === Array(
+        ("a", 600000000L, 0L),
+        ("b", 400000000L, 333333333L),
+        ("c", 0L, 666666666L)), s"cap=$cap")
+    }
+  }
+
+  test("hits: distributed loop is repartition-invariant and equals the fast path") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val e = GraphRank.documentLinkEdges(docs)
+    val loop = GraphRank.hitsFixedPoint(e, 3, smallGraphMaxEdges = 0)
+      .orderBy("node").as[(String, Long, Long)].collect()
+    val loopRepart = GraphRank.hitsFixedPoint(
+      e.repartition(7), 3, smallGraphMaxEdges = 0)
+      .orderBy("node").as[(String, Long, Long)].collect()
+    val fast = GraphRank.hitsFixedPoint(e, 3).orderBy("node")
+      .as[(String, Long, Long)].collect()
+    assert(loop === loopRepart)
+    assert(loop === fast)
+    // each side's mass within truncation loss of its normalized unit
+    Seq(loop.map(_._2).sum, loop.map(_._3).sum).foreach { total =>
+      assert(total <= GraphRank.MassUnits && total > GraphRank.MassUnits * 97 / 100)
+    }
+  }
+
   test("authoritySample: thresholds are exact rank shares, repartition-stable") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val ranks = GraphRank.pageRankFixedPoint(GraphRank.documentLinkEdges(docs), 5)
