@@ -72,6 +72,37 @@ object Bpe {
     syms
   }
 
+  /** Leftmost-longest MaxMatch segmentation of one word against a
+    * piece vocabulary — the fast-WordPiece matching rule (Song et al.
+    * 2021, minus the `##` continuation marks): at each position take
+    * the longest vocabulary piece that matches; if none does, consume
+    * ONE codepoint as its own token (the unknown-char fallback, so
+    * segmentation is total). A different decoder over the same learned
+    * pieces than [[segment]]'s merge replay — production stacks run
+    * exactly this swap for throughput.
+    */
+  def maxMatchSegment(
+      word: String, pieces: Set[String], maxPieceLen: Int): Array[String] = {
+    val out = new ArrayBuffer[String]
+    var pos = 0
+    while (pos < word.length) {
+      var len = math.min(maxPieceLen, word.length - pos)
+      var matched: String = null
+      while (matched == null && len >= 2) {
+        val cand = word.substring(pos, pos + len)
+        if (pieces.contains(cand)) matched = cand else len -= 1
+      }
+      if (matched == null) {
+        // one CODEPOINT (surrogate pairs stay whole, the splitCodepoints rule)
+        val cp = word.codePointAt(pos)
+        matched = word.substring(pos, pos + Character.charCount(cp))
+      }
+      out += matched
+      pos += matched.length
+    }
+    out.toArray
+  }
+
   /** Learn `numMerges` merges from a word-frequency dict — the paper's
     * training loop verbatim: count adjacent symbol pairs weighted by
     * word frequency, merge the most frequent pair everywhere, repeat.

@@ -188,6 +188,57 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     bpeTokenizeObserved(documents, merges, idCol, textCol)._1
 
+  /** Leftmost-longest MaxMatch tokenization over the PIECE vocabulary a
+    * BPE merge table induces ([[graft.functions.Bpe.maxMatchSegment]],
+    * the fast-WordPiece decoding rule) — the throughput-swap decoder
+    * production tokenizers pair with a trained vocab: same artifact,
+    * different (and cheaper, O(len·maxPieceLen)) matching rule than
+    * [[bpeTokenize]]'s merge replay. Output shape matches bpeTokenize:
+    * per doc the word count, MaxMatch token count, and the md5 of the
+    * space-joined token stream (full-content segmentation check).
+    *
+    * Scale shape: one narrow typed pass, zero exchanges, per-partition
+    * word memo (the bpeTokenize Zipf argument). Precondition shared
+    * with the oracle: ASCII-safe text (the recursive mirror counts
+    * positions in codepoints, the engine in UTF-16 units — identical on
+    * the generator's corpus, and encodingQuality screens violators).
+    */
+  def maxMatchTokenize(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pieces = merges.map { case (a, b) => a + b }.toSet
+    val maxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+    Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val words = graft.functions.TextHashing.tokens(text)
+          var nt = 0L
+          val sb = new java.lang.StringBuilder
+          words.foreach { w =>
+            var segs = memo.get(w)
+            if (segs == null) {
+              segs = graft.functions.Bpe.maxMatchSegment(w, pieces, maxLen)
+              memo.put(w, segs)
+            }
+            nt += segs.length
+            segs.foreach { s =>
+              if (sb.length > 0) sb.append(' ')
+              sb.append(s)
+            }
+          }
+          (id, words.length.toLong, nt,
+            graft.functions.TextHashing.md5Hex(sb.toString))
+        }
+      }
+      .toDF(idCol, "n_words", "n_mm_tokens", "mm_md5")
+  }
+
   /** [[bpeTokenize]] plus the memo-effectiveness counters the scale
     * story rests on: (frame, memoHits, memoMisses) where a miss runs
     * the O(merges × len) segment loop and a hit is an O(1) lookup.

@@ -3080,6 +3080,52 @@ object DataPipeline {
       .orderBy("lang")
   }
 
+  /** tok3: leftmost-longest MaxMatch tokenization over the piece vocab
+    * [[BpeMerges]] induces — the fast-WordPiece decoding rule
+    * ([[graft.operators.TextAnalysis.maxMatchTokenize]]): same learned
+    * artifact as tok1, different matching algorithm. The mirror runs
+    * the TRUE per-position greedy loop as a recursive CTE — each
+    * recursion step consumes the longest matching piece (a correlated
+    * LIMIT-1 scan of the piece list, falling back to one character) —
+    * so every positional match decision is hash-checked via the md5 of
+    * the full token stream, the tok1 discipline.
+    */
+  private val Tok3Sql: String = {
+    val pieces = BpeMerges.map { case (a, b) => a + b }.distinct
+    val piecesList = pieces.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE
+       |pieces(piece) AS (VALUES $piecesList),
+       |wl AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tw AS MATERIALIZED (SELECT doc_id, j, ws[j] AS w FROM (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM wl)),
+       |seg(doc_id, j, w, pos, n, toks) AS (
+       |  SELECT doc_id, j, w, 1, CAST(0 AS BIGINT), '' FROM tw
+       |  UNION ALL
+       |  SELECT doc_id, j, w, pos + length(piece), n + 1,
+       |    CASE WHEN toks = '' THEN piece ELSE toks || ' ' || piece END
+       |  FROM (
+       |    SELECT s.*, coalesce(
+       |      (SELECT p.piece FROM pieces p
+       |       WHERE substr(s.w, s.pos, length(p.piece)) = p.piece
+       |       ORDER BY length(p.piece) DESC, p.piece LIMIT 1),
+       |      substr(s.w, s.pos, 1)) AS piece
+       |    FROM seg s WHERE s.pos <= length(s.w))),
+       |fin AS (SELECT doc_id, j, n, toks FROM seg WHERE pos = length(w) + 1),
+       |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_mm_tokens,
+       |        md5(string_agg(toks, ' ' ORDER BY j)) AS mm_md5
+       |       FROM fin GROUP BY doc_id)
+       |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_words,
+       | coalesce(ag.n_mm_tokens, CAST(0 AS BIGINT)) AS n_mm_tokens,
+       | coalesce(ag.mm_md5, md5('')) AS mm_md5
+       |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin
+  }
+
+  val tok3_maxmatch = QueryDef.sqlChecked("tok3_maxmatch", Tok3Sql) { (s, d) =>
+    TextAnalysis.maxMatchTokenize(Tables.documents(s, d), BpeMerges)
+      .orderBy("doc_id")
+  }
+
   /** sp8b: the token-budget pass denominated in REAL (BPE) tokens —
     * sp8's whitespace counts misstate budgets ~3x on this corpus
     * (84.8k BPE vs 27.2k whitespace tokens at sf0.01); budget 1800
@@ -3809,7 +3855,8 @@ object DataPipeline {
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform, pk5_pack_stats,
-    tok1_bpe_tokenize, tok2_fertility, sp8b_bpe_budget, pk1b_bpe_pack,
+    tok1_bpe_tokenize, tok2_fertility, tok3_maxmatch, sp8b_bpe_budget,
+    pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
     cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline, pipe3_curation_report,

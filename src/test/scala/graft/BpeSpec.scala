@@ -30,6 +30,37 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.segment("😀😀", Seq(("😀", "😀"))).toSeq === Seq("😀😀"))
   }
 
+  test("maxMatchSegment: leftmost-longest wins; unknown chars consume one codepoint") {
+    val pieces = Set("batch", "atch", "at", "ba")
+    def mm(w: String) = Bpe.maxMatchSegment(w, pieces, 5).toSeq
+    // longest piece at pos 0 beats shorter prefixes
+    assert(mm("batched") === Seq("batch", "e", "d"))
+    // leftmost first: pos 0 has "ba" even though "atch" starts at pos 1
+    assert(mm("batch") === Seq("batch"))
+    assert(mm("batxch") === Seq("ba", "t", "x", "c", "h"))
+    // fallback consumes single chars, astral-safe
+    assert(mm("xatchy") === Seq("x", "atch", "y"))
+    assert(Bpe.maxMatchSegment("😀at", Set("at"), 2).toSeq === Seq("😀", "at"))
+    assert(mm("") === Seq.empty)
+  }
+
+  test("maxMatchTokenize: totals and stream md5 agree with direct segmentation") {
+    import spark.implicits._
+    val merges = Seq(("a", "t"), ("b", "at"), ("bat", "ch"))
+    val pieces = merges.map { case (a, b) => a + b }.toSet // at, bat, batch
+    val docs = Seq((0L, "batch the batter"), (1L, ""), (2L, "at bat"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.maxMatchTokenize(docs, merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    def md5(s: String) = graft.functions.TextHashing.md5Hex(s)
+    val d0 = Seq("batch", "t", "h", "e", "bat", "t", "e", "r") // maxLen 5
+    assert(out(0) === ((0L, 3L, 8L, md5(d0.mkString(" ")))))
+    assert(out(1) === ((1L, 0L, 0L, md5(""))))
+    assert(out(2) === ((2L, 2L, 2L, md5("at bat"))))
+    assert(pieces === Set("at", "bat", "batch")) // fixture sanity
+  }
+
   test("poly32 folds codepoints, matching the SQL mirror's per-character ascii()") {
     // independent reference fold over codePoints (the semantics
     // string_split('') + ascii() has in DuckDB)
