@@ -2657,6 +2657,45 @@ object DataPipeline {
     TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** dc6: Min-K% prob membership screen
+    * ([[graft.operators.Decontamination.minKProb]], Shi et al. 2023) —
+    * mean log-prob of each doc's bottom-20% token occurrences under
+    * the txt_ppl unigram LM, with the occurrence-weighted partial take
+    * at the selection boundary replayed exactly (running sum over the
+    * (lp, w) order; boundary ties carry equal lp so the partial choice
+    * can't move the hash).
+    */
+  val dc6_mink_prob = QueryDef.sqlChecked(
+    "dc6_mink_prob",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+      |dtok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok
+      |         GROUP BY doc_id, w),
+      |cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dtok GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      |        FROM cnt),
+      |sc AS (SELECT doc_id, w, k, ln((c + 1.0) / (n + v)) AS lp
+      |       FROM dtok JOIN cnt USING (w) CROSS JOIN tot),
+      |st AS (SELECT doc_id, w, k, lp,
+      |        CAST(sum(k) OVER (PARTITION BY doc_id) AS BIGINT) AS nt,
+      |        CAST(sum(k) OVER (PARTITION BY doc_id ORDER BY lp, w
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |       FROM sc),
+      |tk AS (SELECT doc_id, nt, (nt * 20 + 99) // 100 AS kk,
+      |        greatest(CAST(0 AS BIGINT),
+      |          least(k, (nt * 20 + 99) // 100 - (cum - k))) AS tke, lp
+      |       FROM st),
+      |ag AS (SELECT doc_id, max(nt) AS n_tokens, max(kk) AS kk,
+      |        -sum(tke * lp)/max(kk)/ln(2) AS bits
+      |       FROM tk GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | CAST(kk AS BIGINT) AS k_sel, round(bits, 4) AS mink_bits
+      |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Decontamination.minKProb(Tables.documents(s, d))
+      .orderBy("doc_id")
+  }
+
   /** txt_ppl1b: frozen-LM perplexity — the steady-state form of
     * txt_ppl: the unigram model is trained on the doc_id < 400 slice
     * and the WHOLE corpus is scored against it, so the OOV branch
@@ -3841,7 +3880,7 @@ object DataPipeline {
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
-    dc5_combined_verdict,
+    dc5_combined_verdict, dc6_mink_prob,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
     sp7_sample_n, sp10_epoch_upsample, sp11_mixture_audit,

@@ -28,6 +28,36 @@ class DecontaminationGuardSpec extends SparkSpec {
       docs.filter(pmod(col("doc_id"), lit(100L)) < 3))
   }
 
+  test("minKProb: hand-computed bottom-20% with a partial boundary take") {
+    // corpus: doc0 = "a a a b", doc1 = "b c". counts: a=3, b=2, c=1;
+    // N=6, V=3 -> lp(a)=ln(4/9), lp(b)=ln(3/9), lp(c)=ln(2/9).
+    // doc0: nt=4, K=ceil(0.8)=1; order lp asc: (a, ln(4/9)<ln(3/9)? no:
+    //   4/9>3/9 so lp(a)>lp(b) -> bottom is b) -> take 1 of b.
+    //   bits = -ln(3/9)/1/ln2.
+    // doc1: nt=2, K=1; bottom is c (2/9 < 3/9) -> take 1 of c;
+    //   bits = -ln(2/9)/ln2.
+    val docs = Seq((0L, "a a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val out = Decontamination.minKProb(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    def r4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
+    assert(out(0) === ((0L, 4L, 1L, r4(-math.log(3.0 / 9) / math.log(2)))))
+    assert(out(1) === ((1L, 2L, 1L, r4(-math.log(2.0 / 9) / math.log(2)))))
+  }
+
+  test("minKProb: common-word doc scores low (memorized-like), rare-word doc high") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // plant: 9000 = pure high-frequency words; 9001 = unique tokens
+    val planted = Seq(
+      (9000L, "the the the and and of to a in is the and of to a"),
+      (9001L, "qqxyzzy wwplugh zzfoobar jjqwerty kkasdfgh")).toDF("doc_id", "text")
+    val out = Decontamination.minKProb(docs.unionByName(planted))
+      .filter(col("doc_id") >= 9000L).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0)._4 < out(1)._4,
+      s"common-word doc must score fewer Min-K bits: $out")
+  }
+
   test("contaminatedIds: sketch fallback emits the collect path's exact drop set") {
     val small = Decontamination.contaminatedIds(plantedTrain, plantedEval,
       maxCollectedShingles = Long.MaxValue).collect().map(_.getLong(0)).toSet
