@@ -512,6 +512,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ann_pq_incremental: probe joins broadcast against the code frame, no cartesian") {
+    val p = plan("ann_pq_incremental")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dc6: Min-K selection plans with no window sort — one doc-keyed agg") {
+    // the shipped formulation folds the occurrence budget inside the
+    // aggregate; a Window reappearing means the sort-exchange variant
+    // regressed back in (measured slower, see BENCH_NOTES)
+    val p = plan("dc6_mink_prob")
+    assert(!p.contains("Window"), s"dc6 must not plan a window:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"doc-keyed agg must combine map-side:\n$p")
+  }
+
   test("ann_pq: ADC scoring is join-free — one narrow pass then the top-k window") {
     // PQ's whole point: after encode, scoring is per-row table lookups
     // against broadcast distance tables. Any join/cartesian appearing in
