@@ -194,4 +194,31 @@ object EventAnalytics {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
   }
+
+  /** User-journey Markov transition matrix: P(next event type | current)
+    * over each user's time-ordered stream — the first-order behavioral
+    * model product analytics fits before anything fancier (and the
+    * denominator for "surprising journey" anomaly scores). Probabilities
+    * are integer MICRO-shares (`n·1e6 div total_from`) so the matrix is
+    * exact across engines — the gr1/gr2 integral-share rule.
+    *
+    * Scale shape: one user-keyed window (the sessionize key — per-user
+    * streams are bounded), one (from,to)-keyed partial-agg count down to
+    * an event-type²-sized frame, and a window over THAT tiny frame for
+    * the row totals. Nothing driver-side.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val pairs = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs.withColumn("total_from", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
+        col("total_from").cast("long").as("total_from"),
+        expr("(n * 1000000) div total_from").as("p_micro"))
+  }
 }

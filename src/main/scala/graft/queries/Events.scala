@@ -214,6 +214,29 @@ object Events {
         .orderBy("doc_id")
   }
 
+  /** First-order user-journey Markov matrix
+    * ([[EventAnalytics.transitionMatrix]]): per-user lead over the
+    * time-ordered stream, (from,to) counts, integer micro-share
+    * probabilities — exact like the gr-family shares.
+    */
+  val ev7_transitions = QueryDef.sqlChecked(
+    "ev7_transitions",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+      |f AS (SELECT user_id, event_type,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+      |      FROM e),
+      |p AS (SELECT event_type AS from_type, next_type AS to_type,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM f WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS total_from
+      |      FROM p)
+      |SELECT from_type, to_type, n, total_from,
+      | CAST((n * 1000000) // total_from AS BIGINT) AS p_micro
+      |FROM t ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    EventAnalytics.transitionMatrix(Tables.events(s, d))
+      .orderBy("from_type", "to_type")
+  }
+
   private val Gr3Iters = 3
 
   /** gr3 mirror: HITS unrolled — per round, the hub→authority sum, the
@@ -261,5 +284,6 @@ object Events {
 
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
-      ev6_error_anomaly, gr1_pagerank, gr2_authority_sample, gr3_hits)
+      ev6_error_anomaly, ev7_transitions, gr1_pagerank, gr2_authority_sample,
+      gr3_hits)
 }

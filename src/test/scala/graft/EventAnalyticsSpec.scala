@@ -119,6 +119,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Array((0L, 0L, 1L, 1L), (0L, 1L, 1L, 2L), (1L, 0L, 1L, 2L)))
   }
 
+  test("transitionMatrix: hand-computed pairs and exact micro-shares") {
+    val events = ev(
+      (1L, 1L, "view", 0, 1L),
+      (1L, 2L, "click", 0, 2L),
+      (1L, 3L, "view", 0, 3L),
+      (2L, 1L, "view", 0, 4L),
+      (2L, 2L, "purchase", 0, 5L))
+    // u1: view->click, click->view; u2: view->purchase.
+    // from 'view' total 2 -> each 500000; from 'click' total 1 -> 1000000.
+    val out = EventAnalytics.transitionMatrix(events)
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("click", "view", 1L, 1L, 1000000L),
+      ("view", "click", 1L, 2L, 500000L),
+      ("view", "purchase", 1L, 2L, 500000L)))
+  }
+
   // ------------------------------------------------------------ GraphRank
 
   private def edges(rows: (String, String, Long)*): DataFrame =
