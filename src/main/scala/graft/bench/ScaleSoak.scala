@@ -212,6 +212,13 @@ object ScaleSoak {
         spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
       "ev1_sessionize" ->
         (t => graft.operators.EventAnalytics.sessionize(evs(t), 30)),
+      "ev7_transitions" -> { t =>
+        // event_type derives from the hash value column so the matrix
+        // stays 5x5 while transitions scale with the event count
+        val e = evs(t).withColumn("event_type",
+          concat(lit("t"), pmod(col("event_id") * 37, lit(5)).cast("string")))
+        graft.operators.EventAnalytics.transitionMatrix(e)
+      },
       "dd17_template_spam" ->
         (t => graft.operators.Dedup.templateSpam(docs(t))),
       "txt_ppl3_approx" ->
