@@ -140,8 +140,15 @@ case class SquaredL2(left: Expression, right: Expression)
   */
 object GraftFunctions {
 
-  /** Register SQL-callable names on a session (idempotent). */
+  /** Register SQL-callable names on a session (idempotent). Skips the
+    * re-registration when the names are already present so the hot-path
+    * Column wrappers below don't spam `SimpleFunctionRegistry ...
+    * replaced a previously registered function` warnings on every
+    * query construction.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("squared_l2"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)),

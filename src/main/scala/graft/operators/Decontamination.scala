@@ -5,7 +5,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
-import org.apache.spark.sql.expressions.Window
 import graft.functions.TextHashing
 
 /** Benchmark decontamination: flag training documents that share word

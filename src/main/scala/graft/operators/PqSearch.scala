@@ -334,12 +334,19 @@ object PqSearch {
     * [[Dedup.incrementalNearDup]] steady-state contract: index frozen
     * at release, batches only probe).
     *
-    * The batch is collected to build the per-query tables —
-    * batch-bounded driver state (#batch × m × k longs), the same bound
-    * every ANN fixture here carries; a million-query batch would
-    * instead compute tables distributively and join them in (the
-    * relational ADC the oracle replays), at the cost of an m-fold
-    * explode.
+    * Driver state is COUNT-GATED (the [[Decontamination]] discipline):
+    * batches of at most `maxDriverBatchRows` are collected to build the
+    * per-query tables — batch-bounded driver state (#batch × m × k
+    * longs), the bound every ANN fixture here carries, scored through a
+    * broadcast lookup with zero extra exchanges. A larger batch never
+    * touches the driver: it switches to the RELATIONAL ADC the oracle
+    * replays — probe cells and the (qid, sub, code, µdist) table are
+    * computed distributively from the batch itself, the codes frame
+    * posexplodes its m codes, and the per-pair score is a (qid, vec_id)
+    * partial-agg integer sum. Same integer arithmetic, same
+    * (adist_micro, vec_id) tie order — the two paths are row-identical
+    * (spec-pinned), the fallback just pays the m-fold explode and one
+    * keyed exchange the broadcast path avoids.
     */
   def probePqCodes(
       batch: DataFrame,
@@ -348,43 +355,79 @@ object PqSearch {
       nProbe: Int = 4,
       topK: Int = 10,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxDriverBatchRows: Int = 65536): DataFrame = {
     require(nProbe > 0 && nProbe <= model.nClusters,
       s"invalid nProbe=$nProbe for nClusters=${model.nClusters}")
+    require(maxDriverBatchRows > 0,
+      s"invalid maxDriverBatchRows=$maxDriverBatchRows")
     Dedup.checkIndexMeta(codes, "codes", "pq_codes",
-      Map("m" -> model.m.toLong, "nClusters" -> model.nClusters.toLong,
+      Map("m" -> model.m.toLong,
+        "k" -> model.books.map(_.length).max.toLong,
+        "nClusters" -> model.nClusters.toLong,
         "dim" -> model.dim.toLong))
     val spark = batch.sparkSession
     import spark.implicits._
     val m = model.m
     val subDim = model.subDim
-    val qRows = project(batch, idCol, vecCol).collect().sortBy(_._1)
-    val probes = qRows.flatMap { case (qid, qv) =>
-      IvfSearch.probeCellsOf(qv, model.centroids, nProbe).map(c => (qid, c))
-    }.toSeq.toDF("qid", "cell")
-    val tables: Map[Long, Array[Array[Long]]] = qRows.map { case (qid, qv) =>
-      qid -> Array.tabulate(m) { sub =>
-        val byCode = model.books(sub)
-        val row = new Array[Long](byCode.map(_._1).max + 1)
-        byCode.foreach { case (code, c) =>
-          row(code) = math.rint(subDist(qv, sub * subDim, c) * 1e6).toLong
+    val q = project(batch, idCol, vecCol)
+    // the gate scan stops at cap+1 rows — never a full count of a huge batch
+    val withinCap = q.limit(maxDriverBatchRows + 1).count() <= maxDriverBatchRows
+    val scored =
+      if (withinCap) {
+        val qRows = q.collect().sortBy(_._1)
+        val probes = qRows.flatMap { case (qid, qv) =>
+          IvfSearch.probeCellsOf(qv, model.centroids, nProbe).map(c => (qid, c))
+        }.toSeq.toDF("qid", "cell")
+        val tables: Map[Long, Array[Array[Long]]] = qRows.map { case (qid, qv) =>
+          qid -> Array.tabulate(m) { sub =>
+            val byCode = model.books(sub)
+            val row = new Array[Long](byCode.map(_._1).max + 1)
+            byCode.foreach { case (code, c) =>
+              row(code) = math.rint(subDist(qv, sub * subDim, c) * 1e6).toLong
+            }
+            row
+          }
+        }.toMap
+        val bcTables = spark.sparkContext.broadcast(tables)
+        val adc = udf { (qid: Long, cs: Seq[Int]) =>
+          val t = bcTables.value(qid)
+          var s = 0L
+          var sub = 0
+          while (sub < t.length) { s += t(sub)(cs(sub)); sub += 1 }
+          s
         }
-        row
+        codes.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("adist_micro", adc(col("qid"), col("codes")))
+      } else {
+        // distributed fallback: nothing batch-sized on the driver — the
+        // model (m×k×subDim + nClusters×dim doubles) broadcasts, probe
+        // cells and ADC tables derive in narrow passes over the batch
+        val bcCs = spark.sparkContext.broadcast(model.centroids)
+        val bcBooks = spark.sparkContext.broadcast(model.books)
+        val probes = q.flatMap { case (qid, qv) =>
+          IvfSearch.probeCellsOf(qv, bcCs.value, nProbe).map(c => (qid, c))
+        }.toDF("qid", "cell")
+        val dt = q.flatMap { case (qid, qv) =>
+          val bks = bcBooks.value
+          val sd = bks(0)(0)._2.length
+          bks.iterator.zipWithIndex.flatMap { case (book, sub) =>
+            book.iterator.map { case (code, c) =>
+              (qid, sub, code, math.rint(subDist(qv, sub * sd, c) * 1e6).toLong)
+            }
+          }
+        }.toDF("qid", "sub", "code", "dmic")
+        codes.join(probes, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(dt, Seq("qid", "sub", "code"))
+          .groupBy("qid", "vec_id")
+          .agg(sum("dmic").cast("long").as("adist_micro"))
       }
-    }.toMap
-    val bcTables = spark.sparkContext.broadcast(tables)
-    val adc = udf { (qid: Long, cs: Seq[Int]) =>
-      val t = bcTables.value(qid)
-      var s = 0L
-      var sub = 0
-      while (sub < t.length) { s += t(sub)(cs(sub)); sub += 1 }
-      s
-    }
     val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
-    codes.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adist_micro", adc(col("qid"), col("codes")))
-      .withColumn("rnk", row_number().over(w).cast("int"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }

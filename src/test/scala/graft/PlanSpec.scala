@@ -512,6 +512,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("over-cap PQ probe: fallback plan keeps the batch off the driver") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val released = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150)
+    val model = graft.operators.PqSearch.fitPqModel(released)
+    val codes = graft.operators.PqSearch.encodePq(released, model)
+    val p = graft.operators.PqSearch.probePqCodes(batch, model, codes,
+        maxDriverBatchRows = 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the broadcast path materializes the collected batch back as a
+    // LocalTableScan (probes) + a UDF over driver-built tables; the
+    // fallback must instead derive probes and ADC tables from the batch
+    // scan itself and score through a partial-agg integer sum
+    assert(!p.contains("LocalTableScan"),
+      s"fallback plan still carries a driver-collected frame:\n$p")
+    assert(p.contains("partial_sum"),
+      s"fallback ADC sum must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ann_pq_incremental: probe joins broadcast against the code frame, no cartesian") {
     val p = plan("ann_pq_incremental")
     assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")

@@ -163,6 +163,41 @@ class PqSearchSpec extends SparkSpec {
     assert(err.getMessage.contains("mismatch"))
   }
 
+  test("probePqCodes: mismatched k (codebook size) fails fast") {
+    import graft.operators.PqSearch
+    // same m/nClusters/dim, different per-subspace codebook size: codes
+    // encoded against k=8 books hold code values a k=4 probe model has
+    // no table rows for — must fail at the metadata check, not at
+    // executor time with an ArrayIndexOutOfBounds / wrong distance
+    val codes8 = PqSearch.encodePq(emb, PqSearch.fitPqModel(emb, k = 8))
+    val modelK4 = PqSearch.fitPqModel(emb, k = 4)
+    val err = intercept[IllegalArgumentException] {
+      PqSearch.probePqCodes(emb.filter("vec_id < 5"), modelK4, codes8)
+    }
+    assert(err.getMessage.contains("'k'"), err.getMessage)
+  }
+
+  test("probePqCodes: over-cap distributed fallback is row-identical to the broadcast path") {
+    import org.apache.spark.sql.functions.{col, max}
+    val n = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1
+    val cut = 4 * n / 5
+    val released = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    val model = PqSearch.fitPqModel(released)
+    val codes = PqSearch.encodePq(released, model).cache()
+    try {
+      val viaDriver = PqSearch.probePqCodes(batch, model, codes)
+        .orderBy("qid", "rnk").collect().toSeq
+      // cap of 1 row forces every multi-row batch onto the relational
+      // ADC fallback — same integer sums, same tie order, so the two
+      // paths must agree row for row
+      val viaJoin = PqSearch.probePqCodes(batch, model, codes,
+          maxDriverBatchRows = 1)
+        .orderBy("qid", "rnk").collect().toSeq
+      assert(viaJoin === viaDriver && viaJoin.nonEmpty)
+    } finally { codes.unpersist(); () }
+  }
+
   test("pqTopK: deterministic across runs; distances ranked ascending") {
     val a = PqSearch.pqTopK(emb, qids).orderBy("qid", "rnk").collect().toSeq
     val b = PqSearch.pqTopK(emb, qids).orderBy("qid", "rnk").collect().toSeq
