@@ -880,10 +880,19 @@ object TextAnalysis {
         out
       }
       .toDF("doc_id", "pa", "pb")
-    val dt = pairs.groupBy("doc_id", "pa", "pb").agg(count(lit(1)).as("k"))
-    val c2 = dt.groupBy("pa", "pb").agg(sum(col("k")).as("c2"))
-    val tok = base.select(col("doc_id"), explode(tokens(col(textCol))).as("w"))
-    val c1 = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+      // tokens leave the narrow pass as 64-bit avalanche hashes: every
+      // downstream exchange/join shuffles two longs instead of two
+      // strings (~2-3x fewer bytes on natural text). Distinct tokens
+      // colliding would merge their counts — at a 2M-vocab gate the
+      // probability is ~V^2/2^65 < 1e-7, the same accepted bound as the
+      // SimHash/MinHash signature families.
+      .select(col("doc_id"), xxhash64(col("pa")).as("ha"),
+        xxhash64(col("pb")).as("hb"))
+    val dt = pairs.groupBy("doc_id", "ha", "hb").agg(count(lit(1)).as("k"))
+    val c2 = dt.groupBy("ha", "hb").agg(sum(col("k")).as("c2"))
+    val tok = base.select(explode(tokens(col(textCol))).as("w"))
+      .select(xxhash64(col("w")).as("ha"))
+    val c1 = tok.groupBy("ha").agg(count(lit(1)).as("c1"))
     c1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = c1.count()
     val lpRows =
@@ -893,11 +902,11 @@ object TextAnalysis {
         // outlives the call) and broadcast it INTO the c2 table, so the
         // scored frame joins once on (pa, pb) and never exchanges on
         // the raw history token. V is the exact driver-side count.
-        val hist = c1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val hist = c1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         c1.unpersist(blocking = false)
-        val c1Local = hist.toDF("pa", "c1")
-        val c2x = c2.join(broadcast(c1Local), Seq("pa"))
-        dt.join(c2x, Seq("pa", "pb"))
+        val c1Local = hist.toDF("ha", "c1")
+        val c2x = c2.join(broadcast(c1Local), Seq("ha"))
+        dt.join(c2x, Seq("ha", "hb"))
           .select(col("doc_id"), col("k"),
             (col("k") * log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))))
               .as("lp"))
@@ -906,8 +915,8 @@ object TextAnalysis {
         // two keyed joins, AQE skew-join on the Zipf head. c1 stays
         // persisted — the lazy plan reads it for both the join and V.
         val vv = c1.agg(count(lit(1)).as("v"))
-        dt.join(c2, Seq("pa", "pb"))
-          .join(c1.withColumnRenamed("w", "pa"), Seq("pa"))
+        dt.join(c2, Seq("ha", "hb"))
+          .join(c1, Seq("ha"))
           .crossJoin(broadcast(vv))
           .select(col("doc_id"), col("k"),
             (col("k") * log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))

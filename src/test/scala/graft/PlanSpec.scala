@@ -657,12 +657,13 @@ class PlanSpec extends SparkSpec {
   test("txt_ppl2: bigram scoring keeps the per-doc pre-aggregate, no cartesian") {
     val p = plan("txt_ppl2")
     assert(!p.contains("CartesianProduct"), p)
-    // (doc_id, pa, pb) collapse before any corpus-count join — a hot
-    // bigram costs one probe row per doc
+    // (doc_id, ha, hb) collapse before any corpus-count join — a hot
+    // bigram costs one probe row per doc (keys are the xxhash64 token
+    // hashes, so the exchanges carry longs, not strings)
     assert(p.linesIterator.exists(l =>
         l.contains("Keys") && l.contains("doc_id") &&
-          l.contains("pa#") && l.contains("pb#")),
-      s"txt_ppl2 lost the (doc_id, pa, pb) pre-aggregate:\n$p")
+          l.contains("ha#") && l.contains("hb#")),
+      s"txt_ppl2 lost the (doc_id, ha, hb) pre-aggregate:\n$p")
   }
 
   test("txt_ppl1b: frozen-LM scoring keeps the (doc, w) pre-aggregate") {
@@ -746,12 +747,12 @@ class PlanSpec extends SparkSpec {
     val p = graft.operators.TextAnalysis.bigramLogProb(docs)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // the c1 history table is broadcast into the (pa, pb) join — the
-    // scored frame must never re-shuffle keyed on the raw history token
-    // (the single-key exchange where the Zipf head reappears); (pa, pb)
-    // pair exchanges remain
-    val singleKeyPa = """hashpartitioning\(pa#\d+, \d+\)""".r
-    assert(singleKeyPa.findFirstIn(p).isEmpty,
+    // the c1 history table is broadcast into the (ha, hb) join — the
+    // scored frame must never re-shuffle keyed on the history token
+    // hash alone (the single-key exchange where the Zipf head
+    // reappears); (ha, hb) pair exchanges remain
+    val singleKeyHa = """hashpartitioning\(ha#\d+, \d+\)""".r
+    assert(singleKeyHa.findFirstIn(p).isEmpty,
       s"txt_ppl2 still exchanges on the raw history token:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"c1 fold must broadcast:\n$p")
   }
