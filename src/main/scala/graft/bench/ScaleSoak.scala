@@ -208,6 +208,12 @@ object ScaleSoak {
         // sample-capped fit (4096) at every scale — the steady-state shape
         graft.operators.PqSearch.ivfPqTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       },
+      "ann_pq_residual" -> { t =>
+        // residual layout rides the same narrow encode pass — the soak
+        // proves the per-(query, cell) tables add no data-scaled cost
+        graft.operators.PqSearch.ivfPqResidualTopK(
+          emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      },
       "tok1_bpe_tokenize" -> (t => graft.operators.TextAnalysis.bpeTokenize(
         spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
       "ev1_sessionize" ->

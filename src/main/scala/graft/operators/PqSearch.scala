@@ -432,6 +432,207 @@ object PqSearch {
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
 
+  private[operators] def residual(
+      v: Array[Double], c: Array[Double]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var j = 0
+    while (j < v.length) { r(j) = v(j) - c(j); j += 1 }
+    r
+  }
+
+  /** Residual-encoding IVF-PQ model fit (the FAISS `by_residual=true`
+    * layout, Jégou et al. 2011 §IV): the PQ codebooks quantize
+    * `x − centroid(cell(x))` instead of `x` itself. Residuals cluster
+    * tightly around the origin regardless of which coarse cell a vector
+    * landed in, so the same m×k codebook budget spends its resolution
+    * on local structure instead of re-describing cell positions —
+    * recall at equal code size is ≥ the non-residual layout
+    * (spec-audited against the emb4 panel). Same ONE bounded
+    * deterministic hash sample fits both quantizers; the residual is a
+    * plain IEEE subtraction against the round-6 centroid, identical in
+    * both engines, so the whole chain stays hash-exact.
+    */
+  def fitPqModelResidual(
+      corpus: DataFrame,
+      m: Int = 8,
+      k: Int = 8,
+      nClusters: Int = 16,
+      lloydIter: Int = 3,
+      pqIters: Int = 2,
+      fitSampleMod: Long = 1,
+      fitMaxRows: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): PqModel = {
+    val sample = IvfSearch.collectFitSample(
+      project(corpus, idCol, vecCol), fitSampleMod, fitMaxRows)
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
+    val centroids = IvfSearch.fitCentroidsOnSample(sample, nClusters, lloydIter)
+    val resSample = sample.map { case (id, v) =>
+      (id, residual(v, centroids(IvfSearch.nearestCell(v, centroids))))
+    }
+    PqModel(centroids, fitCodebooksOnSample(resSample, m, k, pqIters))
+  }
+
+  /** Encode a corpus against a residual model: the same ONE narrow pass
+    * as [[encodePq]], with the subspace argmins taken on
+    * `v − centroid(cell(v))` — the cell assignment the pass computes
+    * anyway. Stamped `pq_res_codes` so a non-residual probe cannot
+    * silently consume a residual index (the distances would be garbage).
+    */
+  def encodePqResidual(
+      corpus: DataFrame,
+      model: PqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCs = spark.sparkContext.broadcast(model.centroids)
+    val bcBooks = spark.sparkContext.broadcast(model.books)
+    Dedup.stampIndexMeta(
+      project(corpus, idCol, vecCol).map { case (vid, v) =>
+        val cs = bcCs.value
+        val bks = bcBooks.value
+        val sd = bks(0)(0)._2.length
+        val cell = IvfSearch.nearestCell(v, cs)
+        val r = residual(v, cs(cell))
+        val codes = Array.tabulate(bks.length)(sub =>
+          nearestCode(bks(sub), r, sub * sd))
+        (vid, cell, codes)
+      }.toDF("vec_id", "cell", "codes"),
+      "codes", "pq_res_codes",
+      Map("m" -> model.m.toLong, "k" -> model.books.map(_.length).max.toLong,
+        "nClusters" -> model.nClusters.toLong, "dim" -> model.dim.toLong))
+  }
+
+  /** Residual ADC probe of a `pq_res_codes` index. Distance tables are
+    * per (query, PROBED CELL): the query's residual against cell c is
+    * `q − centroid(c)`, so each of the query's `nProbe` cells gets its
+    * own m×k micro-distance table — driver state #batch × nProbe × m × k
+    * longs under the same count gate as [[probePqCodes]], with the same
+    * relational join-in ADC fallback above the cap (dt gains the cell
+    * key, everything else is shape-identical; spec-pinned row-equal).
+    */
+  def probePqCodesResidual(
+      batch: DataFrame,
+      model: PqModel,
+      codes: DataFrame,
+      nProbe: Int = 4,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxDriverBatchRows: Int = 65536): DataFrame = {
+    require(nProbe > 0 && nProbe <= model.nClusters,
+      s"invalid nProbe=$nProbe for nClusters=${model.nClusters}")
+    Dedup.checkIndexMeta(codes, "codes", "pq_res_codes",
+      Map("m" -> model.m.toLong,
+        "k" -> model.books.map(_.length).max.toLong,
+        "nClusters" -> model.nClusters.toLong,
+        "dim" -> model.dim.toLong))
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val m = model.m
+    val subDim = model.subDim
+    val q = project(batch, idCol, vecCol)
+    val withinCap = q.limit(maxDriverBatchRows + 1).count() <= maxDriverBatchRows
+    val scored =
+      if (withinCap) {
+        val qRows = q.collect().sortBy(_._1)
+        val probes = qRows.flatMap { case (qid, qv) =>
+          IvfSearch.probeCellsOf(qv, model.centroids, nProbe).map(c => (qid, c))
+        }.toSeq.toDF("qid", "cell")
+        val tables: Map[(Long, Int), Array[Array[Long]]] =
+          qRows.iterator.flatMap { case (qid, qv) =>
+            IvfSearch.probeCellsOf(qv, model.centroids, nProbe).map { cell =>
+              val qr = residual(qv, model.centroids(cell))
+              (qid, cell) -> Array.tabulate(m) { sub =>
+                val byCode = model.books(sub)
+                val row = new Array[Long](byCode.map(_._1).max + 1)
+                byCode.foreach { case (code, c) =>
+                  row(code) = math.rint(subDist(qr, sub * subDim, c) * 1e6).toLong
+                }
+                row
+              }
+            }
+          }.toMap
+        val bcTables = spark.sparkContext.broadcast(tables)
+        val adc = udf { (qid: Long, cell: Int, cs: Seq[Int]) =>
+          val t = bcTables.value((qid, cell))
+          var s = 0L
+          var sub = 0
+          while (sub < t.length) { s += t(sub)(cs(sub)); sub += 1 }
+          s
+        }
+        codes.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("adist_micro", adc(col("qid"), col("cell"), col("codes")))
+      } else {
+        val bcCs = spark.sparkContext.broadcast(model.centroids)
+        val bcBooks = spark.sparkContext.broadcast(model.books)
+        val probes = q.flatMap { case (qid, qv) =>
+          IvfSearch.probeCellsOf(qv, bcCs.value, nProbe).map(c => (qid, c))
+        }.toDF("qid", "cell")
+        val dt = q.flatMap { case (qid, qv) =>
+          val cs = bcCs.value
+          val bks = bcBooks.value
+          val sd = bks(0)(0)._2.length
+          IvfSearch.probeCellsOf(qv, cs, nProbe).iterator.flatMap { cell =>
+            val qr = residual(qv, cs(cell))
+            bks.iterator.zipWithIndex.flatMap { case (book, sub) =>
+              book.iterator.map { case (code, c) =>
+                (qid, cell, sub, code,
+                  math.rint(subDist(qr, sub * sd, c) * 1e6).toLong)
+              }
+            }
+          }
+        }.toDF("qid", "cell", "sub", "code", "dmic")
+        codes.join(probes, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("cell"), col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(dt, Seq("qid", "cell", "sub", "code"))
+          .groupBy("qid", "vec_id")
+          .agg(sum("dmic").cast("long").as("adist_micro"))
+      }
+    val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
+  }
+
+  /** Residual IVF-PQ top-k (FAISS `by_residual=true`): [[ivfPqTopK]]'s
+    * composition with the residual fit/encode/probe. Scale shape is
+    * identical to the non-residual index — the residual subtraction
+    * rides the existing narrow encode pass (the cell assignment it
+    * needs is computed there anyway) and the probe tables grow by the
+    * nProbe factor (still #queries-bounded). Recall at equal code
+    * budget is ≥ plain PQ (spec-audited on the emb4 exact-L2 panel).
+    */
+  def ivfPqResidualTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      m: Int = 8,
+      k: Int = 8,
+      nClusters: Int = 16,
+      nProbe: Int = 4,
+      lloydIter: Int = 3,
+      pqIters: Int = 2,
+      topK: Int = 10,
+      fitSampleMod: Long = 1,
+      fitMaxRows: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && k > 0 && pqIters >= 1,
+      s"invalid m=$m k=$k pqIters=$pqIters")
+    val model = fitPqModelResidual(embeddings, m, k, nClusters, lloydIter,
+      pqIters, fitSampleMod, fitMaxRows, idCol, vecCol)
+    probePqCodesResidual(
+      embeddings.filter(col(idCol).isin(queryIds: _*)),
+      model,
+      encodePqResidual(embeddings, model, idCol, vecCol),
+      nProbe, topK, idCol, vecCol)
+  }
+
   private val PqModelMagic = 0x47505151 // "GPQQ"
 
   /** Persist a fitted model (coarse centroids + codebooks) — the

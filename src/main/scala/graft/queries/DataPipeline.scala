@@ -803,6 +803,101 @@ object DataPipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** ann_pq_residual: residual IVF-PQ
+    * ([[graft.operators.PqSearch.ivfPqResidualTopK]], the FAISS
+    * `by_residual=true` layout) — PQ codebooks quantize
+    * `x − centroid(cell(x))`, so the code budget spends on local
+    * structure instead of re-describing cell positions. The mirror
+    * splices the PROVEN coarse chain ([[ivfAsgCtes]], shared verbatim
+    * with ann_ivf/ann_ivfpq), MATERIALIZES the final centroids (`cc` is
+    * referenced five times — the gr3 per-reference-inlining lesson),
+    * residualizes the sample / corpus / each (query, probed-cell) pair
+    * with plain IEEE subtraction against the round-6 centroids, replays
+    * the per-subspace Lloyd fit ON RESIDUALS, and scores through the
+    * cell-aware integer ADC sum. Every arithmetic step is either
+    * round-6-pinned or exact, so codebook, encode, and table drift all
+    * break the hash.
+    */
+  private def ivfPqResidualSqlFor(corpusRel: String, queryRel: String): String = {
+    val M = 8; val K = 8; val SubDim = 8; val NProbe = 4; val Iter = 3; val Dim = 64
+    def d2f(v: String, c: String) =
+      s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    def d2s(v: String, c: String) =
+      s"round(list_sum(list_transform(range($SubDim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    s"""WITH ${ivfAsgCtes(corpusRel, matAsg = false)},
+       |cc AS MATERIALIZED (SELECT cell, c FROM c$Iter),
+       |sasg AS (SELECT vec_id, v, cell FROM (
+       |  SELECT s.vec_id, s.v, c.cell,
+       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY ${d2f("s.v", "c.c")}, c.cell) AS rn
+       |  FROM samp s CROSS JOIN cc c) WHERE rn = 1),
+       |sres AS (SELECT sa.vec_id,
+       |        list_transform(range($Dim), j -> sa.v[j+1] - c.c[j+1]) AS rv
+       |      FROM sasg sa JOIN cc c ON c.cell = sa.cell),
+       |pqs AS (SELECT vec_id, sub,
+       |        list_slice(rv, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
+       |      FROM sres CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
+       |ps0 AS (SELECT sub, rn - 1 AS code, sv AS c FROM (
+       |  SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+       |  FROM pqs) WHERE rn <= $K),
+       |pa1 AS (SELECT vec_id, sub, sv, code FROM (
+       |  SELECT pqs.vec_id, pqs.sub, pqs.sv, c.code,
+       |    row_number() OVER (PARTITION BY pqs.vec_id, pqs.sub
+       |      ORDER BY ${d2s("pqs.sv", "c.c")}, c.code) AS rn
+       |  FROM pqs JOIN ps0 c ON c.sub = pqs.sub) WHERE rn = 1),
+       |pm1 AS (SELECT sub, code, dim, avg(x) AS m FROM (
+       |  SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim FROM pa1)
+       |  GROUP BY sub, code, dim),
+       |ps1 AS MATERIALIZED (SELECT sub, code, list(round(m, 6) ORDER BY dim) AS c
+       |      FROM pm1 GROUP BY sub, code),
+       |cres AS (SELECT a.vec_id, a.cell,
+       |        list_transform(range($Dim), j -> a.v[j+1] - c.c[j+1]) AS rv
+       |      FROM asg a JOIN cc c ON c.cell = a.cell),
+       |ces AS (SELECT vec_id, cell, sub,
+       |        list_slice(rv, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
+       |      FROM cres CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
+       |enc AS (SELECT vec_id, cell, sub, code FROM (
+       |  SELECT ces.vec_id, ces.cell, ces.sub, c.code,
+       |    row_number() OVER (PARTITION BY ces.vec_id, ces.sub
+       |      ORDER BY ${d2s("ces.sv", "c.c")}, c.code) AS rn
+       |  FROM ces JOIN ps1 c ON c.sub = ces.sub) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM $queryRel),
+       |pc AS (SELECT qid, cell FROM (
+       |  SELECT q.qid, c.cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${d2f("q.qv", "c.c")}, c.cell) AS rn
+       |  FROM q CROSS JOIN cc c) WHERE rn <= $NProbe),
+       |qres AS (SELECT pc.qid, pc.cell,
+       |        list_transform(range($Dim), j -> q.qv[j+1] - c.c[j+1]) AS rv
+       |      FROM pc JOIN q ON q.qid = pc.qid JOIN cc c ON c.cell = pc.cell),
+       |qs AS (SELECT qid, cell, sub,
+       |        list_slice(rv, sub * $SubDim + 1, (sub + 1) * $SubDim) AS sv
+       |      FROM qres CROSS JOIN (SELECT unnest(range($M)) AS sub) s),
+       |dt AS (SELECT qs.qid, qs.cell, c.sub, c.code,
+       |        CAST(round(${d2s("qs.sv", "c.c")} * 1000000) AS BIGINT) AS dmic
+       |       FROM qs JOIN ps1 c ON c.sub = qs.sub),
+       |ad AS (SELECT dt.qid, a.vec_id, CAST(sum(dt.dmic) AS BIGINT) AS adist_micro
+       |       FROM enc a
+       |       JOIN dt ON dt.cell = a.cell AND dt.sub = a.sub AND dt.code = a.code
+       |       WHERE a.vec_id <> dt.qid
+       |       GROUP BY dt.qid, a.vec_id),
+       |r AS (SELECT qid, vec_id, adist_micro,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_micro, vec_id)
+       |            AS INTEGER) AS rnk
+       |      FROM ad)
+       |SELECT qid, rnk, vec_id, adist_micro FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  private val AnnPqResidualSql: String =
+    ivfPqResidualSqlFor("embeddings", "(SELECT * FROM embeddings WHERE vec_id < 5)")
+
+  val ann_pq_residual = QueryDef.sqlChecked(
+    "ann_pq_residual", AnnPqResidualSql) { (s, d) =>
+    graft.operators.PqSearch.ivfPqResidualTopK(Tables.embeddings(s, d),
+      queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
   /** ann_pq_incremental: the IVF-PQ steady state — the first 4/5 of the
     * vectors are the RELEASED corpus (model fit + codes frozen there);
     * the remaining 1/5 arrive as a batch and every batch vector probes
@@ -876,6 +971,30 @@ object DataPipeline {
     Similarity.annRecall(
       Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
       graft.operators.PqSearch.pqTopK(emb, queryIds = AnnQueryIds),
+      k = 10)
+      .orderBy("qid")
+  }
+
+  /** emb5: recall@10 of the residual IVF-PQ index against the exact
+    * squared-L2 panel — the metric-matched audit (the emb4 discipline)
+    * that prices the residual layout's accuracy. The spec additionally
+    * pins mean recall ≥ the non-residual index at equal code budget and
+    * pruning. (Declared after [[AnnBruteL2Sql]] — the nested mirrors
+    * interpolate at val-init order.)
+    */
+  val emb5_pq_residual_recall = QueryDef.sqlChecked(
+    "emb5_pq_residual_recall",
+    s"""WITH b AS (SELECT qid, vec_id FROM ($AnnBruteL2Sql)),
+       |i AS (SELECT qid, vec_id, 1 AS hit FROM ($AnnPqResidualSql)),
+       |h AS (SELECT b.qid, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hit
+       |      FROM b LEFT JOIN i ON i.qid = b.qid AND i.vec_id = b.vec_id
+       |      GROUP BY b.qid)
+       |SELECT qid, n_hit, round(n_hit / 10.0, 4) AS recall_at_10
+       |FROM h ORDER BY qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecall(
+      Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
+      graft.operators.PqSearch.ivfPqResidualTopK(emb, queryIds = AnnQueryIds),
       k = 10)
       .orderBy("qid")
   }
@@ -3874,8 +3993,9 @@ object DataPipeline {
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,
     dd18_minhash_calibration, emb1_random_projection,
     ann_brute_topk, ann_brute_l2, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
-    ann_ivfpq_topk, ann_pq_incremental, ann_label_noise,
+    ann_ivfpq_topk, ann_pq_incremental, ann_pq_residual, ann_label_noise,
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
+    emb5_pq_residual_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,

@@ -539,6 +539,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ann_pq_residual: cell-pruned broadcast probe, no cartesian") {
+    val p = plan("ann_pq_residual")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dc6: Min-K selection plans with no window sort — one doc-keyed agg") {
     // the shipped formulation folds the occurrence budget inside the
     // aggregate; a Window reappearing means the sort-exchange variant

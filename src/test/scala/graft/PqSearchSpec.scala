@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.PqSearch
+import graft.operators.{PqSearch, Similarity}
 import graft.sources.Tables
 
 class PqSearchSpec extends SparkSpec {
@@ -196,6 +196,50 @@ class PqSearchSpec extends SparkSpec {
         .orderBy("qid", "rnk").collect().toSeq
       assert(viaJoin === viaDriver && viaJoin.nonEmpty)
     } finally { codes.unpersist(); () }
+  }
+
+  test("residual IVF-PQ: recall >= the non-residual index at equal code budget") {
+    // the point of by_residual=true: the same m x k codebooks quantize
+    // x - centroid(cell(x)) instead of x, spending resolution on local
+    // structure — on the exact-L2 panel the residual layout must not
+    // lose recall vs the non-residual layout at identical pruning
+    val exact = Similarity.bruteForceTopKL2(emb, queryIds = qids)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.annRecall(exact, approx, k = 10).collect()
+      r.map(_.getAs[Double]("recall_at_10")).sum / r.length
+    }
+    val res = meanRecall(PqSearch.ivfPqResidualTopK(emb, qids))
+    val plain = meanRecall(PqSearch.ivfPqTopK(emb, qids))
+    assert(res >= plain,
+      s"residual recall $res fell below non-residual $plain")
+  }
+
+  test("probePqCodesResidual: over-cap distributed fallback is row-identical") {
+    import org.apache.spark.sql.functions.{col, max}
+    val n = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1
+    val cut = 4 * n / 5
+    val released = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    val model = PqSearch.fitPqModelResidual(released)
+    val codes = PqSearch.encodePqResidual(released, model).cache()
+    try {
+      val viaDriver = PqSearch.probePqCodesResidual(batch, model, codes)
+        .orderBy("qid", "rnk").collect().toSeq
+      val viaJoin = PqSearch.probePqCodesResidual(batch, model, codes,
+          maxDriverBatchRows = 1)
+        .orderBy("qid", "rnk").collect().toSeq
+      assert(viaJoin === viaDriver && viaJoin.nonEmpty)
+    } finally { codes.unpersist(); () }
+  }
+
+  test("residual codes are kind-stamped: a non-residual probe fails fast") {
+    import graft.operators.PqSearch
+    val model = PqSearch.fitPqModelResidual(emb)
+    val resCodes = PqSearch.encodePqResidual(emb, model)
+    val err = intercept[IllegalArgumentException] {
+      PqSearch.probePqCodes(emb.filter("vec_id < 5"), model, resCodes)
+    }
+    assert(err.getMessage.contains("kind mismatch"), err.getMessage)
   }
 
   test("pqTopK: deterministic across runs; distances ranked ascending") {
