@@ -103,6 +103,56 @@ object Bpe {
     out.toArray
   }
 
+  /** Viterbi (max-likelihood) segmentation of one word under a piece
+    * cost table — the SentencePiece unigram-LM decoding rule (Kudo
+    * 2018): choose the full cover of the word minimizing the sum of
+    * integer micro-costs (−ln p(piece), micro-rounded); ties break to
+    * FEWER pieces, then to the lexicographically smallest space-joined
+    * token stream — a total order both engines realize identically
+    * (the oracle packs (cost, n, toks) into one zero-padded sort key).
+    * O(len × maxPieceLen) with len-bounded DP state. The caller
+    * guarantees coverage: the vocab contains every token of the word's
+    * bootstrap segmentation, so at least one full cover exists.
+    */
+  def viterbiSegment(
+      word: String,
+      costs: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int): Array[String] = {
+    val L = word.length
+    val cost = new Array[Long](L + 1)
+    val np = new Array[Int](L + 1)
+    val toks = new Array[String](L + 1)
+    java.util.Arrays.fill(cost, Long.MaxValue)
+    cost(0) = 0L
+    toks(0) = ""
+    var pos = 0
+    while (pos < L) {
+      if (cost(pos) != Long.MaxValue) {
+        val maxPl = math.min(maxPieceLen, L - pos)
+        var pl = 1
+        while (pl <= maxPl) {
+          val c = costs.get(word.substring(pos, pos + pl))
+          if (c != null) {
+            val p = word.substring(pos, pos + pl)
+            val nc = cost(pos) + c.longValue()
+            val nn = np(pos) + 1
+            val nt = if (pos == 0) p else toks(pos) + " " + p
+            val e = pos + pl
+            val better = cost(e) == Long.MaxValue || nc < cost(e) ||
+              (nc == cost(e) && (nn < np(e) ||
+                (nn == np(e) && nt.compareTo(toks(e)) < 0)))
+            if (better) { cost(e) = nc; np(e) = nn; toks(e) = nt }
+          }
+          pl += 1
+        }
+      }
+      pos += 1
+    }
+    require(cost(L) != Long.MaxValue,
+      s"viterbiSegment: no cover for '$word' — vocab misses its bootstrap pieces")
+    if (L == 0) Array.empty else toks(L).split(' ')
+  }
+
   /** Learn `numMerges` merges from a word-frequency dict — the paper's
     * training loop verbatim: count adjacent symbol pairs weighted by
     * word frequency, merge the most frequent pair everywhere, repeat.

@@ -239,6 +239,92 @@ object TextAnalysis {
       .toDF(idCol, "n_words", "n_mm_tokens", "mm_md5")
   }
 
+  /** Unigram-LM (Viterbi) tokenization — the SentencePiece decoding
+    * rule (Kudo 2018, public algorithm) bootstrapped from the MaxMatch
+    * segmentation: EM iteration 0 of unigram training. Pass 1 counts
+    * occurrence-weighted [[graft.functions.Bpe.maxMatchSegment]] tokens
+    * over the corpus (the init segmentation); the observed token vocab
+    * with −ln(count/total) micro-integer costs becomes the unigram LM
+    * (coverage is guaranteed: every word's own bootstrap cover is in
+    * the vocab). Pass 2 re-segments every word by max likelihood
+    * ([[graft.functions.Bpe.viterbiSegment]]); ties → fewer pieces →
+    * lexicographically smallest token stream. Output shape matches
+    * [[maxMatchTokenize]]: (doc, n_words, n_uni_tokens, md5 of the full
+    * token stream).
+    *
+    * Scale shape: two narrow typed passes with per-partition word memos
+    * (the bpeTokenize Zipf argument) and ONE vocab-bounded exchange —
+    * the bootstrap count agg, ≤ |pieces| + |alphabet| rows, collected
+    * and broadcast (the driver never holds more than the vocab). Costs
+    * cross engines as `floor(x·1e6 + 0.5)` micro-longs (x ≥ 0), the
+    * exact mirror of DuckDB's half-away-from-zero `round()`.
+    */
+  def unigramTokenize(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pieces = merges.map { case (a, b) => a + b }.toSet
+    val mmMaxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+    val base = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+    // pass 1: occurrence-weighted bootstrap counts (vocab-sized agg)
+    val counts = base.mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        val cnt = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { case (_, text) =>
+          graft.functions.TextHashing.tokens(text).foreach { w =>
+            var segs = memo.get(w)
+            if (segs == null) {
+              segs = graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen)
+              memo.put(w, segs)
+            }
+            segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
+          }
+        }
+        cnt.iterator
+      }
+      .toDF("piece", "c")
+      .groupBy("piece").agg(sum("c").as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val costs = new java.util.HashMap[String, java.lang.Long]()
+    counts.foreach { case (p, c) =>
+      costs.put(p, java.lang.Long.valueOf(math.floor(
+        (math.log(total.toDouble) - math.log(c.toDouble)) * 1e6 + 0.5).toLong))
+    }
+    val vocabMaxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
+    val bcCosts = spark.sparkContext.broadcast(costs)
+    // pass 2: max-likelihood re-segmentation, memoized per word
+    base.mapPartitions { it =>
+        val cs = bcCosts.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val words = graft.functions.TextHashing.tokens(text)
+          var nt = 0L
+          val sb = new java.lang.StringBuilder
+          words.foreach { w =>
+            var segs = memo.get(w)
+            if (segs == null) {
+              segs = graft.functions.Bpe.viterbiSegment(w, cs, vocabMaxLen)
+              memo.put(w, segs)
+            }
+            nt += segs.length
+            segs.foreach { s =>
+              if (sb.length > 0) sb.append(' ')
+              sb.append(s)
+            }
+          }
+          (id, words.length.toLong, nt,
+            graft.functions.TextHashing.md5Hex(sb.toString))
+        }
+      }
+      .toDF(idCol, "n_words", "n_uni_tokens", "uni_md5")
+  }
+
   /** [[bpeTokenize]] plus the memo-effectiveness counters the scale
     * story rests on: (frame, memoHits, memoMisses) where a miss runs
     * the O(merges × len) segment loop and a hit is an O(1) lookup.

@@ -3284,6 +3284,90 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** tok4: unigram-LM (Viterbi) tokenization
+    * ([[graft.operators.TextAnalysis.unigramTokenize]], the
+    * SentencePiece decoding rule) — bootstrap the piece LM from
+    * MaxMatch counts (EM iteration 0 of unigram training), then
+    * re-segment every word by max likelihood under integer
+    * micro-−ln-probs; ties → fewer pieces → lexicographically smallest
+    * token stream. The mirror replays the greedy bootstrap per DISTINCT
+    * word (tok3's recursive CTE, occurrence-weighted back through the
+    * word-count join), derives the micro-cost table, and runs the
+    * Viterbi DP as a SECOND recursive CTE with per-round argmin
+    * pruning: each round keeps `min(key)` per (word, pos) where key is
+    * the zero-padded `cost|n|toks` pack — lexicographic min IS the DP
+    * order, and a dominated state can never produce a better final
+    * (suffix extensions preserve the order), so the pruned recursion is
+    * exactly Viterbi. Micro-costs cross engines as
+    * `floor(x·1e6 + 0.5)` vs `round(x·1e6)::BIGINT` (x ≥ 0, the
+    * recorded half-away-from-zero pattern).
+    */
+  private val Tok4Sql: String = {
+    val pieces = BpeMerges.map { case (a, b) => a + b }.distinct
+    val piecesList = pieces.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE
+       |pieces(piece) AS (VALUES $piecesList),
+       |wl AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+       |tw AS MATERIALIZED (SELECT doc_id, j, ws[j] AS w FROM (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM wl)),
+       |dw AS MATERIALIZED (SELECT DISTINCT w FROM tw),
+       |seg(w, pos, toks) AS (
+       |  SELECT w, 1, '' FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + length(piece),
+       |    CASE WHEN toks = '' THEN piece ELSE toks || ' ' || piece END
+       |  FROM (
+       |    SELECT s.*, coalesce(
+       |      (SELECT p.piece FROM pieces p
+       |       WHERE substr(s.w, s.pos, length(p.piece)) = p.piece
+       |       ORDER BY length(p.piece) DESC, p.piece LIMIT 1),
+       |      substr(s.w, s.pos, 1)) AS piece
+       |    FROM seg s WHERE s.pos <= length(s.w))),
+       |mm AS MATERIALIZED (SELECT w, toks FROM seg WHERE pos = length(w) + 1),
+       |wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS occ
+       |      FROM tw GROUP BY w),
+       |boot AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(occ) AS BIGINT) AS cnt FROM (
+       |    SELECT wc.occ, unnest(string_split(mm.toks, ' ')) AS piece
+       |    FROM mm JOIN wc ON wc.w = mm.w)
+       |  GROUP BY piece),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM boot),
+       |vs AS MATERIALIZED (
+       |  SELECT piece, length(piece) AS pl, substr(piece, 1, 1) AS c1,
+       |    CAST(round((ln(CAST((SELECT tot FROM tot) AS DOUBLE))
+       |                - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS cmic
+       |  FROM boot),
+       |vit(w, pos, key) AS (
+       |  SELECT w, 1, printf('%015d', 0) || '|' || printf('%04d', 0) || '|' FROM dw
+       |  UNION
+       |  SELECT w, pos2, min(key2) FROM (
+       |    SELECT s.w, s.pos + v.pl AS pos2,
+       |      printf('%015d', CAST(substr(s.key, 1, 15) AS BIGINT) + v.cmic) || '|' ||
+       |      printf('%04d', CAST(substr(s.key, 17, 4) AS BIGINT) + 1) || '|' ||
+       |      (CASE WHEN s.pos = 1 THEN v.piece
+       |            ELSE substr(s.key, 22) || ' ' || v.piece END) AS key2
+       |    FROM vit s JOIN vs v
+       |      ON substr(s.w, s.pos, 1) = v.c1 AND substr(s.w, s.pos, v.pl) = v.piece
+       |    WHERE s.pos <= length(s.w)) GROUP BY w, pos2),
+       |best AS MATERIALIZED (
+       |  SELECT w, min(key) AS key FROM vit WHERE pos = length(w) + 1 GROUP BY w),
+       |pb AS (SELECT w, CAST(substr(key, 17, 4) AS BIGINT) AS n,
+       |        substr(key, 22) AS toks FROM best),
+       |ag AS (SELECT tw.doc_id, CAST(sum(pb.n) AS BIGINT) AS n_uni_tokens,
+       |        md5(string_agg(pb.toks, ' ' ORDER BY tw.j)) AS uni_md5
+       |       FROM tw JOIN pb ON pb.w = tw.w GROUP BY tw.doc_id)
+       |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_words,
+       |  coalesce(ag.n_uni_tokens, CAST(0 AS BIGINT)) AS n_uni_tokens,
+       |  coalesce(ag.uni_md5, md5('')) AS uni_md5
+       |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin
+  }
+
+  val tok4_unigram = QueryDef.sqlChecked("tok4_unigram", Tok4Sql) { (s, d) =>
+    TextAnalysis.unigramTokenize(Tables.documents(s, d), BpeMerges)
+      .orderBy("doc_id")
+  }
+
   /** sp8b: the token-budget pass denominated in REAL (BPE) tokens —
     * sp8's whitespace counts misstate budgets ~3x on this corpus
     * (84.8k BPE vs 27.2k whitespace tokens at sf0.01); budget 1800
@@ -4014,7 +4098,8 @@ object DataPipeline {
     dd14_consensus_neardup, pipe2_screen_and_phase,
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform, pk5_pack_stats,
-    tok1_bpe_tokenize, tok2_fertility, tok3_maxmatch, sp8b_bpe_budget,
+    tok1_bpe_tokenize, tok2_fertility, tok3_maxmatch, tok4_unigram,
+    sp8b_bpe_budget,
     pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
     cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,

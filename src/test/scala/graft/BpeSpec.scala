@@ -193,6 +193,58 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.segment(word, loaded).toSeq === Bpe.segment(word, trained).toSeq)
   }
 
+  test("viterbiSegment: max-likelihood cover with the documented tie order") {
+    def costs(kv: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      kv.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+      m
+    }
+    // cheaper two-piece cover beats the expensive whole-word piece
+    assert(Bpe.viterbiSegment("ab", costs("ab" -> 5L, "a" -> 1L, "b" -> 1L), 2)
+      .toSeq === Seq("a", "b"))
+    // cheaper whole-word piece wins
+    assert(Bpe.viterbiSegment("ab", costs("ab" -> 1L, "a" -> 1L, "b" -> 1L), 2)
+      .toSeq === Seq("ab"))
+    // cost tie -> fewer pieces
+    assert(Bpe.viterbiSegment("ab", costs("ab" -> 2L, "a" -> 1L, "b" -> 1L), 2)
+      .toSeq === Seq("ab"))
+    // cost AND piece-count tie -> lexicographically smallest stream:
+    // "a ab" < "aa b" (space sorts below 'a')
+    assert(Bpe.viterbiSegment("aab",
+      costs("aa" -> 2L, "ab" -> 2L, "a" -> 1L, "b" -> 1L), 2)
+      .toSeq === Seq("a", "ab"))
+    // no cover -> fail fast, not a wrong segmentation
+    intercept[IllegalArgumentException] {
+      Bpe.viterbiSegment("xy", costs("a" -> 1L), 1)
+    }
+  }
+
+  test("unigramTokenize: coverage, determinism, and the bootstrap-cover guarantee") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val df = Seq(
+      (0L, "abc ab junk"),
+      (1L, "abc abc"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramTokenize(df, merges)
+      .orderBy("doc_id").collect()
+    // every word re-segments (bootstrap cover exists for all, incl.
+    // chars outside the merge alphabet), empty doc -> md5("")
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) >= 3L)
+    assert(out(2).getLong(2) === 0L &&
+      out(2).getString(3) === graft.functions.TextHashing.md5Hex(""))
+    val again = TextAnalysis.unigramTokenize(df, merges)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq === again.toSeq)
+    // Zipf fixture: the dominant word's whole-word piece is cheap, so
+    // Viterbi keeps it atomic while MaxMatch already did — and the
+    // stream hash differs from MaxMatch only if likelihoods reorder a
+    // boundary (both are valid segmentations of the same text)
+    val uni = out(1)
+    assert(uni.getLong(2) > 0L)
+  }
+
   test("tokenBudgetPerKey/packSequences honor a supplied token-count column") {
     import spark.implicits._
     val df = Seq(

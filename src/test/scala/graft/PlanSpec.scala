@@ -539,6 +539,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("tok4: the returned Viterbi pass is narrow — vocab agg ran eagerly") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.unigramTokenize(docs,
+        Seq(("a", "b"), ("ab", "c")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the bootstrap count agg (the only keyed exchange) is consumed at
+    // construction; the returned frame is one typed pass over the corpus
+    assert(!p.contains("hashpartitioning"),
+      s"tok4's returned pass must not re-shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("ann_pq_residual: cell-pruned broadcast probe, no cartesian") {
     val p = plan("ann_pq_residual")
     assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
