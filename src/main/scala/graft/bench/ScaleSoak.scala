@@ -225,6 +225,17 @@ object ScaleSoak {
           concat(lit("t"), pmod(col("event_id") * 37, lit(5)).cast("string")))
         graft.operators.EventAnalytics.transitionMatrix(e)
       },
+      "ev8_attribution" -> { t =>
+        // ~10% purchases, the rest split view/click — per-user pair
+        // fan-out stays human-bounded while pairs scale with events
+        val e = evs(t).withColumn("event_type",
+          when(pmod(col("event_id") * 37, lit(10)) === 0, lit("purchase"))
+            .when(pmod(col("event_id") * 37, lit(10)) < 5, lit("view"))
+            .otherwise(lit("click")))
+        graft.operators.EventAnalytics.attribution(e, lookbackDays = 30)
+      },
+      "tok4_unigram" -> (t => graft.operators.TextAnalysis.unigramTokenize(
+        spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
       "dd17_template_spam" ->
         (t => graft.operators.Dedup.templateSpam(docs(t))),
       "txt_ppl3_approx" ->

@@ -221,4 +221,79 @@ object EventAnalytics {
         col("total_from").cast("long").as("total_from"),
         expr("(n * 1000000) div total_from").as("p_micro"))
   }
+
+  /** Multi-touch conversion attribution over a lookback window — the
+    * marketing-analytics staple: every `conversionType` event is
+    * attributed to the SAME user's `touchTypes` events in
+    * `[ts_p − lookback, ts_p)`. Two models per channel in one pass:
+    * last-touch (full credit to the latest in-window touch, ties by
+    * event_id) and linear (each touch gets `1e6 div n` integer
+    * micro-credits of the conversion). Conversions with no in-window
+    * touch roll up under channel `(none)` — the row is ALWAYS present
+    * (count 0 when none) so the output schema is corpus-independent.
+    *
+    * Scale shape (100 TB events): both sides are pushed-filter scans;
+    * the pair frame is ONE user-keyed equi-join with the time window as
+    * a join residual (per-user activity is human-bounded, so per-key
+    * fan-out is bounded). Everything folds forward from there with NO
+    * joins back: a (user, conversion, channel) aggregate (touch count +
+    * channel-local last-touch max-struct — no per-conversion window
+    * sort), then a (user, conversion) rollup whose channel detail rides
+    * in a channels-bounded collect_list, then ONE explode + channel agg
+    * that emits last-touch counts, pair counts and linear credits
+    * together. The `(none)` bucket is arithmetic — total conversions
+    * minus attributed ones via two singleton counts (the second re-runs
+    * the pair chain pruned to its grouping keys) — not an anti-join.
+    * Final frames are channel-sized. Integer µs time math and integer
+    * micro credits end to end (the ev7/gr1 integral rule).
+    */
+  def attribution(
+      events: DataFrame,
+      lookbackDays: Int = 7,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      conversionType: String = "purchase"): DataFrame = {
+    require(lookbackDays > 0, s"invalid lookbackDays=$lookbackDays")
+    val lookUs = lookbackDays * 86400L * 1000000L
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), unix_micros(col("ts")).as("t_us"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - lit(lookUs))
+    // the ONLY pass over the pair frame: per-(conversion, channel) touch
+    // count + channel-local last touch ((t_us, t_id) max — event ids are
+    // unique, so the struct max is total and pre-folding per channel
+    // keeps the global winner)
+    val pc = pairs.groupBy("user_id", "p_id", "channel")
+      .agg(count(lit(1)).cast("long").as("c"),
+        max(struct(col("t_us"), col("t_id"))).as("lastc"))
+    val per = pc.groupBy("user_id", "p_id")
+      .agg(sum("c").cast("long").as("n"),
+        max(struct(col("lastc.t_us").as("t_us"), col("lastc.t_id").as("t_id"),
+          col("channel"))).as("last"),
+        collect_list(struct(col("channel"), col("c"))).as("chans"))
+    // ONE channel-keyed agg carries all three outputs: each conversion
+    // contributes exactly one last-touch credit (to its winner channel)
+    // and `c * (1e6 div n)` linear micro-credits per touched channel
+    val attributed = per
+      .select(col("last").getField("channel").as("last_channel"), col("n"),
+        explode(col("chans")).as("ch"))
+      .groupBy(col("ch.channel").as("channel"))
+      .agg(sum(when(col("last_channel") === col("ch.channel"), 1L)
+          .otherwise(0L)).cast("long").as("n_last"),
+        sum(col("ch.c")).cast("long").as("n_pairs"),
+        sum(expr("ch.c * (1000000 div n)")).cast("long").as("linear_micro"))
+    // (none) = conversions minus attributed ones — two singleton counts,
+    // no anti-join; the per-count branch re-runs the pair chain pruned
+    // to its grouping keys only
+    val none = conv.agg(count(lit(1)).cast("long").as("tot"))
+      .crossJoin(per.agg(count(lit(1)).cast("long").as("wt")))
+      .select(lit("(none)").as("channel"),
+        (col("tot") - col("wt")).cast("long").as("n_last"),
+        lit(0L).as("n_pairs"), lit(0L).as("linear_micro"))
+    attributed.unionByName(none)
+  }
 }

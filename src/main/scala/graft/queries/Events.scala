@@ -237,6 +237,48 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** ev8: multi-touch conversion attribution
+    * ([[EventAnalytics.attribution]]) — last-touch AND linear credit
+    * per channel over a 7-day lookback, integer micro credits
+    * (`1e6 div n` per touch). The mirror replays the user-keyed
+    * window join, the per-conversion touch count, the (t_us, t_id)-max
+    * last touch (a row_number window in SQL, the same winner as the
+    * engine's max-struct fold), and the integral linear rollup; the
+    * `(none)` row is unconditional so the schema is corpus-independent.
+    */
+  val ev8_attribution = QueryDef.sqlChecked(
+    "ev8_attribution",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |conv AS (SELECT user_id, event_id AS p_id, ts_us AS p_us FROM e WHERE event_type = 'purchase'),
+      |touch AS (SELECT user_id, event_id AS t_id, event_type AS channel, ts_us AS t_us
+      |          FROM e WHERE event_type IN ('view', 'click')),
+      |pairs AS MATERIALIZED (SELECT c.user_id, c.p_id, t.t_id, t.channel, t.t_us
+      |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+      |  AND t.t_us < c.p_us AND t.t_us >= c.p_us - 604800000000),
+      |per AS MATERIALIZED (SELECT user_id, p_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs GROUP BY user_id, p_id),
+      |lastt AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_last FROM (
+      |  SELECT user_id, p_id, channel,
+      |    row_number() OVER (PARTITION BY user_id, p_id ORDER BY t_us DESC, t_id DESC) AS rn
+      |  FROM pairs) WHERE rn = 1 GROUP BY channel),
+      |pc AS (SELECT user_id, p_id, channel, CAST(count(*) AS BIGINT) AS c
+      |  FROM pairs GROUP BY user_id, p_id, channel),
+      |lin AS (SELECT channel, CAST(sum(c) AS BIGINT) AS n_pairs,
+      |  CAST(sum(c * (1000000 // n)) AS BIGINT) AS linear_micro
+      |  FROM pc JOIN per USING (user_id, p_id) GROUP BY channel),
+      |attributed AS (SELECT l.channel, coalesce(la.n_last, CAST(0 AS BIGINT)) AS n_last,
+      |  l.n_pairs, l.linear_micro
+      |  FROM lin l LEFT JOIN lastt la USING (channel)),
+      |non AS (SELECT '(none)' AS channel, CAST(count(*) AS BIGINT) AS n_last,
+      |  CAST(0 AS BIGINT) AS n_pairs, CAST(0 AS BIGINT) AS linear_micro
+      |  FROM conv c WHERE NOT EXISTS (
+      |    SELECT 1 FROM per p WHERE p.user_id = c.user_id AND p.p_id = c.p_id))
+      |SELECT * FROM (SELECT * FROM attributed UNION ALL SELECT * FROM non)
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    EventAnalytics.attribution(Tables.events(s, d))
+      .orderBy("channel")
+  }
+
   private val Gr3Iters = 3
 
   /** gr3 mirror: HITS unrolled — per round, the hub→authority sum, the
@@ -284,6 +326,6 @@ object Events {
 
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
-      ev6_error_anomaly, ev7_transitions, gr1_pagerank, gr2_authority_sample,
-      gr3_hits)
+      ev6_error_anomaly, ev7_transitions, ev8_attribution, gr1_pagerank,
+      gr2_authority_sample, gr3_hits)
 }

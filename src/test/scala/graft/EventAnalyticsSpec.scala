@@ -356,4 +356,56 @@ class EventAnalyticsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, "other"),
       (4L, 0L, 1L, 2L, "streaming")))
   }
+
+  // lookback = 7 days = 604800 s in the seconds fixture
+  private val Lb = 604800L
+
+  test("attribution: window boundaries, last-touch tie by id, integer linear credits") {
+    val events = ev(
+      // u1 purchase @1000000 (p_id 100); in-window touches:
+      (1L, 500000L, "view", 0, 1L),             //   view
+      (1L, 900000L, "click", 0, 2L),            //   click — latest -> last touch
+      (1L, 1000000L, "click", 0, 3L),           //   t_us == p_us -> EXCLUDED
+      (1L, 1000000L - Lb, "view", 0, 4L),       //   exactly p_us - lookback -> included
+      (1L, 1000000L - Lb - 1L, "view", 0, 5L),  //   one sec earlier -> excluded
+      (1L, 1000000L, "purchase", 0, 100L),
+      // u2 purchase with nothing in window -> the (none) bucket
+      (2L, 100L, "view", 0, 6L),
+      (2L, 2000000L, "purchase", 0, 200L),
+      // u3: two touches at the SAME instant -> tie broken by max event_id
+      (3L, 10L, "view", 0, 7L),
+      (3L, 10L, "click", 0, 8L),                //   id 8 > 7 -> click is last
+      (3L, 20L, "purchase", 0, 300L))
+    val out = EventAnalytics.attribution(events).orderBy("channel")
+      .as[(String, Long, Long, Long)].collect()
+    // u1: n=3 -> 333333 micro each (view c=2, click c=1)
+    // u3: n=2 -> 500000 micro each
+    assert(out === Array(
+      ("(none)", 1L, 0L, 0L),
+      ("click", 2L, 2L, 333333L + 500000L),
+      ("view", 0L, 3L, 666666L + 500000L)))
+  }
+
+  test("attribution: no in-window touches anywhere still yields the (none) row") {
+    val events = ev(
+      (1L, 5000000L, "view", 0, 1L), // AFTER the purchase -> not a touch
+      (1L, 1000L, "purchase", 0, 2L),
+      (2L, 2000L, "purchase", 0, 3L))
+    val out = EventAnalytics.attribution(events)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out === Array(("(none)", 2L, 0L, 0L)))
+  }
+
+  test("attribution: credits are conserved — linear micro sums to n_conv * (n div) totals") {
+    val events = ev(
+      (1L, 100L, "view", 0, 1L), (1L, 200L, "click", 0, 2L),
+      (1L, 300L, "click", 0, 3L), (1L, 400L, "purchase", 0, 4L),
+      (2L, 100L, "view", 0, 5L), (2L, 500L, "purchase", 0, 6L))
+    val rows = EventAnalytics.attribution(events).collect()
+    // u1: n=3 -> 3*333333 = 999999; u2: n=1 -> 1000000
+    val totalLinear = rows.map(_.getAs[Long]("linear_micro")).sum
+    assert(totalLinear === 999999L + 1000000L)
+    val totalLast = rows.map(_.getAs[Long]("n_last")).sum
+    assert(totalLast === 2L) // one last-touch credit per attributed conversion
+  }
 }

@@ -1008,6 +1008,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"threshold row not broadcast:\n$p")
   }
 
+  /** Attribution's pair frame must be a user-keyed equi-join with the
+    * lookback window as a join residual — a nested-loop on the time
+    * predicate would be quadratic in per-user activity; both event
+    * slices must push their type filters into the parquet scan; and the
+    * fold-forward shape means the only joins in the whole plan are the
+    * pair join itself and the `(none)` singleton-count stitch (no
+    * anti-join, no channel-keyed re-joins, no last-touch window sort).
+    */
+  test("ev8: attribution pushes type filters, pairs on a keyed equi-join") {
+    val p = fmtPlan(graft.operators.EventAnalytics.attribution(
+      graft.sources.Tables.events(spark, sf)))
+    assert(p.contains("In(event_type") || p.contains("EqualTo(event_type"),
+      s"type filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), s"last-touch fold must not plan a window:\n$p")
+    val hashJoins = "\\(\\d+\\) (?:Broadcast|Shuffled)HashJoin".r.findAllIn(p).length +
+      "\\(\\d+\\) SortMergeJoin".r.findAllIn(p).length
+    assert(hashJoins <= 2, s"expected only the pair join (x2 branches), got $hashJoins:\n$p")
+  }
+
   /** PageRank's per-iteration joins are keyed equi-joins; a cartesian
     * or nested-loop anywhere in the unrolled plan would be quadratic
     * in the edge list.
