@@ -444,6 +444,90 @@ object TextAnalysis {
         round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
   }
 
+  /** Okapi BM25 top-k retrieval over the corpus — the lexical-search
+    * baseline every RAG / retrieval-curation pipeline carries. Queries
+    * are derived from the corpus itself (deterministic, oracle-
+    * replayable): the df-ranked vocabulary's terms at ranks
+    * `[rankLo, rankLo + nQueries*termsPerQuery)` (df DESC, term ties
+    * lexical) split into `nQueries` consecutive groups — mid-frequency
+    * terms, so posting lists are informative but bounded. Score per
+    * (query, doc) = Σ_terms idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene plus-one idf `ln((N−df+0.5)/(df+0.5)+1)`.
+    *
+    * Cross-engine exactness: each (term, doc) partial score rounds to
+    * integer MICRO-credits per row (`floor(x·1e6+0.5)`, the r13 emit
+    * rule) BEFORE the per-document sum — integer sums are addition-
+    * order-free, so Spark's partial aggregation and DuckDB's single-
+    * threaded fold agree bit-for-bit where a double Σ would drift with
+    * partitioning. avgdl divides two integer sums once (the
+    * micro-average rule).
+    *
+    * Scale shape (100 TB): one explode into a persisted (doc, term, tf)
+    * frame with three consumers (df, dl=Σtf per doc, the score join);
+    * the query fixture is a TakeOrdered top-(rankLo+Q·T) over the
+    * vocabulary-sized df table collected to the driver (tens of rows —
+    * bounded) and broadcast back; scoring filters tf by the broadcast
+    * term set (postings of Q·T mid-frequency terms), joins dl on the
+    * doc key, and the per-qid top-k window partitions by qid over
+    * posting-bounded candidate sets. For web-scale posting lists the
+    * documented upgrade is impact-ordered pruning (WAND) — out of scope
+    * here; the mid-frequency fixture keeps candidates bounded.
+    */
+  def bm25TopK(
+      documents: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      rankLo: Int = 12,
+      nQueries: Int = 4,
+      termsPerQuery: Int = 4): DataFrame = {
+    require(rankLo >= 1 && nQueries > 0 && termsPerQuery > 0 && topK > 0,
+      s"invalid bm25 fixture params ($rankLo, $nQueries, $termsPerQuery, $topK)")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tok = Dedup.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // persisted: three consumers (df, dl, score join) share no exchange
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    val nTerms = nQueries * termsPerQuery
+    // TakeOrderedAndProject + a fixture-bounded driver collect — never a
+    // global-sort exchange or an unpartitioned rank window (the q12 rule)
+    val ranked = df.orderBy(col("df").desc, col("term"))
+      .limit(rankLo - 1 + nTerms).collect()
+    require(ranked.length == rankLo - 1 + nTerms,
+      s"vocabulary too small for the rank-$rankLo fixture: ${ranked.length}")
+    val qterms = ranked.iterator.zipWithIndex
+      .drop(rankLo - 1)
+      .map { case (r, i) =>
+        ((i + 1 - rankLo).toLong / termsPerQuery,
+          r.getAs[String]("term"), r.getAs[Long]("df"))
+      }.toSeq.toDF("qid", "term", "df")
+    val stats = documents.agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(broadcast(dl.agg(sum("dl").cast("long").as("sdl"),
+        count(lit(1)).cast("long").as("nd"))))
+      .select(col("n"), (col("sdl").cast("double") / col("nd")).as("avgdl"))
+    // one micro-rounded integer per (query, term, doc) BEFORE the sum
+    val hits = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        floor(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * lit(k1 + 1.0))
+            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"))
+    val scores = hits.groupBy("qid", "doc_id")
+      .agg(sum("s_micro").cast("long").as("bm25_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("bm25_micro"))
+  }
+
   /** PII pattern scrubbing: redact emails and URLs, emit match counts
     * and the redacted text — the standard privacy pass before a corpus
     * ships. One narrow projection (regexp_replace/extract_all are

@@ -1126,6 +1126,44 @@ object DataPipeline {
     TextAnalysis.tfIdf(Tables.documents(s, d)).orderBy("doc_id", "term")
   }
 
+  /** ir1: Okapi BM25 top-k retrieval ([[TextAnalysis.bm25TopK]]) — the
+    * lexical-search baseline. Query fixture = df-ranked vocabulary
+    * terms at ranks 12-27 in 4 groups of 4 (replayed by the mirror's
+    * row_number window; the engine derives it with a TakeOrdered +
+    * bounded driver collect, never a global rank window). Per-(term,
+    * doc) partial scores round to integer micro-credits BEFORE the
+    * per-document sum so the total is addition-order-free — the exact
+    * reason a plain double Σ can't be hash-compared across engines.
+    */
+  val ir1_bm25_topk = QueryDef.sqlChecked(
+    "ir1_bm25_topk",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM wl),
+      |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |df AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+      |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      |ranked AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df),
+      |qterms AS (SELECT CAST((rk - 12) // 4 AS BIGINT) AS qid, term, df
+      |  FROM ranked WHERE rk >= 12 AND rk < 28),
+      |hits AS (SELECT q.qid, t.doc_id,
+      |    CAST(round(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+      |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+      |      * 1000000) AS BIGINT) AS s_micro
+      |  FROM qterms q JOIN tf t USING (term) JOIN dl d ON d.doc_id = t.doc_id, stats s),
+      |scores AS (SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+      |  FROM hits GROUP BY 1, 2),
+      |topk AS (SELECT qid, doc_id, bm25_micro,
+      |    row_number() OVER (PARTITION BY qid ORDER BY bm25_micro DESC, doc_id) AS rnk
+      |  FROM scores)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, bm25_micro
+      |FROM topk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    TextAnalysis.bm25TopK(Tables.documents(s, d)).orderBy("qid", "rnk")
+  }
+
   val txt_vocab = QueryDef.sqlChecked(
     "txt_vocab",
     """WITH tok AS (SELECT doc_id,
@@ -4081,6 +4119,7 @@ object DataPipeline {
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
     emb5_pq_residual_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
+    ir1_bm25_topk,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,

@@ -481,6 +481,21 @@ class PlanSpec extends SparkSpec {
       s"expected both tf consumers to read the cache, got $scans scans:\n$p")
   }
 
+  /** BM25's scoring side must stay keyed: query terms broadcast into the
+    * postings join, the stats row is a singleton broadcast, the per-qid
+    * top-k window partitions by qid, and the per-doc sum combines
+    * map-side (the integer micro-credit claim depends on partial sums).
+    */
+  test("ir1_bm25: broadcast query terms, partial integer sum, qid-keyed window") {
+    val p = plan("ir1_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"qterms join must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"micro-credit sum must combine map-side:\n$p")
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 3,
+      s"expected the three tf consumers to read the cache, got $scans:\n$p")
+  }
+
   test("ann_ivf: probe filter is a visible column predicate (like ann_lsh)") {
     val p = plan("ann_ivf_topk")
     // the typed-closure form hid the query-id filter from Catalyst; the

@@ -648,4 +648,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("web") === ((3L, 12L, 9L, 2L, 3L)))
     assert(out("books") === ((1L, 26L, 26L, 1L, 0L)))
   }
+
+  test("bm25TopK: hand-computed micro scores on a 2-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    // fixture = top-1 term by df = "x" (df 2); N=2, avgdl=2.5,
+    // idf=ln(0.5/2.5+1)=ln(1.2):
+    //   d1 tf=2 dl=3: ln(1.2)*4.4/(2+1.2*(0.25+0.9))  -> 237342 micro
+    //   d2 tf=1 dl=2: ln(1.2)*2.2/(1+1.2*(0.25+0.6))  -> 198568 micro
+    val out = TextAnalysis.bm25TopK(docs,
+        rankLo = 1, nQueries = 1, termsPerQuery = 1)
+      .orderBy("rnk").as[(Long, Int, Long, Long)].collect()
+    assert(out === Array((0L, 1, 1L, 237342L), (0L, 2, 2L, 198568L)))
+  }
+
+  test("bm25TopK: integer micro sums are repartition-invariant") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = TextAnalysis.bm25TopK(docs)
+      .orderBy("qid", "rnk").collect().toSeq
+    val b = TextAnalysis.bm25TopK(docs.repartition(7))
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(a === b && a.size === 40)
+    // ranks strictly ordered by (score desc, doc_id) within each qid
+    a.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Seq(x, y) =>
+          val ok = x.getLong(3) > y.getLong(3) ||
+            (x.getLong(3) == y.getLong(3) && x.getLong(2) < y.getLong(2))
+          assert(ok, s"rank order violated: $x vs $y")
+        case _ =>
+      }
+    }
+  }
+
+  test("bm25TopK: vocabulary smaller than the fixture fails fast") {
+    import spark.implicits._
+    val docs = Seq((1L, "only two"), (2L, "two words")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, rankLo = 12)
+    }
+    assert(err.getMessage.contains("vocabulary too small"))
+  }
 }
