@@ -481,8 +481,37 @@ object TextAnalysis {
       rankLo: Int = 12,
       nQueries: Int = 4,
       termsPerQuery: Int = 4): DataFrame = {
-    require(rankLo >= 1 && nQueries > 0 && termsPerQuery > 0 && topK > 0,
-      s"invalid bm25 fixture params ($rankLo, $nQueries, $termsPerQuery, $topK)")
+    require(topK > 0, s"invalid topK=$topK")
+    val c = bm25Chain(documents, k1, b, rankLo, nQueries, termsPerQuery)
+    val scores = c.hits.groupBy("qid", "doc_id")
+      .agg(sum("s_micro").cast("long").as("bm25_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("bm25_micro"))
+  }
+
+  /** Shared retrieval chain for [[bm25TopK]] and [[rrfFusionTopK]]: the
+    * persisted tf frame, vocabulary df, corpus stats, the broadcast
+    * query fixture, and per-(query, term, doc) hit rows carrying BOTH
+    * the BM25 micro-credit and the tf-idf quarti-credit (`round(tf ·
+    * ln(N/df) · 1e4)` — the q4 scale keeps Σm² inside a long at corpus
+    * document lengths; consumers that don't read `m_q4` get it pruned
+    * by Catalyst at zero cost).
+    */
+  private case class Bm25Chain(tf: DataFrame, df: DataFrame,
+      stats: DataFrame, qterms: DataFrame, hits: DataFrame)
+
+  private def bm25Chain(
+      documents: DataFrame,
+      k1: Double,
+      b: Double,
+      rankLo: Int,
+      nQueries: Int,
+      termsPerQuery: Int): Bm25Chain = {
+    require(rankLo >= 1 && nQueries > 0 && termsPerQuery > 0,
+      s"invalid bm25 fixture params ($rankLo, $nQueries, $termsPerQuery)")
     val spark = documents.sparkSession
     import spark.implicits._
     val tok = Dedup.spread(documents.select(col("doc_id"), col("text")))
@@ -518,14 +547,75 @@ object TextAnalysis {
           log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
             * (col("tf") * lit(k1 + 1.0))
             / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-            * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"))
-    val scores = hits.groupBy("qid", "doc_id")
-      .agg(sum("s_micro").cast("long").as("bm25_micro"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
-    scores.withColumn("rnk", row_number().over(w).cast("int"))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"),
+        floor(col("tf") * log(col("n") / col("df")) * lit(10000.0) + lit(0.5))
+          .cast("long").as("m_q4"))
+    Bm25Chain(tf, df, stats, qterms, hits)
+  }
+
+  /** Reciprocal-rank fusion of TWO lexical rankings over the same
+    * corpus-derived query fixture — the standard hybrid-retrieval
+    * consensus (Cormack et al. 2009): list 1 is Okapi BM25
+    * ([[bm25TopK]]'s scores), list 2 is tf-idf cosine (query-term dot
+    * product over `tf·ln(N/df)` weights, normalized by the document's
+    * full tf-idf vector norm). Both lists rank the SAME candidate set
+    * (the query terms' postings), so every candidate holds a rank in
+    * both and the fused score is `1e6 div (k0+r1) + 1e6 div (k0+r2)` —
+    * pure integer arithmetic.
+    *
+    * Cross-engine exactness: the dot product sums integer
+    * quarti-credits (rounded per (term, doc) BEFORE the sum); the norm
+    * sums squared quarti-credits in decimal(38,0) (the gr3
+    * HUGEINT-parity rule — Σm² overflows a long on long documents);
+    * cosine divides the two exact integers once; ranks and RRF credits
+    * are integers end to end.
+    *
+    * Scale shape: everything [[bm25TopK]] does, plus ONE
+    * vocabulary-keyed equi-join (tf ⋈ df — the txt_tfidf shape) and a
+    * doc-keyed norm aggregate joined back to the channel-bounded score
+    * frame; the three rank windows all partition by qid.
+    */
+  def rrfFusionTopK(
+      documents: DataFrame,
+      k0: Int = 60,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      rankLo: Int = 12,
+      nQueries: Int = 4,
+      termsPerQuery: Int = 4): DataFrame = {
+    require(k0 > 0 && topK > 0, s"invalid rrf params ($k0, $topK)")
+    val c = bm25Chain(documents, k1, b, rankLo, nQueries, termsPerQuery)
+    val scores = c.hits.groupBy("qid", "doc_id")
+      .agg(sum("s_micro").cast("long").as("bm25_micro"),
+        sum("m_q4").cast("long").as("dot_q4"))
+    // full-vocabulary tf-idf norm per document (the txt_tfidf join shape)
+    val norms = c.tf.join(c.df, "term")
+      .crossJoin(broadcast(c.stats.select("n")))
+      .select(col("doc_id"),
+        floor(col("tf") * log(col("n") / col("df")) * lit(10000.0) + lit(0.5))
+          .cast("long").as("m"))
+      .groupBy("doc_id")
+      .agg(sum((col("m") * col("m")).cast("decimal(38,0)")).as("n2"))
+    val cs = scores.join(norms, "doc_id")
+      .select(col("qid"), col("doc_id"), col("bm25_micro"),
+        floor(col("dot_q4").cast("double") / sqrt(col("n2").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("cos_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
+    val w2 = Window.partitionBy("qid").orderBy(col("cos_micro").desc, col("doc_id"))
+    val rks = cs
+      .withColumn("r1", row_number().over(w1).cast("long"))
+      .withColumn("r2", row_number().over(w2).cast("long"))
+      .select(col("qid"), col("doc_id"),
+        col("r1").cast("int").as("bm25_rnk"), col("r2").cast("int").as("cos_rnk"),
+        (expr(s"1000000 div (${k0.toLong} + r1)")
+          + expr(s"1000000 div (${k0.toLong} + r2)")).cast("long").as("rrf_micro"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id"))
+    rks.withColumn("rnk", row_number().over(wf).cast("int"))
       .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("doc_id"), col("bm25_micro"))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("rrf_micro"),
+        col("bm25_rnk"), col("cos_rnk"))
   }
 
   /** PII pattern scrubbing: redact emails and URLs, emit match counts

@@ -1164,6 +1164,60 @@ object DataPipeline {
     TextAnalysis.bm25TopK(Tables.documents(s, d)).orderBy("qid", "rnk")
   }
 
+  /** ir2: reciprocal-rank fusion ([[TextAnalysis.rrfFusionTopK]]) — the
+    * hybrid-retrieval consensus of the BM25 ranking and a tf-idf-cosine
+    * ranking over the same query fixture. Both candidate sets are the
+    * query terms' postings, so every doc ranks in both lists; the
+    * fused credit `1e6 div (60+r1) + 1e6 div (60+r2)` is pure integer.
+    * The cosine's dot sums integer quarti-credits; the norm sums
+    * squared quarti-credits into decimal(38,0) ↔ HUGEINT (Σm² outgrows
+    * a BIGINT on long documents — the gr3 wide-integer parity rule).
+    */
+  val ir2_rrf_fusion = QueryDef.sqlChecked(
+    "ir2_rrf_fusion",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM wl),
+      |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |df AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+      |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      |ranked AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df),
+      |qterms AS (SELECT CAST((rk - 12) // 4 AS BIGINT) AS qid, term, df
+      |  FROM ranked WHERE rk >= 12 AND rk < 28),
+      |hits AS (SELECT q.qid, t.doc_id,
+      |    CAST(round(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+      |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+      |      * 1000000) AS BIGINT) AS s_micro,
+      |    CAST(round(t.tf * ln(s.n / q.df) * 10000) AS BIGINT) AS m_q4
+      |  FROM qterms q JOIN tf t USING (term) JOIN dl d ON d.doc_id = t.doc_id, stats s),
+      |norms AS MATERIALIZED (SELECT t.doc_id, sum(
+      |    CAST(round(t.tf * ln(s.n / d.df) * 10000) AS BIGINT)
+      |    * CAST(round(t.tf * ln(s.n / d.df) * 10000) AS BIGINT)) AS n2
+      |  FROM tf t JOIN df d USING (term), stats s GROUP BY 1),
+      |scores AS (SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro,
+      |    CAST(sum(m_q4) AS BIGINT) AS dot_q4
+      |  FROM hits GROUP BY 1, 2),
+      |cs AS (SELECT s.qid, s.doc_id, s.bm25_micro,
+      |    CAST(round(CAST(s.dot_q4 AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_micro
+      |  FROM scores s JOIN norms n USING (doc_id)),
+      |rks AS (SELECT qid, doc_id, bm25_micro, cos_micro,
+      |    row_number() OVER (PARTITION BY qid ORDER BY bm25_micro DESC, doc_id) AS r1,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, doc_id) AS r2
+      |  FROM cs),
+      |fused AS (SELECT qid, doc_id, CAST(r1 AS INT) AS bm25_rnk, CAST(r2 AS INT) AS cos_rnk,
+      |    CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) AS BIGINT) AS rrf_micro
+      |  FROM rks),
+      |topk AS (SELECT qid, doc_id, rrf_micro, bm25_rnk, cos_rnk,
+      |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS rnk
+      |  FROM fused)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, rrf_micro, bm25_rnk, cos_rnk
+      |FROM topk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    TextAnalysis.rrfFusionTopK(Tables.documents(s, d)).orderBy("qid", "rnk")
+  }
+
   val txt_vocab = QueryDef.sqlChecked(
     "txt_vocab",
     """WITH tok AS (SELECT doc_id,
@@ -4119,7 +4173,7 @@ object DataPipeline {
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
     emb5_pq_residual_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    ir1_bm25_topk,
+    ir1_bm25_topk, ir2_rrf_fusion,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,

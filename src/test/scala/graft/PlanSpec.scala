@@ -496,6 +496,17 @@ class PlanSpec extends SparkSpec {
       s"expected the three tf consumers to read the cache, got $scans:\n$p")
   }
 
+  /** The fusion adds one vocabulary-keyed equi-join (the norm side) on
+    * top of ir1's shape — still no cartesian, still map-side partial
+    * sums, and the doc-keyed norm join must be an equi-join.
+    */
+  test("ir2_rrf: fusion keeps keyed joins and map-side partial sums") {
+    val p = plan("ir2_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"qterms join must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"credit sums must combine map-side:\n$p")
+  }
+
   test("ann_ivf: probe filter is a visible column predicate (like ann_lsh)") {
     val p = plan("ann_ivf_topk")
     // the typed-closure form hid the query-id filter from Catalyst; the

@@ -682,6 +682,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("rrfFusionTopK: hand-computed fusion on a 3-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z w"))
+      .toDF("doc_id", "text")
+    // query = top-1 df term = x (df 2; ties y/z broken lexically).
+    // BM25 micro: d1 624307 > d2 523548 -> r1 = 1, 2.
+    // cosine: m=floor(tf*ln(3/2)*1e4+.5) -> d1 dot 8109 norm²=8109²+4055²
+    // -> 894405 micro; d2 dot 4055 norm²=2·4055² -> 707107 -> r2 = 1, 2.
+    // rrf: 1e6//61·2 = 32786, 1e6//62·2 = 32258.
+    val out = TextAnalysis.rrfFusionTopK(docs,
+        rankLo = 1, nQueries = 1, termsPerQuery = 1)
+      .orderBy("rnk").as[(Long, Int, Long, Long, Int, Int)].collect()
+    assert(out === Array(
+      (0L, 1, 1L, 32786L, 1, 1),
+      (0L, 2, 2L, 32258L, 2, 2)))
+  }
+
+  test("rrfFusionTopK: fused credit recomputes from the emitted ranks; repartition-invariant") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = TextAnalysis.rrfFusionTopK(docs)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(a.size === 40)
+    a.foreach { r =>
+      val expect = 1000000L / (60 + r.getInt(4)) + 1000000L / (60 + r.getInt(5))
+      assert(r.getLong(3) === expect, s"rrf credit drifted: $r")
+    }
+    val b = TextAnalysis.rrfFusionTopK(docs.repartition(7))
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(a === b)
+  }
+
   test("bm25TopK: vocabulary smaller than the fixture fails fast") {
     import spark.implicits._
     val docs = Seq((1L, "only two"), (2L, "two words")).toDF("doc_id", "text")
