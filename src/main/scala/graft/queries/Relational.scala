@@ -766,8 +766,40 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q24: SCD Type-2 validity intervals — the warehouse-CDC companion
+    * to q23's latest-per-key: every event opens a version of its
+    * user's state valid `[ts, next_ts)`; the final version carries
+    * valid_to = -1 and is_current = 1. ONE user-keyed window (lead on
+    * the same (ts, event_id) natural order q23 uses — partition-
+    * bounded, never a global sort) and integer epoch-µs endpoints (the
+    * ev-family time rule). At 100 TB this is the standard "rebuild the
+    * dimension's history table" pass: one keyed exchange, no joins.
+    */
+  val q24_scd2_intervals = QueryDef.sqlChecked(
+    "q24_scd2_intervals",
+    """SELECT user_id, event_id, round(value, 2) AS value,
+      |  epoch_us(ts) AS valid_from_us,
+      |  coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id), CAST(-1 AS BIGINT)) AS valid_to_us,
+      |  CASE WHEN lead(event_id) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        coalesce(lead(unix_micros(col("ts")), 1).over(w), lit(-1L))
+          .as("valid_to_us"),
+        when(lead(col("event_id"), 1).over(w).isNull, lit(1))
+          .otherwise(lit(0)).as("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21_scalar_subquery, q22_pivot, q12b_distribution, q23_latest_per_key,
+    q24_scd2_intervals,
     q1_agg, q2_predicates, q3_broadcast_join, q4_sortmerge_join,
     q5_outer_join, q5b_full_outer, q6_semi_anti, q7_range_join,
     q7b_theta_join, q8_asof_join, q9_topk_revenue, q10_distinct,

@@ -1113,6 +1113,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q24: SCD2 intervals plan one user-keyed window, no joins") {
+    val p = plan("q24_scd2_intervals")
+    assert(!p.contains("SinglePartition"), s"q24 window unpartitioned:\n$p")
+    assert(!p.contains("Join"), s"q24 must be join-free:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"window not user-keyed:\n$p")
+    // exactly two exchanges: the user-keyed window hash + the QueryDef
+    // determinism sort (range) — nothing else may shuffle
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(n === 2, s"expected window + sort exchanges only, got $n:\n$p")
+  }
+
   test("q23/emb3: keyed windows and label rollups never collapse to one partition") {
     val p23 = plan("q23_latest_per_key")
     assert(!p23.contains("SinglePartition"), s"q23 window unpartitioned:\n$p23")

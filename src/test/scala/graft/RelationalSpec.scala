@@ -89,4 +89,23 @@ class RelationalSpec extends SparkSpec {
     val rowsOnly = qs -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set.empty[String])
   }
+
+  test("q24 SCD2: intervals chain per user, last version is current") {
+    val out = graft.SparkEntry.queries("q24_scd2_intervals")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      // already ordered by (valid_from_us, event_id) within the dump
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) === b.getLong(3),
+            s"version chain broken: ${a} -> ${b}")
+          assert(a.getInt(5) === 0, s"non-last version marked current: $a")
+        case _ =>
+      }
+      val last = rows.last
+      assert(last.getLong(4) === -1L && last.getInt(5) === 1,
+        s"last version must be open-ended and current: $last")
+    }
+  }
 }
