@@ -618,6 +618,81 @@ object TextAnalysis {
         col("bm25_rnk"), col("cos_rnk"))
   }
 
+  /** BM25 postings index for a RELEASED corpus — the retrieval analog
+    * of [[graft.operators.Dedup.minhashBands]]: the corpus tokenizes,
+    * counts and joins ONCE at release; every later query batch probes
+    * the frozen postings ([[probeBm25]]) without touching released text
+    * again. One denormalized row per (term, doc): `(term, doc_id, tf,
+    * df, dl)` — df/dl repeat per posting but columnar encoding makes
+    * that near-free, and the probe needs zero joins beyond the
+    * broadcast query-term lookup. The corpus-level stats (N, Σdl,
+    * #docs) ride the `tf` column's schema metadata (the stamped-index
+    * discipline: they survive the parquet footer, load with zero jobs,
+    * and a probe against a foreign/unstamped frame fails fast instead
+    * of silently mis-scoring).
+    */
+  def bm25Postings(documents: DataFrame): DataFrame = {
+    val tok = Dedup.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    // three bounded scalars collected once at build time
+    val n = documents.agg(count(lit(1)).cast("long")).head().getLong(0)
+    val st = dl.agg(sum("dl").cast("long"), count(lit(1)).cast("long")).head()
+    Dedup.stampIndexMeta(
+      tf.join(df, "term").join(dl, "doc_id")
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
+          col("df"), col("dl")),
+      "tf", "bm25_postings",
+      Map("n" -> n, "sdl" -> st.getLong(0), "nd" -> st.getLong(1)))
+  }
+
+  /** Probe a frozen [[bm25Postings]] index with NEW term queries
+    * `(qid, term)` — the steady-state retrieval path: the index is a
+    * parquet scan (plan-gated via the loader), query terms broadcast
+    * into the postings equi-join, and scoring is the same
+    * integer-micro-credit BM25 as [[bm25TopK]] (round per (term, doc)
+    * BEFORE the per-doc sum). Out-of-vocabulary query terms match no
+    * postings and contribute exactly 0 — standard BM25 OOV behavior.
+    * Corpus stats come off the index stamp (zero jobs); a frame without
+    * the `bm25_postings` stamp is rejected.
+    */
+  def probeBm25(
+      postings: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(topK > 0, s"invalid topK=$topK")
+    val f = postings.schema.fields.find(_.name == "tf").getOrElse(
+      throw new IllegalArgumentException(
+        "probeBm25: frame lacks a 'tf' column — not a bm25_postings index"))
+    require(f.metadata.contains(Dedup.IndexKindKey) &&
+      f.metadata.getString(Dedup.IndexKindKey) == "bm25_postings",
+      "probeBm25: frame carries no 'bm25_postings' stamp on 'tf' — " +
+        "build it with bm25Postings/loadBm25Index, not ad hoc")
+    val n = f.metadata.getLong("graft.n")
+    val avgdl =
+      f.metadata.getLong("graft.sdl").toDouble / f.metadata.getLong("graft.nd")
+    val hits = postings
+      .join(broadcast(queries.select(col("qid"), col("term"))), "term")
+      .select(col("qid"), col("doc_id"),
+        floor(
+          log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * lit(k1 + 1.0))
+            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"))
+    val scores = hits.groupBy("qid", "doc_id")
+      .agg(sum("s_micro").cast("long").as("bm25_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("bm25_micro"))
+  }
+
   /** PII pattern scrubbing: redact emails and URLs, emit match counts
     * and the redacted text — the standard privacy pass before a corpus
     * ships. One narrow projection (regexp_replace/extract_all are

@@ -825,6 +825,34 @@ object TrainingPipeline {
         "codes", "pq_codes", s"loadPqIndex($releasePath)"))
   }
 
+  /** Persist the released corpus's BM25 postings with the release —
+    * the retrieval analog of [[writeMinhashBands]]: text tokenizes and
+    * counts ONCE at release; every later query batch probes the frozen
+    * postings ([[graft.operators.TextAnalysis.probeBm25]]) without
+    * touching released text again. Corpus stats (N, Σdl, #docs) ride
+    * the `tf` column's schema metadata through the parquet footer.
+    */
+  def writeBm25Index(released: DataFrame, releasePath: String): Unit = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    TextAnalysis.bm25Postings(released)
+      .orderBy("term", "doc_id")
+      .write.mode("overwrite").parquet(dir.resolve("bm25_postings").toString)
+  }
+
+  /** Load the postings [[writeBm25Index]] persisted — lazy parquet, no
+    * build jobs; pass to [[graft.operators.TextAnalysis.probeBm25]].
+    * Kind-stamped like every loader here.
+    */
+  def loadBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): DataFrame =
+    Dedup.requireIndexKind(
+      spark.read.parquet(
+        java.nio.file.Paths.get(releasePath, ModelsSubdir)
+          .resolve("bm25_postings").toString),
+      "tf", "bm25_postings", s"loadBm25Index($releasePath)")
+
   /** Persist an image set's dHash band index with the release — the
     * visual analog of [[writeMinhashBands]]: images decode and
     * signature ONCE at release time; every incoming batch probes the

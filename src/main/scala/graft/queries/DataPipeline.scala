@@ -1218,6 +1218,55 @@ object DataPipeline {
     TextAnalysis.rrfFusionTopK(Tables.documents(s, d)).orderBy("qid", "rnk")
   }
 
+  /** ir3: incremental BM25 probe ([[TextAnalysis.bm25Postings]] +
+    * [[TextAnalysis.probeBm25]]) — the steady-state retrieval path:
+    * the corpus's postings freeze at release (the dd15/ann_pq
+    * incremental contract, retrieval edition) and NEW queries (df
+    * ranks 2-9 in two groups — a fixture derived from the index, the
+    * only thing a prober has) probe them through a broadcast term
+    * join. Corpus stats come off the index stamp, zero probe-time
+    * build jobs. The mirror replays the postings build and the probe.
+    */
+  val ir3_bm25_incremental = QueryDef.sqlChecked(
+    "ir3_bm25_incremental",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM wl),
+      |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |df AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+      |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      |post AS MATERIALIZED (SELECT t.term, t.doc_id, t.tf, d.df, l.dl
+      |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)),
+      |ranked AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df),
+      |qterms AS (SELECT CAST((rk - 2) // 4 AS BIGINT) AS qid, term
+      |  FROM ranked WHERE rk >= 2 AND rk < 10),
+      |hits AS (SELECT q.qid, p.doc_id,
+      |    CAST(round(ln((s.n - p.df + 0.5) / (p.df + 0.5) + 1.0)
+      |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+      |      * 1000000) AS BIGINT) AS s_micro
+      |  FROM qterms q JOIN post p USING (term), stats s),
+      |scores AS (SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+      |  FROM hits GROUP BY 1, 2),
+      |topk AS (SELECT qid, doc_id, bm25_micro,
+      |    row_number() OVER (PARTITION BY qid ORDER BY bm25_micro DESC, doc_id) AS rnk
+      |  FROM scores)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, bm25_micro
+      |FROM topk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val postings = TextAnalysis.bm25Postings(Tables.documents(s, d))
+    // probe fixture from the INDEX itself: df ranks 2..9, 2 queries x 4
+    val ranked = postings.select("term", "df").distinct()
+      .orderBy(col("df").desc, col("term")).limit(9).collect()
+    require(ranked.length == 9, s"vocabulary too small: ${ranked.length}")
+    val queries = ranked.iterator.zipWithIndex.drop(1)
+      .map { case (r, i) => ((i - 1).toLong / 4, r.getAs[String]("term")) }
+      .toSeq.toDF("qid", "term")
+    TextAnalysis.probeBm25(postings, queries).orderBy("qid", "rnk")
+  }
+
   val txt_vocab = QueryDef.sqlChecked(
     "txt_vocab",
     """WITH tok AS (SELECT doc_id,
@@ -4173,7 +4222,7 @@ object DataPipeline {
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
     emb5_pq_residual_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    ir1_bm25_topk, ir2_rrf_fusion,
+    ir1_bm25_topk, ir2_rrf_fusion, ir3_bm25_incremental,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,

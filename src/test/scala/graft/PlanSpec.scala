@@ -286,6 +286,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ir3: loaded BM25 index rides a parquet scan — probe never rebuilds postings") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("bm25-gate").toString
+    graft.operators.TrainingPipeline.writeBm25Index(corpus, dir)
+    val loaded = graft.operators.TrainingPipeline.loadBm25Index(spark, dir)
+    import spark.implicits._
+    val queries = Seq((0L, "the"), (1L, "data")).toDF("qid", "term")
+    val p = graft.operators.TextAnalysis.probeBm25(loaded, queries)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("bm25_postings"),
+      s"probe must scan the persisted postings parquet:\n$p")
+    assert(!p.contains("Generate"),
+      s"probe must not re-tokenize text (explode found):\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("dd15: corpus verify side is semi-joined to candidates, no cartesian") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") < 400)

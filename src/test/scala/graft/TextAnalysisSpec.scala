@@ -713,6 +713,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bm25 index round-trip: loaded artifact probes identically to the live postings") {
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("bm25-release").toString
+    graft.operators.TrainingPipeline.writeBm25Index(corpus, dir)
+    val loaded = graft.operators.TrainingPipeline.loadBm25Index(spark, dir)
+    val queries = Seq((0L, "the"), (0L, "a"), (1L, "data")).toDF("qid", "term")
+    val live = TextAnalysis.probeBm25(TextAnalysis.bm25Postings(corpus), queries)
+      .orderBy("qid", "rnk").collect().toSeq
+    val art = TextAnalysis.probeBm25(loaded, queries)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(art === live && art.nonEmpty)
+  }
+
+  test("probeBm25: OOV terms contribute zero; unstamped frame fails fast") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val post = TextAnalysis.bm25Postings(docs)
+    val withOov = TextAnalysis.probeBm25(post,
+      Seq((0L, "x"), (0L, "never-seen-term")).toDF("qid", "term"))
+      .orderBy("rnk").collect().toSeq
+    val without = TextAnalysis.probeBm25(post,
+      Seq((0L, "x")).toDF("qid", "term"))
+      .orderBy("rnk").collect().toSeq
+    assert(withOov === without && withOov.nonEmpty)
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.probeBm25(post.select(col("term"), col("doc_id"),
+          col("tf").cast("long").as("tf"), col("df"), col("dl")),
+        Seq((0L, "x")).toDF("qid", "term"))
+    }
+    assert(err.getMessage.contains("stamp"))
+  }
+
   test("bm25TopK: vocabulary smaller than the fixture fails fast") {
     import spark.implicits._
     val docs = Seq((1L, "only two"), (2L, "two words")).toDF("doc_id", "text")
