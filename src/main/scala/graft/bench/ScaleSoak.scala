@@ -236,6 +236,8 @@ object ScaleSoak {
       },
       "tok4_unigram" -> (t => graft.operators.TextAnalysis.unigramTokenize(
         spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
+      "tok5_unigram_em1" -> (t => graft.operators.TextAnalysis.unigramTokenizeEm1(
+        spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
       "ir1_bm25_topk" ->
         (t => graft.operators.TextAnalysis.bm25TopK(docs(t))),
       "dd17_template_spam" ->

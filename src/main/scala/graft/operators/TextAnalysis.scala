@@ -290,12 +290,7 @@ object TextAnalysis {
       .groupBy("piece").agg(sum("c").as("cnt"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val total = counts.map(_._2).sum
-    val costs = new java.util.HashMap[String, java.lang.Long]()
-    counts.foreach { case (p, c) =>
-      costs.put(p, java.lang.Long.valueOf(math.floor(
-        (math.log(total.toDouble) - math.log(c.toDouble)) * 1e6 + 0.5).toLong))
-    }
+    val costs = unigramMicroCosts(counts)
     val vocabMaxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
     val bcCosts = spark.sparkContext.broadcast(costs)
     // pass 2: max-likelihood re-segmentation, memoized per word
@@ -323,6 +318,118 @@ object TextAnalysis {
         }
       }
       .toDF(idCol, "n_words", "n_uni_tokens", "uni_md5")
+  }
+
+  /** `-ln(count/total)` as micro-integer costs — the unigram-LM emit
+    * rule shared by [[unigramTokenize]] and [[unigramTokenizeEm1]].
+    */
+  private def unigramMicroCosts(
+      counts: Array[(String, Long)]): java.util.HashMap[String, java.lang.Long] = {
+    val total = counts.map(_._2).sum
+    val costs = new java.util.HashMap[String, java.lang.Long]()
+    counts.foreach { case (p, c) =>
+      costs.put(p, java.lang.Long.valueOf(math.floor(
+        (math.log(total.toDouble) - math.log(c.toDouble)) * 1e6 + 0.5).toLong))
+    }
+    costs
+  }
+
+  /** One full EM iteration of unigram-LM training on top of
+    * [[unigramTokenize]]'s bootstrap (Kudo 2018 §3.2, the SentencePiece
+    * training loop): the M-step recounts pieces from the Viterbi-1
+    * segmentation (occurrence-weighted — pieces the decoder stopped
+    * using fall out of the LM, exactly how SentencePiece's vocabulary
+    * shrinks), and the E-step re-segments every word under the
+    * re-estimated costs. Coverage survives the shrink: every word's own
+    * Viterbi-1 pieces are counted, so each word can at worst keep its
+    * previous segmentation. Output shape matches [[unigramTokenize]]:
+    * (doc, n_words, n_em1_tokens, md5 of the full re-segmented stream).
+    *
+    * Scale shape: FOUR narrow typed passes (bootstrap counts, E-step-1
+    * counts, the final re-segmentation — each with per-partition word
+    * memos) and TWO vocab-bounded count exchanges; the driver only ever
+    * holds the piece vocabulary. Costs cross engines as micro-longs
+    * (`floor(x·1e6 + 0.5)`, x ≥ 0).
+    */
+  def unigramTokenizeEm1(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pieces = merges.map { case (a, b) => a + b }.toSet
+    val mmMaxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+    val base = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+    // pass 1: occurrence-weighted bootstrap counts (vocab-sized agg)
+    val counts0 = base.mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        val cnt = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { case (_, text) =>
+          graft.functions.TextHashing.tokens(text).foreach { w =>
+            var segs = memo.get(w)
+            if (segs == null) {
+              segs = graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen)
+              memo.put(w, segs)
+            }
+            segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
+          }
+        }
+        cnt.iterator
+      }
+      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val costs0 = unigramMicroCosts(counts0)
+    val maxLen0 = if (counts0.isEmpty) 1 else counts0.map(_._1.length).max
+    val bc0 = spark.sparkContext.broadcast(costs0)
+    // pass 2 (M-step input): occurrence-weighted VITERBI-1 piece counts
+    val counts1 = base.mapPartitions { it =>
+        val cs = bc0.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        val cnt = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { case (_, text) =>
+          graft.functions.TextHashing.tokens(text).foreach { w =>
+            var segs = memo.get(w)
+            if (segs == null) {
+              segs = graft.functions.Bpe.viterbiSegment(w, cs, maxLen0)
+              memo.put(w, segs)
+            }
+            segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
+          }
+        }
+        cnt.iterator
+      }
+      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val costs1 = unigramMicroCosts(counts1)
+    val maxLen1 = if (counts1.isEmpty) 1 else counts1.map(_._1.length).max
+    val bc1 = spark.sparkContext.broadcast(costs1)
+    // pass 3 (E-step): re-segment under the re-estimated LM
+    base.mapPartitions { it =>
+        val cs = bc1.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val words = graft.functions.TextHashing.tokens(text)
+          var nt = 0L
+          val sb = new java.lang.StringBuilder
+          words.foreach { w =>
+            var segs = memo.get(w)
+            if (segs == null) {
+              segs = graft.functions.Bpe.viterbiSegment(w, cs, maxLen1)
+              memo.put(w, segs)
+            }
+            nt += segs.length
+            segs.foreach { s =>
+              if (sb.length > 0) sb.append(' ')
+              sb.append(s)
+            }
+          }
+          (id, words.length.toLong, nt,
+            graft.functions.TextHashing.md5Hex(sb.toString))
+        }
+      }
+      .toDF(idCol, "n_words", "n_em1_tokens", "em1_md5")
   }
 
   /** [[bpeTokenize]] plus the memo-effectiveness counters the scale

@@ -3509,6 +3509,60 @@ object DataPipeline {
       .orderBy("doc_id")
   }
 
+  /** tok5 mirror: one full EM round on top of tok4's chain — the
+    * M-step recounts pieces from the Viterbi-1 segmentation (`pb`,
+    * occurrence-weighted; unused pieces drop out, shrinking the LM),
+    * then a SECOND per-round-argmin-pruned Viterbi recursive CTE
+    * re-segments under the re-estimated costs. Same packed
+    * `cost|n|toks` keys and MATERIALIZED stage discipline as tok4.
+    */
+  private val Tok5Sql: String = {
+    val base = Tok4Sql
+    // splice before the final SELECT: reuse every tok4 CTE up to pb
+    val cut = base.lastIndexOf("ag AS (")
+    val head = base.substring(0, cut)
+    head +
+      s"""boot2 AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(occ) AS BIGINT) AS cnt FROM (
+         |    SELECT wc.occ, unnest(string_split(pb.toks, ' ')) AS piece
+         |    FROM pb JOIN wc ON wc.w = pb.w)
+         |  GROUP BY piece),
+         |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM boot2),
+         |vs2 AS MATERIALIZED (
+         |  SELECT piece, length(piece) AS pl, substr(piece, 1, 1) AS c1,
+         |    CAST(round((ln(CAST((SELECT tot FROM tot2) AS DOUBLE))
+         |                - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS cmic
+         |  FROM boot2),
+         |vit2(w, pos, key) AS (
+         |  SELECT w, 1, printf('%015d', 0) || '|' || printf('%04d', 0) || '|' FROM dw
+         |  UNION
+         |  SELECT w, pos2, min(key2) FROM (
+         |    SELECT s.w, s.pos + v.pl AS pos2,
+         |      printf('%015d', CAST(substr(s.key, 1, 15) AS BIGINT) + v.cmic) || '|' ||
+         |      printf('%04d', CAST(substr(s.key, 17, 4) AS BIGINT) + 1) || '|' ||
+         |      (CASE WHEN s.pos = 1 THEN v.piece
+         |            ELSE substr(s.key, 22) || ' ' || v.piece END) AS key2
+         |    FROM vit2 s JOIN vs2 v
+         |      ON substr(s.w, s.pos, 1) = v.c1 AND substr(s.w, s.pos, v.pl) = v.piece
+         |    WHERE s.pos <= length(s.w)) GROUP BY w, pos2),
+         |best2 AS MATERIALIZED (
+         |  SELECT w, min(key) AS key FROM vit2 WHERE pos = length(w) + 1 GROUP BY w),
+         |pb2 AS (SELECT w, CAST(substr(key, 17, 4) AS BIGINT) AS n,
+         |        substr(key, 22) AS toks FROM best2),
+         |ag AS (SELECT tw.doc_id, CAST(sum(pb2.n) AS BIGINT) AS n_em1_tokens,
+         |        md5(string_agg(pb2.toks, ' ' ORDER BY tw.j)) AS em1_md5
+         |       FROM tw JOIN pb2 ON pb2.w = tw.w GROUP BY tw.doc_id)
+         |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_words,
+         |  coalesce(ag.n_em1_tokens, CAST(0 AS BIGINT)) AS n_em1_tokens,
+         |  coalesce(ag.em1_md5, md5('')) AS em1_md5
+         |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin
+  }
+
+  val tok5_unigram_em1 = QueryDef.sqlChecked("tok5_unigram_em1", Tok5Sql) { (s, d) =>
+    TextAnalysis.unigramTokenizeEm1(Tables.documents(s, d), BpeMerges)
+      .orderBy("doc_id")
+  }
+
   /** sp8b: the token-budget pass denominated in REAL (BPE) tokens —
     * sp8's whitespace counts misstate budgets ~3x on this corpus
     * (84.8k BPE vs 27.2k whitespace tokens at sf0.01); budget 1800
@@ -4241,6 +4295,7 @@ object DataPipeline {
     pk1_pack_sequences, pk2_chunk_docs, pk3_pack_whole_docs,
     pk4_fim_transform, pk5_pack_stats,
     tok1_bpe_tokenize, tok2_fertility, tok3_maxmatch, tok4_unigram,
+    tok5_unigram_em1,
     sp8b_bpe_budget,
     pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,

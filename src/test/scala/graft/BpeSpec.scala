@@ -245,6 +245,38 @@ class BpeSpec extends SparkSpec {
     assert(uni.getLong(2) > 0L)
   }
 
+  test("unigramTokenizeEm1: the M-step recount actually flips a segmentation") {
+    import spark.implicits._
+    // Planted EM-sensitivity fixture (searched): pieces {ab, bc, ca},
+    // occurrences bab x2, cbc x4, cbba x6.
+    //   Bootstrap (MaxMatch): bab->[b,ab], cbc->[c,bc], cbba->[c,b,b,a]
+    //     counts: b:16, ab:2, c:10, bc:4, a:6  (tot 38)
+    //   Viterbi-1: bab->[b,a,b] (singles beat rare ab), cbc->[c,bc],
+    //     cbba unchanged -> counts shift: ab drops out, bc thins
+    //   Viterbi-2: cbc->[c,b,c] — the re-estimated LM undercuts bc.
+    // tok4 (V1) and tok5 (V2) must therefore DISAGREE on doc 2.
+    val merges = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val df = Seq(
+      (1L, "bab bab"),
+      (2L, "cbc cbc cbc cbc"),
+      (3L, "cbba cbba cbba cbba cbba cbba")).toDF("doc_id", "text")
+    def md5(s: String) = graft.functions.TextHashing.md5Hex(s)
+    val v1 = TextAnalysis.unigramTokenize(df, merges)
+      .orderBy("doc_id").collect()
+    val v2 = TextAnalysis.unigramTokenizeEm1(df, merges)
+      .orderBy("doc_id").collect()
+    // doc 2: V1 keeps bc (8 tokens), V2 splits it (12 tokens)
+    assert(v1(1).getLong(2) === 8L && v1(1).getString(3) ===
+      md5("c bc c bc c bc c bc"))
+    assert(v2(1).getLong(2) === 12L && v2(1).getString(3) ===
+      md5("c b c c b c c b c c b c"))
+    // docs 1 and 3 are EM-stable across the iteration
+    assert(v1(0).getString(3) === v2(0).getString(3))
+    assert(v1(2).getString(3) === v2(2).getString(3))
+    assert(v2(0).getString(3) === md5("b a b b a b"))
+    assert(v2(2).getString(3) === md5(Seq.fill(6)("c b b a").mkString(" ")))
+  }
+
   test("tokenBudgetPerKey/packSequences honor a supplied token-count column") {
     import spark.implicits._
     val df = Seq(
