@@ -73,6 +73,51 @@ object Similarity {
       .select(col("qid"), col("rnk"), col(idCol), col("dist_micro"))
   }
 
+  /** Hard-negative mining for contrastive training — per query, the
+    * top-k NEAREST candidates that are NOT positives, where "positive"
+    * = anything closer than `dupThreshMicro` (near-duplicates and
+    * same-source variants must never be served as negatives; the
+    * standard in-batch-negatives curation step). Emits `n_pos` (how
+    * many candidates the positive band excluded) alongside each row so
+    * the band's effect is visible — and hash-checked — in the output.
+    *
+    * Scale shape: [[bruteForceTopKL2]]'s broadcast-query single corpus
+    * pass (the documented brute baseline; swap an IVF/PQ candidate
+    * frame in at corpus scale), with the positive count folded into the
+    * SAME qid-partitioned window pass as the rank — one exchange total.
+    * Distances are integer micro-L2 end to end.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      dupThreshMicro: Long = 1400000L,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dupThreshMicro >= 0, s"invalid dupThreshMicro=$dupThreshMicro")
+    val e = Dedup.spread(
+      embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val q = e.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("dist_micro",
+        floor(graft.functions.GraftFunctions.squared_l2(col("qv"), col("v")) * lit(1e6)
+          + lit(0.5)).cast("long"))
+    val part = Window.partitionBy("qid")
+    val w = part.orderBy(
+      when(col("dist_micro") < dupThreshMicro, 1).otherwise(0),
+      col("dist_micro"), col(idCol))
+    // positives sort AFTER every negative, so ranks 1..k are exactly the
+    // nearest non-positives; n_pos rides the same qid partitioning
+    scored
+      .withColumn("n_pos",
+        sum(when(col("dist_micro") < dupThreshMicro, 1L).otherwise(0L))
+          .over(part).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k && col("dist_micro") >= dupThreshMicro)
+      .select(col("qid"), col("rnk"), col(idCol), col("dist_micro"), col("n_pos"))
+  }
+
   /** Label-noise screen: for each audited vector, the majority label of
     * its k nearest neighbors vs its own — the neighborhood-agreement
     * mislabel detector (the intuition behind confident-learning-style

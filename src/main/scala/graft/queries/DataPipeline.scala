@@ -999,6 +999,38 @@ object DataPipeline {
       .orderBy("qid")
   }
 
+  /** emb6: hard-negative mining ([[Similarity.hardNegatives]]) — per
+    * query, the top-10 nearest candidates OUTSIDE the positive band
+    * (dist_micro < 1,400,000 counts as a positive/near-dup and must
+    * never be served as a negative; at this corpus that band excludes
+    * the ~5-10 closest candidates per query, so both branches are
+    * live). `n_pos` (the excluded count) rides every row so the band's
+    * effect is hash-checked, not just the surviving ranks.
+    */
+  val emb6_hard_negatives = QueryDef.sqlChecked(
+    "emb6_hard_negatives",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |sc AS (SELECT qid, vec_id,
+      |        CAST(round(list_sum(list_transform(range(64),
+      |          j -> (qv[j+1] - v[j+1]) * (qv[j+1] - v[j+1]))) * 1000000) AS BIGINT)
+      |          AS dist_micro
+      |       FROM q, e WHERE vec_id <> qid),
+      |np AS (SELECT qid, CAST(sum(CASE WHEN dist_micro < 1400000 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_pos FROM sc GROUP BY qid),
+      |r AS (SELECT qid, vec_id, dist_micro,
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY
+      |           CASE WHEN dist_micro < 1400000 THEN 1 ELSE 0 END, dist_micro, vec_id)
+      |         AS INTEGER) AS rnk
+      |      FROM sc)
+      |SELECT r.qid, r.rnk, r.vec_id, r.dist_micro, np.n_pos
+      |FROM r JOIN np ON np.qid = r.qid
+      |WHERE rnk <= 10 AND dist_micro >= 1400000
+      |ORDER BY r.qid, rnk""".stripMargin) { (s, d) =>
+    Similarity.hardNegatives(Tables.embeddings(s, d), queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
   /** Semantic-dedup fixture: 40 exact copies of organic vectors are
     * planted in-query in BOTH engines (re-keyed +10000) — an identical
     * vector lands in the identical cell and scores cosine 1.0, so every
@@ -4274,7 +4306,7 @@ object DataPipeline {
     ann_brute_topk, ann_brute_l2, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
     ann_ivfpq_topk, ann_pq_incremental, ann_pq_residual, ann_label_noise,
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
-    emb5_pq_residual_recall,
+    emb5_pq_residual_recall, emb6_hard_negatives,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     ir1_bm25_topk, ir2_rrf_fusion, ir3_bm25_incremental,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,

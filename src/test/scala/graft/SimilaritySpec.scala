@@ -227,4 +227,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length === 500)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("hardNegatives: the positive band skips the nearest twin, counts it") {
+    import spark.implicits._
+    def v(x: Double) = x +: Seq.fill(63)(0.0)
+    val df = Seq(
+      (0L, v(0.0)),  // query
+      (1L, v(0.1)),  // d2 = 0.01  -> 10_000 micro: POSITIVE, excluded
+      (2L, v(1.0)),  // d2 = 1     -> 1_000_000: first hard negative
+      (3L, v(2.0)))  // d2 = 4     -> 4_000_000: second
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(df, queryIds = Seq(0L),
+        dupThreshMicro = 500000L, k = 10)
+      .orderBy("rnk").as[(Long, Int, Long, Long, Long)].collect()
+    assert(out === Array(
+      (0L, 1, 2L, 1000000L, 1L),
+      (0L, 2, 3L, 4000000L, 1L)))
+    // threshold 0 -> nothing is positive, the twin ranks first
+    val all = Similarity.hardNegatives(df, queryIds = Seq(0L),
+        dupThreshMicro = 0L, k = 10)
+      .orderBy("rnk").as[(Long, Int, Long, Long, Long)].collect()
+    assert(all.head === ((0L, 1, 1L, 10000L, 0L)) && all.length === 3)
+  }
 }
