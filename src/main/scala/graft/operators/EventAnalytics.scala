@@ -247,6 +247,52 @@ object EventAnalytics {
     * Final frames are channel-sized. Integer µs time math and integer
     * micro credits end to end (the ev7/gr1 integral rule).
     */
+  /** Automation/bot screen by inter-event regularity — humans arrive
+    * bursty (gap coefficient-of-variation ≈ 1 for memoryless traffic,
+    * higher for sessions), schedulers arrive metronomic (CV → 0): flag
+    * users whose gap CV sits below `cvThreshMicro` with at least
+    * `minGaps` observations. The abuse-filtering pass a training-data
+    * pipeline runs before ingesting user-generated events.
+    *
+    * Cross-engine exactness: gaps are integer µs; CV derives from THREE
+    * integer sums per user (count, Σgap as long, Σgap² in decimal(38,0)
+    * ↔ HUGEINT — a month-scale gap squared overflows a long) through
+    * one identically-structured double expression, then rounds to
+    * micro. Sparse users (fewer than 2 gaps) carry the −1 sentinel.
+    *
+    * Scale shape: ONE user-keyed exchange shared by the lag window and
+    * the per-user rollup (the ev1 rule); output is user-sized.
+    */
+  def regularityScreen(
+      events: DataFrame,
+      minGaps: Int = 5,
+      cvThreshMicro: Long = 850000L): DataFrame = {
+    require(minGaps >= 2 && cvThreshMicro > 0,
+      s"invalid regularity params ($minGaps, $cvThreshMicro)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val agg = gaps.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum("gap").cast("long").as("sum_gap_us"),
+        sum(col("gap").cast("decimal(20,0)") * col("gap")).as("sg2"))
+    val cvExpr =
+      sqrt(greatest(
+        (col("sg2").cast("double") - col("sum_gap_us").cast("double")
+          * col("sum_gap_us") / col("n_gaps")) / (col("n_gaps") - 1),
+        lit(0.0))) / (col("sum_gap_us").cast("double") / col("n_gaps"))
+    agg.select(col("user_id"), col("n_gaps"), col("sum_gap_us"),
+        when(col("n_gaps") >= 2 && col("sum_gap_us") > 0,
+          floor(cvExpr * lit(1000000.0) + lit(0.5)).cast("long"))
+          .otherwise(lit(-1L)).as("cv_micro"))
+      .withColumn("is_bot",
+        when(col("n_gaps") >= minGaps && col("cv_micro") >= 0 &&
+          col("cv_micro") < cvThreshMicro, lit(1)).otherwise(lit(0)))
+  }
+
   def attribution(
       events: DataFrame,
       lookbackDays: Int = 7,

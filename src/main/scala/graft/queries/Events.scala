@@ -279,6 +279,37 @@ object Events {
       .orderBy("channel")
   }
 
+  /** ev9: inter-event regularity bot screen
+    * ([[EventAnalytics.regularityScreen]]) — per-user gap CV in integer
+    * micro, flag below 0.85 with ≥5 gaps. The mirror replays the lag
+    * window, the three integer sums (Σgap² through HUGEINT — the gr3
+    * wide-integer rule) and the identically-structured CV expression.
+    */
+  val ev9_regularity = QueryDef.sqlChecked(
+    "ev9_regularity",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (SELECT user_id,
+      |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+      |      FROM e),
+      |a AS (SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+      |        CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+      |        sum(CAST(gap AS HUGEINT) * gap) AS sg2
+      |      FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      |c AS (SELECT user_id, n_gaps, sum_gap_us,
+      |        CASE WHEN n_gaps >= 2 AND sum_gap_us > 0 THEN
+      |          CAST(round(sqrt(greatest(
+      |              (CAST(sg2 AS DOUBLE) - CAST(sum_gap_us AS DOUBLE) * sum_gap_us / n_gaps)
+      |                / (n_gaps - 1), 0.0))
+      |            / (CAST(sum_gap_us AS DOUBLE) / n_gaps) * 1000000) AS BIGINT)
+      |        ELSE CAST(-1 AS BIGINT) END AS cv_micro
+      |      FROM a)
+      |SELECT user_id, n_gaps, sum_gap_us, cv_micro,
+      |  CASE WHEN n_gaps >= 5 AND cv_micro >= 0 AND cv_micro < 850000
+      |       THEN 1 ELSE 0 END AS is_bot
+      |FROM c ORDER BY user_id""".stripMargin) { (s, d) =>
+    EventAnalytics.regularityScreen(Tables.events(s, d)).orderBy("user_id")
+  }
+
   private val Gr3Iters = 3
 
   /** gr3 mirror: HITS unrolled — per round, the hub→authority sum, the
@@ -326,6 +357,6 @@ object Events {
 
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
-      ev6_error_anomaly, ev7_transitions, ev8_attribution, gr1_pagerank,
-      gr2_authority_sample, gr3_hits)
+      ev6_error_anomaly, ev7_transitions, ev8_attribution, ev9_regularity,
+      gr1_pagerank, gr2_authority_sample, gr3_hits)
 }

@@ -357,6 +357,32 @@ class EventAnalyticsSpec extends SparkSpec {
       (4L, 0L, 1L, 2L, "streaming")))
   }
 
+  test("regularityScreen: metronome flags, bursty human passes, sparse gets the sentinel") {
+    val events = ev(
+      // u1 metronome: 6 events exactly 100 s apart -> CV 0 -> bot
+      (1L, 0L, "view", 0, 1L), (1L, 100L, "view", 0, 2L),
+      (1L, 200L, "view", 0, 3L), (1L, 300L, "view", 0, 4L),
+      (1L, 400L, "view", 0, 5L), (1L, 500L, "view", 0, 6L),
+      // u2 bursty: gaps 1, 1, 1, 1, 996 s -> CV >> 0.85 -> human
+      (2L, 0L, "view", 0, 10L), (2L, 1L, "view", 0, 11L),
+      (2L, 2L, "view", 0, 12L), (2L, 3L, "view", 0, 13L),
+      (2L, 4L, "view", 0, 14L), (2L, 1000L, "view", 0, 15L),
+      // u3 sparse: one event -> no gaps -> absent (no lag row survives)
+      (3L, 0L, "view", 0, 20L),
+      // u4 two events -> one gap -> CV undefined -> -1 sentinel, not bot
+      (4L, 0L, "view", 0, 30L), (4L, 50L, "view", 0, 31L))
+    val out = EventAnalytics.regularityScreen(events)
+      .orderBy("user_id").as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L) === ((1L, 5L, 500000000L, 0L, 1)))          // CV exactly 0
+    assert(m(2L)._5 === 0 && m(2L)._4 > 850000L)             // bursty, unflagged
+    assert(m(4L) === ((4L, 1L, 50000000L, -1L, 0)))          // sentinel
+    // hand-check u2's CV: gaps (1,1,1,1,996) s, mean 200 s,
+    // var = (4*199^2 + 796^2)/4 = 198006.25 -> sd 444.978..., cv 2.224888
+    assert(m(2L)._4 === 2224888L)
+  }
+
   // lookback = 7 days = 604800 s in the seconds fixture
   private val Lb = 604800L
 

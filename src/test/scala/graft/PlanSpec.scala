@@ -1072,6 +1072,19 @@ class PlanSpec extends SparkSpec {
     assert(hashJoins <= 2, s"expected only the pair join (x2 branches), got $hashJoins:\n$p")
   }
 
+  /** The regularity screen's lag window and its per-user rollup share
+    * ONE user-keyed exchange (the ev1 rule — hash(user_id) satisfies
+    * the rollup's clustering).
+    */
+  test("ev9: regularity screen plans one user-keyed exchange, no joins") {
+    val p = fmtPlan(graft.operators.EventAnalytics.regularityScreen(
+      graft.sources.Tables.events(spark, sf)))
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(n === 1, s"expected one exchange, got $n:\n$p")
+    assert(!p.contains("Join"), s"ev9 must be join-free:\n$p")
+    assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"), p)
+  }
+
   /** PageRank's per-iteration joins are keyed equi-joins; a cartesian
     * or nested-loop anywhere in the unrolled plan would be quadratic
     * in the edge list.
