@@ -580,4 +580,34 @@ object Decontamination {
         col("kk").cast("long").as("k_sel"),
         round(-col("sel") / col("kk") / log(lit(2.0)), 4).as("mink_bits"))
   }
+
+  /** Canary-string leak report — the eval-canary / copyright-shield
+    * pass: benchmark suites and licensed sets embed unique GUID-like
+    * canary strings, and a training corpus that contains one has
+    * ingested the protected text verbatim. One row per canary (ZEROS
+    * INCLUDED — "canary X: 0 leaks" is the headline a release card
+    * needs): hit count and the smallest leaking doc id (−1 when clean).
+    *
+    * Scale shape: canaries broadcast (a handful of literals); the hit
+    * scan is ONE corpus pass of row-local `contains` per canary (a
+    * broadcast nested-loop on a C-row side — the singleton-broadcast
+    * pattern, C bounded by the canary registry); the report is
+    * C-sized via one canary-keyed rollup + a broadcast left join.
+    */
+  def canaryScan(
+      documents: DataFrame,
+      canaries: Seq[(Long, String)]): DataFrame = {
+    require(canaries.nonEmpty, "canaryScan: empty canary registry")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val c = canaries.toDF("canary_id", "pat")
+    val hits = documents.join(broadcast(c), col("text").contains(col("pat")))
+      .groupBy("canary_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).cast("long").as("min_doc"))
+    broadcast(c).join(hits, Seq("canary_id"), "left")
+      .select(col("canary_id"), col("pat"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("min_doc"), lit(-1L)).as("min_doc"))
+  }
 }

@@ -2957,6 +2957,45 @@ object DataPipeline {
     * (lp, w) order; boundary ties carry equal lp so the partial choice
     * can't move the hash).
     */
+  /** dc7: canary-string leak report ([[Decontamination.canaryScan]]).
+    * Three registry canaries; leaks for the first two are PLANTED
+    * in-query in BOTH engines (the dd10 union pattern — 3 docs carry
+    * the first canary, 1 the second), the third stays clean so the
+    * zero row is live. Organic text can't collide with the GUID-like
+    * patterns, so the counts are exact by construction.
+    */
+  val dc7_canary_scan = QueryDef.sqlChecked(
+    "dc7_canary_scan",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 20000, text || ' CANARY-a7f3c1' FROM documents WHERE doc_id < 3
+      |  UNION ALL SELECT doc_id + 21000, text || ' CANARY-b2e994' FROM documents WHERE doc_id < 1),
+      |canaries(canary_id, pat) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'CANARY-a7f3c1'),
+      |  (CAST(2 AS BIGINT), 'CANARY-b2e994'),
+      |  (CAST(3 AS BIGINT), 'CANARY-0clean')),
+      |hits AS (SELECT c.canary_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |          CAST(min(d.doc_id) AS BIGINT) AS min_doc
+      |         FROM corpus d JOIN canaries c ON contains(d.text, c.pat)
+      |         GROUP BY c.canary_id)
+      |SELECT c.canary_id, c.pat,
+      |  coalesce(h.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+      |  coalesce(h.min_doc, CAST(-1 AS BIGINT)) AS min_doc
+      |FROM canaries c LEFT JOIN hits h USING (canary_id)
+      |ORDER BY c.canary_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs
+      .unionByName(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" CANARY-a7f3c1")).as("text")))
+      .unionByName(docs.filter(col("doc_id") < 1)
+        .select((col("doc_id") + 21000).as("doc_id"),
+          concat(col("text"), lit(" CANARY-b2e994")).as("text")))
+    Decontamination.canaryScan(planted,
+        Seq((1L, "CANARY-a7f3c1"), (2L, "CANARY-b2e994"), (3L, "CANARY-0clean")))
+      .orderBy("canary_id")
+  }
+
   val dc6_mink_prob = QueryDef.sqlChecked(
     "dc6_mink_prob",
     """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -4312,7 +4351,7 @@ object DataPipeline {
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
-    dc5_combined_verdict, dc6_mink_prob,
+    dc5_combined_verdict, dc6_mink_prob, dc7_canary_scan,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
     sp7_sample_n, sp10_epoch_upsample, sp11_mixture_audit,

@@ -272,4 +272,23 @@ class BoundedSetAggSpec extends SparkSpec {
       .as[Array[String]].head()
     assert(got.length === 0)
   }
+
+  test("canaryScan: counts hits per canary, keeps the zero row, rejects an empty registry") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text"),
+      (2L, "leak CANARY-x here"),
+      (3L, "CANARY-x and CANARY-y both"),   // one hit row per canary
+      (4L, "also CANARY-y")).toDF("doc_id", "text")
+    val out = graft.operators.Decontamination.canaryScan(docs,
+        Seq((10L, "CANARY-x"), (20L, "CANARY-y"), (30L, "CANARY-z")))
+      .orderBy("canary_id").as[(Long, String, Long, Long)].collect()
+    assert(out === Array(
+      (10L, "CANARY-x", 2L, 2L),
+      (20L, "CANARY-y", 2L, 3L),
+      (30L, "CANARY-z", 0L, -1L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Decontamination.canaryScan(docs, Seq.empty)
+    }
+  }
 }
