@@ -114,6 +114,26 @@ object Bpe {
     * guarantees coverage: the vocab contains every token of the word's
     * bootstrap segmentation, so at least one full cover exists.
     */
+  /** Compare by Unicode CODE POINT — identical to UTF-8 byte order
+    * (UTF-8 is order-preserving), which is what the DuckDB mirror's
+    * packed-key `min()` realizes. Plain `String.compareTo` compares
+    * UTF-16 code units, which mis-orders supplementary characters
+    * (surrogate pairs sort below U+E000..U+FFFF) — invisible on ASCII
+    * vocabularies but a silent cross-engine divergence beyond them.
+    */
+  private def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def viterbiSegment(
       word: String,
       costs: java.util.HashMap[String, java.lang.Long],
@@ -136,11 +156,20 @@ object Bpe {
             val p = word.substring(pos, pos + pl)
             val nc = cost(pos) + c.longValue()
             val nn = np(pos) + 1
+            // packed-key contract with the SQL mirror: every DP state
+            // packs as printf('%015d', cost) || printf('%04d', n) — a
+            // cost >= 1e15 or >9999 pieces would overflow the fixed
+            // widths and silently break the mirror's lexicographic
+            // order, so the bound is enforced, not assumed
+            require(nc < 1000000000000000L && nn <= 9999,
+              s"viterbiSegment: packed-key bounds exceeded (cost=$nc n=$nn) " +
+                s"for '$word' — the %015d/%04d mirror contract caps " +
+                "cumulative micro-cost at 1e15 and pieces per word at 9999")
             val nt = if (pos == 0) p else toks(pos) + " " + p
             val e = pos + pl
             val better = cost(e) == Long.MaxValue || nc < cost(e) ||
               (nc == cost(e) && (nn < np(e) ||
-                (nn == np(e) && nt.compareTo(toks(e)) < 0)))
+                (nn == np(e) && codePointCompare(nt, toks(e)) < 0)))
             if (better) { cost(e) = nc; np(e) = nn; toks(e) = nt }
           }
           pl += 1

@@ -491,9 +491,14 @@ object Multimodal {
     // (hot-key aggregation included) executes once per side
     val sh = cappedFrameSets(frames, idCol, sigCol, maxDocFreq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the right side's join key is RENAMED (sb), not disambiguated by
+    // Dataset id: `l("s") === r("s")` on two projections of one
+    // persisted frame resolved only through Spark's self-join
+    // disambiguation (and warned "trivially true equals predicate") —
+    // one analyzer-config change away from a cartesian-with-true-filter
     val l = sh.select(col("doc_id").as("da"), col("s"), col("n").as("na"))
-    val r = sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb"))
-    l.join(r, l("s") === r("s") && l("da") < r("db"))
+    val r = sh.select(col("doc_id").as("db"), col("s").as("sb"), col("n").as("nb"))
+    l.join(r, col("s") === col("sb") && col("da") < col("db"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       // J >= threshold in exact integer arithmetic at 4-dp threshold

@@ -371,11 +371,15 @@ object PqSearch {
     val m = model.m
     val subDim = model.subDim
     val q = project(batch, idCol, vecCol)
-    // the gate scan stops at cap+1 rows — never a full count of a huge batch
-    val withinCap = q.limit(maxDriverBatchRows + 1).count() <= maxDriverBatchRows
+    // ONE take(cap+1) job both decides the path and supplies the
+    // broadcast rows (stops at cap+1 — never a full count of a huge
+    // batch): a separate count-then-collect re-evaluated the source, so
+    // a non-deterministic batch could pass the gate yet exceed the cap
+    // at collect time, and every probe paid an extra Spark job
+    val gateRows = q.take(maxDriverBatchRows + 1)
     val scored =
-      if (withinCap) {
-        val qRows = q.collect().sortBy(_._1)
+      if (gateRows.length <= maxDriverBatchRows) {
+        val qRows = gateRows.sortBy(_._1)
         val probes = qRows.flatMap { case (qid, qv) =>
           IvfSearch.probeCellsOf(qv, model.centroids, nProbe).map(c => (qid, c))
         }.toSeq.toDF("qid", "cell")
@@ -534,10 +538,12 @@ object PqSearch {
     val m = model.m
     val subDim = model.subDim
     val q = project(batch, idCol, vecCol)
-    val withinCap = q.limit(maxDriverBatchRows + 1).count() <= maxDriverBatchRows
+    // same single-job take(cap+1) gate as probePqCodes (see the note
+    // there): one scan decides the path and feeds the broadcast rows
+    val gateRows = q.take(maxDriverBatchRows + 1)
     val scored =
-      if (withinCap) {
-        val qRows = q.collect().sortBy(_._1)
+      if (gateRows.length <= maxDriverBatchRows) {
+        val qRows = gateRows.sortBy(_._1)
         val probes = qRows.flatMap { case (qid, qv) =>
           IvfSearch.probeCellsOf(qv, model.centroids, nProbe).map(c => (qid, c))
         }.toSeq.toDF("qid", "cell")

@@ -29,13 +29,17 @@ object SkewJoin {
       leftKey: String,
       rightKey: String,
       saltFactor: Int = 16): DataFrame = {
-    val saltCol = "__salt"
+    // distinct salt names per side: a shared name would lean on Spark's
+    // self-join column disambiguation (the "trivially true equals
+    // predicate" trap) whenever left and right derive from one frame
+    val saltL = "__salt_l"
+    val saltR = "__salt_r"
     // deterministic per-row salt from a row-local spread function
-    val l = left.withColumn(saltCol,
+    val l = left.withColumn(saltL,
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
-    val r = right.withColumn(saltCol,
+    val r = right.withColumn(saltR,
       explode(array((0 until saltFactor).map(lit): _*)))
-    l.join(r, l(leftKey) === r(rightKey) && l(saltCol) === r(saltCol))
-      .drop(saltCol)
+    l.join(r, l(leftKey) === r(rightKey) && col(saltL) === col(saltR))
+      .drop(saltL, saltR)
   }
 }

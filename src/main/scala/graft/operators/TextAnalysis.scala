@@ -574,11 +574,16 @@ object TextAnalysis {
     * the query fixture is a TakeOrdered top-(rankLo+Q·T) over the
     * vocabulary-sized df table collected to the driver (tens of rows —
     * bounded) and broadcast back; scoring filters tf by the broadcast
-    * term set (postings of Q·T mid-frequency terms), joins dl on the
-    * doc key, and the per-qid top-k window partitions by qid over
-    * posting-bounded candidate sets. For web-scale posting lists the
-    * documented upgrade is impact-ordered pruning (WAND) — out of scope
-    * here; the mid-frequency fixture keeps candidates bounded.
+    * term set (postings of Q·T mid-frequency terms) and joins dl on
+    * the doc key. Ranking is a BOUNDED PARTIAL TOP-K aggregate
+    * ([[topKByGroup]]), not a rank window: the window form capped
+    * parallelism at nQueries and sorted every candidate inside each
+    * qid partition — at 100× the corpus that is a handful of fat sort
+    * partitions — while the aggregator reduces every partition to ≤ k
+    * entries per qid before the shuffle. For web-scale posting lists
+    * the further upgrade is impact-ordered pruning (WAND/block-max) —
+    * a cursor algorithm with no faithful relational form; the partial
+    * top-k plus mid-frequency fixture keeps candidates bounded here.
     */
   def bm25TopK(
       documents: DataFrame,
@@ -587,16 +592,55 @@ object TextAnalysis {
       topK: Int = 10,
       rankLo: Int = 12,
       nQueries: Int = 4,
-      termsPerQuery: Int = 4): DataFrame = {
+      termsPerQuery: Int = 4): DataFrame =
+    bm25TopKManaged(documents, k1, b, topK, rankLo, nQueries, termsPerQuery)._1
+
+  /** [[bm25TopK]] with caller-managed cache cleanup (the
+    * screenAndPhaseManaged convention): the chain persists its tf frame
+    * and the returned result is LAZY, so the operator cannot unpersist
+    * it itself — callers that loop (soaks, batch drivers) invoke the
+    * thunk after the final action to release the cached frame instead
+    * of leaking one per call for the session lifetime.
+    */
+  def bm25TopKManaged(
+      documents: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      rankLo: Int = 12,
+      nQueries: Int = 4,
+      termsPerQuery: Int = 4): (DataFrame, () => Unit) = {
     require(topK > 0, s"invalid topK=$topK")
     val c = bm25Chain(documents, k1, b, rankLo, nQueries, termsPerQuery)
     val scores = c.hits.groupBy("qid", "doc_id")
       .agg(sum("s_micro").cast("long").as("bm25_micro"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
-    scores.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("doc_id"), col("bm25_micro"))
+    (topKByGroup(scores, "qid", "bm25_micro", "doc_id", topK),
+      () => { c.tf.unpersist(false); () })
+  }
+
+  /** Per-group bounded top-k via [[graft.functions.TopKScoredAgg]] —
+    * the scale-safe replacement for
+    * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id)`:
+    * the window form's parallelism is capped at the number of groups
+    * and each group partition sorts EVERY candidate row; the
+    * aggregator form reduces each input partition to at most k entries
+    * per group map-side, shuffles `partitions × groups × k` fixed-size
+    * rows, and never sorts a candidate set. Bit-identical output to
+    * the window form (the selection order `score DESC, id ASC` is
+    * total over integer columns). Output: (g, rnk, idCol, scoreCol),
+    * rnk 1-based best-first.
+    */
+  private[graft] def topKByGroup(
+      scores: DataFrame,
+      g: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKScoredAgg(k))
+    scores.groupBy(g).agg(topk(col(scoreCol), col(idCol)).as("top"))
+      .select(col(g), posexplode(col("top")))
+      .select(col(g), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as(idCol), col("col.score").as(scoreCol))
   }
 
   /** Shared retrieval chain for [[bm25TopK]] and [[rrfFusionTopK]]: the
@@ -690,7 +734,23 @@ object TextAnalysis {
       topK: Int = 10,
       rankLo: Int = 12,
       nQueries: Int = 4,
-      termsPerQuery: Int = 4): DataFrame = {
+      termsPerQuery: Int = 4): DataFrame =
+    rrfFusionTopKManaged(documents, k0, k1, b, topK, rankLo, nQueries,
+      termsPerQuery)._1
+
+  /** [[rrfFusionTopK]] with the [[bm25TopKManaged]] cache-release
+    * convention — the thunk unpersists the chain's tf frame after the
+    * caller's final action.
+    */
+  def rrfFusionTopKManaged(
+      documents: DataFrame,
+      k0: Int = 60,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      rankLo: Int = 12,
+      nQueries: Int = 4,
+      termsPerQuery: Int = 4): (DataFrame, () => Unit) = {
     require(k0 > 0 && topK > 0, s"invalid rrf params ($k0, $topK)")
     val c = bm25Chain(documents, k1, b, rankLo, nQueries, termsPerQuery)
     val scores = c.hits.groupBy("qid", "doc_id")
@@ -719,10 +779,11 @@ object TextAnalysis {
         (expr(s"1000000 div (${k0.toLong} + r1)")
           + expr(s"1000000 div (${k0.toLong} + r2)")).cast("long").as("rrf_micro"))
     val wf = Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id"))
-    rks.withColumn("rnk", row_number().over(wf).cast("int"))
+    val out = rks.withColumn("rnk", row_number().over(wf).cast("int"))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk"), col("doc_id"), col("rrf_micro"),
         col("bm25_rnk"), col("cos_rnk"))
+    (out, () => { c.tf.unpersist(false); () })
   }
 
   /** BM25 postings index for a RELEASED corpus — the retrieval analog
@@ -738,7 +799,15 @@ object TextAnalysis {
     * and a probe against a foreign/unstamped frame fails fast instead
     * of silently mis-scoring).
     */
-  def bm25Postings(documents: DataFrame): DataFrame = {
+  def bm25Postings(documents: DataFrame): DataFrame =
+    bm25PostingsManaged(documents)._1
+
+  /** [[bm25Postings]] with the [[bm25TopKManaged]] cache-release
+    * convention: the postings build persists its tf frame (three
+    * consumers) and the returned index is LAZY, so loops call the
+    * thunk after the index is written/consumed to release the cache.
+    */
+  def bm25PostingsManaged(documents: DataFrame): (DataFrame, () => Unit) = {
     val tok = Dedup.spread(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -748,12 +817,13 @@ object TextAnalysis {
     // three bounded scalars collected once at build time
     val n = documents.agg(count(lit(1)).cast("long")).head().getLong(0)
     val st = dl.agg(sum("dl").cast("long"), count(lit(1)).cast("long")).head()
-    Dedup.stampIndexMeta(
+    val idx = Dedup.stampIndexMeta(
       tf.join(df, "term").join(dl, "doc_id")
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
           col("df"), col("dl")),
       "tf", "bm25_postings",
       Map("n" -> n, "sdl" -> st.getLong(0), "nd" -> st.getLong(1)))
+    (idx, () => { tf.unpersist(false); () })
   }
 
   /** Probe a frozen [[bm25Postings]] index with NEW term queries
@@ -793,11 +863,7 @@ object TextAnalysis {
             * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"))
     val scores = hits.groupBy("qid", "doc_id")
       .agg(sum("s_micro").cast("long").as("bm25_micro"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
-    scores.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("doc_id"), col("bm25_micro"))
+    topKByGroup(scores, "qid", "bm25_micro", "doc_id", topK)
   }
 
   /** PII pattern scrubbing: redact emails and URLs, emit match counts

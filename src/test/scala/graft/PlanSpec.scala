@@ -298,9 +298,34 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("bm25_postings"),
       s"probe must scan the persisted postings parquet:\n$p")
-    assert(!p.contains("Generate"),
+    // the ONLY Generate allowed is the posexplode that unrolls the
+    // bounded top-k array back into ranked rows — a Generate over
+    // explode(tokens) would mean the probe re-tokenized released text
+    assert(!p.contains("Generate explode"),
       s"probe must not re-tokenize text (explode found):\n$p")
+    assert(p.contains("posexplode"),
+      s"rank recovery must be the bounded-array posexplode:\n$p")
+    // ranking is the partial top-k aggregate, never a qid-partitioned
+    // rank window (parallelism there caps at the query count — the r14
+    // ir1 scale flag)
+    assert(!p.contains("Window"),
+      s"probe ranking must be the bounded top-k aggregate, not a rank window:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ir1: bm25 ranking is a partial top-k aggregate, not a rank window") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.bm25TopK(corpus)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the window form capped parallelism at nQueries and sorted every
+    // candidate per qid; the aggregator form partial-aggregates to <= k
+    // entries per (partition, qid) before the exchange
+    assert(!p.contains("Window"),
+      s"bm25TopK must rank via TopKScoredAgg, not a qid rank window:\n$p")
+    assert(p.contains("posexplode"),
+      s"rank recovery must be the bounded-array posexplode:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("dd15: corpus verify side is semi-joined to candidates, no cartesian") {

@@ -682,6 +682,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("topKByGroup: bit-identical to the rank-window form, ties included") {
+    import spark.implicits._
+    // seeded congruential scores with heavy collisions (mod 7) so the
+    // (score desc, id asc) tie-break is genuinely exercised; 3 groups,
+    // 200 candidates each, k smaller than the candidate count
+    val rows = (0 until 600).map { i =>
+      (i % 3L, ((i * 2654435761L) % 7L).abs, i.toLong)
+    }
+    val scores = rows.toDF("qid", "s", "doc_id").repartition(11)
+    val got = TextAnalysis.topKByGroup(scores, "qid", "s", "doc_id", 5)
+      .orderBy("qid", "rnk").as[(Long, Int, Long, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (q, g) =>
+      g.sortBy { case (_, s, id) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((_, s, id), i) => (q, i + 1, id, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+  }
+
+  test("bm25TopKManaged: release thunk unpersists the chain's tf cache") {
+    // pristine cache state: CacheManager dedups identical plans, so a
+    // tf frame leaked by an earlier (unmanaged) bm25 call in this suite
+    // would absorb this call's persist and mask the release
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def cachedRdds(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds()
+    val (df, release) = TextAnalysis.bm25TopKManaged(docs)
+    assert(df.count() === 40)
+    assert(cachedRdds() > before,
+      "the chain should have persisted its tf frame")
+    release()
+    assert(cachedRdds() === before,
+      "release() must unpersist the tf frame — looped callers leak otherwise")
+  }
+
   test("rrfFusionTopK: hand-computed fusion on a 3-doc corpus") {
     import spark.implicits._
     val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z w"))
