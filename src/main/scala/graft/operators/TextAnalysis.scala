@@ -355,59 +355,49 @@ object TextAnalysis {
       documents: DataFrame,
       merges: Seq[(String, String)],
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    unigramTokenizeEm(documents, merges, rounds = 1, idCol, textCol,
+      nTokCol = "n_em1_tokens", md5Col = "em1_md5")
+
+  /** Unigram-LM EM run TO CONVERGENCE (capped at `rounds` iterations) —
+    * the full SentencePiece training loop on top of
+    * [[unigramTokenize]]'s bootstrap: each round recounts pieces from
+    * the previous round's Viterbi segmentation (M-step; pieces the
+    * decoder stopped using fall out of the LM — the vocabulary prune)
+    * and re-estimates the costs. The loop EARLY-STOPS at the first
+    * exact fixed point: when a round's counts equal the previous
+    * round's, the costs are identical, so every further round replays
+    * the same segmentation — the capped loop and a fixed `rounds`
+    * unroll (what the SQL mirror does) provably agree. Output shape
+    * matches [[unigramTokenize]]: (doc, n_words, nTokCol, md5Col of
+    * the final re-segmented stream).
+    *
+    * Scale shape: `2 + roundsRun` narrow typed corpus passes, each
+    * with per-partition word memos, and one vocab-bounded count
+    * exchange per round; the driver only ever holds the piece
+    * vocabulary, and the loop state (counts map) is vocab-sized.
+    */
+  def unigramTokenizeEm(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      rounds: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nTokCol: String = "n_em_tokens",
+      md5Col: String = "em_md5"): DataFrame = {
+    require(rounds >= 1, s"invalid rounds=$rounds")
     val spark = documents.sparkSession
     import spark.implicits._
     val pieces = merges.map { case (a, b) => a + b }.toSet
-    val mmMaxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
     val base = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-    // pass 1: occurrence-weighted bootstrap counts (vocab-sized agg)
-    val counts0 = base.mapPartitions { it =>
-        val memo = new java.util.HashMap[String, Array[String]]()
-        val cnt = new scala.collection.mutable.HashMap[String, Long]()
-        it.foreach { case (_, text) =>
-          graft.functions.TextHashing.tokens(text).foreach { w =>
-            var segs = memo.get(w)
-            if (segs == null) {
-              segs = graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen)
-              memo.put(w, segs)
-            }
-            segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
-          }
-        }
-        cnt.iterator
-      }
-      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val costs0 = unigramMicroCosts(counts0)
-    val maxLen0 = if (counts0.isEmpty) 1 else counts0.map(_._1.length).max
-    val bc0 = spark.sparkContext.broadcast(costs0)
-    // pass 2 (M-step input): occurrence-weighted VITERBI-1 piece counts
-    val counts1 = base.mapPartitions { it =>
-        val cs = bc0.value
-        val memo = new java.util.HashMap[String, Array[String]]()
-        val cnt = new scala.collection.mutable.HashMap[String, Long]()
-        it.foreach { case (_, text) =>
-          graft.functions.TextHashing.tokens(text).foreach { w =>
-            var segs = memo.get(w)
-            if (segs == null) {
-              segs = graft.functions.Bpe.viterbiSegment(w, cs, maxLen0)
-              memo.put(w, segs)
-            }
-            segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
-          }
-        }
-        cnt.iterator
-      }
-      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val costs1 = unigramMicroCosts(counts1)
-    val maxLen1 = if (counts1.isEmpty) 1 else counts1.map(_._1.length).max
-    val bc1 = spark.sparkContext.broadcast(costs1)
-    // pass 3 (E-step): re-segment under the re-estimated LM
+    val (_, countsF) = unigramEmCounts(base, pieces, rounds)
+    val costsF = unigramMicroCosts(countsF)
+    val maxLenF = if (countsF.isEmpty) 1 else countsF.map(_._1.length).max
+    val bcF = spark.sparkContext.broadcast(costsF)
+    // final E-step: re-segment the corpus under the converged LM
     base.mapPartitions { it =>
-        val cs = bc1.value
+        val cs = bcF.value
         val memo = new java.util.HashMap[String, Array[String]]()
         it.map { case (id, text) =>
           val words = graft.functions.TextHashing.tokens(text)
@@ -416,7 +406,7 @@ object TextAnalysis {
           words.foreach { w =>
             var segs = memo.get(w)
             if (segs == null) {
-              segs = graft.functions.Bpe.viterbiSegment(w, cs, maxLen1)
+              segs = graft.functions.Bpe.viterbiSegment(w, cs, maxLenF)
               memo.put(w, segs)
             }
             nt += segs.length
@@ -429,7 +419,98 @@ object TextAnalysis {
             graft.functions.TextHashing.md5Hex(sb.toString))
         }
       }
-      .toDF(idCol, "n_words", "n_em1_tokens", "em1_md5")
+      .toDF(idCol, "n_words", nTokCol, md5Col)
+  }
+
+  /** The vocabulary-prune view of the EM loop: which bootstrap pieces
+    * survived `rounds` EM iterations (SentencePiece's vocabulary
+    * shrinking, Kudo 2018 §3.2 — a piece the Viterbi decoder stops
+    * using gets count 0 and leaves the LM). Output, one row per
+    * BOOTSTRAP piece: (piece, boot_cnt, final_cnt, cost_micro, kept)
+    * where pruned pieces carry final_cnt 0 and cost_micro −1 (an
+    * integer sentinel, NOT NULL — a nullable BIGINT materializes as
+    * float64 in pandas on the DuckDB side and the driver's hasher
+    * would see 123.0 vs 123, the recorded pk1 dtype trap).
+    * Driver state is vocab-sized; the corpus work is the same EM loop
+    * as [[unigramTokenizeEm]].
+    */
+  def unigramVocabPrune(
+      documents: DataFrame,
+      merges: Seq[(String, String)],
+      rounds: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"invalid rounds=$rounds")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pieces = merges.map { case (a, b) => a + b }.toSet
+    val base = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+    val (counts0, countsF) = unigramEmCounts(base, pieces, rounds)
+    val totF = countsF.map(_._2).sum
+    val fin = countsF.toMap
+    counts0.toSeq.sortBy(_._1)
+      .map { case (p, c0) =>
+        val cf = fin.getOrElse(p, 0L)
+        val cost =
+          if (cf == 0L) -1L
+          else math.floor(
+            (math.log(totF.toDouble) - math.log(cf.toDouble)) * 1e6 + 0.5).toLong
+        (p, c0, cf, cost, cf > 0L)
+      }
+      .toDF("piece", "boot_cnt", "final_cnt", "cost_micro", "kept")
+  }
+
+  /** The EM count loop shared by [[unigramTokenizeEm]] and
+    * [[unigramVocabPrune]]: bootstrap (MaxMatch) piece counts, then up
+    * to `rounds` occurrence-weighted Viterbi recounts, early-stopped at
+    * the first exact count fixed point (see [[unigramTokenizeEm]] for
+    * why that is mirror-equivalent to a fixed unroll). Returns
+    * (bootstrap counts, final counts); both are vocab-sized.
+    */
+  private def unigramEmCounts(
+      base: org.apache.spark.sql.Dataset[(Long, String)],
+      pieces: Set[String],
+      rounds: Int): (Array[(String, Long)], Array[(String, Long)]) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val mmMaxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+    // one occurrence-weighted counting pass under a per-partition
+    // memoized segmenter (the bpeTokenize Zipf argument)
+    def countWith(mkSeg: () => String => Array[String]): Array[(String, Long)] =
+      base.mapPartitions { it =>
+          val seg = mkSeg()
+          val memo = new java.util.HashMap[String, Array[String]]()
+          val cnt = new scala.collection.mutable.HashMap[String, Long]()
+          it.foreach { case (_, text) =>
+            graft.functions.TextHashing.tokens(text).foreach { w =>
+              var segs = memo.get(w)
+              if (segs == null) { segs = seg(w); memo.put(w, segs) }
+              segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
+            }
+          }
+          cnt.iterator
+        }
+        .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts0 = countWith(() =>
+      w => graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen))
+    var counts = counts0
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val costs = unigramMicroCosts(counts)
+      val maxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
+      val bc = spark.sparkContext.broadcast(costs)
+      val next = countWith { () =>
+        val cs = bc.value
+        w => graft.functions.Bpe.viterbiSegment(w, cs, maxLen)
+      }
+      converged = next.toMap == counts.toMap
+      counts = next
+      r += 1
+    }
+    (counts0, counts)
   }
 
   /** [[bpeTokenize]] plus the memo-effectiveness counters the scale

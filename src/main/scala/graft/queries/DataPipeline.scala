@@ -3514,7 +3514,16 @@ object DataPipeline {
     * `floor(x·1e6 + 0.5)` vs `round(x·1e6)::BIGINT` (x ≥ 0, the
     * recorded half-away-from-zero pattern).
     */
-  private val Tok4Sql: String = {
+  /** Shared tok4 CTE chain — `WITH RECURSIVE` through `pb` (the
+    * Viterbi-1 best segmentation per distinct word, under the MaxMatch
+    * bootstrap LM). The tok4/tok5/tok6/tok7 mirrors COMPOSE this
+    * builder with [[tokEmRoundCtes]] / [[tokUnigramFinalSelect]]
+    * instead of substring-splicing a finished query (the r14 ADVICE
+    * fragility: a rename inside tok4's SQL silently corrupted tok5).
+    * Ends with a trailing comma — callers append further CTEs or the
+    * final `ag` directly.
+    */
+  private def tokUnigramPrefix: String = {
     val pieces = BpeMerges.map { case (a, b) => a + b }.distinct
     val piecesList = pieces.map(p => s"('$p')").mkString(", ")
     s"""WITH RECURSIVE
@@ -3544,13 +3553,24 @@ object DataPipeline {
        |    SELECT wc.occ, unnest(string_split(mm.toks, ' ')) AS piece
        |    FROM mm JOIN wc ON wc.w = mm.w)
        |  GROUP BY piece),
-       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM boot),
-       |vs AS MATERIALIZED (
+       |${tokCostViterbiCtes(boot = "boot", suffix = "")}""".stripMargin
+  }
+
+  /** One cost-table + pruned-Viterbi + best-segmentation CTE group:
+    * `tot⟨s⟩`/`vs⟨s⟩`/`vit⟨s⟩`/`best⟨s⟩`/`pb⟨s⟩` derived from piece
+    * counts in `boot`. Shared by the bootstrap chain (suffix "") and
+    * every EM round (suffix "2", "3", …). Trailing comma included.
+    */
+  private def tokCostViterbiCtes(boot: String, suffix: String): String = {
+    val (tot, vs, vit, best, pb) =
+      (s"tot$suffix", s"vs$suffix", s"vit$suffix", s"best$suffix", s"pb$suffix")
+    s"""$tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM $boot),
+       |$vs AS MATERIALIZED (
        |  SELECT piece, length(piece) AS pl, substr(piece, 1, 1) AS c1,
-       |    CAST(round((ln(CAST((SELECT tot FROM tot) AS DOUBLE))
+       |    CAST(round((ln(CAST((SELECT tot FROM $tot) AS DOUBLE))
        |                - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS cmic
-       |  FROM boot),
-       |vit(w, pos, key) AS (
+       |  FROM $boot),
+       |$vit(w, pos, key) AS (
        |  SELECT w, 1, printf('%015d', 0) || '|' || printf('%04d', 0) || '|' FROM dw
        |  UNION
        |  SELECT w, pos2, min(key2) FROM (
@@ -3559,21 +3579,44 @@ object DataPipeline {
        |      printf('%04d', CAST(substr(s.key, 17, 4) AS BIGINT) + 1) || '|' ||
        |      (CASE WHEN s.pos = 1 THEN v.piece
        |            ELSE substr(s.key, 22) || ' ' || v.piece END) AS key2
-       |    FROM vit s JOIN vs v
+       |    FROM $vit s JOIN $vs v
        |      ON substr(s.w, s.pos, 1) = v.c1 AND substr(s.w, s.pos, v.pl) = v.piece
        |    WHERE s.pos <= length(s.w)) GROUP BY w, pos2),
-       |best AS MATERIALIZED (
-       |  SELECT w, min(key) AS key FROM vit WHERE pos = length(w) + 1 GROUP BY w),
-       |pb AS (SELECT w, CAST(substr(key, 17, 4) AS BIGINT) AS n,
-       |        substr(key, 22) AS toks FROM best),
-       |ag AS (SELECT tw.doc_id, CAST(sum(pb.n) AS BIGINT) AS n_uni_tokens,
-       |        md5(string_agg(pb.toks, ' ' ORDER BY tw.j)) AS uni_md5
-       |       FROM tw JOIN pb ON pb.w = tw.w GROUP BY tw.doc_id)
-       |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_words,
-       |  coalesce(ag.n_uni_tokens, CAST(0 AS BIGINT)) AS n_uni_tokens,
-       |  coalesce(ag.uni_md5, md5('')) AS uni_md5
-       |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin
+       |$best AS MATERIALIZED (
+       |  SELECT w, min(key) AS key FROM $vit WHERE pos = length(w) + 1 GROUP BY w),
+       |$pb AS (SELECT w, CAST(substr(key, 17, 4) AS BIGINT) AS n,
+       |        substr(key, 22) AS toks FROM $best),""".stripMargin
   }
+
+  /** One EM round on top of a previous segmentation CTE `prevPb`:
+    * M-step recount (`boot⟨s⟩`, occurrence-weighted; unused pieces
+    * drop out — the vocabulary prune) followed by the re-estimated
+    * cost table and re-segmentation Viterbi. Trailing comma included.
+    */
+  private def tokEmRoundCtes(prevPb: String, suffix: String): String =
+    s"""boot$suffix AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(occ) AS BIGINT) AS cnt FROM (
+       |    SELECT wc.occ, unnest(string_split($prevPb.toks, ' ')) AS piece
+       |    FROM $prevPb JOIN wc ON wc.w = $prevPb.w)
+       |  GROUP BY piece),
+       |${tokCostViterbiCtes(boot = s"boot$suffix", suffix = suffix)}""".stripMargin
+
+  /** The per-document roll-up + final projection over a segmentation
+    * CTE `pb⟨s⟩`, emitting `(doc_id, n_words, nCol, md5Col)`.
+    */
+  private def tokUnigramFinalSelect(
+      pb: String, nCol: String, md5Col: String): String =
+    s"""ag AS (SELECT tw.doc_id, CAST(sum($pb.n) AS BIGINT) AS $nCol,
+       |        md5(string_agg($pb.toks, ' ' ORDER BY tw.j)) AS $md5Col
+       |       FROM tw JOIN $pb ON $pb.w = tw.w GROUP BY tw.doc_id)
+       |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_words,
+       |  coalesce(ag.$nCol, CAST(0 AS BIGINT)) AS $nCol,
+       |  coalesce(ag.$md5Col, md5('')) AS $md5Col
+       |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin
+
+  private val Tok4Sql: String =
+    tokUnigramPrefix + "\n" +
+      tokUnigramFinalSelect("pb", "n_uni_tokens", "uni_md5")
 
   val tok4_unigram = QueryDef.sqlChecked("tok4_unigram", Tok4Sql) { (s, d) =>
     TextAnalysis.unigramTokenize(Tables.documents(s, d), BpeMerges)
@@ -3587,51 +3630,71 @@ object DataPipeline {
     * re-segments under the re-estimated costs. Same packed
     * `cost|n|toks` keys and MATERIALIZED stage discipline as tok4.
     */
-  private val Tok5Sql: String = {
-    val base = Tok4Sql
-    // splice before the final SELECT: reuse every tok4 CTE up to pb
-    val cut = base.lastIndexOf("ag AS (")
-    val head = base.substring(0, cut)
-    head +
-      s"""boot2 AS MATERIALIZED (
-         |  SELECT piece, CAST(sum(occ) AS BIGINT) AS cnt FROM (
-         |    SELECT wc.occ, unnest(string_split(pb.toks, ' ')) AS piece
-         |    FROM pb JOIN wc ON wc.w = pb.w)
-         |  GROUP BY piece),
-         |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM boot2),
-         |vs2 AS MATERIALIZED (
-         |  SELECT piece, length(piece) AS pl, substr(piece, 1, 1) AS c1,
-         |    CAST(round((ln(CAST((SELECT tot FROM tot2) AS DOUBLE))
-         |                - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS cmic
-         |  FROM boot2),
-         |vit2(w, pos, key) AS (
-         |  SELECT w, 1, printf('%015d', 0) || '|' || printf('%04d', 0) || '|' FROM dw
-         |  UNION
-         |  SELECT w, pos2, min(key2) FROM (
-         |    SELECT s.w, s.pos + v.pl AS pos2,
-         |      printf('%015d', CAST(substr(s.key, 1, 15) AS BIGINT) + v.cmic) || '|' ||
-         |      printf('%04d', CAST(substr(s.key, 17, 4) AS BIGINT) + 1) || '|' ||
-         |      (CASE WHEN s.pos = 1 THEN v.piece
-         |            ELSE substr(s.key, 22) || ' ' || v.piece END) AS key2
-         |    FROM vit2 s JOIN vs2 v
-         |      ON substr(s.w, s.pos, 1) = v.c1 AND substr(s.w, s.pos, v.pl) = v.piece
-         |    WHERE s.pos <= length(s.w)) GROUP BY w, pos2),
-         |best2 AS MATERIALIZED (
-         |  SELECT w, min(key) AS key FROM vit2 WHERE pos = length(w) + 1 GROUP BY w),
-         |pb2 AS (SELECT w, CAST(substr(key, 17, 4) AS BIGINT) AS n,
-         |        substr(key, 22) AS toks FROM best2),
-         |ag AS (SELECT tw.doc_id, CAST(sum(pb2.n) AS BIGINT) AS n_em1_tokens,
-         |        md5(string_agg(pb2.toks, ' ' ORDER BY tw.j)) AS em1_md5
-         |       FROM tw JOIN pb2 ON pb2.w = tw.w GROUP BY tw.doc_id)
-         |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_words,
-         |  coalesce(ag.n_em1_tokens, CAST(0 AS BIGINT)) AS n_em1_tokens,
-         |  coalesce(ag.em1_md5, md5('')) AS em1_md5
-         |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin
-  }
+  private val Tok5Sql: String =
+    tokUnigramPrefix + "\n" +
+      tokEmRoundCtes("pb", "2") + "\n" +
+      tokUnigramFinalSelect("pb2", "n_em1_tokens", "em1_md5")
 
   val tok5_unigram_em1 = QueryDef.sqlChecked("tok5_unigram_em1", Tok5Sql) { (s, d) =>
     TextAnalysis.unigramTokenizeEm1(Tables.documents(s, d), BpeMerges)
       .orderBy("doc_id")
+  }
+
+  /** tok6 mirror: unigram-LM EM run to convergence, capped at THREE
+    * rounds — the full SentencePiece training loop. The Spark side
+    * early-stops at the first exact count fixed point; the mirror
+    * unrolls all three rounds unconditionally, which provably lands on
+    * the same segmentation (identical counts ⇒ identical costs ⇒ every
+    * further Viterbi replays itself — the unroll just re-derives the
+    * fixed point). Each round composes [[tokEmRoundCtes]]: M-step
+    * recount, re-estimated micro-costs, per-round-argmin-pruned
+    * Viterbi — the tok5 chain iterated.
+    */
+  private val Tok6Sql: String =
+    tokUnigramPrefix + "\n" +
+      tokEmRoundCtes("pb", "2") + "\n" +
+      tokEmRoundCtes("pb2", "3") + "\n" +
+      tokEmRoundCtes("pb3", "4") + "\n" +
+      tokUnigramFinalSelect("pb4", "n_em_tokens", "em_md5")
+
+  val tok6_unigram_em = QueryDef.sqlChecked("tok6_unigram_em", Tok6Sql) { (s, d) =>
+    TextAnalysis.unigramTokenizeEm(Tables.documents(s, d), BpeMerges, rounds = 3)
+      .orderBy("doc_id")
+  }
+
+  /** tok7 mirror: the vocabulary-prune view of the 3-round EM loop —
+    * one row per BOOTSTRAP piece with its bootstrap count, its count
+    * under the final (fixed-point) segmentation, the final micro-cost
+    * (−1 sentinel when pruned: a nullable BIGINT would cross pandas as
+    * float64, the recorded pk1 dtype trap) and the kept flag. `boot4`
+    * here is ONLY the round-4 M-step recount (counts of pb3) — the
+    * final counts the Spark loop returns; no fourth Viterbi is run on
+    * either side.
+    */
+  private val Tok7Sql: String =
+    tokUnigramPrefix + "\n" +
+      tokEmRoundCtes("pb", "2") + "\n" +
+      tokEmRoundCtes("pb2", "3") + "\n" +
+      s"""boot4 AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(occ) AS BIGINT) AS cnt FROM (
+         |    SELECT wc.occ, unnest(string_split(pb3.toks, ' ')) AS piece
+         |    FROM pb3 JOIN wc ON wc.w = pb3.w)
+         |  GROUP BY piece),
+         |tot4 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM boot4)
+         |SELECT b.piece AS piece,
+         |  CAST(b.cnt AS BIGINT) AS boot_cnt,
+         |  CAST(coalesce(f.cnt, 0) AS BIGINT) AS final_cnt,
+         |  CASE WHEN f.cnt IS NULL THEN CAST(-1 AS BIGINT)
+         |       ELSE CAST(round((ln(CAST((SELECT tot FROM tot4) AS DOUBLE))
+         |                        - ln(CAST(f.cnt AS DOUBLE))) * 1000000) AS BIGINT)
+         |  END AS cost_micro,
+         |  (f.cnt IS NOT NULL) AS kept
+         |FROM boot b LEFT JOIN boot4 f USING (piece)
+         |ORDER BY piece""".stripMargin
+
+  val tok7_vocab_prune = QueryDef.sqlChecked("tok7_vocab_prune", Tok7Sql) { (s, d) =>
+    TextAnalysis.unigramVocabPrune(Tables.documents(s, d), BpeMerges, rounds = 3)
+      .orderBy("piece")
   }
 
   /** sp8b: the token-budget pass denominated in REAL (BPE) tokens —
@@ -4367,6 +4430,8 @@ object DataPipeline {
     pk4_fim_transform, pk5_pack_stats,
     tok1_bpe_tokenize, tok2_fertility, tok3_maxmatch, tok4_unigram,
     tok5_unigram_em1,
+    tok6_unigram_em,
+    tok7_vocab_prune,
     sp8b_bpe_budget,
     pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,

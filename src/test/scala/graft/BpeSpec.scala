@@ -277,6 +277,65 @@ class BpeSpec extends SparkSpec {
     assert(v2(2).getString(3) === md5(Seq.fill(6)("c b b a").mkString(" ")))
   }
 
+  test("unigramTokenizeEm: a SECOND EM round flips again; cap vs convergence agree") {
+    import spark.implicits._
+    // Searched 2-round fixture: pieces {aa, ba, ca}, occurrences
+    // bccb x1, ccba x2, acbb x6, aaca x2. The word aaca re-segments
+    // THREE distinct ways:
+    //   bootstrap/V1: [aa][ca]   (its own MaxMatch cover is cheapest)
+    //   V2 (em1):     [aa][c][a] (ca thins out of the round-1 counts)
+    //   V3+:          [a][a][c][a] (aa follows in round 2; fixed point
+    //                 from round 3 on — the search verified V3=V4=V5)
+    // so tok5 (one round) and tok6 (to convergence) MUST disagree, and
+    // a higher cap must not change the converged answer (early stop).
+    val merges = Seq(("a", "a"), ("b", "a"), ("c", "a"))
+    val df = Seq(
+      (1L, "bccb"),
+      (2L, "ccba ccba"),
+      (3L, Seq.fill(6)("acbb").mkString(" ")),
+      (4L, "aaca aaca")).toDF("doc_id", "text")
+    def md5(s: String) = graft.functions.TextHashing.md5Hex(s)
+    val v2 = TextAnalysis.unigramTokenizeEm1(df, merges)
+      .orderBy("doc_id").collect()
+    val em3 = TextAnalysis.unigramTokenizeEm(df, merges, rounds = 3)
+      .orderBy("doc_id").collect()
+    val em5 = TextAnalysis.unigramTokenizeEm(df, merges, rounds = 5)
+      .orderBy("doc_id").collect()
+    assert(v2(3).getLong(2) === 6L &&
+      v2(3).getString(3) === md5("aa c a aa c a"))
+    assert(em3(3).getLong(2) === 8L &&
+      em3(3).getString(3) === md5("a a c a a a c a"))
+    // the other words settle after round 1 and must agree across caps
+    assert(em3.map(_.getString(3)).toSeq === em5.map(_.getString(3)).toSeq)
+    assert(em3(0).getString(3) === md5("b c c b"))
+    assert(em3(1).getString(3) === md5("c c b a c c b a"))
+  }
+
+  test("unigramVocabPrune: all three bootstrap merges fall out of the converged LM") {
+    import spark.implicits._
+    val merges = Seq(("a", "a"), ("b", "a"), ("c", "a"))
+    val df = Seq(
+      (1L, "bccb"),
+      (2L, "ccba ccba"),
+      (3L, Seq.fill(6)("acbb").mkString(" ")),
+      (4L, "aaca aaca")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramVocabPrune(df, merges, rounds = 3)
+      .orderBy("piece").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // bootstrap counts: a 6, aa 2, b 14, ba 2, c 12, ca 2 (tot 38);
+    // converged counts: a 14, b 16, c 14 (tot 44) — every merge pruned
+    def cost(cnt: Long): Long =
+      math.floor((math.log(44.0) - math.log(cnt.toDouble)) * 1e6 + 0.5).toLong
+    assert(out.keySet === Set("a", "aa", "b", "ba", "c", "ca"))
+    assert(out("a") === ((6L, 14L, cost(14), true)))
+    assert(out("b") === ((14L, 16L, cost(16), true)))
+    assert(out("c") === ((12L, 14L, cost(14), true)))
+    assert(out("aa") === ((2L, 0L, -1L, false)))
+    assert(out("ba") === ((2L, 0L, -1L, false)))
+    assert(out("ca") === ((2L, 0L, -1L, false)))
+  }
+
   test("tokenBudgetPerKey/packSequences honor a supplied token-count column") {
     import spark.implicits._
     val df = Seq(
