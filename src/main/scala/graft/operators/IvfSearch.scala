@@ -332,13 +332,11 @@ object IvfSearch {
       .toDF("qid", "qv", "cell")
 
     // probe: equi-join on the cell id — scans nProbe/nClusters of corpus
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
-    assigned.join(broadcast(probes), "cell")
+    val scored = assigned.join(broadcast(probes), "cell")
       .filter(col(idCol) =!= col("qid"))
       .withColumn("sim",
         round(graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("v")), 4))
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col(idCol), col("sim"))
+    // bounded partial top-k, not a qid rank window (see TopK)
+    TopK.bySimDesc(scored, "qid", "sim", idCol, k)
   }
 }

@@ -192,9 +192,10 @@ object PqSearch {
       }
     }.toDF("qid", "vec_id", "adist_micro")
     e.unpersist(blocking = false)
-    val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topK)
+    // bounded partial top-k (ascending ADC distance) — see TopK: the
+    // qid rank window capped parallelism at the query count
+    TopK.byGroupAsc(scored.select(col("qid"), col("adist_micro"), col("vec_id")),
+      "qid", "adist_micro", "vec_id", topK)
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
 
@@ -430,9 +431,10 @@ object PqSearch {
           .groupBy("qid", "vec_id")
           .agg(sum("dmic").cast("long").as("adist_micro"))
       }
-    val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topK)
+    // bounded partial top-k (ascending ADC distance) — see TopK: the
+    // qid rank window capped parallelism at the query count
+    TopK.byGroupAsc(scored.select(col("qid"), col("adist_micro"), col("vec_id")),
+      "qid", "adist_micro", "vec_id", topK)
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
 
@@ -600,9 +602,10 @@ object PqSearch {
           .groupBy("qid", "vec_id")
           .agg(sum("dmic").cast("long").as("adist_micro"))
       }
-    val w = Window.partitionBy("qid").orderBy(col("adist_micro"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topK)
+    // bounded partial top-k (ascending ADC distance) — see TopK: the
+    // qid rank window capped parallelism at the query count
+    TopK.byGroupAsc(scored.select(col("qid"), col("adist_micro"), col("vec_id")),
+      "qid", "adist_micro", "vec_id", topK)
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
 

@@ -37,10 +37,11 @@ object Similarity {
     val scored = e.join(broadcast(q), col(idCol) =!= col("qid"))
       .withColumn("sim",
         round(graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("v")), 4))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col(idCol), col("sim"))
+    // bounded partial top-k, not a qid rank window: every corpus
+    // partition reduces to <= k candidates per query before the
+    // shuffle (see TopK — the window form sorted the whole corpus
+    // inside #queries partitions)
+    TopK.bySimDesc(scored, "qid", "sim", idCol, k)
   }
 
   /** Exact squared-L2 top-k — the metric-matched baseline for the PQ
@@ -67,9 +68,9 @@ object Similarity {
       .withColumn("dist_micro",
         floor(graft.functions.GraftFunctions.squared_l2(col("qv"), col("v")) * lit(1e6)
           + lit(0.5)).cast("long"))
-    val w = Window.partitionBy("qid").orderBy(col("dist_micro"), col(idCol))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    // bounded partial top-k (ascending distance) — see bruteForceTopK
+    TopK.byGroupAsc(scored.select(col("qid"), col("dist_micro"), col(idCol)),
+      "qid", "dist_micro", idCol, k)
       .select(col("qid"), col("rnk"), col(idCol), col("dist_micro"))
   }
 
@@ -84,7 +85,8 @@ object Similarity {
     * Scale shape: [[bruteForceTopKL2]]'s broadcast-query single corpus
     * pass (the documented brute baseline; swap an IVF/PQ candidate
     * frame in at corpus scale), with the positive count folded into the
-    * SAME qid-partitioned window pass as the rank — one exchange total.
+    * SAME bounded top-k aggregate as the rank (see [[TopK]]) — one
+    * exchange total, ≤ k buffered entries per query per partition.
     * Distances are integer micro-L2 end to end.
     */
   def hardNegatives(
@@ -103,19 +105,25 @@ object Similarity {
       .withColumn("dist_micro",
         floor(graft.functions.GraftFunctions.squared_l2(col("qv"), col("v")) * lit(1e6)
           + lit(0.5)).cast("long"))
-    val part = Window.partitionBy("qid")
-    val w = part.orderBy(
-      when(col("dist_micro") < dupThreshMicro, 1).otherwise(0),
-      col("dist_micro"), col(idCol))
-    // positives sort AFTER every negative, so ranks 1..k are exactly the
-    // nearest non-positives; n_pos rides the same qid partitioning
-    scored
-      .withColumn("n_pos",
+    // ONE bounded aggregate does double duty (the window form's single
+    // pass, kept — but with <= k buffered entries per query instead of
+    // a full qid-partition sort): positives enter the top-k with a
+    // Long.MinValue score so they sort AFTER every negative (ranks
+    // 1..#negatives are exactly the nearest non-positives, as before)
+    // and are dropped post-explode, while n_pos folds into the same
+    // groupBy as a plain conditional sum.
+    val topk = udaf(new graft.functions.TopKScoredAgg(k))
+    scored.groupBy("qid")
+      .agg(
+        topk(when(col("dist_micro") < dupThreshMicro, lit(Long.MinValue))
+            .otherwise(-col("dist_micro")), col(idCol)).as("top"),
         sum(when(col("dist_micro") < dupThreshMicro, 1L).otherwise(0L))
-          .over(part).cast("long"))
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k && col("dist_micro") >= dupThreshMicro)
-      .select(col("qid"), col("rnk"), col(idCol), col("dist_micro"), col("n_pos"))
+          .cast("long").as("n_pos"))
+      .select(col("qid"), col("n_pos"), posexplode(col("top")))
+      .filter(col("col.score") =!= Long.MinValue)
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as(idCol), (-col("col.score")).as("dist_micro"),
+        col("n_pos"))
   }
 
   /** Label-noise screen: for each audited vector, the majority label of
@@ -296,14 +304,12 @@ object Similarity {
         explode(array(probeFlips(nBits).map(lit): _*)).as("flip"), col("qbucket"))
       .select(col("qid"), col("qv"), expr("qbucket ^ flip").as("probe_bucket"))
 
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
-    sig.join(broadcast(probes),
+    val scored = sig.join(broadcast(probes),
         col("bucket") === col("probe_bucket") && col(idCol) =!= col("qid"))
       .withColumn("sim",
         round(graft.functions.GraftFunctions.cosine_similarity(col("qv"), col("v")), 4))
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col(idCol), col("sim"))
+    // bounded partial top-k over the bucket-bounded candidates
+    TopK.bySimDesc(scored, "qid", "sim", idCol, k)
   }
 
   /** Sparse random projection (Achlioptas 2003): reduce `embedding`

@@ -699,30 +699,15 @@ object TextAnalysis {
       () => { c.tf.unpersist(false); () })
   }
 
-  /** Per-group bounded top-k via [[graft.functions.TopKScoredAgg]] —
-    * the scale-safe replacement for
-    * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id)`:
-    * the window form's parallelism is capped at the number of groups
-    * and each group partition sorts EVERY candidate row; the
-    * aggregator form reduces each input partition to at most k entries
-    * per group map-side, shuffles `partitions × groups × k` fixed-size
-    * rows, and never sorts a candidate set. Bit-identical output to
-    * the window form (the selection order `score DESC, id ASC` is
-    * total over integer columns). Output: (g, rnk, idCol, scoreCol),
-    * rnk 1-based best-first.
+  /** Per-group bounded top-k — see [[graft.operators.TopK.byGroupDesc]]
+    * (shared with the ANN family).
     */
   private[graft] def topKByGroup(
       scores: DataFrame,
       g: String,
       scoreCol: String,
       idCol: String,
-      k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.TopKScoredAgg(k))
-    scores.groupBy(g).agg(topk(col(scoreCol), col(idCol)).as("top"))
-      .select(col(g), posexplode(col("top")))
-      .select(col(g), (col("pos") + 1).cast("int").as("rnk"),
-        col("col.id").as(idCol), col("col.score").as(scoreCol))
-  }
+      k: Int): DataFrame = TopK.byGroupDesc(scores, g, scoreCol, idCol, k)
 
   /** Shared retrieval chain for [[bm25TopK]] and [[rrfFusionTopK]]: the
     * persisted tf frame, vocabulary df, corpus stats, the broadcast

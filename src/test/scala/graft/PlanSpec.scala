@@ -636,7 +636,7 @@ class PlanSpec extends SparkSpec {
       s"doc-keyed agg must combine map-side:\n$p")
   }
 
-  test("ann_pq: ADC scoring is join-free — one narrow pass then the top-k window") {
+  test("ann_pq: ADC scoring is join-free — one narrow pass then the bounded top-k") {
     // PQ's whole point: after encode, scoring is per-row table lookups
     // against broadcast distance tables. Any join/cartesian appearing in
     // the returned plan means the ADC scan regressed to a pair join.
@@ -645,7 +645,12 @@ class PlanSpec extends SparkSpec {
       "CartesianProduct", "BroadcastNestedLoopJoin").foreach { j =>
       assert(!p.contains(j), s"ann_pq scoring plan must not contain $j:\n$p")
     }
-    assert(p.contains("Window"), s"per-query top-k window missing:\n$p")
+    // ranking is the bounded partial top-k aggregate (TopK), never a
+    // qid rank window whose parallelism caps at the query count
+    assert(!p.contains("Window"),
+      s"ann_pq must rank via the bounded top-k aggregate, not a window:\n$p")
+    assert(p.contains("posexplode"),
+      s"rank recovery must be the bounded-array posexplode:\n$p")
   }
 
   /** Logical-plan windows: the physical WindowExec hides behind
