@@ -999,6 +999,72 @@ object DataPipeline {
       .orderBy("qid")
   }
 
+  /** ann_sq8: scalar-quantization top-k ([[graft.operators.SqSearch]],
+    * FAISS QT_8bit parity) — per-dimension min/max train, uint8 encode,
+    * asymmetric full-query-vs-decoded-code squared L2. The mirror
+    * replays the whole chain: the per-dim stats aggregate, the half-up
+    * encode, and the ascending-dim decode/fold with ONE
+    * `round(d²·1e6)` per pair (the ann_brute_l2 exactness argument —
+    * both engines fold dimensions in ascending order, and the decode
+    * expression `mn + cd·(mx−mn)/255` is structurally identical).
+    */
+  private val AnnSq8Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |st AS MATERIALIZED (
+      |  SELECT j, min(v[j+1]) AS mn, max(v[j+1]) AS mx
+      |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+      |  GROUP BY j),
+      |stl AS MATERIALIZED (
+      |  SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+      |c AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(range(64), j ->
+      |    CASE WHEN mxs[j+1] > mns[j+1]
+      |         THEN CAST(floor((v[j+1] - mns[j+1])
+      |                         / (mxs[j+1] - mns[j+1]) * 255.0 + 0.5) AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END) AS cd
+      |  FROM e, stl),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |sc AS (SELECT qid, vec_id,
+      |        CAST(round(list_sum(list_transform(range(64), j ->
+      |          (qv[j+1] - (mns[j+1] + cd[j+1] * (mxs[j+1] - mns[j+1]) / 255.0))
+      |          * (qv[j+1] - (mns[j+1] + cd[j+1] * (mxs[j+1] - mns[j+1]) / 255.0))
+      |        )) * 1000000) AS BIGINT) AS adist_micro
+      |       FROM q, c, stl WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, adist_micro,
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_micro, vec_id)
+      |            AS INTEGER) AS rnk
+      |      FROM sc)
+      |SELECT qid, rnk, vec_id, adist_micro FROM r WHERE rnk <= 10
+      |ORDER BY qid, rnk""".stripMargin
+
+  val ann_sq8 = QueryDef.sqlChecked("ann_sq8", AnnSq8Sql) { (s, d) =>
+    graft.operators.SqSearch.sq8TopK(Tables.embeddings(s, d),
+        queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
+  /** emb7: recall@10 of the SQ8 index against the exact L2 panel — the
+    * emb4 acceptance-audit pattern for the scalar-quantization layout.
+    * Both oracle chains nest as subqueries, so stats drift, encode
+    * drift, or baseline drift all move the hash.
+    */
+  val emb7_sq_recall = QueryDef.sqlChecked(
+    "emb7_sq_recall",
+    s"""WITH b AS (SELECT qid, vec_id FROM ($AnnBruteL2Sql)),
+       |i AS (SELECT qid, vec_id, 1 AS hit FROM ($AnnSq8Sql)),
+       |h AS (SELECT b.qid, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hit
+       |      FROM b LEFT JOIN i ON i.qid = b.qid AND i.vec_id = b.vec_id
+       |      GROUP BY b.qid)
+       |SELECT qid, n_hit, round(n_hit / 10.0, 4) AS recall_at_10
+       |FROM h ORDER BY qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecall(
+      Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
+      graft.operators.SqSearch.sq8TopK(emb, queryIds = AnnQueryIds),
+      k = 10)
+      .orderBy("qid")
+  }
+
   /** emb6: hard-negative mining ([[Similarity.hardNegatives]]) — per
     * query, the top-10 nearest candidates OUTSIDE the positive band
     * (dist_micro < 1,400,000 counts as a positive/near-dup and must
@@ -4409,6 +4475,7 @@ object DataPipeline {
     ann_ivfpq_topk, ann_pq_incremental, ann_pq_residual, ann_label_noise,
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
     emb5_pq_residual_recall, emb6_hard_negatives,
+    ann_sq8, emb7_sq_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     ir1_bm25_topk, ir2_rrf_fusion, ir3_bm25_incremental,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
