@@ -1507,6 +1507,102 @@ object TextAnalysis {
         coalesce(round(col("bits"), 4), lit(0.0)).as("bits_per_token"))
   }
 
+  /** Interpolated Kneser-Ney bigram score (Kneser & Ney 1995; Chen &
+    * Goodman 1998's interpolated form — the KenLM default, public
+    * algorithm) — the production-grade refinement of
+    * [[bigramLogProb]]'s Laplace smoothing:
+    *
+    *   p(b|a) = max(c(a,b) − D, 0)/c(a·) + D·N₁₊(a,·)/c(a·) · p_cont(b)
+    *   p_cont(b) = N₁₊(·,b) / N₁₊(·,·)
+    *
+    * with fixed discount D (0.75, the textbook value), history mass
+    * c(a·) = Σ_b c(a,b), and the continuation distribution asking "how
+    * many distinct histories precede b" rather than "how often does b
+    * occur" — the correction that stops high-frequency-but-predictable
+    * tokens ("Francisco") from leaking probability into novel contexts.
+    * Self-trained on the scored corpus (the txt_ppl convention), so
+    * every scored transition has c(a,b) ≥ 1 and p ∈ (0, 1) strictly.
+    *
+    * Cross-engine exactness: per (doc, a, b) row the k-weighted
+    * surprisal rounds to integer MICRO-nats (`floor(k·(−ln p)·1e6+0.5)`,
+    * −ln p > 0 so the x ≥ 0 emit rule applies) BEFORE the per-doc sum —
+    * integer sums are partition-order-free where the txt_ppl family's
+    * double sums lean on the final 4-dp round; one division chain at
+    * the end.
+    *
+    * Scale shape: [[bigramLogProb]]'s hardened form — one narrow typed
+    * pair pass collapsing immediately to (doc, a, b, k), one
+    * (a, b)-keyed count exchange, and then ONLY vocab-sized frames:
+    * c(a·)/N₁₊(a,·) fold into a single history agg, N₁₊(·,b) into a
+    * continuation agg, both broadcast (Heaps' law keeps them far under
+    * any broadcast gate on natural text) into the c2 table so the
+    * scored frame joins once on (a, b) and never re-shuffles on a raw
+    * token. The bigram-type frame persists for its four consumers —
+    * callers that loop use [[knBigramLogProbManaged]]'s release hook.
+    */
+  def knBigramLogProb(
+      documents: DataFrame,
+      discount: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    knBigramLogProbManaged(documents, discount, idCol, textCol)._1
+
+  /** [[knBigramLogProb]] with the [[bm25TopKManaged]] cache-release
+    * convention for the persisted bigram-type frame.
+    */
+  def knBigramLogProbManaged(
+      documents: DataFrame,
+      discount: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, () => Unit) = {
+    require(discount > 0.0 && discount < 1.0, s"invalid discount=$discount")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+    val pairs = Dedup.spread(base)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = graft.functions.TextHashing.tokens(text)
+        val out = new Array[(Long, String, String)](math.max(t.length - 1, 0))
+        var i = 0
+        while (i + 1 < t.length) { out(i) = (id, t(i), t(i + 1)); i += 1 }
+        out
+      }
+      .toDF("doc_id", "pa", "pb")
+      // 64-bit token hashes on every exchange (the bigramLogProb rule;
+      // collision bound ~V²/2⁶⁵, the accepted signature-family bound)
+      .select(col("doc_id"), xxhash64(col("pa")).as("ha"),
+        xxhash64(col("pb")).as("hb"))
+    val dt = pairs.groupBy("doc_id", "ha", "hb").agg(count(lit(1)).as("k"))
+    // bigram TYPES: four consumers (history agg, continuation agg, the
+    // type total, the score join) — persisted, released via the hook
+    val c2 = dt.groupBy("ha", "hb").agg(sum(col("k")).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = c2.groupBy("ha")
+      .agg(sum("c2").as("ca"), count(lit(1)).as("n1a"))
+    val cont = c2.groupBy("hb").agg(count(lit(1)).as("n1b"))
+    val ntot = c2.agg(count(lit(1)).as("n1tot"))
+    val c2x = c2.join(broadcast(hist), Seq("ha"))
+      .join(broadcast(cont), Seq("hb"))
+      .crossJoin(broadcast(ntot))
+    val p = greatest(col("c2") - lit(discount), lit(0.0)) / col("ca") +
+      lit(discount) * col("n1a") / col("ca") * (col("n1b") / col("n1tot"))
+    val scored = dt.join(c2x, Seq("ha", "hb"))
+      .select(col("doc_id"), col("k"),
+        floor(col("k") * (-log(p)) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("mic"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("n_trans"),
+        round(sum("mic").cast("long") / lit(1000000.0)
+          / sum("k").cast("long") / log(lit(2.0)), 4).as("bits"))
+    val out = base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("bits"), lit(0.0)).as("bits_per_token"))
+    (out, () => { c2.unpersist(false); () })
+  }
+
   /** Hashed-feature linear quality classifier — the Spark plumbing of a
     * fasttext-style filter (hash each token into a D-bucket weight
     * table, average the weights, threshold), the shape used for e.g.

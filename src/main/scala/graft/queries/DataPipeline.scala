@@ -3147,6 +3147,52 @@ object DataPipeline {
       TextAnalysis.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** txt_ppl4: interpolated Kneser-Ney bigram surprisal
+    * ([[TextAnalysis.knBigramLogProb]], the KenLM default smoothing) —
+    * txt_ppl2's screen with the production discount/continuation
+    * estimator. The mirror replays the full estimator relationally
+    * (history mass + distinct-continuation counts off the bigram-type
+    * table, the continuation distribution off distinct histories per
+    * word, fixed D = 0.75) with the SAME expression tree, and the
+    * k-weighted surprisal crosses as integer micro-nats per
+    * (doc, a, b) row BEFORE the per-doc sum — partition-order-free
+    * where the txt_ppl family's double sums lean on the 4-dp round.
+    */
+  val txt_ppl4_kn = QueryDef.sqlChecked(
+    "txt_ppl4_kn",
+    """WITH wl AS MATERIALIZED (SELECT doc_id,
+      |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      |        FROM wl),
+      |bi AS (SELECT a.doc_id, a.w AS pa, b.w AS pb
+      |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |dt AS MATERIALIZED (SELECT doc_id, pa, pb, CAST(count(*) AS BIGINT) AS k
+      |       FROM bi GROUP BY doc_id, pa, pb),
+      |c2 AS MATERIALIZED (SELECT pa, pb, CAST(sum(k) AS BIGINT) AS c2
+      |       FROM dt GROUP BY pa, pb),
+      |ca AS MATERIALIZED (SELECT pa, CAST(sum(c2) AS BIGINT) AS ca,
+      |        CAST(count(*) AS BIGINT) AS n1a FROM c2 GROUP BY pa),
+      |nb AS MATERIALIZED (SELECT pb, CAST(count(*) AS BIGINT) AS n1b
+      |       FROM c2 GROUP BY pb),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM c2),
+      |sc AS (SELECT doc_id, k,
+      |        CAST(round(k * (-ln(
+      |          greatest(c2.c2 - 0.75, 0.0) / ca.ca
+      |          + 0.75 * ca.n1a / ca.ca * (nb.n1b / nt.n1tot)
+      |        )) * 1000000) AS BIGINT) AS mic
+      |       FROM dt JOIN c2 USING (pa, pb) JOIN ca ON ca.pa = dt.pa
+      |         JOIN nb ON nb.pb = dt.pb CROSS JOIN nt),
+      |ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trans,
+      |        round(CAST(sum(mic) AS BIGINT) / 1000000.0
+      |              / CAST(sum(k) AS BIGINT) / ln(2), 4) AS bits
+      |       FROM sc GROUP BY doc_id)
+      |SELECT wl.doc_id, coalesce(ag.n_trans, CAST(0 AS BIGINT)) AS n_trans,
+      | coalesce(ag.bits, 0.0) AS bits_per_token
+      |FROM wl LEFT JOIN ag USING (doc_id) ORDER BY wl.doc_id""".stripMargin) {
+    (s, d) =>
+      TextAnalysis.knBigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val txt_clf = QueryDef.sqlChecked(
     "txt_clf",
     s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -4488,7 +4534,8 @@ object DataPipeline {
     rl1_release_diff, rf1_corpus_refresh, rf1b_refresh_prepared,
     txt_domains, txt_encoding,
     dd11_url_dedup, sp8_token_budget,
-    dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl1b, txt_ppl2, txt_clf,
+    dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl1b, txt_ppl2,
+    txt_ppl4_kn, txt_clf,
     rl2_corpus_card, rl3_length_quantiles, rl5_signal_corr, sp9_curriculum,
     dd12b_span_drop, txt_entropy, txt_ppl3_buckets, txt_topics,
     txt_filter_stack,

@@ -682,6 +682,61 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("knBigramLogProb: exact replay of the interpolated-KN estimator; screen orders correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x y x y"), // one dominant transition pattern
+      (2L, "x q z y w"),   // four one-off transitions
+      (3L, "z")).toDF("doc_id", "text") // no transitions -> (0, 0.0)
+    val out = TextAnalysis.knBigramLogProb(df).orderBy("doc_id").collect()
+    // replay the contract: bigram counts over the whole fixture, history
+    // mass + distinct continuations, continuation distribution, D=0.75,
+    // micro-nat rounding per (doc, a, b) row before the per-doc sum
+    val docs = Seq(1L -> "x y x y x y", 2L -> "x q z y w", 3L -> "z")
+    val pairs = docs.flatMap { case (id, t) =>
+      val w = t.split(' '); w.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val dt = pairs.groupBy(identity).map { case ((id, a, b), g) => (id, a, b, g.size.toLong) }
+    val c2 = pairs.groupBy(p => (p._2, p._3)).map { case ((a, b), g) => ((a, b), g.size.toLong) }
+    val ca = c2.groupBy(_._1._1).map { case (a, g) => (a, (g.values.sum, g.size.toLong)) }
+    val nb = c2.groupBy(_._1._2).map { case (b, g) => (b, g.size.toLong) }
+    val nt = c2.size.toLong
+    def bits(id: Long): (Long, Double) = {
+      val rows = dt.filter(_._1 == id)
+      val n = rows.map(_._4).sum
+      val mic = rows.map { case (_, a, b, k) =>
+        val (cam, n1a) = ca(a)
+        val p = math.max(c2((a, b)) - 0.75, 0.0) / cam +
+          0.75 * n1a / cam * (nb(b).toDouble / nt)
+        math.floor(k * (-math.log(p)) * 1e6 + 0.5).toLong
+      }.sum
+      (n, BigDecimal(mic / 1e6 / n / math.log(2.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val (n1, b1) = bits(1L)
+    val (n2, b2) = bits(2L)
+    assert(out(0).getLong(1) === n1 && out(0).getDouble(2) === b1)
+    assert(out(1).getLong(1) === n2 && out(1).getDouble(2) === b2)
+    assert(out(2).getLong(1) === 0L && out(2).getDouble(2) === 0.0)
+    // the screen's purpose: one-off word salad reads higher surprisal
+    assert(b2 > b1, s"expected salad $b2 > patterned $b1")
+  }
+
+  test("knBigramLogProb: repartition-invariant; managed release drops the cache") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = TextAnalysis.knBigramLogProb(docs).orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.knBigramLogProb(docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (df, release) = TextAnalysis.knBigramLogProbManaged(docs)
+    assert(df.count() > 0)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "release() must unpersist the bigram-type frame")
+  }
+
   test("topKByGroup: bit-identical to the rank-window form, ties included") {
     import spark.implicits._
     // seeded congruential scores with heavy collisions (mod 7) so the
