@@ -83,54 +83,16 @@ object Clustering {
 
     // init: the k smallest ids, in cluster-id order (cid = rank of the
     // seed id, 0-based) — k rows to the driver, never the corpus
-    var centroids: Array[(Int, Array[Double])] =
-      e.orderBy("vec_id").limit(k).collect()
-        .map(_._2).zipWithIndex.map { case (v, i) => (i, v) }
+    val centroids = lloydCentroids(e, k, iters)
 
-    // argmin over the broadcast centroids (shared by the assignment
-    // output and the update pass): per-centroid squared-L2 as a
+    // argmin over the broadcast centroids: per-centroid squared-L2 as a
     // left-to-right fold, rounded 6 dp BEFORE comparison (cross-engine
     // fold order cannot flip the winner), ties to the lower cluster id.
-    // Returns the broadcast too so callers can destroy it post-use.
-    def assign(cs: Array[(Int, Array[Double])])
-        : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) = {
-      val bc = spark.sparkContext.broadcast(cs)
-      val df = e.map { case (id, v) =>
+    val bc = spark.sparkContext.broadcast(centroids)
+    val out = e.map { case (id, v) =>
         val (best, bestD) = Clustering.nearest(bc.value, v)
         (id, best, bestD)
       }.toDF("vec_id", "cluster", "dist")
-      (df, bc)
-    }
-
-    var it = 1
-    while (it < iters) {
-      // centroid update: the assignment pass CARRIES the vector (no
-      // join back to the corpus — an id-keyed join here would shuffle
-      // the corpus twice per iteration), explodes to (cluster, dim, x)
-      // and takes the (cluster, dim)-keyed mean: map-side partials
-      // collapse to partitions x k x dim rows, k*dim rows reach the
-      // driver, rounded 6 dp so every engine resumes from the same
-      // doubles
-      val bc = spark.sparkContext.broadcast(centroids)
-      val means =
-        try {
-          e.map { case (_, v) => (Clustering.nearest(bc.value, v)._1, v) }
-            .toDF("cluster", "v")
-            .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-            .groupBy("cluster", "i")
-            .agg(avg("x").as("m"))
-            .collect()
-        } finally bc.destroy()
-      centroids = means.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
-        case (cid, rows) =>
-          val dim = rows.map(_.getInt(1)).max + 1
-          val arr = new Array[Double](dim)
-          rows.foreach(r => arr(r.getInt(1)) = TextAnalysis.round6(r.getDouble(2)))
-          (cid, arr)
-      }
-      it += 1
-    }
-    val (out, _) = assign(centroids)
     // release the iteration cache: the returned plan costs one source
     // scan either way, and holding corpus-sized blocks past the call
     // would accumulate across repeated kmeans() calls in a session
@@ -171,6 +133,129 @@ object Clustering {
     kmeans(embeddings, k, iters, idCol, vecCol)
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= quota)
+  }
+
+  /** The deterministic Lloyd trajectory shared by [[kmeans]] and
+    * [[silhouetteAudit]]: first-k-ids init, `iters - 1` round-6 mean
+    * updates over broadcast centroids (the update exchange collapses
+    * map-side to partitions × k × dim rows; only k×dim doubles reach
+    * the driver), empty clusters dropped. Each in-loop broadcast is
+    * destroyed once its means are collected.
+    */
+  private[operators] def lloydCentroids(
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      k: Int,
+      iters: Int): Array[(Int, Array[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // init: the k smallest ids, in cluster-id order (cid = rank of the
+    // seed id, 0-based) — k rows to the driver, never the corpus
+    var centroids: Array[(Int, Array[Double])] =
+      e.orderBy("vec_id").limit(k).collect()
+        .map(_._2).zipWithIndex.map { case (v, i) => (i, v) }
+    var it = 1
+    while (it < iters) {
+      // centroid update: the assignment pass CARRIES the vector (no
+      // join back to the corpus — an id-keyed join here would shuffle
+      // the corpus twice per iteration), explodes to (cluster, dim, x)
+      // and takes the (cluster, dim)-keyed mean, rounded 6 dp so every
+      // engine resumes from the same doubles
+      val bc = spark.sparkContext.broadcast(centroids)
+      val means =
+        try {
+          e.map { case (_, v) => (Clustering.nearest(bc.value, v)._1, v) }
+            .toDF("cluster", "v")
+            .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy("cluster", "i")
+            .agg(avg("x").as("m"))
+            .collect()
+        } finally bc.destroy()
+      centroids = means.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
+        case (cid, rows) =>
+          val dim = rows.map(_.getInt(1)).max + 1
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = TextAnalysis.round6(r.getDouble(2)))
+          (cid, arr)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Cluster-quality audit by SECOND-NEAREST MARGIN — the simplified
+    * (centroid-based) silhouette of Hruschka et al., the standard
+    * O(n·k) stand-in for the O(n²) pairwise silhouette at corpus
+    * scale: per point, a = round-6 squared L2 to its OWN (nearest)
+    * centroid, b = the second-nearest centroid's distance, and the
+    * margin s = (b − a) / b ∈ [0, 1] (s = 0 when b = 0, the
+    * coincident-centroids edge). High mean margin = well-separated
+    * cluster; a collapsing pair of centroids drags its members toward
+    * 0 — the acceptance number a clustering re-fit ships with, next to
+    * [[kmeans]] the way emb2/emb4 ride their ANN indexes.
+    *
+    * Cross-engine exactness: s rounds to integer micro per POINT
+    * (`floor(s·1e6 + 0.5)`, s ≥ 0) before the per-cluster sum, and the
+    * mean divides two exact integers once (`Σ micro div n` — the
+    * dd18/emb3 micro-average rule).
+    *
+    * Scale shape: [[lloydCentroids]]'s narrow passes, then ONE more
+    * narrow typed pass (k distances per row, best/second-best carried
+    * in two registers) into a k-row aggregate. Nothing sorts, joins or
+    * collects the corpus.
+    */
+  def silhouetteAudit(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2 && iters >= 1, s"invalid k=$k iters=$iters (need k >= 2)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = Dedup.spread(embeddings.select(
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull))
+      .as[(Long, Array[Double])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = lloydCentroids(e, k, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val sil = e.flatMap { case (_, v) =>
+      val cs = bc.value
+      var bestC = -1
+      var d1 = Double.MaxValue
+      var db = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)._2
+        val n = math.min(v.length, cv.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { val dd = v(i) - cv(i); s += dd * dd; i += 1 }
+        val r = TextAnalysis.round6(s)
+        if (r < d1) { db = d1; d1 = r; bestC = cs(c)._1 }
+        else if (r < db) { db = r }
+        c += 1
+      }
+      if (db == Double.MaxValue) {
+        // fewer than two surviving centroids (empty-cluster drops can
+        // shrink the codebook): no second-nearest exists, the margin is
+        // undefined and the point drops — the mirror's rn = 2 inner
+        // join realizes the same rule
+        None
+      } else {
+        val mic =
+          if (db > 0.0) math.floor((db - d1) / db * 1e6 + 0.5).toLong
+          else 0L
+        Some((bestC, mic))
+      }
+    }.toDF("cluster", "mic")
+    e.unpersist(blocking = false)
+    sil.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("mic").cast("long").as("sm"))
+      .select(col("cluster"), col("n"),
+        expr("sm div n").cast("long").as("mean_sil_micro"))
   }
 
   /** Round-6 squared-L2 argmin over the candidate centroids: the fold

@@ -342,4 +342,52 @@ object EventAnalytics {
         lit(0L).as("n_pairs"), lit(0L).as("linear_micro"))
     attributed.unionByName(none)
   }
+
+  /** Discrete-time survival/churn lifetable (the Kaplan–Meier
+    * estimator's grouped form): per activity-lifetime period, how many
+    * users were still at risk, how many CHURNED there (lifetime ended
+    * with observable time left) and how many were CENSORED (still
+    * active at the corpus end — their true lifetime is unknown, and
+    * counting them as churn is the classic retention-analysis bias
+    * this operator exists to avoid). `hazard_bp` = churned·10⁴ ÷
+    * at_risk in integer basis points — exact across engines, no float
+    * ratio.
+    *
+    * Period semantics: lifetime = (last − first) ÷ `periodMicros` in
+    * integer division over epoch µs (the family's integer-time rule);
+    * a user churns in their last active period iff at least one full
+    * unobserved period remained before the corpus end. Only periods
+    * where some lifetime ENDS emit a row (at_risk is a suffix sum over
+    * those rows — periods nobody ends in contribute nothing).
+    *
+    * Scale shape: ONE user-keyed agg (first/last), a singleton
+    * corpus-end agg broadcast into it, then a period-keyed rollup —
+    * after which the frame is TIMELINE-bounded (#periods rows), so the
+    * suffix-sum window's single sorted partition is constant-sized at
+    * any corpus scale.
+    */
+  def survivalCurve(
+      events: DataFrame,
+      periodMicros: Long = 86400000000L): DataFrame = {
+    require(periodMicros > 0, s"invalid periodMicros=$periodMicros")
+    val ev = events.select(col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("tus"))
+    val tend = ev.agg(max("tus").as("tend"))
+    val u = ev.groupBy("user_id")
+      .agg(min("tus").as("fst"), max("tus").as("lst"))
+      .crossJoin(broadcast(tend))
+      .select(
+        expr(s"(lst - fst) div $periodMicros").as("life_p"),
+        expr(s"(tend - fst) div $periodMicros").as("obs_p"))
+    val ends = u.groupBy(col("life_p").cast("int").as("period"))
+      .agg(count(lit(1)).cast("long").as("ends"),
+        sum(when(col("obs_p") > col("life_p"), 1L).otherwise(0L))
+          .cast("long").as("churned"))
+    val w = Window.orderBy(col("period").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ends.withColumn("at_risk", sum("ends").over(w).cast("long"))
+      .select(col("period"), col("at_risk"), col("churned"),
+        (col("ends") - col("churned")).cast("long").as("censored"),
+        expr("(churned * 10000) div at_risk").cast("long").as("hazard_bp"))
+  }
 }

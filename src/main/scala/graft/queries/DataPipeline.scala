@@ -4002,10 +4002,16 @@ object DataPipeline {
   /** The Lloyd-trajectory CTE chain (k=8, iters=2, dim=64) shared by
     * cl1/cl2: ends at a2 = (vec_id, cid, d), the final assignment.
     */
+  /** The round-6 squared-L2 the Lloyd mirrors fold — shared by
+    * cl1/cl2/cl3 so the distance expression cannot drift between the
+    * trajectory and its audits.
+    */
+  private def clD2(v: String, c: String, dim: Int = 64): String =
+    s"round(list_sum(list_transform(range($dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+
   private val Cl1Ctes: String = {
-    val K = 8; val Dim = 64
-    def d2(v: String, c: String) =
-      s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    val K = 8
+    def d2(v: String, c: String) = clD2(v, c)
     s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),
@@ -4054,6 +4060,34 @@ object DataPipeline {
   val cl2_balanced_sample = QueryDef.sqlChecked("cl2_balanced_sample", Cl2Sql) {
     (s, d) =>
       Clustering.clusterBalancedSample(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
+  /** cl3: cluster-quality audit by second-nearest margin
+    * ([[Clustering.silhouetteAudit]], the simplified O(n·k)
+    * silhouette) — the mirror replays the full Lloyd trajectory, then
+    * ranks each point's distances over the FINAL centroids to recover
+    * the second-nearest (rn = 2), and folds the per-point margin
+    * `(b − a)/b` as integer micro before the per-cluster integer-mean
+    * (`Σ micro // n`, the micro-average rule). Any drift in the
+    * trajectory, the distance fold, or the margin emit moves the hash.
+    */
+  private val Cl3Sql: String =
+    s"""WITH $Cl1Ctes,
+       |d2nd AS (SELECT vec_id, d AS db FROM (
+       |  SELECT e.vec_id, ${clD2("e.v", "c.c")} AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${clD2("e.v", "c.c")}, c.cid) AS rn
+       |  FROM e CROSS JOIN c1 c) WHERE rn = 2),
+       |p AS (SELECT a2.cid, a2.d AS d1, d2nd.db FROM a2 JOIN d2nd USING (vec_id)),
+       |sm AS (SELECT cid,
+       |        CASE WHEN db > 0 THEN CAST(round((db - d1) / db * 1000000) AS BIGINT)
+       |             ELSE CAST(0 AS BIGINT) END AS mic FROM p)
+       |SELECT CAST(cid AS INTEGER) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(mic) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sil_micro
+       |FROM sm GROUP BY cid ORDER BY cluster""".stripMargin
+
+  val cl3_silhouette = QueryDef.sqlChecked("cl3_silhouette", Cl3Sql) { (s, d) =>
+    Clustering.silhouetteAudit(Tables.embeddings(s, d)).orderBy("cluster")
   }
 
   /** ds1: DSIR importance resampling (Xie et al. 2023, deterministic
@@ -4549,7 +4583,7 @@ object DataPipeline {
     sp8b_bpe_budget,
     pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
-    cl1_kmeans, cl2_balanced_sample, ds1_dsir, dc4_semantic,
+    cl1_kmeans, cl2_balanced_sample, cl3_silhouette, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline, pipe3_curation_report,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_dhash_incremental,

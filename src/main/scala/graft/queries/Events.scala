@@ -310,6 +310,38 @@ object Events {
     EventAnalytics.regularityScreen(Tables.events(s, d)).orderBy("user_id")
   }
 
+  /** ev10: discrete-time survival lifetable
+    * ([[EventAnalytics.survivalCurve]], day periods) — per lifetime
+    * day: at-risk users (suffix sum over end counts), churned vs
+    * censored ends, and the integer basis-point hazard. All-integer
+    * output; the windowed suffix sum CASTs to BIGINT on the DuckDB
+    * side (windowed `sum()` is HUGEINT — the recorded pk1 dtype trap).
+    */
+  val ev10_survival = QueryDef.sqlChecked(
+    "ev10_survival",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |t AS (SELECT max(tus) AS tend FROM ev),
+      |u AS (SELECT user_id, min(tus) AS fst, max(tus) AS lst FROM ev
+      |      GROUP BY user_id),
+      |lp AS (SELECT (lst - fst) // 86400000000 AS life_p,
+      |        ((SELECT tend FROM t) - fst) // 86400000000 AS obs_p FROM u),
+      |en AS (SELECT CAST(life_p AS INTEGER) AS period,
+      |        CAST(count(*) AS BIGINT) AS ends,
+      |        CAST(sum(CASE WHEN obs_p > life_p THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS churned
+      |       FROM lp GROUP BY life_p),
+      |ar AS (SELECT period, ends, churned,
+      |        CAST(sum(ends) OVER (ORDER BY period DESC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS at_risk
+      |       FROM en)
+      |SELECT period, at_risk, churned,
+      |  CAST(ends - churned AS BIGINT) AS censored,
+      |  (churned * 10000) // at_risk AS hazard_bp
+      |FROM ar ORDER BY period""".stripMargin) { (s, d) =>
+    EventAnalytics.survivalCurve(Tables.events(s, d)).orderBy("period")
+  }
+
   private val Gr3Iters = 3
 
   /** gr3 mirror: HITS unrolled — per round, the hub→authority sum, the
@@ -358,5 +390,5 @@ object Events {
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
       ev6_error_anomaly, ev7_transitions, ev8_attribution, ev9_regularity,
-      gr1_pagerank, gr2_authority_sample, gr3_hits)
+      ev10_survival, gr1_pagerank, gr2_authority_sample, gr3_hits)
 }

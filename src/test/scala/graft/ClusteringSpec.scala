@@ -95,4 +95,39 @@ class ClusteringSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("silhouetteAudit: hand-computed margins on two planted clusters") {
+    import spark.implicits._
+    // seeds = ids 0, 1 -> clusters at (0,0)-ish and (10,10)-ish after
+    // one mean update. iters=2: means over the round-1 assignment.
+    val df = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)),
+      (2L, Array(1.0, 0.0)), (3L, Array(9.0, 10.0))).toDF("vec_id", "embedding")
+    val out = Clustering.silhouetteAudit(df, k = 2, iters = 2)
+      .orderBy("cluster").as[(Int, Long, Long)].collect()
+    // final centroids: c0 = (0.5, 0), c1 = (9.5, 10).
+    // every point: a = d2 to own, b = d2 to other, margin (b-a)/b:
+    //   id0: a=0.25, b=190.25 -> (190.0/190.25)*1e6 -> 998686
+    //   id2: a=0.25, b=172.25 -> 998549
+    //   id1: a=0.25, b=190.25 -> 998686 ; id3: a=0.25, b=172.25 -> 998549
+    def mic(a: Double, b: Double) = math.floor((b - a) / b * 1e6 + 0.5).toLong
+    val c0 = (mic(0.25, 190.25) + mic(0.25, 172.25)) / 2
+    assert(out === Array((0, 2L, c0), (1, 2L, c0)))
+    assert(out.map(_._2).sum === 4L)
+  }
+
+  test("silhouetteAudit: coincident centroids yield zero margin (b = 0 edge)") {
+    import spark.implicits._
+    // all vectors identical; iters = 1 keeps BOTH (coincident) seed
+    // centroids alive -> for every point d1 = d2 = 0 and the margin is
+    // defined to 0. (iters = 2 would empty cluster 1 and drop it: with
+    // one surviving centroid no second-nearest exists and every point
+    // drops - the mirror's rn = 2 inner-join rule.)
+    val df = (0L to 5L).map(i => (i, Array(3.0, 4.0))).toDF("vec_id", "embedding")
+    val out = Clustering.silhouetteAudit(df, k = 2, iters = 1).collect()
+    val dropped = Clustering.silhouetteAudit(df, k = 2, iters = 2).collect()
+    assert(dropped.isEmpty, "single surviving centroid must drop all points")
+    assert(out.map(_.getAs[Long]("n")).sum === 6L)
+    assert(out.forall(_.getAs[Long]("mean_sil_micro") === 0L))
+  }
 }

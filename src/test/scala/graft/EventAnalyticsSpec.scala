@@ -434,4 +434,39 @@ class EventAnalyticsSpec extends SparkSpec {
     val totalLast = rows.map(_.getAs[Long]("n_last")).sum
     assert(totalLast === 2L) // one last-touch credit per attributed conversion
   }
+
+  test("survivalCurve: hand-computed lifetable — churned vs censored, suffix at-risk") {
+    val day = 86400L
+    // corpus end = u4's last event at day 10.
+    //  u1: one event day 0          -> life 0, obs 10 -> churned at 0
+    //  u2: days 0..3                -> life 3, obs 10 -> churned at 3
+    //  u3: days 7..10 (last at end) -> life 3, obs 3  -> CENSORED at 3
+    //  u4: days 0..10 (last at end) -> life 10, obs 10 -> censored at 10
+    val events = ev(
+      (1L, 0L, "view", 0, 1L),
+      (2L, 0L, "view", 0, 2L), (2L, 3 * day, "view", 0, 3L),
+      (3L, 7 * day, "view", 0, 4L), (3L, 10 * day, "view", 0, 5L),
+      (4L, 0L, "view", 0, 6L), (4L, 10 * day, "view", 0, 7L))
+    val out = EventAnalytics.survivalCurve(events)
+      .orderBy("period").as[(Int, Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      // period, at_risk, churned, censored, hazard_bp
+      (0, 4L, 1L, 0L, 2500L),  // 1/4 = 25.00%
+      (3, 3L, 1L, 1L, 3333L),  // u2 churns, u3 censored; 1*10000 div 3
+      (10, 1L, 0L, 1L, 0L)))
+    // conservation: every user ends exactly once
+    assert(out.map(r => r._3 + r._4).sum === 4L)
+  }
+
+  test("survivalCurve: at-risk is monotone non-increasing; repartition-invariant") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val a = EventAnalytics.survivalCurve(events).orderBy("period").collect().toSeq
+    val b = EventAnalytics.survivalCurve(events.repartition(7))
+      .orderBy("period").collect().toSeq
+    assert(a === b && a.nonEmpty)
+    a.map(_.getAs[Long]("at_risk")).sliding(2).foreach {
+      case Seq(x, y) => assert(x >= y, s"at_risk must not increase: $x -> $y")
+      case _ =>
+    }
+  }
 }
