@@ -1554,7 +1554,8 @@ object TextAnalysis {
       documents: DataFrame,
       discount: Double = 0.75,
       idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, () => Unit) = {
+      textCol: String = "text",
+      maxBroadcastVocab: Long = 2000000L): (DataFrame, () => Unit) = {
     require(discount > 0.0 && discount < 1.0, s"invalid discount=$discount")
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1578,15 +1579,42 @@ object TextAnalysis {
     // type total, the score join) — persisted, released via the hook
     val c2 = dt.groupBy("ha", "hb").agg(sum(col("k")).as("c2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hist = c2.groupBy("ha")
-      .agg(sum("c2").as("ca"), count(lit(1)).as("n1a"))
-    val cont = c2.groupBy("hb").agg(count(lit(1)).as("n1b"))
-    val ntot = c2.agg(count(lit(1)).as("n1tot"))
-    val c2x = c2.join(broadcast(hist), Seq("ha"))
+    // ONE union-keyed stats pass over the persisted types frame covers
+    // BOTH estimator tables — history (role 0: c(a·), N₁₊(a,·)) and
+    // continuation (role 1: N₁₊(·,b)) — instead of two separate
+    // aggregate jobs; the type total follows on the driver
+    // (N₁₊(·,·) = Σ_a N₁₊(a,·)). The stats frame is vocab-sized, so it
+    // localizes under the bigramLogProb gate (eager persist → count →
+    // collect → unpersist); beyond the gate everything stays a
+    // distributed frame with one more type-count aggregate.
+    val stats = c2.select(col("ha").as("h"), lit(0).as("role"), col("c2"))
+      .unionByName(c2.select(col("hb").as("h"), lit(1).as("role"), col("c2")))
+      .groupBy("h", "role").agg(sum("c2").as("cs"), count(lit(1)).as("n1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab2 = stats.count()
+    val (hist, cont, ntot: Column) =
+      if (vocab2 <= 2 * maxBroadcastVocab) {
+        val rows = stats.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        stats.unpersist(blocking = false)
+        val h = rows.filter(_._2 == 0).map(r => (r._1, r._3, r._4))
+        val c = rows.filter(_._2 == 1).map(r => (r._1, r._4))
+        (h.toSeq.toDF("ha", "ca", "n1a"), c.toSeq.toDF("hb", "n1b"),
+          lit(h.map(_._3).sum))
+      } else {
+        (stats.filter(col("role") === 0)
+           .select(col("h").as("ha"), col("cs").as("ca"), col("n1").as("n1a")),
+         stats.filter(col("role") === 1)
+           .select(col("h").as("hb"), col("n1").as("n1b")),
+         col("n1tot"))
+      }
+    val c2j = c2.join(broadcast(hist), Seq("ha"))
       .join(broadcast(cont), Seq("hb"))
-      .crossJoin(broadcast(ntot))
+    val c2x =
+      if (vocab2 <= 2 * maxBroadcastVocab) c2j
+      else c2j.crossJoin(broadcast(c2.agg(count(lit(1)).as("n1tot"))))
     val p = greatest(col("c2") - lit(discount), lit(0.0)) / col("ca") +
-      lit(discount) * col("n1a") / col("ca") * (col("n1b") / col("n1tot"))
+      lit(discount) * col("n1a") / col("ca") * (col("n1b") / ntot)
     val scored = dt.join(c2x, Seq("ha", "hb"))
       .select(col("doc_id"), col("k"),
         floor(col("k") * (-log(p)) * lit(1000000.0) + lit(0.5))
@@ -1600,7 +1628,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         coalesce(col("bits"), lit(0.0)).as("bits_per_token"))
-    (out, () => { c2.unpersist(false); () })
+    (out, () => { c2.unpersist(false); stats.unpersist(false); () })
   }
 
   /** Hashed-feature linear quality classifier — the Spark plumbing of a
