@@ -240,6 +240,17 @@ object ScaleSoak {
         spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
       "ir1_bm25_topk" ->
         (t => graft.operators.TextAnalysis.bm25TopK(docs(t))),
+      "ann_sq8" -> { t =>
+        graft.operators.SqSearch.sq8TopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      },
+      "txt_ppl4_kn" ->
+        (t => graft.operators.TextAnalysis.knBigramLogProb(docs(t))),
+      "ev10_survival" ->
+        (t => graft.operators.EventAnalytics.survivalCurve(evs(t))),
+      "cl3_silhouette" ->
+        (t => graft.operators.Clustering.silhouetteAudit(emb(t))),
+      "tok6_unigram_em" -> (t => graft.operators.TextAnalysis.unigramTokenizeEm(
+        spark.read.parquet(s"$base/$t/zipfdocs.parquet"), merges)),
       "dd17_template_spam" ->
         (t => graft.operators.Dedup.templateSpam(docs(t))),
       "txt_ppl3_approx" ->
@@ -277,6 +288,20 @@ object ScaleSoak {
             node(col("doc_id") * 13 + 5).as("dst")))
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         graft.operators.GraphRank.hitsFixedPoint(e, 3, smallGraphMaxEdges = 0)
+      },
+      "gr4_label_prop" -> { t =>
+        // same scaling edge fixture as gr1/gr3; loop pinned (cap=0)
+        val n = scales.toMap.apply(t)
+        val k = math.max(n / 100L, 20L)
+        val d = docs(t)
+        def node(c: org.apache.spark.sql.Column) =
+          concat(lit("d"), pmod(c, lit(k)).cast("string"))
+        val e = d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 7 + 3).as("dst"))
+          .union(d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 13 + 5).as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphRank.labelPropagation(e, 3, smallGraphMaxEdges = 0)
       })
 
     def timeIt(f: => Long): (Double, Long) = {

@@ -229,6 +229,93 @@ object GraphRank {
       .select(col("doc_id"), col("source"), col("thr"))
   }
 
+  /** `rounds` of SYNCHRONOUS weighted label propagation over the
+    * undirected view of the edge list — Raghavan et al. 2007's
+    * community detection, the cheap link-graph grouping a curation
+    * pipeline uses to spot template farms and mirror clusters (next to
+    * [[Dedup.duplicateClusters]]'s exact-duplicate components: LPA
+    * groups by link AFFINITY, CC by shared content).
+    *
+    * Determinism (async LPA is famously run-order-dependent; this is
+    * the reproducible variant): updates are synchronous (round r+1
+    * reads only round r), a node's new label = the neighbor label with
+    * the LARGEST incident edge-weight sum, ties to the
+    * lexicographically smallest label, and a node with no neighbors
+    * keeps its own id forever. Integer weight sums — no float votes.
+    *
+    * Strategy split ([[pageRankFixedPoint]]'s discipline): at or under
+    * `smallGraphMaxEdges` aggregated undirected edges the graph
+    * collects and iterates on the driver (identical trajectory,
+    * spec-pinned fast == loop); above it, per round ONE src-keyed join
+    * of the symmetrized edge frame with the label frame, one
+    * (dst, label)-keyed partial-agg vote sum, and the argmax folded
+    * into a second dst-keyed aggregate as `min(struct(-c, lbl))` —
+    * order-free, no rank window. Label state is one row per node per
+    * round; plan depth grows linearly with `rounds`.
+    *
+    * @return (node, label, csize) — the final community label and its
+    *         member count
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int,
+      smallGraphMaxEdges: Long = 100000L): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    // undirected symmetrization, parallel edges merged
+    val ue = e0.select(col("src"), col("dst"), col("w"))
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
+    if (smallGraphMaxEdges > 0 && ue.count() <= smallGraphMaxEdges) {
+      val rows = ue.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nodes = rows.map(_._1).distinct.sorted
+      var lbl = nodes.map(n => n -> n).toMap
+      (0 until rounds).foreach { _ =>
+        val votes = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        rows.foreach { case (s, d, w) =>
+          val k = (d, lbl(s))
+          votes(k) = votes.getOrElse(k, 0L) + w
+        }
+        val byNode = votes.toSeq.groupBy(_._1._1)
+        lbl = nodes.map { n =>
+          byNode.get(n) match {
+            case None => n -> lbl(n)
+            case Some(vs) =>
+              n -> vs.map { case ((_, l), c) => (l, c) }
+                .minBy { case (l, c) => (-c, l) }._1
+          }
+        }.toMap
+      }
+      val out = nodes.map(n => (n, lbl(n)))
+      val sizes = out.groupBy(_._2).map { case (l, g) => l -> g.size.toLong }
+      out.map { case (n, l) => (n, l, sizes(l)) }.toSeq
+        .toDF("node", "label", "csize")
+    } else {
+      val nodes = ue.select(col("src").as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+      var i = 0
+      while (i < rounds) {
+        val votes = ue.join(labels, ue("src") === labels("node"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(sum("w").cast("long").as("c"))
+        // argmax folded into a dst-keyed agg: min over (-c, lbl) IS
+        // (largest vote, then smallest label) — no rank window
+        val winners = votes
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))
+          .select(col("dst"), col("m.lbl").as("wl"))
+        labels = nodes.join(winners, col("node") === col("dst"), "left")
+          .select(col("node"), coalesce(col("wl"), col("node")).as("lbl"))
+        i += 1
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).cast("long").as("csize"))
+      labels.join(sizes, "lbl")
+        .select(col("node"), col("lbl").as("label"), col("csize"))
+    }
+  }
+
   /** Deterministic document→domain link edges for the `documents`
     * fixture: each doc contributes its source domain plus two
     * arithmetically-derived outlinks (`src{(7·id+3) mod 20}`,

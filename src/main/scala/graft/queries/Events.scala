@@ -387,8 +387,58 @@ object Events {
       .orderBy("node")
   }
 
+  private val Gr4Rounds = 3
+
+  /** gr4 mirror: synchronous weighted label propagation unrolled —
+    * per round, the (node, neighbor-label) vote sum over the
+    * symmetrized edge list, then the argmax with ties to the smallest
+    * label (the mirror's rank window realizes the same total order as
+    * the engine's `min(struct(-c, lbl))` fold). Community sizes off
+    * the final round.
+    */
+  private val Gr4Sql: String = {
+    val rounds = (1 to Gr4Rounds).map { i =>
+      s"""v$i AS (SELECT ue.dst AS node, l.lbl, CAST(sum(ue.w) AS BIGINT) AS c
+         |        FROM ue JOIN l${i - 1} l ON l.node = ue.src
+         |        GROUP BY ue.dst, l.lbl),
+         |l$i AS MATERIALIZED (SELECT n.node, coalesce(w.lbl, n.node) AS lbl
+         |        FROM nodes n LEFT JOIN (
+         |          SELECT node, lbl FROM (
+         |            SELECT node, lbl,
+         |              row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |            FROM v$i) WHERE rn = 1) w USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT source AS src, 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT source AS src, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) AS dst FROM documents),
+       |e AS (SELECT src, dst, count(*) AS w FROM ed GROUP BY src, dst),
+       |ue AS MATERIALIZED (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+       |  SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)
+       |  GROUP BY src, dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ue),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |$rounds,
+       |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+       |       FROM l$Gr4Rounds GROUP BY lbl)
+       |SELECT l.node, l.lbl AS label, cs.csize
+       |FROM l$Gr4Rounds l JOIN cs USING (lbl) ORDER BY l.node""".stripMargin
+  }
+
+  /** Link-graph communities via deterministic synchronous label
+    * propagation ([[GraphRank.labelPropagation]]) — template-farm /
+    * mirror-cluster detection over the same doc-derived link graph as
+    * gr1/gr3.
+    */
+  val gr4_label_prop = QueryDef.sqlChecked("gr4_label_prop", Gr4Sql) { (s, d) =>
+    GraphRank.labelPropagation(
+        GraphRank.documentLinkEdges(Tables.documents(s, d)), Gr4Rounds)
+      .orderBy("node")
+  }
+
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
       ev6_error_anomaly, ev7_transitions, ev8_attribution, ev9_regularity,
-      ev10_survival, gr1_pagerank, gr2_authority_sample, gr3_hits)
+      ev10_survival, gr1_pagerank, gr2_authority_sample, gr3_hits,
+      gr4_label_prop)
 }

@@ -4,6 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.{EventAnalytics, GraphRank, TextAnalysis}
 
+/** Shared helper: run labelPropagation and index the result by node. */
+object EventsGraphHelpers {
+  def lpa(edges: org.apache.spark.sql.DataFrame, rounds: Int)
+      : Map[String, (String, Long)] =
+    GraphRank.labelPropagation(edges, rounds)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+}
+
 class EventAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -433,6 +442,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(totalLinear === 999999L + 1000000L)
     val totalLast = rows.map(_.getAs[Long]("n_last")).sum
     assert(totalLast === 2L) // one last-touch credit per attributed conversion
+  }
+
+  test("labelPropagation: two weakly-bridged triangles resolve to two communities") {
+    import spark.implicits._
+    // triangles {a1,a2,a3} and {b1,b2,b3} with w=5 internal edges, one
+    // w=1 bridge a3-b1, one self-loop c1. Hand-traced 3 synchronous
+    // rounds: labels converge to a1 and b1 (ties to the smallest
+    // label); the bridge never outweighs the internal votes; c1 keeps
+    // its own label.
+    val edges = Seq(
+      ("a1", "a2", 5L), ("a1", "a3", 5L), ("a2", "a3", 5L),
+      ("b1", "b2", 5L), ("b1", "b3", 5L), ("b2", "b3", 5L),
+      ("a3", "b1", 1L), ("c1", "c1", 2L)).toDF("src", "dst", "w")
+    val out = EventsGraphHelpers.lpa(edges, 3)
+    assert(out === Map(
+      "a1" -> (("a1", 3L)), "a2" -> (("a1", 3L)), "a3" -> (("a1", 3L)),
+      "b1" -> (("b1", 3L)), "b2" -> (("b1", 3L)), "b3" -> (("b1", 3L)),
+      "c1" -> (("c1", 1L))))
+    // driver fast path and the distributed loop walk the same trajectory
+    val loop = GraphRank.labelPropagation(edges, 3, smallGraphMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(loop === out)
+  }
+
+  test("labelPropagation: rounds=0 is the identity labelling; repartition-invariant") {
+    import spark.implicits._
+    val edges = Seq(("x", "y", 1L), ("y", "z", 3L)).toDF("src", "dst", "w")
+    val id0 = EventsGraphHelpers.lpa(edges, 0)
+    assert(id0.forall { case (n, (l, _)) => n == l })
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val e = GraphRank.documentLinkEdges(docs)
+    val a = GraphRank.labelPropagation(e, 3).orderBy("node").collect().toSeq
+    val b = GraphRank.labelPropagation(
+      GraphRank.documentLinkEdges(docs.repartition(7)), 3)
+      .orderBy("node").collect().toSeq
+    assert(a === b && a.nonEmpty)
   }
 
   test("survivalCurve: hand-computed lifetable — churned vs censored, suffix at-risk") {
