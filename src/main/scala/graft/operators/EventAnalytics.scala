@@ -363,8 +363,9 @@ object EventAnalytics {
     * Scale shape: ONE user-keyed agg (first/last), a singleton
     * corpus-end agg broadcast into it, then a period-keyed rollup —
     * after which the frame is TIMELINE-bounded (#periods rows), so the
-    * suffix-sum window's single sorted partition is constant-sized at
-    * any corpus scale.
+    * at-risk suffix sum is computed as the tiny triangular self-join
+    * (the q12b offsets pattern: ≤ P² pairs of a constant-sized P),
+    * never an unpartitioned window.
     */
   def survivalCurve(
       events: DataFrame,
@@ -383,9 +384,11 @@ object EventAnalytics {
       .agg(count(lit(1)).cast("long").as("ends"),
         sum(when(col("obs_p") > col("life_p"), 1L).otherwise(0L))
           .cast("long").as("churned"))
-    val w = Window.orderBy(col("period").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ends.withColumn("at_risk", sum("ends").over(w).cast("long"))
+    ends.as("a")
+      .join(ends.as("b"), col("b.period") >= col("a.period"))
+      .groupBy(col("a.period").as("period"), col("a.ends").as("ends"),
+        col("a.churned").as("churned"))
+      .agg(sum(col("b.ends")).cast("long").as("at_risk"))
       .select(col("period"), col("at_risk"), col("churned"),
         (col("ends") - col("churned")).cast("long").as("censored"),
         expr("(churned * 10000) div at_risk").cast("long").as("hazard_bp"))
