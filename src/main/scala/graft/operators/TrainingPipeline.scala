@@ -1030,4 +1030,38 @@ object TrainingPipeline {
       .select(col("source"), col("topic").as("top_topic"))
     agg.join(tm, "source")
   }
+
+  /** Train/val/test split-leakage audit: which CONTENT digests appear
+    * in more than one split of a released layout — the eval-
+    * contamination mechanism hash-splitting by id cannot prevent
+    * (the same id never straddles splits, but duplicate TEXT under
+    * different ids does, and a test answer sitting in train under
+    * another id is exactly what [[graft.operators.Decontamination]]
+    * exists to catch post hoc; this audits the release itself). One
+    * row per leaking digest: how many documents carry it, how many
+    * splits it straddles, the splits (sorted CSV — the split set is
+    * release-constant, so the collected set is bounded by
+    * construction), and the smallest carrying id.
+    *
+    * Scale shape: one narrow digest projection, ONE digest-keyed agg
+    * (collect_set bounded by #splits), a post-agg filter — no joins,
+    * no windows; output is leak-sized.
+    */
+  def splitLeakage(
+      released: DataFrame,
+      idCol: String = "doc_id",
+      splitCol: String = "split",
+      textCol: String = "text"): DataFrame = {
+    released.select(col(idCol).cast("long").as("doc_id"),
+        col(splitCol).cast("string").as("split"),
+        md5(col(textCol)).as("digest"))
+      .groupBy("digest")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        size(collect_set(col("split"))).cast("int").as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_splits") > 1)
+      .select(col("digest"), col("n_docs"), col("n_splits"), col("splits"),
+        col("first_doc"))
+  }
 }

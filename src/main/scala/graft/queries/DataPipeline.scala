@@ -4196,6 +4196,45 @@ object DataPipeline {
         .orderBy("doc_id")
   }
 
+  /** rl4: split-leakage audit ([[TrainingPipeline.splitLeakage]]) —
+    * content digests straddling train/val/test in a released layout.
+    * The fixture plants duplicate TEXT under shifted ids (every 40th
+    * doc re-released as id+10000, the dd10/dc7 in-query union pattern)
+    * so the id-hash split assigns some copies to a different split
+    * than their original: at every SF both branches are live (cross-
+    * split leaks reported, same-split duplicates filtered — 3/10 at
+    * 500 docs, 19/106 at 5000, verified against the mix32 replica).
+    */
+  val rl4_split_leakage = QueryDef.sqlChecked(
+    "rl4_split_leakage",
+    """WITH rel AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 40 = 0),
+      |mx AS (SELECT doc_id, text, xor(m2, m2 >> 13) AS hs FROM (
+      |  SELECT doc_id, text, (xor(h0, h0 >> 16) * 40503) % 4294967296 AS m2 FROM (
+      |    SELECT doc_id, text,
+      |      ((doc_id % 4294967296) + 4294967296) % 4294967296 AS h0 FROM rel))),
+      |sp AS (SELECT doc_id, md5(text) AS digest,
+      |        CASE WHEN hs % 100 < 90 THEN 'train'
+      |             WHEN hs % 100 < 95 THEN 'val' ELSE 'test' END AS split
+      |       FROM mx),
+      |ag AS (SELECT digest, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(count(DISTINCT split) AS INTEGER) AS n_splits,
+      |        array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+      |        CAST(min(doc_id) AS BIGINT) AS first_doc
+      |       FROM sp GROUP BY digest)
+      |SELECT digest, n_docs, n_splits, splits, first_doc
+      |FROM ag WHERE n_splits > 1 ORDER BY digest""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val rel = docs.unionByName(
+      docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+      .withColumn("split", Sampling.splitLabel(col("doc_id")))
+    graft.operators.TrainingPipeline.splitLeakage(rel).orderBy("digest")
+  }
+
   /** rl5: signal-correlation audit — Pearson correlations between the
     * cheap curation signals; both engines' corr is the sample Pearson
     * coefficient and round-4 absorbs accumulation-order drift.
@@ -4570,7 +4609,8 @@ object DataPipeline {
     dd11_url_dedup, sp8_token_budget,
     dd12_span_dedup, dd8c_canonical, txt_ppl, txt_ppl1b, txt_ppl2,
     txt_ppl4_kn, txt_clf,
-    rl2_corpus_card, rl3_length_quantiles, rl5_signal_corr, sp9_curriculum,
+    rl2_corpus_card, rl3_length_quantiles, rl4_split_leakage, rl5_signal_corr,
+    sp9_curriculum,
     dd12b_span_drop, txt_entropy, txt_ppl3_buckets, txt_topics,
     txt_filter_stack,
     dd14_consensus_neardup, pipe2_screen_and_phase,

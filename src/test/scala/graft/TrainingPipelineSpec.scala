@@ -411,4 +411,21 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size === cachedAfterRun - 2)
     spark.catalog.clearCache()
   }
+
+  test("splitLeakage: cross-split digests reported, same-split dups and uniques filtered") {
+    import spark.implicits._
+    val rel = Seq(
+      (1L, "train", "aaa"), (2L, "test", "aaa"), // leak: 2 splits
+      (3L, "train", "bbb"), (4L, "train", "bbb"), // duplicate but same split
+      (5L, "val", "ccc"), // unique
+      (6L, "train", "ddd"), (7L, "val", "ddd"), (8L, "test", "ddd") // 3-way
+    ).toDF("doc_id", "split", "text")
+    val out = TrainingPipeline.splitLeakage(rel)
+      .orderBy("first_doc")
+      .as[(String, Long, Int, String, Long)].collect()
+    def md5(x: String) = graft.functions.TextHashing.md5Hex(x)
+    assert(out === Array(
+      (md5("aaa"), 2L, 2, "test,train", 1L),
+      (md5("ddd"), 3L, 3, "test,train,val", 6L)))
+  }
 }
