@@ -610,4 +610,62 @@ object Decontamination {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("min_doc"), lit(-1L)).as("min_doc"))
   }
+
+  /** Exact-substring decontamination (Lee et al. 2022 / the GPT-3
+    * appendix rule, SPAN-level): the maximal runs of ≥ `k` consecutive
+    * tokens a training document shares VERBATIM with any eval
+    * document. The n-gram overlap screens ([[overlap]]/[[overlapWith]])
+    * rate documents; this one localizes the leak so a pipeline can
+    * surgically trim instead of dropping — the cross-corpus twin of
+    * [[Dedup.repeatedSpans]], with the duplicated-gram filter replaced
+    * by membership in the eval side's gram set.
+    *
+    * Scale shape: eval positional k-grams dedupe and BROADCAST (the
+    * dc-family contract — eval suites are MB-scale against a TB-scale
+    * train side); the train side streams one narrow positional-gram
+    * pass into a broadcast LEFT-SEMI join (no shuffle of train grams),
+    * and only the HIT rows (leak-sized) enter the doc-partitioned
+    * gaps-and-islands merge. Output: (doc_id, span_start, span_end,
+    * n_tokens), 1-based inclusive token positions.
+    */
+  def exactSubstringLeaks(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      k: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"invalid exactSubstringLeaks k=$k")
+    val spark = train.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val kk = k
+    def grams(df: DataFrame) = Dedup.spread(
+        df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = TextHashing.tokens(text)
+        val n = toks.length - kk + 1
+        val out = new Array[(Long, Long, String)](math.max(n, 0))
+        var i = 0
+        while (i < n) {
+          out(i) = (id, (i + 1).toLong, toks.slice(i, i + kk).mkString(" "))
+          i += 1
+        }
+        out
+      }
+      .toDF("doc_id", "i", "s")
+    val eg = grams(evalDocs).select("s").distinct()
+    val hits = grams(train).join(broadcast(eg), Seq("s"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    hits
+      .withColumn("gap", col("i") - lag(col("i"), 1, null).over(byDoc))
+      .withColumn("f",
+        when(col("gap").isNull || col("gap") <= 1, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("f")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("span_start"), (max(col("i")) + (kk - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
 }

@@ -3062,6 +3062,63 @@ object DataPipeline {
       .orderBy("canary_id")
   }
 
+  /** dc8 planted leak: a 20-unique-token run appended to eval docs with
+    * id % 100 == 1 AND to train docs with id % 9 == 4 (both engines
+    * plant identically, the dd12b pattern) — the run's 13-grams enter
+    * the eval gram set and reappear verbatim in the planted train
+    * docs, yielding one 20-token span each (the boundary grams carry
+    * each doc's own organic tail, so span starts are exact). Every
+    * other train doc is the zero-leak branch. Organic docs sharing a
+    * 13-token run is ~impossible at this vocabulary, and the oracle
+    * would catch it identically if it happened.
+    */
+  private val Dc8Run = (1 to 20).map(i => s"xq$i").mkString(" ")
+
+  val dc8_exact_substring = QueryDef.sqlChecked(
+    "dc8_exact_substring",
+    s"""WITH evr AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 100 = 1 THEN ' $Dc8Run' ELSE '' END AS text
+       |  FROM documents WHERE doc_id % 100 < 3),
+       |trr AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 9 = 4 THEN ' $Dc8Run' ELSE '' END AS text
+       |  FROM documents WHERE doc_id % 100 >= 3),
+       |ewl AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |        FROM evr),
+       |eg AS (SELECT DISTINCT array_to_string(ws[i:i+12], ' ') AS s FROM (
+       |  SELECT ws, unnest(range(1, len(ws) - 11)) AS i FROM ewl
+       |  WHERE len(ws) >= 13)),
+       |twl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+       |        FROM trr),
+       |tsh AS (SELECT doc_id, i, array_to_string(ws[i:i+12], ' ') AS s FROM (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) - 11)) AS i FROM twl
+       |  WHERE len(ws) >= 13)),
+       |hit AS (SELECT tsh.doc_id, tsh.i FROM tsh JOIN eg USING (s)),
+       |flg AS (SELECT doc_id, i,
+       |         CASE WHEN i - lag(i, 1, i) OVER (PARTITION BY doc_id ORDER BY i) > 1
+       |           THEN 1 ELSE 0 END AS f FROM hit),
+       |isl AS (SELECT doc_id, i,
+       |         sum(f) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+       |           AS island FROM flg),
+       |sp AS (SELECT doc_id, island, min(i) AS span_start, max(i) + 12 AS span_end
+       |       FROM isl GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       | CAST(span_end AS BIGINT) AS span_end,
+       | CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(id, col("text"))
+    val ev = docs.filter(pmod(id, lit(100)) < 3)
+      .select(id, concat(col("text"),
+        when(pmod(id, lit(100)) === 1, lit(s" $Dc8Run")).otherwise(lit("")))
+        .as("text"))
+    val tr = docs.filter(pmod(id, lit(100)) >= 3)
+      .select(id, concat(col("text"),
+        when(pmod(id, lit(9)) === 4, lit(s" $Dc8Run")).otherwise(lit("")))
+        .as("text"))
+    Decontamination.exactSubstringLeaks(tr, ev)
+      .orderBy("doc_id", "span_start")
+  }
+
   val dc6_mink_prob = QueryDef.sqlChecked(
     "dc6_mink_prob",
     """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
@@ -4600,7 +4657,7 @@ object DataPipeline {
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
-    dc5_combined_verdict, dc6_mink_prob, dc7_canary_scan,
+    dc5_combined_verdict, dc6_mink_prob, dc7_canary_scan, dc8_exact_substring,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
     sp7_sample_n, sp10_epoch_upsample, sp11_mixture_audit,

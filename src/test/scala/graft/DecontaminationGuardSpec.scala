@@ -291,4 +291,32 @@ class BoundedSetAggSpec extends SparkSpec {
       graft.operators.Decontamination.canaryScan(docs, Seq.empty)
     }
   }
+
+  test("exactSubstringLeaks: exact spans, island split, zero-leak docs absent") {
+    val ev = Seq((100L, "p q r s t")).toDF("doc_id", "text")
+    val tr = Seq(
+      (1L, "a b p q r s t c d"), // one 5-token verbatim run at 3..7
+      (2L, "x y z w"),           // clean -> absent
+      (3L, "p q r k k k r s t")  // two separated 3-token runs
+    ).toDF("doc_id", "text")
+    val out = Decontamination.exactSubstringLeaks(tr, ev, k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 3L, 7L, 5L),
+      (3L, 1L, 3L, 3L),
+      (3L, 7L, 9L, 3L)))
+  }
+
+  test("exactSubstringLeaks: adjacent runs merge into one maximal span") {
+    val ev = Seq((100L, "p q r"), (101L, "r s t")).toDF("doc_id", "text")
+    // p q r s t: grams p-q-r (i=1, hit), q-r-s (i=2, miss), r-s-t (i=3,
+    // hit) - gap 2 > 1 would split, but with k=3 the spans (1,3) and
+    // (3,5) touch... the island rule splits on start-gap > 1, so this
+    // pins the DOCUMENTED start-gap semantics, not span overlap
+    val tr = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val out = Decontamination.exactSubstringLeaks(tr, ev, k = 3)
+      .orderBy("span_start").as[(Long, Long, Long, Long)].collect()
+    assert(out === Array((1L, 1L, 3L, 3L), (1L, 3L, 5L, 3L)))
+  }
 }
