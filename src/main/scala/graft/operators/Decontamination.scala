@@ -654,8 +654,15 @@ object Decontamination {
         out
       }
       .toDF("doc_id", "i", "s")
-    val eg = grams(evalDocs).select("s").distinct()
-    val hits = grams(train).join(broadcast(eg), Seq("s"), "left_semi")
+    // grams leave the narrow pass as 64-bit hashes (the bigramLogProb
+    // rule): the broadcast set and the semi-join probe move 8 bytes
+    // per gram instead of ~100-byte 13-token strings; a cross-corpus
+    // collision would add a false hit at ~|eval grams|·|train grams|
+    // / 2⁶⁴ — the accepted signature-family bound
+    val eg = grams(evalDocs).select(xxhash64(col("s")).as("h")).distinct()
+    val hits = grams(train)
+      .select(col("doc_id"), col("i"), xxhash64(col("s")).as("h"))
+      .join(broadcast(eg), Seq("h"), "left_semi")
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     hits
       .withColumn("gap", col("i") - lag(col("i"), 1, null).over(byDoc))
