@@ -501,11 +501,17 @@ object TextAnalysis {
     while (r < rounds && !converged) {
       val costs = unigramMicroCosts(counts)
       val maxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
+      // in-loop broadcasts are destroyed once their counting job has
+      // collected (the lloydCentroids discipline) — only the FINAL
+      // costs broadcast outlives the call, held by the returned plan
       val bc = spark.sparkContext.broadcast(costs)
-      val next = countWith { () =>
-        val cs = bc.value
-        w => graft.functions.Bpe.viterbiSegment(w, cs, maxLen)
-      }
+      val next =
+        try {
+          countWith { () =>
+            val cs = bc.value
+            w => graft.functions.Bpe.viterbiSegment(w, cs, maxLen)
+          }
+        } finally bc.destroy()
       converged = next.toMap == counts.toMap
       counts = next
       r += 1
