@@ -121,7 +121,7 @@ object Bpe {
     * (surrogate pairs sort below U+E000..U+FFFF) — invisible on ASCII
     * vocabularies but a silent cross-engine divergence beyond them.
     */
-  private def codePointCompare(a: String, b: String): Int = {
+  private[graft] def codePointCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {

@@ -270,7 +270,13 @@ object GraphRank {
       .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
     if (smallGraphMaxEdges > 0 && ue.count() <= smallGraphMaxEdges) {
       val rows = ue.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val nodes = rows.map(_._1).distinct.sorted
+      // tie-breaks MUST match the distributed path's min(struct(-c, lbl)),
+      // which compares UTF8String bytes (= code points) — plain Scala
+      // String ordering is UTF-16 code units and mis-orders
+      // supplementary characters (the Bpe.codePointCompare rule)
+      val cpOrd: Ordering[String] =
+        (a: String, b: String) => graft.functions.Bpe.codePointCompare(a, b)
+      val nodes = rows.map(_._1).distinct.sorted(cpOrd)
       var lbl = nodes.map(n => n -> n).toMap
       (0 until rounds).foreach { _ =>
         val votes = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -284,7 +290,8 @@ object GraphRank {
             case None => n -> lbl(n)
             case Some(vs) =>
               n -> vs.map { case ((_, l), c) => (l, c) }
-                .minBy { case (l, c) => (-c, l) }._1
+                .minBy { case (l, c) => (-c, l) }(
+                  Ordering.Tuple2(Ordering.Long, cpOrd))._1
           }
         }.toMap
       }

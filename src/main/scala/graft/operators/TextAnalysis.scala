@@ -1580,7 +1580,12 @@ object TextAnalysis {
       // collision bound ~V²/2⁶⁵, the accepted signature-family bound)
       .select(col("doc_id"), xxhash64(col("pa")).as("ha"),
         xxhash64(col("pb")).as("hb"))
+    // doc-keyed bigram counts: TWO consumers (the type fold below and
+    // the scored join) — persisted so the corpus tokenize + pair
+    // flatMap (the dominant cost at TB scale) runs exactly once;
+    // released via the hook alongside c2/stats
     val dt = pairs.groupBy("doc_id", "ha", "hb").agg(count(lit(1)).as("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // bigram TYPES: four consumers (history agg, continuation agg, the
     // type total, the score join) — persisted, released via the hook
     val c2 = dt.groupBy("ha", "hb").agg(sum(col("k")).as("c2"))
@@ -1598,8 +1603,9 @@ object TextAnalysis {
       .groupBy("h", "role").agg(sum("c2").as("cs"), count(lit(1)).as("n1"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vocab2 = stats.count()
+    val smallVocab = vocab2 <= 2 * maxBroadcastVocab
     val (hist, cont, ntot: Column) =
-      if (vocab2 <= 2 * maxBroadcastVocab) {
+      if (smallVocab) {
         val rows = stats.collect().map(r =>
           (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
         stats.unpersist(blocking = false)
@@ -1614,10 +1620,17 @@ object TextAnalysis {
            .select(col("h").as("hb"), col("n1").as("n1b")),
          col("n1tot"))
       }
-    val c2j = c2.join(broadcast(hist), Seq("ha"))
-      .join(broadcast(cont), Seq("hb"))
+    // broadcast() ONLY in the small-vocab branch (driver-collected,
+    // vocab-bounded frames); beyond the gate hist/cont are >2M-row
+    // distributed slices of `stats` — broadcasting them would collect
+    // the very frames the gate exists to keep off the driver, so the
+    // fallback joins on the (ha)/(hb) shuffle keys instead
+    val c2j =
+      if (smallVocab) c2.join(broadcast(hist), Seq("ha"))
+        .join(broadcast(cont), Seq("hb"))
+      else c2.join(hist, Seq("ha")).join(cont, Seq("hb"))
     val c2x =
-      if (vocab2 <= 2 * maxBroadcastVocab) c2j
+      if (smallVocab) c2j
       else c2j.crossJoin(broadcast(c2.agg(count(lit(1)).as("n1tot"))))
     val p = greatest(col("c2") - lit(discount), lit(0.0)) / col("ca") +
       lit(discount) * col("n1a") / col("ca") * (col("n1b") / ntot)
@@ -1634,7 +1647,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         coalesce(col("bits"), lit(0.0)).as("bits_per_token"))
-    (out, () => { c2.unpersist(false); stats.unpersist(false); () })
+    (out, () => {
+      dt.unpersist(false); c2.unpersist(false); stats.unpersist(false); ()
+    })
   }
 
   /** Hashed-feature linear quality classifier — the Spark plumbing of a

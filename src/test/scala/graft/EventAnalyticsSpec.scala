@@ -466,6 +466,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(loop === out)
   }
 
+  test("labelPropagation: supplementary-character label ties break by code point on BOTH paths") {
+    import spark.implicits._
+    // U+10000 (a surrogate pair, UTF-16 units 0xD800 0xDC00) vs U+E000
+    // (one unit): UTF-16 code-unit order says U+10000 < U+E000, but
+    // code points / UTF-8 bytes — what Spark's min(struct) compares —
+    // say U+E000 < U+10000. A tied vote between the two labels is the
+    // divergence the driver fast path's cpOrd comparator exists for.
+    val hi = "𐀀" // U+10000
+    val lo = ""
+    val edges = Seq((lo, "n", 5L), (hi, "n", 5L)).toDF("src", "dst", "w")
+    val fast = EventsGraphHelpers.lpa(edges, 1)
+    val loop = GraphRank.labelPropagation(edges, 1, smallGraphMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(fast("n")._1 === lo, s"tie must break to U+E000 by code point: $fast")
+    assert(fast === loop)
+  }
+
   test("labelPropagation: rounds=0 is the identity labelling; repartition-invariant") {
     import spark.implicits._
     val edges = Seq(("x", "y", 1L), ("y", "z", 3L)).toDF("src", "dst", "w")

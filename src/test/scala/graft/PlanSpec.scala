@@ -299,10 +299,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bm25_postings"),
       s"probe must scan the persisted postings parquet:\n$p")
     // the ONLY Generate allowed is the posexplode that unrolls the
-    // bounded top-k array back into ranked rows — a Generate over
-    // explode(tokens) would mean the probe re-tokenized released text
-    assert(!p.contains("Generate explode"),
-      s"probe must not re-tokenize text (explode found):\n$p")
+    // bounded top-k array back into ranked rows — a SECOND Generate
+    // would mean the probe re-tokenized released text. Formatted plans
+    // print the node as "(N) Generate" with the generator on its own
+    // Arguments line, so match the numbered node, not a contiguous
+    // "Generate explode" string (which never appears in this mode)
+    val generates = "\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates == 1,
+      s"probe must have exactly ONE Generate (the top-k posexplode); " +
+        s"found $generates — an extra one means re-tokenized text:\n$p")
     assert(p.contains("posexplode"),
       s"rank recovery must be the bounded-array posexplode:\n$p")
     // ranking is the partial top-k aggregate, never a qid-partitioned
