@@ -781,10 +781,24 @@ object TextAnalysis {
     * consensus (Cormack et al. 2009): list 1 is Okapi BM25
     * ([[bm25TopK]]'s scores), list 2 is tf-idf cosine (query-term dot
     * product over `tf·ln(N/df)` weights, normalized by the document's
-    * full tf-idf vector norm). Both lists rank the SAME candidate set
-    * (the query terms' postings), so every candidate holds a rank in
-    * both and the fused score is `1e6 div (k0+r1) + 1e6 div (k0+r2)` —
-    * pure integer arithmetic.
+    * full tf-idf vector norm).
+    *
+    * RANK-CUTOFF fusion (how every production RRF runs): each list is
+    * first bounded to its per-query top `rankCutoff` via the partial
+    * top-k aggregator, and only docs INSIDE a list's cutoff draw that
+    * list's credit — `rrf_micro = Σ_present 1e6 div (k0 + r)`, a doc
+    * outside a list contributes 0 from it and reports rank 0. Fusing
+    * full exact ranks (the pre-round-16 form) needed per-qid rank
+    * windows over the ENTIRE candidate set — parallelism capped at the
+    * query count and a full per-qid sort of every posting, the r14 ir1
+    * scale flag all over again. Here the candidate frame is reduced
+    * map-side to ≤ rankCutoff entries per (partition, qid, list), and
+    * both lists fold in ONE qid-keyed aggregate pass (two
+    * [[graft.functions.TopKScoredAgg]] columns); everything downstream
+    * is fixture-bounded (≤ 2·rankCutoff rows per query). No rank
+    * window anywhere (plan-gated); the aggregator's (score desc,
+    * id asc) selection order equals the mirror's window order, so
+    * bounded-list ranks match full ranks wherever both are defined.
     *
     * Cross-engine exactness: the dot product sums integer
     * quarti-credits (rounded per (term, doc) BEFORE the sum); the norm
@@ -796,7 +810,7 @@ object TextAnalysis {
     * Scale shape: everything [[bm25TopK]] does, plus ONE
     * vocabulary-keyed equi-join (tf ⋈ df — the txt_tfidf shape) and a
     * doc-keyed norm aggregate joined back to the channel-bounded score
-    * frame; the three rank windows all partition by qid.
+    * frame.
     */
   def rrfFusionTopK(
       documents: DataFrame,
@@ -806,13 +820,15 @@ object TextAnalysis {
       topK: Int = 10,
       rankLo: Int = 12,
       nQueries: Int = 4,
-      termsPerQuery: Int = 4): DataFrame =
+      termsPerQuery: Int = 4,
+      rankCutoff: Int = 100): DataFrame =
     rrfFusionTopKManaged(documents, k0, k1, b, topK, rankLo, nQueries,
-      termsPerQuery)._1
+      termsPerQuery, rankCutoff)._1
 
   /** [[rrfFusionTopK]] with the [[bm25TopKManaged]] cache-release
-    * convention — the thunk unpersists the chain's tf frame after the
-    * caller's final action.
+    * convention — the thunk unpersists the chain's tf frame and the
+    * query-count-sized dual top-R frame after the caller's final
+    * action.
     */
   def rrfFusionTopKManaged(
       documents: DataFrame,
@@ -822,8 +838,10 @@ object TextAnalysis {
       topK: Int = 10,
       rankLo: Int = 12,
       nQueries: Int = 4,
-      termsPerQuery: Int = 4): (DataFrame, () => Unit) = {
-    require(k0 > 0 && topK > 0, s"invalid rrf params ($k0, $topK)")
+      termsPerQuery: Int = 4,
+      rankCutoff: Int = 100): (DataFrame, () => Unit) = {
+    require(k0 > 0 && topK > 0 && rankCutoff >= topK,
+      s"invalid rrf params ($k0, $topK, $rankCutoff)")
     val c = bm25Chain(documents, k1, b, rankLo, nQueries, termsPerQuery)
     val scores = c.hits.groupBy("qid", "doc_id")
       .agg(sum("s_micro").cast("long").as("bm25_micro"),
@@ -840,22 +858,41 @@ object TextAnalysis {
       .select(col("qid"), col("doc_id"), col("bm25_micro"),
         floor(col("dot_q4").cast("double") / sqrt(col("n2").cast("double"))
           * lit(1000000.0) + lit(0.5)).cast("long").as("cos_micro"))
-    import org.apache.spark.sql.expressions.Window
-    val w1 = Window.partitionBy("qid").orderBy(col("bm25_micro").desc, col("doc_id"))
-    val w2 = Window.partitionBy("qid").orderBy(col("cos_micro").desc, col("doc_id"))
-    val rks = cs
-      .withColumn("r1", row_number().over(w1).cast("long"))
-      .withColumn("r2", row_number().over(w2).cast("long"))
-      .select(col("qid"), col("doc_id"),
-        col("r1").cast("int").as("bm25_rnk"), col("r2").cast("int").as("cos_rnk"),
-        (expr(s"1000000 div (${k0.toLong} + r1)")
-          + expr(s"1000000 div (${k0.toLong} + r2)")).cast("long").as("rrf_micro"))
-    val wf = Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id"))
-    val out = rks.withColumn("rnk", row_number().over(wf).cast("int"))
-      .filter(col("rnk") <= topK)
+    // BOTH bounded lists in one aggregate pass over the candidate
+    // frame: each map partition reduces to ≤ rankCutoff entries per
+    // (partition, qid, list) before the single qid exchange
+    val topR = udaf(new graft.functions.TopKScoredAgg(rankCutoff))
+    // persisted: query-count-sized (nQueries rows × 2 bounded arrays);
+    // consumed by both list unrolls and the rank-column join-back
+    val both = cs.groupBy("qid")
+      .agg(topR(col("bm25_micro"), col("doc_id")).as("t1"),
+        topR(col("cos_micro"), col("doc_id")).as("t2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def unroll(arr: String, role: Int): DataFrame =
+      both.select(col("qid"), lit(role).as("role"), posexplode(col(arr)))
+        .select(col("qid"), col("role"),
+          (col("pos") + 1).cast("long").as("r"), col("col.id").as("doc_id"))
+    // role-tagged union + ONE (qid, doc)-keyed agg replaces a full
+    // outer join of the two lists; each (qid, doc, role) is unique so
+    // max(when) just reads the role's rank
+    val fused = unroll("t1", 0).unionByName(unroll("t2", 1))
+      .groupBy("qid", "doc_id")
+      .agg(coalesce(max(when(col("role") === 0, col("r"))), lit(0L))
+             .cast("int").as("bm25_rnk"),
+        coalesce(max(when(col("role") === 1, col("r"))), lit(0L))
+          .cast("int").as("cos_rnk"),
+        sum(expr(s"1000000 div (${k0.toLong} + r)")).cast("long")
+          .as("rrf_micro"))
+    val ranked = TopK.byGroupDesc(
+        fused.select("qid", "rrf_micro", "doc_id"),
+        "qid", "rrf_micro", "doc_id", topK)
+      .select("qid", "rnk", "doc_id")
+    // join-back recovers the per-list rank columns; fused is bounded
+    // by construction (≤ 2·rankCutoff rows per query) → broadcast
+    val out = ranked.join(broadcast(fused), Seq("qid", "doc_id"))
       .select(col("qid"), col("rnk"), col("doc_id"), col("rrf_micro"),
         col("bm25_rnk"), col("cos_rnk"))
-    (out, () => { c.tf.unpersist(false); () })
+    (out, () => { c.tf.unpersist(false); both.unpersist(false); () })
   }
 
   /** BM25 postings index for a RELEASED corpus — the retrieval analog

@@ -1262,14 +1262,19 @@ object DataPipeline {
     TextAnalysis.bm25TopK(Tables.documents(s, d)).orderBy("qid", "rnk")
   }
 
-  /** ir2: reciprocal-rank fusion ([[TextAnalysis.rrfFusionTopK]]) — the
-    * hybrid-retrieval consensus of the BM25 ranking and a tf-idf-cosine
-    * ranking over the same query fixture. Both candidate sets are the
-    * query terms' postings, so every doc ranks in both lists; the
-    * fused credit `1e6 div (60+r1) + 1e6 div (60+r2)` is pure integer.
+  /** ir2: rank-cutoff reciprocal-rank fusion
+    * ([[TextAnalysis.rrfFusionTopK]]) — the hybrid-retrieval consensus
+    * of the BM25 ranking and a tf-idf-cosine ranking over the same
+    * query fixture, each list BOUNDED to its per-query top 100 before
+    * fusing (the production RRF shape; the engine folds both lists in
+    * one qid-keyed dual partial-top-k aggregate, no rank window). A
+    * doc outside a list's cutoff draws no credit from it and reports
+    * rank 0; `rrf_micro = Σ_present 1e6 div (60+r)` is pure integer.
     * The cosine's dot sums integer quarti-credits; the norm sums
     * squared quarti-credits into decimal(38,0) ↔ HUGEINT (Σm² outgrows
     * a BIGINT on long documents — the gr3 wide-integer parity rule).
+    * The mirror realizes the same cutoff with rank windows + `r <= 100`
+    * filters and a FULL OUTER join of the two bounded lists.
     */
   val ir2_rrf_fusion = QueryDef.sqlChecked(
     "ir2_rrf_fusion",
@@ -1298,16 +1303,23 @@ object DataPipeline {
       |scores AS (SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro,
       |    CAST(sum(m_q4) AS BIGINT) AS dot_q4
       |  FROM hits GROUP BY 1, 2),
-      |cs AS (SELECT s.qid, s.doc_id, s.bm25_micro,
+      |cs AS MATERIALIZED (SELECT s.qid, s.doc_id, s.bm25_micro,
       |    CAST(round(CAST(s.dot_q4 AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_micro
       |  FROM scores s JOIN norms n USING (doc_id)),
-      |rks AS (SELECT qid, doc_id, bm25_micro, cos_micro,
-      |    row_number() OVER (PARTITION BY qid ORDER BY bm25_micro DESC, doc_id) AS r1,
-      |    row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, doc_id) AS r2
-      |  FROM cs),
-      |fused AS (SELECT qid, doc_id, CAST(r1 AS INT) AS bm25_rnk, CAST(r2 AS INT) AS cos_rnk,
-      |    CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) AS BIGINT) AS rrf_micro
-      |  FROM rks),
+      |l1 AS (SELECT qid, doc_id, r1 FROM (
+      |    SELECT qid, doc_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY bm25_micro DESC, doc_id) AS r1
+      |    FROM cs) WHERE r1 <= 100),
+      |l2 AS (SELECT qid, doc_id, r2 FROM (
+      |    SELECT qid, doc_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, doc_id) AS r2
+      |    FROM cs) WHERE r2 <= 100),
+      |fused AS (SELECT qid, doc_id,
+      |    CAST(COALESCE(r1, 0) AS INT) AS bm25_rnk,
+      |    CAST(COALESCE(r2, 0) AS INT) AS cos_rnk,
+      |    CAST(COALESCE(1000000 // (60 + r1), 0)
+      |       + COALESCE(1000000 // (60 + r2), 0) AS BIGINT) AS rrf_micro
+      |  FROM l1 FULL OUTER JOIN l2 USING (qid, doc_id)),
       |topk AS (SELECT qid, doc_id, rrf_micro, bm25_rnk, cos_rnk,
       |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS rnk
       |  FROM fused)

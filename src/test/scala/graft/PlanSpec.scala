@@ -333,6 +333,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ir2: rrf fusion is dual bounded top-k aggregates, not rank windows") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.rrfFusionTopK(corpus)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // pre-r16 form ranked BOTH lists and the fused list via per-qid
+    // rank windows — parallelism capped at nQueries and every posting
+    // sorted per qid; the cutoff form must plan zero Window nodes
+    assert(!p.contains("Window"),
+      s"rrf fusion must rank via bounded top-k aggregates, not rank windows:\n$p")
+    assert(p.contains("posexplode"),
+      s"rank recovery must be the bounded-array posexplode:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dd15: corpus verify side is semi-joined to candidates, no cartesian") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") < 400)

@@ -795,12 +795,30 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("qid", "rnk").collect().toSeq
     assert(a.size === 40)
     a.foreach { r =>
-      val expect = 1000000L / (60 + r.getInt(4)) + 1000000L / (60 + r.getInt(5))
+      // rank 0 = outside that list's cutoff = zero credit from it
+      def credit(rnk: Int): Long = if (rnk > 0) 1000000L / (60 + rnk) else 0L
+      val expect = credit(r.getInt(4)) + credit(r.getInt(5))
       assert(r.getLong(3) === expect, s"rrf credit drifted: $r")
     }
     val b = TextAnalysis.rrfFusionTopK(docs.repartition(7))
       .orderBy("qid", "rnk").collect().toSeq
     assert(a === b)
+  }
+
+  test("rrfFusionTopK: rank cutoff bites — outside-list docs carry rank 0, zero credit") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = TextAnalysis.rrfFusionTopK(docs, topK = 10, rankCutoff = 10)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(4) >= 0 && r.getInt(4) <= 10, s"bm25_rnk out of cutoff: $r")
+      assert(r.getInt(5) >= 0 && r.getInt(5) <= 10, s"cos_rnk out of cutoff: $r")
+    }
+    // the two lists disagree enough at the fixture that some fused
+    // doc sits outside one list's top-10 — the cutoff must actually
+    // bite (rank 0), not silently fall back to full ranks
+    assert(out.exists(r => r.getInt(4) == 0 || r.getInt(5) == 0),
+      s"expected at least one single-list doc at cutoff 10:\n${out.mkString("\n")}")
   }
 
   test("bm25 index round-trip: loaded artifact probes identically to the live postings") {
