@@ -114,4 +114,194 @@ object SqSearch {
     TopK.byGroupAsc(scored, "qid", "adist_micro", "vec_id", topK)
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
+
+  /** A trained QT_8bit quantizer: per-dimension corpus min/max (FAISS
+    * `ScalarQuantizer::trained` for QT_8bit is exactly these 2·dim
+    * floats). Fit once at release ([[fitSqModel]]), persisted with the
+    * release ([[graft.operators.TrainingPipeline.writeSqIndex]]).
+    */
+  final case class SqModel(mns: Array[Double], mxs: Array[Double]) {
+    require(mns.length == mxs.length && mns.nonEmpty, "empty/ragged SQ stats")
+    def dim: Int = mns.length
+  }
+
+  private val SqModelMagic = 0x53513842 // "SQ8B"
+
+  /** Persist a trained quantizer as a tiny binary artifact (2·dim
+    * doubles + header) — the [[PqSearch.savePqModel]] convention: the
+    * model loads with ZERO Spark jobs at probe time.
+    */
+  def saveSqModel(model: SqModel, path: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try {
+      out.writeInt(SqModelMagic)
+      out.writeInt(1) // version
+      out.writeInt(model.dim)
+      model.mns.foreach(out.writeDouble)
+      model.mxs.foreach(out.writeDouble)
+    } finally out.close()
+  }
+
+  /** Load a [[saveSqModel]] artifact — fails fast on a foreign file. */
+  def loadSqModel(path: java.nio.file.Path): SqModel = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path)))
+    try {
+      require(in.readInt() == SqModelMagic, s"not an SQ8 model file: $path")
+      val version = in.readInt()
+      require(version == 1, s"unsupported SQ8 model version $version: $path")
+      val dim = in.readInt()
+      require(dim > 0 && dim <= 65536, s"implausible SQ8 dim $dim: $path")
+      SqModel(Array.fill(dim)(in.readDouble()), Array.fill(dim)(in.readDouble()))
+    } finally in.close()
+  }
+
+  /** Train the quantizer: ONE narrow pass — the (dim, x) explode
+    * collapses map-side to partitions × dim partial min/max rows and
+    * only 2×dim doubles reach the driver. No sampling, no iteration:
+    * exact stats, replayable by a single SQL aggregate.
+    */
+  def fitSqModel(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): SqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val stats = PqSearch.project(corpus, idCol, vecCol)
+      .flatMap { case (_, v) =>
+        v.iterator.zipWithIndex.map { case (x, j) => (j, x) }
+      }
+      .toDF("j", "x").groupBy("j")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    SqModel(stats.map(_._2), stats.map(_._3))
+  }
+
+  /** Encode a corpus against a fitted quantizer: ONE narrow pass
+    * emitting (vec_id, cd) — dim uint8 codes per vector, the 4×
+    * compressed index frame. `dim` rides the `cd` column metadata (the
+    * [[Dedup.minhashBands]] stamp discipline) so a probe against a
+    * foreign or re-dimensioned index fails fast.
+    */
+  def encodeSq(
+      corpus: DataFrame,
+      model: SqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcMn = spark.sparkContext.broadcast(model.mns)
+    val bcMx = spark.sparkContext.broadcast(model.mxs)
+    Dedup.stampIndexMeta(
+      PqSearch.project(corpus, idCol, vecCol).map { case (vid, v) =>
+        val mn = bcMn.value
+        val mx = bcMx.value
+        require(v.length == mn.length,
+          s"vector dim ${v.length} != trained dim ${mn.length} (vec_id=$vid)")
+        val codes = new Array[Int](v.length)
+        var j = 0
+        while (j < v.length) {
+          codes(j) =
+            if (mx(j) > mn(j))
+              math.floor((v(j) - mn(j)) / (mx(j) - mn(j)) * 255.0 + 0.5).toInt
+            else 0
+          j += 1
+        }
+        (vid, codes)
+      }.toDF("vec_id", "cd"),
+      "cd", "sq_codes", Map("dim" -> model.dim.toLong))
+  }
+
+  /** Incremental ADC probe of a PERSISTED SQ8 code index: batch vectors
+    * query the frozen codes by asymmetric full-query-vs-decoded-code
+    * squared L2 — the released corpus is never re-scanned in float form
+    * (the [[Dedup.incrementalNearDup]] steady-state contract, scalar-
+    * quantization edition). The fold runs in ascending dimension order
+    * per (query, code) pair — identical arithmetic to [[sq8TopK]]'s
+    * in-query scan, so a probe against codes the release encoded equals
+    * the monolithic query row for row.
+    *
+    * Driver state is gated by ONE `take(cap+1)` job (the
+    * [[PqSearch.probePqCodes]] discipline — the take both decides the
+    * path and supplies the broadcast rows): a batch at or under
+    * `maxDriverBatchRows` broadcasts and scores in a join-free narrow
+    * pass over the codes frame; a larger batch never touches the
+    * driver — it scores through a distributed cross join (both arrays
+    * ride their rows, the fold still runs ascending-dim per pair, so
+    * the two paths are row-identical — spec-pinned). The cross join is
+    * the honest cost of a FLAT index: SQ8 is the re-rank/compression
+    * layer; batch-scale probing composes it under [[IvfSearch]]/
+    * [[PqSearch]] coarse pruning rather than widening this scan.
+    */
+  def probeSqCodes(
+      batch: DataFrame,
+      model: SqModel,
+      codes: DataFrame,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxDriverBatchRows: Int = 65536): DataFrame = {
+    require(topK > 0, s"invalid topK=$topK")
+    require(maxDriverBatchRows >= 0,
+      s"invalid maxDriverBatchRows=$maxDriverBatchRows")
+    Dedup.checkIndexMeta(codes, "cd", "sq_codes",
+      Map("dim" -> model.dim.toLong))
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val mns = model.mns
+    val mxs = model.mxs
+    def fold(qv: Array[Double], cd: Array[Int],
+        mn: Array[Double], mx: Array[Double]): Long = {
+      var s = 0.0
+      var j = 0
+      while (j < qv.length) {
+        val dec = mn(j) + cd(j) * (mx(j) - mn(j)) / 255.0
+        val d = qv(j) - dec
+        s += d * d
+        j += 1
+      }
+      math.floor(s * 1e6 + 0.5).toLong
+    }
+    val q = PqSearch.project(batch, idCol, vecCol)
+    val cds = codes.select(col("vec_id").cast("long"), col("cd"))
+      .as[(Long, Array[Int])]
+    val gateRows = q.take(maxDriverBatchRows + 1)
+    val scored =
+      if (gateRows.length <= maxDriverBatchRows) {
+        val qRows = gateRows.sortBy(_._1)
+        qRows.foreach { case (qid, qv) =>
+          require(qv.length == mns.length,
+            s"query dim ${qv.length} != trained dim ${mns.length} (qid=$qid)") }
+        val bcQ = spark.sparkContext.broadcast(qRows)
+        val bcMn = spark.sparkContext.broadcast(mns)
+        val bcMx = spark.sparkContext.broadcast(mxs)
+        cds.mapPartitions { it =>
+          val qs = bcQ.value
+          val mn = bcMn.value
+          val mx = bcMx.value
+          it.flatMap { case (vid, cd) =>
+            qs.iterator.filter(_._1 != vid).map { case (qid, qv) =>
+              (qid, vid, fold(qv, cd, mn, mx))
+            }
+          }
+        }.toDF("qid", "vec_id", "adist_micro")
+      } else {
+        // distributed fallback: nothing batch-sized on the driver —
+        // both arrays ride their rows through the cross join and the
+        // per-pair fold is the same ascending-dim loop
+        val bcMn = spark.sparkContext.broadcast(mns)
+        val bcMx = spark.sparkContext.broadcast(mxs)
+        q.toDF("qid", "qv").crossJoin(cds.toDF("vec_id", "cd"))
+          .filter(col("vec_id") =!= col("qid"))
+          .as[(Long, Array[Double], Long, Array[Int])]
+          .map { case (qid, qv, vid, cd) =>
+            (qid, vid, fold(qv, cd, bcMn.value, bcMx.value))
+          }.toDF("qid", "vec_id", "adist_micro")
+      }
+    TopK.byGroupAsc(scored, "qid", "adist_micro", "vec_id", topK)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
+  }
 }

@@ -825,6 +825,41 @@ object TrainingPipeline {
         "codes", "pq_codes", s"loadPqIndex($releasePath)"))
   }
 
+  /** Persist the released corpus's SQ8 embedding index — the
+    * scalar-quantization analog of [[writePqIndex]]: a tiny binary
+    * model artifact ([[SqSearch.saveSqModel]]: per-dimension min/max)
+    * plus the encoded codes parquet (dim uint8 codes per vector, a 4×
+    * compression of float32). Stats fit and vectors encode ONCE at
+    * release; every incoming batch probes the codes
+    * ([[SqSearch.probeSqCodes]]) without touching a released vector
+    * again — the in-query retrain that dominates the monolithic
+    * ann_sq8's cost disappears from the steady state.
+    */
+  def writeSqIndex(released: DataFrame, releasePath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    val model = SqSearch.fitSqModel(released, idCol, vecCol)
+    SqSearch.saveSqModel(model, dir.resolve("sq_model.bin"))
+    SqSearch.encodeSq(released, model, idCol, vecCol)
+      .orderBy("vec_id")
+      .write.mode("overwrite").parquet(dir.resolve("sq_codes").toString)
+  }
+
+  /** Load the SQ8 index [[writeSqIndex]] persisted: the model (zero
+    * Spark jobs) and the codes as a lazy kind-stamped parquet frame;
+    * the stamped dim is re-checked against the model's at probe time.
+    */
+  def loadSqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): (SqSearch.SqModel, DataFrame) = {
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    (SqSearch.loadSqModel(dir.resolve("sq_model.bin")),
+      Dedup.requireIndexKind(
+        spark.read.parquet(dir.resolve("sq_codes").toString),
+        "cd", "sq_codes", s"loadSqIndex($releasePath)"))
+  }
+
   /** Persist the released corpus's BM25 postings with the release —
     * the retrieval analog of [[writeMinhashBands]]: text tokenizes and
     * counts ONCE at release; every later query batch probes the frozen

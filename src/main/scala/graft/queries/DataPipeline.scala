@@ -1008,8 +1008,14 @@ object DataPipeline {
     * both engines fold dimensions in ascending order, and the decode
     * expression `mn + cd·(mx−mn)/255` is structurally identical).
     */
-  private val AnnSq8Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** One SQ8 chain, two queries: `corpusRel` feeds the stats fit +
+    * encode, `queryRel` yields the (qid, qv) probe panel — ann_sq8
+    * splices the whole table against its own first-5 panel,
+    * ann_sq8_incremental splices the released 4/5 against a batch-side
+    * panel. Same CTEs everywhere, so the two oracles can't drift.
+    */
+  private def sq8SqlFor(corpusRel: String, queryRel: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $corpusRel),
       |st AS MATERIALIZED (
       |  SELECT j, min(v[j+1]) AS mn, max(v[j+1]) AS mx
       |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) dims
@@ -1023,7 +1029,7 @@ object DataPipeline {
       |                         / (mxs[j+1] - mns[j+1]) * 255.0 + 0.5) AS BIGINT)
       |         ELSE CAST(0 AS BIGINT) END) AS cd
       |  FROM e, stl),
-      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |q AS ($queryRel),
       |sc AS (SELECT qid, vec_id,
       |        CAST(round(list_sum(list_transform(range(64), j ->
       |          (qv[j+1] - (mns[j+1] + cd[j+1] * (mxs[j+1] - mns[j+1]) / 255.0))
@@ -1037,9 +1043,47 @@ object DataPipeline {
       |SELECT qid, rnk, vec_id, adist_micro FROM r WHERE rnk <= 10
       |ORDER BY qid, rnk""".stripMargin
 
+  private val AnnSq8Sql: String = sq8SqlFor("embeddings",
+    "SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5")
+
   val ann_sq8 = QueryDef.sqlChecked("ann_sq8", AnnSq8Sql) { (s, d) =>
     graft.operators.SqSearch.sq8TopK(Tables.embeddings(s, d),
         queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
+  /** ann_sq8_incremental: the SQ8 steady state — the first 4/5 of the
+    * vectors are the RELEASED corpus (per-dim stats fit + uint8 codes
+    * frozen there); vectors from the arriving 1/5 batch probe the code
+    * index ([[graft.operators.SqSearch.probeSqCodes]]) by asymmetric
+    * decode/fold. The released side is never re-encoded (the dd15
+    * incremental contract, scalar-quantization edition); the probe
+    * panel is the batch's first 5 vectors — the bounded audit-fixture
+    * convention every ANN query here uses (production batches compose
+    * the flat SQ scan under IVF/PQ coarse pruning). The mirror splices
+    * the SAME SQ8 chain with corpus/query relations swapped to the
+    * split; `(4·(max+1)) div 5` computes identically in both engines.
+    */
+  private val SqCutSql =
+    "(SELECT (4 * (max(vec_id) + 1)) // 5 FROM embeddings)"
+
+  private val AnnSq8IncSql: String = sq8SqlFor(
+    s"(SELECT * FROM embeddings WHERE vec_id < $SqCutSql)",
+    s"""SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       | FROM embeddings
+       | WHERE vec_id >= $SqCutSql AND vec_id < $SqCutSql + 5""".stripMargin)
+
+  val ann_sq8_incremental = QueryDef.sqlChecked(
+    "ann_sq8_incremental", AnnSq8IncSql) { (s, d) =>
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = Tables.embeddings(s, d)
+    val n = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1
+    val cut = 4 * n / 5
+    val released = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut && col("vec_id") < cut + 5)
+    val model = graft.operators.SqSearch.fitSqModel(released)
+    graft.operators.SqSearch.probeSqCodes(
+        batch, model, graft.operators.SqSearch.encodeSq(released, model))
       .orderBy("qid", "rnk")
   }
 
@@ -4663,7 +4707,7 @@ object DataPipeline {
     ann_ivfpq_topk, ann_pq_incremental, ann_pq_residual, ann_label_noise,
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
     emb5_pq_residual_recall, emb6_hard_negatives,
-    ann_sq8, emb7_sq_recall,
+    ann_sq8, ann_sq8_incremental, emb7_sq_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     ir1_bm25_topk, ir2_rrf_fusion, ir3_bm25_incremental,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,

@@ -59,6 +59,79 @@ class SqSearchSpec extends SparkSpec {
     assert(rec.forall(_.getDouble(2) >= 0.9), rec.mkString(", "))
   }
 
+  test("probeSqCodes: probe of the released index equals the spliced in-query chain; fast == fallback") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val released = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+    val model = SqSearch.fitSqModel(released)
+    val codes = SqSearch.encodeSq(released, model)
+    val fast = SqSearch.probeSqCodes(batch, model, codes)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(fast.size === 50)
+    // driver gate at 0 forces the distributed cross-join fallback —
+    // same ascending-dim fold per pair, row-identical by contract
+    val slow = SqSearch.probeSqCodes(batch, model, codes,
+        maxDriverBatchRows = 0)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(fast === slow)
+  }
+
+  test("writeSqIndex/loadSqIndex: roundtrip probe matches the in-memory index; foreign frames fail fast") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val released = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+    val dir = java.nio.file.Files.createTempDirectory("sq-idx").toString
+    graft.operators.TrainingPipeline.writeSqIndex(released, dir)
+    val (model, codes) = graft.operators.TrainingPipeline.loadSqIndex(spark, dir)
+    val fromDisk = SqSearch.probeSqCodes(batch, model, codes)
+      .orderBy("qid", "rnk").collect().toSeq
+    val inMem = {
+      val m = SqSearch.fitSqModel(released)
+      SqSearch.probeSqCodes(batch, m, SqSearch.encodeSq(released, m))
+        .orderBy("qid", "rnk").collect().toSeq
+    }
+    assert(fromDisk === inMem && fromDisk.size === 50)
+    // a dim-mismatched model against the stamped codes must fail fast,
+    // not silently mis-decode
+    val wrong = SqSearch.SqModel(Array(0.0, 0.0), Array(1.0, 1.0))
+    val ex = intercept[IllegalArgumentException] {
+      SqSearch.probeSqCodes(batch, wrong, codes)
+    }
+    assert(ex.getMessage.contains("dim"), ex.getMessage)
+    // an unstamped parquet must be rejected by the loader path
+    import spark.implicits._
+    val foreign = Seq((1L, Array(1, 2))).toDF("vec_id", "cd")
+    val fdir = java.nio.file.Files.createTempDirectory("sq-foreign")
+      .resolve("_graft_models").resolve("sq_codes")
+    foreign.write.mode("overwrite").parquet(fdir.toString)
+    SqSearch.saveSqModel(model, fdir.getParent.resolve("sq_model.bin"))
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.loadSqIndex(
+        spark, fdir.getParent.getParent.toString)
+    }
+    assert(ex2.getMessage.toLowerCase.contains("sq_codes"), ex2.getMessage)
+  }
+
+  test("probeSqCodes: loaded-index probe rides the parquet scan — no joins, no window, no re-encode") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sq-gate").toString
+    graft.operators.TrainingPipeline.writeSqIndex(
+      emb.filter(col("vec_id") < 400), dir)
+    val (model, codes) = graft.operators.TrainingPipeline.loadSqIndex(spark, dir)
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+    val p = SqSearch.probeSqCodes(batch, model, codes)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("sq_codes"),
+      s"probe must scan the persisted codes parquet:\n$p")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct", "BroadcastNestedLoopJoin", "Window").foreach { n =>
+      assert(!p.contains(n), s"broadcast-path probe plan must not contain $n:\n$p")
+    }
+    assert(p.contains("posexplode"),
+      s"rank recovery must be the bounded-array posexplode:\n$p")
+  }
+
   test("sq8TopK: the ADC scan plans join-free with the bounded top-k (no window)") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val p = SqSearch.sq8TopK(emb, Seq(0L, 1L))
