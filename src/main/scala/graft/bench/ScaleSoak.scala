@@ -75,7 +75,7 @@ object ScaleSoak {
     sb.toString
   }
 
-  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+  private[bench] def synthDocs(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     val nn = n
     spark.range(n).as[Long]

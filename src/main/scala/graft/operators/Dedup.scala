@@ -1030,12 +1030,20 @@ object Dedup {
     * k-shingles:
     *
     *   1. one typed pass emits (doc, start, k-gram) for every token
-    *      position — narrow, no shuffle;
-    *   2. corpus document-frequency per k-gram — ONE shuffle keyed by
-    *      the gram (map-side partial agg; a hot gram costs one count,
-    *      never a pair fan-out);
+    *      position and hashes the gram to 64 bits IN THE SAME STAGE
+    *      (the [[Decontamination.exactSubstringLeaks]] rule) — the
+    *      persisted frame and every downstream exchange carry three
+    *      longs per position, never the ~80-byte 8-token string; a
+    *      cross-gram collision adds a false duplicated position at
+    *      ~|grams|²/2⁶⁵ — the accepted signature-family bound
+    *      (round-16 forensic: the string-keyed form spilled its cache
+    *      and shuffles at 500k docs, the 12x x10→x100 cliff behind
+    *      pipe2's 18.6x SCALE outlier);
+    *   2. corpus document-frequency per gram hash — ONE shuffle keyed
+    *      by the hash (map-side partial agg; a hot gram costs one
+    *      count, never a pair fan-out);
     *   3. positions of duplicated grams survive a left-semi join keyed
-    *      by the gram (semi = zero fan-out on hot grams, each position
+    *      by the hash (semi = zero fan-out on hot grams, each position
     *      row emitted at most once);
     *   4. surviving positions merge into maximal spans with a
     *      gaps-and-islands window PARTITIONED BY doc (lag + running
@@ -1077,20 +1085,23 @@ object Dedup {
         out
       }
       .toDF("doc_id", "i", "s")
+      // hash in the SAME stage as the flatMap: strings never reach the
+      // cache or an exchange (see step 1 of the scaladoc)
+      .select(col("doc_id"), col("i"), xxhash64(col("s")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // document frequency per gram — count DISTINCT DOCS so a gram
     // repeated inside one doc is not corpus-duplicated. Spark plans
-    // the single-distinct agg as partial dedup on (s, doc_id) →
-    // exchange (s, doc_id) → exchange (s): hash on BOTH keys spreads a
-    // hot gram across partitions, and the s-exchange carries at most
-    // one partial row per (s, partition). (Probed against the
+    // the single-distinct agg as partial dedup on (h, doc_id) →
+    // exchange (h, doc_id) → exchange (h): hash on BOTH keys spreads a
+    // hot gram across partitions, and the h-exchange carries at most
+    // one partial row per (h, partition). (Probed against the
     // distinct()-then-count form: identical exchange structure in
     // Spark 4.1 — this form just states the intent in one aggregate.)
-    val dup = pos.groupBy("s")
+    val dup = pos.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("s"))
-    val hits = pos.join(dup, Seq("s"), "left_semi")
+      .select(col("h"))
+    val hits = pos.join(dup, Seq("h"), "left_semi")
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     val flagged = hits
       .withColumn("gap", col("i") - lag(col("i"), 1, null).over(byDoc))
