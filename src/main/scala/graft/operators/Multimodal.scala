@@ -409,6 +409,175 @@ object Multimodal {
     Dedup.bandedHammingProbe(index, dhash(batch), maxHamming)
   }
 
+  /** The 8x8 orthonormal DCT-II basis, scaled to INTEGER micro units:
+    * `B(u,x) = rint(1e6 * a(u) * cos(pi*(2x+1)*u/16))` with
+    * `a(0) = sqrt(1/8)`, `a(u>0) = 1/2`. pHash thresholds DCT
+    * coefficients against their median, so the transform itself must
+    * be exactly replayable — freezing the basis as integers makes
+    * every coefficient a pure integer sum both engines compute
+    * bit-identically (the mirror embeds these SAME values as a literal
+    * VALUES table, interpolated from this array so they cannot drift).
+    */
+  private[graft] val PhashBasisMicro: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      val a = if (u == 0) math.sqrt(1.0 / 8) else 0.5
+      math.rint(1e6 * a * math.cos(math.Pi * (2 * x + 1) * u / 16)).toLong
+    }
+
+  /** pHash (perceptual DCT hash) signatures over REAL decoded pixels —
+    * the frequency-domain companion of [[dhash]]: where dHash signs
+    * local gradients (robust to re-encode, sensitive to local edits),
+    * pHash signs the image's LOW-FREQUENCY STRUCTURE against its own
+    * median, so global luminance shifts and high-frequency noise both
+    * cancel. Pipeline: decode via `javax.imageio`, floor-map mean-pool
+    * the grayscale onto an 8x8 cell grid (`cx = x*8 div w`), take the
+    * integer floor mean per cell, transform with the frozen integer
+    * [[PhashBasisMicro]] (coefficient = sum of cell*B(u,cx)*B(v,cy) —
+    * max |coef| ~ 1.2e16, inside Long), then one bit per coefficient:
+    * `bit(v*8+u) = coef > median(63 AC coefs)` with the DC bit pinned
+    * 0 (DC is the threshold's baseline, not a feature). 64 bits pack
+    * into one long + the same 8 byte-bands the SimHash family joins
+    * on. Sub-8x8 images are EXCLUDED (no signature row) for dHash's
+    * reason: their empty cells carry no structure to hash.
+    */
+  def phash(media: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val grid = 8
+    val basis = PhashBasisMicro
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        require(r.meta.kind == "image",
+          s"phash on kind=${r.meta.kind} (doc ${r.doc_id})")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w < grid || h < grid) Iterator.empty else Iterator.single {
+          val sums = Array.ofDim[Long](grid, grid)
+          val cnts = Array.ofDim[Long](grid, grid)
+          var y = 0
+          while (y < h) {
+            val cy = y * grid / h
+            var x = 0
+            while (x < w) {
+              val cx = x * grid / w
+              val p = img.getRGB(x, y)
+              sums(cx)(cy) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              cnts(cx)(cy) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // integer floor mean per cell (both operands non-negative,
+          // so Long '/' IS the floor the mirror's '//' computes)
+          val cell = Array.ofDim[Long](grid, grid)
+          var cx = 0
+          while (cx < grid) {
+            var cy = 0
+            while (cy < grid) {
+              cell(cx)(cy) = sums(cx)(cy) / cnts(cx)(cy)
+              cy += 1
+            }
+            cx += 1
+          }
+          val coef = Array.ofDim[Long](grid, grid)
+          var u = 0
+          while (u < grid) {
+            var v = 0
+            while (v < grid) {
+              var s = 0L
+              var i = 0
+              while (i < grid) {
+                var j = 0
+                while (j < grid) {
+                  s += basis(u)(i) * basis(v)(j) * cell(i)(j)
+                  j += 1
+                }
+                i += 1
+              }
+              coef(u)(v) = s
+              v += 1
+            }
+            u += 1
+          }
+          // median of the 63 AC coefficients = the 32nd smallest value
+          val ac = new Array[Long](63)
+          var n = 0
+          u = 0
+          while (u < grid) {
+            var v = 0
+            while (v < grid) {
+              if (u != 0 || v != 0) { ac(n) = coef(u)(v); n += 1 }
+              v += 1
+            }
+            u += 1
+          }
+          java.util.Arrays.sort(ac)
+          val med = ac(31)
+          val bits = new Array[Int](grid * grid)
+          u = 0
+          while (u < grid) {
+            var v = 0
+            while (v < grid) {
+              if ((u != 0 || v != 0) && coef(u)(v) > med) bits(v * grid + u) = 1
+              v += 1
+            }
+            u += 1
+          }
+          var sig = 0L
+          var i = 0
+          while (i < bits.length) {
+            if (bits(i) == 1) sig |= 1L << i
+            i += 1
+          }
+          (r.doc_id, sig, graft.functions.TextHashing.byteBands(bits))
+        }
+      }
+    }.toDF("doc_id", "sig", "bytes")
+  }
+
+  /** Image perceptual near-dup pairs on [[phash]] signatures — the
+    * DCT-domain member of the shared byte-band pigeonhole family
+    * ([[Dedup.bandedHammingJoin]]: guaranteed recall for Hamming <= 7,
+    * never all-pairs, bucket-capped). Production dedup runs BOTH
+    * dHash and pHash and intersects (the [[Dedup.consensusNearDup]]
+    * pattern): gradient and frequency signatures false-positive on
+    * different image families.
+    */
+  def phashPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 7,
+      maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+    // persist: the signature stage (decode + pool + DCT per image)
+    // feeds the cap aggregation, the anti-join side and both band sides
+    val sigs = phash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.bandedHammingJoin(sigs, maxHamming, maxBucket)
+  }
+
+  /** The persistable pHash band index — decode + DCT once at release
+    * time, probe forever ([[phashIncrementalPairs]]).
+    */
+  def phashIndex(
+      media: Dataset[MediaRow],
+      maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame =
+    Dedup.stampIndexMeta(Dedup.bandedHammingIndex(phash(media), maxBucket),
+      "sig", "phash_index", Map("maxBucket" -> maxBucket.toLong))
+
+  /** Incremental pHash near-dup: which released images does this batch
+    * structurally duplicate — [[dhashIncrementalPairs]] in the DCT
+    * domain. Released images never re-decode; the batch signatures
+    * once and probes the persisted band index.
+    */
+  def phashIncrementalPairs(
+      batch: Dataset[MediaRow],
+      index: DataFrame,
+      maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame = {
+    Dedup.checkIndexMeta(index, "sig", "phash_index", Map.empty)
+    Dedup.bandedHammingProbe(index, phash(batch), maxHamming)
+  }
+
   /** Deterministic synthetic video table, as fixed-width-frame text
     * payloads: every `poolEvery`-th document draws its frame WINDOW from
     * a sliding pool (video with pool key k = frames k..k+nFrames-1), so

@@ -921,6 +921,34 @@ object TrainingPipeline {
           .resolve("dhash_index").toString),
       "sig", "dhash_index", s"loadDhashIndex($releasePath)")
 
+  /** Persist an image set's pHash (DCT) band index with the release —
+    * [[writeDhashIndex]] in the frequency domain; batches probe via
+    * [[Multimodal.phashIncrementalPairs]].
+    */
+  def writePhashIndex(
+      released: org.apache.spark.sql.Dataset[MediaRow],
+      releasePath: String,
+      maxBucket: Int = 1000): Unit = {
+    implicit val spark = released.sparkSession
+    val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
+    java.nio.file.Files.createDirectories(dir)
+    Multimodal.phashIndex(released, maxBucket)
+      .orderBy("doc_id", "band")
+      .write.mode("overwrite").parquet(dir.resolve("phash_index").toString)
+  }
+
+  /** Load the index [[writePhashIndex]] persisted — lazy parquet, no
+    * decode jobs; kind-stamped like [[loadDhashIndex]].
+    */
+  def loadPhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      releasePath: String): DataFrame =
+    Dedup.requireIndexKind(
+      spark.read.parquet(
+        java.nio.file.Paths.get(releasePath, ModelsSubdir)
+          .resolve("phash_index").toString),
+      "sig", "phash_index", s"loadPhashIndex($releasePath)")
+
   /** Persist a released video set's frame-signature index
     * ([[Multimodal.videoFrameIndex]]) — frames are sampled and
     * signatured ONCE at release time; batches probe with

@@ -2479,7 +2479,10 @@ object DataPipeline {
     * 9×8 pooling → gradient bits → signature halves + band bytes),
     * shared by mm_dhash_pairs and mm_dhash_incremental.
     */
-  private val DhashCtes =
+  /** Pattern-pool key → dims → pixels → grayscale: the decode replay
+    * shared by BOTH perceptual-hash mirrors (dHash and pHash).
+    */
+  private val PatternPixelCtes =
     s"""keys AS (SELECT doc_id,
        |  CASE WHEN doc_id % 7 = 0 THEN (doc_id // 7) % 23 ELSE 23 + doc_id END AS k
        |  FROM documents),
@@ -2489,7 +2492,10 @@ object DataPipeline {
        |        ((k*31 + (p%w)*(p%w)*7 + (p//w)*(p//w)*13 + (p%w)*(p//w)*5) % 256) +
        |        ((k*17 + (p%w)*(p%w)*11 + (p//w)*(p//w)*3 + (p%w)*(p//w)*7) % 256) +
        |        ((k*29 + (p%w)*(p%w)*5 + (p//w)*(p//w)*17 + (p%w)*(p//w)*3) % 256) AS gray
-       |       FROM px),
+       |       FROM px)""".stripMargin
+
+  private val DhashCtes =
+    s"""$PatternPixelCtes,
        |cells AS (SELECT doc_id, (x*9)//w AS cx, (y*8)//h AS cy,
        |           CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
        |          FROM gr GROUP BY doc_id, (x*9)//w, (y*8)//h),
@@ -2555,6 +2561,107 @@ object DataPipeline {
     implicit val spark = s
     Multimodal.dhashPairs(
       Multimodal.syntheticPatternImages(Tables.documents(s, d)))
+      .orderBy("da", "db")
+  }
+
+  /** The frozen integer DCT basis as a literal VALUES table —
+    * interpolated from [[Multimodal.PhashBasisMicro]] itself so the
+    * two engines share ONE source of truth for the transform.
+    */
+  private val PhashBasisValues: String =
+    (for { u <- 0 until 8; x <- 0 until 8 }
+      yield s"($u,$x,${Multimodal.PhashBasisMicro(u)(x)})").mkString(", ")
+
+  /** pHash derivation CTE chain (pattern images → gray grid → 8×8
+    * floor-mean pooling → integer DCT → median threshold → signature
+    * halves + band bytes), shared by mm_phash_pairs and
+    * mm_phash_incremental. All-integer: the pooled cell is a floor
+    * division, the DCT rides the micro-scaled literal basis, and the
+    * median of the 63 AC coefficients is the 32nd smallest value (an
+    * exact rank, not an interpolated quantile).
+    */
+  private val PhashCtes =
+    s"""$PatternPixelCtes,
+       |cells8 AS (SELECT doc_id, (x*8)//w AS cx, (y*8)//h AS cy,
+       |            CAST(sum(gray) AS BIGINT) // CAST(count(*) AS BIGINT) AS cell
+       |           FROM gr GROUP BY doc_id, (x*8)//w, (y*8)//h),
+       |basis AS (SELECT * FROM (VALUES $PhashBasisValues) t(u, x, b)),
+       |coefs AS (SELECT c.doc_id, bu.u AS u, bv.u AS v,
+       |           CAST(sum(c.cell * CAST(bu.b AS BIGINT) * CAST(bv.b AS BIGINT))
+       |                AS BIGINT) AS coef
+       |          FROM cells8 c
+       |          JOIN basis bu ON bu.x = c.cx
+       |          JOIN basis bv ON bv.x = c.cy
+       |          GROUP BY c.doc_id, bu.u, bv.u),
+       |med AS (SELECT doc_id, coef AS med FROM (
+       |         SELECT doc_id, coef,
+       |          row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+       |         FROM coefs WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+       |bits AS (SELECT c.doc_id, c.v*8 + c.u AS i,
+       |          CASE WHEN NOT (c.u = 0 AND c.v = 0) AND c.coef > m.med
+       |               THEN 1 ELSE 0 END AS bit
+       |         FROM coefs c JOIN med m ON m.doc_id = c.doc_id),
+       |sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit = 1 AND i < 32
+       |                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(sum(CASE WHEN bit = 1 AND i >= 32
+       |                  THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS sb
+       |   FROM bits GROUP BY doc_id),
+       |bytes AS (SELECT doc_id, i // 8 AS band,
+       |           CAST(sum(bit << (7 - (i % 8))) AS BIGINT) AS byte_val
+       |          FROM bits GROUP BY doc_id, i // 8)""".stripMargin
+
+  private val PhashSql =
+    s"""WITH $PhashCtes,
+       |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
+       |         HAVING count(*) <= 1000),
+       |bk AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b JOIN keep USING (band, byte_val)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bk a JOIN bk b USING (band, byte_val) WHERE a.doc_id < b.doc_id)
+       |SELECT da, db,
+       | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
+       |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
+       |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
+       |ORDER BY da, db""".stripMargin
+
+  private val PhashIncSql =
+    s"""WITH $PhashCtes,
+       |keep AS (SELECT band, byte_val FROM bytes WHERE doc_id < 400
+       |         GROUP BY band, byte_val HAVING count(*) <= 1000),
+       |bkc AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b
+       |        JOIN keep USING (band, byte_val) WHERE b.doc_id < 400),
+       |bkb AS (SELECT doc_id, band, byte_val FROM bytes WHERE doc_id >= 400),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bkc a JOIN bkb b USING (band, byte_val))
+       |SELECT da, db,
+       | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
+       |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
+       |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
+       |ORDER BY da, db""".stripMargin
+
+  /** DCT perceptual-hash near-dup pairs: the engine decodes REAL PNGs
+    * and computes the all-integer pHash ([[Multimodal.phash]]); the
+    * oracle replays decode, pooling, the frozen-basis DCT, the median
+    * threshold and the banded Hamming join off the generating formula.
+    * Any decoder, pooling, transform or banding bug breaks the hash.
+    */
+  val mm_phash_pairs = QueryDef.sqlChecked("mm_phash_pairs", PhashSql) { (s, d) =>
+    implicit val spark = s
+    Multimodal.phashPairs(
+      Multimodal.syntheticPatternImages(Tables.documents(s, d)))
+      .orderBy("da", "db")
+  }
+
+  /** Incremental pHash probe over a released 0..399 index, batch
+    * >= 400 — the dhash incremental split in the DCT domain.
+    */
+  val mm_phash_incremental = QueryDef.sqlChecked(
+    "mm_phash_incremental", PhashIncSql) { (s, d) =>
+    implicit val spark = s
+    val docs = Tables.documents(s, d)
+    val corpus = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") < 400))
+    val batch = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") >= 400))
+    Multimodal.phashIncrementalPairs(batch, Multimodal.phashIndex(corpus))
       .orderBy("da", "db")
   }
 
@@ -4739,6 +4846,6 @@ object DataPipeline {
     cl1_kmeans, cl2_balanced_sample, cl3_silhouette, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline, pipe3_curation_report,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
-    mm_dhash_incremental,
+    mm_dhash_incremental, mm_phash_pairs, mm_phash_incremental,
     mm_video_pairs, mm_audio_pairs)
 }

@@ -343,6 +343,138 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dhashPairs(media).count() === 0L)
   }
 
+  test("phash matches an independent pooled-DCT replay on real decoded PNGs") {
+    implicit val s = spark
+    import s.implicits._
+    // independent reimplementation: same frozen basis constant, but
+    // pooling/DCT/median/packing written straight off the definition —
+    // any indexing, packing or floor-division slip in the engine breaks
+    // the comparison
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+    val media = Multimodal.syntheticPatternImages(docs).collect()
+    val got = Multimodal.phash(media.toSeq.toDS()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    val B = Multimodal.PhashBasisMicro
+    media.foreach { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+      val w = img.getWidth; val h = img.getHeight
+      val sums = Array.fill(8, 8)(0L); val cnts = Array.fill(8, 8)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        sums(x * 8 / w)(y * 8 / h) += g; cnts(x * 8 / w)(y * 8 / h) += 1
+      }
+      val cell = Array.tabulate(8, 8)((i, j) => sums(i)(j) / cnts(i)(j))
+      val coef = Array.tabulate(8, 8) { (u, v) =>
+        (for (i <- 0 until 8; j <- 0 until 8)
+          yield B(u)(i) * B(v)(j) * cell(i)(j)).sum
+      }
+      val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+        yield coef(u)(v)).sorted
+      val med = ac(31)
+      var sig = 0L
+      for (u <- 0 until 8; v <- 0 until 8
+           if (u != 0 || v != 0) && coef(u)(v) > med)
+        sig |= 1L << (v * 8 + u)
+      assert(got(m.doc_id)._1 === sig, s"sig mismatch for doc ${m.doc_id}")
+    }
+  }
+
+  test("phashPairs: pattern-pool duplicates pair at Hamming 0") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 400)
+    val pairs = Multimodal.phashPairs(Multimodal.syntheticPatternImages(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val poolKey = (id: Long) => (id / 7) % 23
+    val poolIds = (0L until 400L).filter(_ % 7 == 0)
+    val expected = (for {
+      a <- poolIds; b <- poolIds
+      if a < b && poolKey(a) == poolKey(b)
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty)
+    val zeroPairs = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(zeroPairs),
+      s"missing planted image dups: ${expected -- zeroPairs}")
+    assert(pairs.forall(_._3 <= 7))
+  }
+
+  test("phash signs structure, not brightness: a global luminance shift pairs at 0") {
+    implicit val s = spark
+    import s.implicits._
+    // the invariance class pHash promises OVER dHash: adding a constant
+    // to every pixel moves only the DC coefficient (up to the frozen
+    // basis's rounding), and the median threshold re-centers — the same
+    // shift breaks naive mean-threshold hashes
+    val w = 24; val h = 16
+    def enc(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (x * 150 / w + y * 60 / h + (x * y) % 13) % 200
+        val c = base + shift // headroom: base < 200, shift <= 40
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val meta = graft.operators.MediaMeta("image", "png", 0L)
+    val media = Seq(
+      graft.operators.MediaRow(1L, enc(0), meta),
+      graft.operators.MediaRow(2L, enc(40), meta)).toDS()
+    val pairs = Multimodal.phashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 === 0),
+      s"brightness-shifted twin must hash identically, got ${pairs.toSeq}")
+  }
+
+  test("phashIncrementalPairs equals the full run's cross-split slice; index round-trips") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf)
+    val corpus = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") < 400))
+    val batch = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") >= 400))
+    val inc = Multimodal.phashIncrementalPairs(batch, Multimodal.phashIndex(corpus))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val full = Multimodal.phashPairs(Multimodal.syntheticPatternImages(docs))
+      .filter(col("da") < 400 && col("db") >= 400)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inc === full && inc.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("phash-idx").toString
+    graft.operators.TrainingPipeline.writePhashIndex(corpus, dir)
+    val viaLoaded = Multimodal.phashIncrementalPairs(batch,
+        graft.operators.TrainingPipeline.loadPhashIndex(spark, dir))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(viaLoaded === inc)
+    // cross-family probe: a dHash index handed to the pHash probe is a
+    // kind mismatch, not a silent wrong-domain join
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashIncrementalPairs(batch, Multimodal.dhashIndex(corpus))
+    }
+    assert(e.getMessage.contains("phash_index"))
+  }
+
+  test("phash excludes sub-grid images instead of hashing them to all-zero sigs") {
+    implicit val s = spark
+    import s.implicits._
+    def tiny(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4)
+        img.setRGB(x, y, (seed * 37 + x * 50 + y * 90) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val meta = graft.operators.MediaMeta("image", "png", 0L)
+    val media = Seq(
+      graft.operators.MediaRow(1L, tiny(1), meta),
+      graft.operators.MediaRow(2L, tiny(999), meta)).toDS()
+    assert(Multimodal.phash(media).count() === 0L,
+      "sub-grid images carry no structure to hash and must be excluded")
+    assert(Multimodal.phashPairs(media).count() === 0L)
+  }
+
   test("videoFramePairs: shared-footage cuts pair by Jaccard, disjoint videos never") {
     import spark.implicits._
     // A and B are one-frame-shifted cuts of the same footage (7 of 8
