@@ -724,7 +724,7 @@ object TextAnalysis {
     * by Catalyst at zero cost).
     */
   private case class Bm25Chain(tf: DataFrame, df: DataFrame,
-      stats: DataFrame, qterms: DataFrame, hits: DataFrame)
+      stats: DataFrame, qterms: DataFrame, hits: DataFrame, dl: DataFrame)
 
   private def bm25Chain(
       documents: DataFrame,
@@ -773,7 +773,81 @@ object TextAnalysis {
             * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"),
         floor(col("tf") * log(col("n") / col("df")) * lit(10000.0) + lit(0.5))
           .cast("long").as("m_q4"))
-    Bm25Chain(tf, df, stats, qterms, hits)
+    Bm25Chain(tf, df, stats, qterms, hits, dl)
+  }
+
+  /** Dirichlet-smoothed QUERY-LIKELIHOOD retrieval (Ponte & Croft 1998
+    * ranking with Zhai & Lafferty 2001 smoothing) — the language-model
+    * member of the retrieval triple next to [[bm25TopK]] (probabilistic)
+    * and [[rrfFusionTopK]] (hybrid). Per (query, doc):
+    *
+    *   score = Σ_{t∈q} ln(1 + tf(t,d)·|C| / (μ·cf(t)))
+    *         + |q| · ln(μ / (dl(d) + μ))
+    *
+    * the standard rank-equivalent decomposition of
+    * Σ ln((tf + μ·cf/|C|) / (dl + μ)): the left sum runs only over
+    * MATCHED terms (candidates = docs sharing ≥1 fixture term, the
+    * postings-bounded set every practical QL retriever scores), the
+    * right term is per-document only. cf is the COLLECTION frequency
+    * (Σ tf over docs — QL smooths by token mass where BM25's idf counts
+    * documents), |C| the corpus token total.
+    *
+    * Cross-engine exactness: each matched-term contribution floors to
+    * integer micro-nats BEFORE the per-document sum (the r13 emit rule
+    * — integer sums are addition-order-free); the per-doc smoothing
+    * term floors once per (query, doc). `floor(x·1e6 + 0.5)` on BOTH
+    * engines — not round(): the smoothing term is negative and
+    * half-away-from-zero rounding would diverge from half-up there.
+    *
+    * Scale shape: [[bm25Chain]]'s persisted tf + fixture machinery; cf
+    * is one agg over the broadcast-semi-bounded fixture postings
+    * (Q·T rows out), |C| a 1-row agg, scoring one broadcast join over
+    * the same postings, and the ranking rides the bounded partial
+    * top-k aggregate — no windows, no new corpus-sized exchanges.
+    */
+  def qlTopK(
+      documents: DataFrame,
+      mu: Double = 2000.0,
+      topK: Int = 10,
+      rankLo: Int = 12,
+      nQueries: Int = 4,
+      termsPerQuery: Int = 4): DataFrame =
+    qlTopKManaged(documents, mu, topK, rankLo, nQueries, termsPerQuery)._1
+
+  /** [[qlTopK]] with the caller-managed cache-release thunk (the
+    * bm25TopKManaged convention).
+    */
+  def qlTopKManaged(
+      documents: DataFrame,
+      mu: Double = 2000.0,
+      topK: Int = 10,
+      rankLo: Int = 12,
+      nQueries: Int = 4,
+      termsPerQuery: Int = 4): (DataFrame, () => Unit) = {
+    require(topK > 0 && mu > 0, s"invalid qlTopK params topK=$topK mu=$mu")
+    val c = bm25Chain(documents, 1.2, 0.75, rankLo, nQueries, termsPerQuery)
+    val qt = c.qterms.select(col("qid"), col("term"))
+    // collection frequency of the FIXTURE terms only: semi-bound first,
+    // then one agg — Q·T output rows, never a vocabulary-sized frame
+    val cf = c.tf
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(sum("tf").cast("long").as("cf"))
+    val ctot = c.tf.agg(sum("tf").cast("long").as("ctot"))
+    val hits = c.tf
+      .join(broadcast(qt.join(cf, "term")), "term")
+      .crossJoin(broadcast(ctot))
+      .select(col("qid"), col("doc_id"),
+        floor(log(lit(1.0) + col("tf") * col("ctot") / (lit(mu) * col("cf")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("m_micro"))
+    val scores = hits.groupBy("qid", "doc_id")
+      .agg(sum("m_micro").cast("long").as("m_sum"))
+      .join(c.dl, "doc_id")
+      .select(col("qid"), col("doc_id"),
+        (col("m_sum") + floor(log(lit(mu) / (col("dl") + lit(mu)))
+          * lit(termsPerQuery.toDouble) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("ql_micro"))
+    (topKByGroup(scores, "qid", "ql_micro", "doc_id", topK),
+      () => { c.tf.unpersist(false); () })
   }
 
   /** Reciprocal-rank fusion of TWO lexical rankings over the same

@@ -1421,6 +1421,48 @@ object DataPipeline {
     TextAnalysis.probeBm25(postings, queries).orderBy("qid", "rnk")
   }
 
+  /** ir4: Dirichlet query-likelihood retrieval
+    * ([[TextAnalysis.qlTopK]]) — the language-model ranking next to
+    * BM25 (ir1) and RRF (ir2), same df-ranked fixture. The decomposed
+    * form scores only matched-term candidates:
+    * `Σ ln(1 + tf·|C|/(μ·cf)) + |q|·ln(μ/(dl+μ))` with μ = 2000.
+    * Both engines floor each matched-term contribution to micro-nats
+    * BEFORE the per-document sum, and floor(x+0.5) — NOT round() —
+    * on the negative per-doc smoothing term (half-up vs DuckDB's
+    * half-away-from-zero would diverge below zero).
+    */
+  val ir4_query_likelihood = QueryDef.sqlChecked(
+    "ir4_query_likelihood",
+    """WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM wl),
+      |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |df AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |ranked AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df),
+      |qterms AS (SELECT CAST((rk - 12) // 4 AS BIGINT) AS qid, term
+      |  FROM ranked WHERE rk >= 12 AND rk < 28),
+      |ctot AS (SELECT CAST(sum(tf) AS BIGINT) AS ctot FROM tf),
+      |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+      |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+      |hits AS (SELECT q.qid, t.doc_id,
+      |    CAST(floor(ln(1.0 + (t.tf * s.ctot) / (2000.0 * c.cf))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS m_micro
+      |  FROM qterms q JOIN tf t USING (term) JOIN cf c ON c.term = q.term, ctot s),
+      |scores AS (SELECT h.qid, h.doc_id,
+      |    CAST(CAST(sum(h.m_micro) AS BIGINT)
+      |      + CAST(floor(ln(2000.0 / (d.dl + 2000.0)) * 4.0 * 1000000.0 + 0.5)
+      |             AS BIGINT) AS BIGINT) AS ql_micro
+      |  FROM hits h JOIN dl d ON d.doc_id = h.doc_id GROUP BY h.qid, h.doc_id, d.dl),
+      |topk AS (SELECT qid, doc_id, ql_micro,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ql_micro DESC, doc_id) AS rnk
+      |  FROM scores)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, ql_micro
+      |FROM topk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    TextAnalysis.qlTopK(Tables.documents(s, d)).orderBy("qid", "rnk")
+  }
+
   val txt_vocab = QueryDef.sqlChecked(
     "txt_vocab",
     """WITH tok AS (SELECT doc_id,
@@ -4816,7 +4858,7 @@ object DataPipeline {
     emb5_pq_residual_recall, emb6_hard_negatives,
     ann_sq8, ann_sq8_incremental, emb7_sq_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
-    ir1_bm25_topk, ir2_rrf_fusion, ir3_bm25_incremental,
+    ir1_bm25_topk, ir2_rrf_fusion, ir3_bm25_incremental, ir4_query_likelihood,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,

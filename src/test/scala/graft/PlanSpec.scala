@@ -318,6 +318,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ir4: query-likelihood inherits ir1's shape — broadcast fixture, no window, no cartesian") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TextAnalysis.qlTopK(corpus)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"),
+      s"qlTopK must rank via TopKScoredAgg, not a qid rank window:\n$p")
+    assert(p.contains("posexplode"),
+      s"rank recovery must be the bounded-array posexplode:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fixture/cf/ctot joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ir1: bm25 ranking is a partial top-k aggregate, not a rank window") {
     val corpus = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.bm25TopK(corpus)

@@ -662,6 +662,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Array((0L, 1, 1L, 237342L), (0L, 2, 2L, 198568L)))
   }
 
+  test("qlTopK: hand-computed Dirichlet micro-nats on a 2-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    // fixture = top-1 term by df = "x"; |C|=5 tokens, cf(x)=3, mu=2000:
+    //   d1 tf=2 dl=3: floor(ln(1+10/6000)*1e6+.5)=1665,
+    //                 floor(ln(2000/2003)*1e6+.5)=-1499 -> 166
+    //   d2 tf=1 dl=2: 833 + floor(ln(2000/2002)*1e6+.5)=-1000 -> -167
+    // (the smoothing term exercises the NEGATIVE floor(x+0.5) path the
+    // round() form would get wrong)
+    val out = TextAnalysis.qlTopK(docs,
+        rankLo = 1, nQueries = 1, termsPerQuery = 1)
+      .orderBy("rnk").as[(Long, Int, Long, Long)].collect()
+    assert(out === Array((0L, 1, 1L, 166L), (0L, 2, 2L, -167L)))
+  }
+
+  test("qlTopK: integer micro sums are repartition-invariant; cache releases") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val (a0, release) = TextAnalysis.qlTopKManaged(docs)
+    val a = a0.orderBy("qid", "rnk").collect().toSeq
+    release()
+    val b = TextAnalysis.qlTopK(docs.repartition(7))
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(a === b && a.size === 40)
+  }
+
   test("bm25TopK: integer micro sums are repartition-invariant") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val a = TextAnalysis.bm25TopK(docs)
