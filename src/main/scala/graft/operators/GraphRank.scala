@@ -323,6 +323,67 @@ object GraphRank {
     }
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * undirected link graph — the structural-quality signal next to
+    * PageRank/HITS centralities and LPA communities: link farms and
+    * boilerplate navigation rings show up as abnormally high (or
+    * exactly zero) clustering at a given degree.
+    *
+    * Algorithm: the degree-ordered ORIENTATION form of node-iterator
+    * triangle counting. Every undirected edge {u, v} orients from the
+    * (degree, node)-smaller endpoint to the larger; in that total
+    * order each triangle has exactly ONE apex with out-edges to the
+    * other two, so apex wedges (pairs of out-neighbors) joined against
+    * the canonical edge set count every triangle exactly once. The
+    * orientation is the hub-safety device: a degree-d hub's wedge
+    * count is C(outdeg, 2) with outdeg = O(sqrt(m)) under this
+    * orientation, not C(d, 2) — the difference between a web-scale
+    * celebrity node exploding the join and not.
+    *
+    * `lcc_micro = (2·tri·1e6) div (deg·(deg−1))` — pure integer
+    * division (deg < 2 → 0), exactly mirrorable.
+    *
+    * Scale shape: symmetrize+distinct (one exchange), degree agg (one
+    * exchange), two keyed joins to attach endpoint degrees, the apex
+    * self-join on the oriented source, one semi-join against canonical
+    * edges, a 3-way explode + count. No windows, no driver state, no
+    * all-pairs anywhere.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val canon = und.filter(col("a") < col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val tri = wedges.join(canon,
+      canon("a") === least(col("x"), col("y")) &&
+        canon("b") === greatest(col("x"), col("y")), "left_semi")
+    val tn = tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
+    deg.join(tn, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc_micro",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).cast("long"))
+  }
+
   /** Deterministic document→domain link edges for the `documents`
     * fixture: each doc contributes its source domain plus two
     * arithmetically-derived outlinks (`src{(7·id+3) mod 20}`,

@@ -436,9 +436,57 @@ object Events {
       .orderBy("node")
   }
 
+  /** gr5 mirror: the degree-ordered-orientation triangle count
+    * replayed relationally — symmetrize/distinct, canonical a<b edges,
+    * degrees, the (deg, node) orientation CASE, apex wedges, the
+    * closing-edge join, and the integer-division clustering
+    * coefficient.
+    */
+  private val Gr5Sql: String =
+    s"""WITH ed AS (
+       |  SELECT source AS src, 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT source AS src, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) AS dst FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM ed WHERE src <> dst),
+       |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)),
+       |canon AS MATERIALIZED (SELECT a, b FROM und WHERE a < b),
+       |deg AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY 1),
+       |orient AS MATERIALIZED (SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+       |         THEN c.a ELSE c.b END AS u,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+       |         THEN c.b ELSE c.a END AS v
+       |  FROM canon c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b),
+       |tri AS (SELECT w.u, w.x, w.y FROM (
+       |    SELECT o1.u, o1.v AS x, o2.v AS y
+       |    FROM orient o1 JOIN orient o2 ON o1.u = o2.u AND o1.v < o2.v) w
+       |  JOIN canon c ON c.a = least(w.x, w.y) AND c.b = greatest(w.x, w.y)),
+       |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+       |  SELECT u AS node FROM tri
+       |  UNION ALL SELECT x FROM tri
+       |  UNION ALL SELECT y FROM tri) GROUP BY 1)
+       |SELECT d.node, d.deg AS degree,
+       | CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       | CAST(CASE WHEN d.deg >= 2
+       |      THEN (2 * coalesce(t.triangles, 0) * 1000000) // (d.deg * (d.deg - 1))
+       |      ELSE 0 END AS BIGINT) AS lcc_micro
+       |FROM deg d LEFT JOIN tn t USING (node) ORDER BY d.node""".stripMargin
+
+  /** Link-graph triangle counts + local clustering coefficient
+    * ([[GraphRank.triangleStats]]) — the structural-quality signal
+    * over the same doc-derived link graph as gr1/gr3/gr4.
+    */
+  val gr5_triangles = QueryDef.sqlChecked("gr5_triangles", Gr5Sql) { (s, d) =>
+    GraphRank.triangleStats(
+        GraphRank.documentLinkEdges(Tables.documents(s, d)))
+      .orderBy("node")
+  }
+
   val all: Seq[QueryDef] =
     Seq(ev1_sessionize, ev2_funnel, ev3_retention, ev4_daily_rates, ev5_rfm,
       ev6_error_anomaly, ev7_transitions, ev8_attribution, ev9_regularity,
       ev10_survival, gr1_pagerank, gr2_authority_sample, gr3_hits,
-      gr4_label_prop)
+      gr4_label_prop, gr5_triangles)
 }

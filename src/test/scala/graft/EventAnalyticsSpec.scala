@@ -531,4 +531,62 @@ class EventAnalyticsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("triangleStats: hand-computed triangles, lcc, self-loop/direction cleanup") {
+    // two triangles sharing edge b-c, plus a pendant pair e-f; inputs
+    // arrive directed, duplicated, and with a self-loop to prove the
+    // symmetrize/distinct/loop-drop front end
+    val edges = Seq(
+      ("a", "b"), ("b", "a"),       // duplicate reverse
+      ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "b"),
+      ("e", "f"), ("e", "e"))       // self-loop must drop
+      .toDF("src", "dst")
+    val out = GraphRank.triangleStats(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // deg: a2 b3 c3 d2 e1 f1; tri: a1 b2 c2 d1; lcc_micro = 2t*1e6 div d(d-1)
+    assert(out("a") === ((2L, 1L, 1000000L)))
+    assert(out("b") === ((3L, 2L, 666666L)))
+    assert(out("c") === ((3L, 2L, 666666L)))
+    assert(out("d") === ((2L, 1L, 1000000L)))
+    assert(out("e") === ((1L, 0L, 0L)))
+    assert(out("f") === ((1L, 0L, 0L)))
+  }
+
+  test("triangleStats: orientation form equals brute-force triples on a dense graph") {
+    // deterministic pseudo-random graph dense enough for shared hubs:
+    // the apex-orientation count must equal the naive all-triples scan
+    val n = 24
+    def mix(x: Long): Long = { var v = x * 6364136223846793005L + 1442695040888963407L; v ^= v >>> 33; v }
+    val pairs = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if Math.floorMod(mix(i.toLong * 131 + j * 7919), 4L) == 0L
+    } yield (f"n$i%02d", f"n$j%02d")
+    val got = GraphRank.triangleStats(pairs.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val names = adj.keys.toSeq.sorted
+    val brute = scala.collection.mutable.HashMap.empty[String, Long]
+    for {
+      a <- names; b <- names if a < b && adj(a)(b)
+      c <- names if b < c && adj(a)(c) && adj(b)(c)
+    } { Seq(a, b, c).foreach(x => brute(x) = brute.getOrElse(x, 0L) + 1) }
+    names.foreach { v =>
+      assert(got.getOrElse(v, 0L) === brute.getOrElse(v, 0L),
+        s"triangle count mismatch at $v")
+    }
+    assert(brute.values.sum / 3 > 10, "fixture too sparse to be a real check")
+  }
+
+  test("triangleStats: repartition-invariant on the doc link graph") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = GraphRank.triangleStats(GraphRank.documentLinkEdges(docs))
+      .orderBy("node").collect().toSeq
+    val b = GraphRank.triangleStats(
+        GraphRank.documentLinkEdges(docs.repartition(7)))
+      .orderBy("node").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }

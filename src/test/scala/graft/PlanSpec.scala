@@ -318,6 +318,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("gr5: triangle counting is keyed joins — no window, no cartesian") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.GraphRank.triangleStats(
+        graft.operators.GraphRank.documentLinkEdges(corpus))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"),
+      s"triangleStats must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge/closing joins must stay keyed:\n$p")
+  }
+
   test("ir4: query-likelihood inherits ir1's shape — broadcast fixture, no window, no cartesian") {
     val corpus = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.qlTopK(corpus)
