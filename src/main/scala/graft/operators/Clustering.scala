@@ -258,6 +258,83 @@ object Clustering {
         expr("sm div n").cast("long").as("mean_sil_micro"))
   }
 
+  /** Density clustering (DBSCAN, Ester et al. 1996) over the embedding
+    * cosine graph — the clustering the semantic-curation literature
+    * actually runs (SemDeDup-style prune-per-dense-region, outlier
+    * mining): k-means forces every point into a ball; DBSCAN separates
+    * DENSE regions (clusters), their fringes (border), and true
+    * outliers (noise), which is the distinction a curation pipeline
+    * acts on.
+    *
+    * Definitions (neighbor = cosine sim STRICTLY above `simThreshold`,
+    * self excluded): core ⇔ n_neighbors ≥ minPts; clusters = connected
+    * components of the core–core graph (labels = min core id, the
+    * dd8 convention; an isolated core is its own cluster); border =
+    * non-core with ≥ 1 core neighbor, assigned the SMALLEST cluster
+    * label among its core neighbors (deterministic — classic DBSCAN
+    * leaves border ties to scan order); noise = everything else,
+    * cluster −1.
+    *
+    * Scale shape: the pair graph comes from the injected `pairs` frame
+    * (production: [[Similarity.lshNearDupPairs]]' banded output — the
+    * same evidence-graph contract as [[Dedup.consensusNearDup]]);
+    * default is the brute-force [[Dedup.embeddingNearDup]] oracle
+    * baseline. Everything downstream is keyed aggs/joins on the
+    * pair frame (near-dup-graph-sized, orders of magnitude under the
+    * corpus) and [[Dedup.duplicateClusters]]' size-gated CC.
+    *
+    * @return (vec_id, n_neighbors, role, cluster) for every embedding
+    */
+  def dbscan(
+      embeddings: DataFrame,
+      simThreshold: Double = 0.35,
+      minPts: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    require(minPts >= 1, s"invalid minPts=$minPts")
+    val pr = pairs.getOrElse(
+      Dedup.embeddingNearDup(embeddings, idCol, vecCol, simThreshold))
+      .select(col("va").cast("long").as("va"), col("vb").cast("long").as("vb"))
+    // symmetrized neighbor lists feed THREE consumers (degree count,
+    // core-core filter, border assignment) that share no exchange
+    val sym = pr.unionByName(pr.select(col("vb").as("va"), col("va").as("vb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nc = sym.groupBy(col("va").as("vec_id"))
+      .agg(count(lit(1)).cast("long").as("n_neighbors"))
+    val core = nc.filter(col("n_neighbors") >= minPts).select("vec_id")
+    val cce = sym
+      .join(core.select(col("vec_id").as("va")), Seq("va"), "left_semi")
+      .join(core.select(col("vec_id").as("vb")), Seq("vb"), "left_semi")
+      .filter(col("va") < col("vb"))
+    // CC labels cover only cores WITH a core neighbor; isolated cores
+    // fall back to their own id via the coalesce
+    val cc = Dedup.duplicateClusters(cce, aCol = "va", bCol = "vb")
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+    val coreCl = core.join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+    val borderCl = sym
+      .join(core.select(col("vec_id").as("va")), Seq("va"), "left_anti")
+      .join(coreCl.select(col("vec_id").as("vb"), col("cluster")), "vb")
+      .groupBy(col("va").as("vec_id"))
+      .agg(min(col("cluster")).as("cluster"))
+    val base = embeddings.select(col(idCol).cast("long").as("vec_id"))
+      .join(nc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+    base
+      .join(coreCl.select(col("vec_id"), col("cluster").as("ccl")),
+        Seq("vec_id"), "left")
+      .join(borderCl.select(col("vec_id"), col("cluster").as("bcl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_neighbors"),
+        when(col("ccl").isNotNull, lit("core"))
+          .when(col("bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("ccl"), col("bcl"), lit(-1L)).cast("long").as("cluster"))
+  }
+
   /** Round-6 squared-L2 argmin over the candidate centroids: the fold
     * the cl1 mirror replays. Ties on the rounded distance resolve to
     * the lower cluster id (candidates arrive in cid order); ragged

@@ -4352,6 +4352,55 @@ object DataPipeline {
     Clustering.silhouetteAudit(Tables.embeddings(s, d)).orderBy("cluster")
   }
 
+  /** cl4: DBSCAN over the embedding cosine graph
+    * ([[Clustering.dbscan]], simThreshold 0.35 / minPts 3 — parameters
+    * probed so core, border AND noise are all non-empty at every SF).
+    * The mirror replays neighbors (strict > on the same
+    * list_cosine_similarity both engines already hash-agree on in
+    * dd5), the degree rule, core–core connected components as a
+    * RECURSIVE reach with min-label (the dd8 convention; isolated
+    * cores coalesce to their own id), min-label border assignment,
+    * and cluster −1 noise.
+    */
+  private val Cl4Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) > 0.35),
+       |nc AS MATERIALIZED (SELECT va AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+       |  FROM p GROUP BY 1),
+       |core AS MATERIALIZED (SELECT vec_id FROM nc WHERE n_neighbors >= 3),
+       |cce AS MATERIALIZED (SELECT p.va AS a, p.vb AS b FROM p
+       |  WHERE p.va IN (SELECT vec_id FROM core)
+       |    AND p.vb IN (SELECT vec_id FROM core)),
+       |reach AS (
+       |  SELECT a AS id, a AS lbl FROM cce
+       |  UNION
+       |  SELECT e2.b AS id, r.lbl FROM reach r JOIN cce e2 ON e2.a = r.id
+       |),
+       |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |corecl AS MATERIALIZED (SELECT c.vec_id,
+       |    coalesce(cl.cluster, c.vec_id) AS cluster
+       |  FROM core c LEFT JOIN cl ON cl.id = c.vec_id),
+       |border AS (SELECT p.va AS vec_id, min(cc.cluster) AS cluster
+       |  FROM p JOIN corecl cc ON cc.vec_id = p.vb
+       |  WHERE p.va NOT IN (SELECT vec_id FROM core) GROUP BY 1)
+       |SELECT e.vec_id,
+       | CAST(coalesce(nc.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       | CASE WHEN cc.vec_id IS NOT NULL THEN 'core'
+       |      WHEN b.vec_id IS NOT NULL THEN 'border'
+       |      ELSE 'noise' END AS role,
+       | CAST(coalesce(cc.cluster, b.cluster, -1) AS BIGINT) AS cluster
+       |FROM e LEFT JOIN nc USING (vec_id)
+       |LEFT JOIN corecl cc USING (vec_id)
+       |LEFT JOIN border b USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
+  val cl4_dbscan = QueryDef.sqlChecked("cl4_dbscan", Cl4Sql) { (s, d) =>
+    Clustering.dbscan(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
   /** ds1: DSIR importance resampling (Xie et al. 2023, deterministic
     * top-N variant) with lang='en' as the target domain — the mirror
     * rebuilds the hashed incidence frame (tr1's exact feature map),
@@ -4885,7 +4934,7 @@ object DataPipeline {
     sp8b_bpe_budget,
     pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
-    cl1_kmeans, cl2_balanced_sample, cl3_silhouette, ds1_dsir, dc4_semantic,
+    cl1_kmeans, cl2_balanced_sample, cl3_silhouette, cl4_dbscan, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline, pipe3_curation_report,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_dhash_incremental, mm_phash_pairs, mm_phash_incremental,

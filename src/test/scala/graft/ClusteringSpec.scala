@@ -130,4 +130,58 @@ class ClusteringSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum === 6L)
     assert(out.forall(_.getAs[Long]("mean_sil_micro") === 0L))
   }
+
+  test("dbscan: hand-built clusters, border min-label tie, isolated core, noise") {
+    // 2-D direction fixture, sims are cosines of angle differences.
+    // Cluster A: 4 mutually-similar rays (each sees 3 neighbors ->
+    // core); cluster B likewise, far from A; a border ray that sees
+    // exactly one core from EACH cluster (2 neighbors < minPts 3,
+    // min-label tie must pick A's cluster); one ray similar to nothing.
+    def ray(deg: Double) = {
+      val r = math.toRadians(deg); Array(math.cos(r), math.sin(r))
+    }
+    // acos(0.35) ~ 69.5 deg is the neighbor horizon: the border ray at
+    // 81 deg sees EXACTLY the nearest member of each cluster (gap 69 ->
+    // cos 0.358 > 0.35) and misses the next (gap 73 -> cos 0.292)
+    val pts = Seq(
+      (0L, ray(0)), (1L, ray(4)), (2L, ray(8)), (3L, ray(12)),          // A
+      (10L, ray(150)), (11L, ray(154)), (12L, ray(158)), (13L, ray(162)), // B
+      (20L, ray(81)),     // border: sees 3 (gap 69) and 10 (gap 69) only
+      (30L, ray(260)))    // noise: > 69.5 deg from everything
+    val out = Clustering.dbscan(df(pts)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    Seq(0L, 1L, 2L).foreach(i => assert(out(i) === ((3L, "core", 0L)), s"$i"))
+    assert(out(3L) === ((4L, "core", 0L)))   // +1: sees the border too
+    assert(out(10L) === ((4L, "core", 10L)))
+    Seq(11L, 12L, 13L).foreach(i => assert(out(i) === ((3L, "core", 10L)), s"$i"))
+    assert(out(20L) === ((2L, "border", 0L)),
+      "border with cores in two clusters must take the min cluster label")
+    assert(out(30L) === ((0L, "noise", -1L)))
+    // isolated core: with minPts = 1 the noise ray pairs with nothing
+    // and stays noise, while the border becomes a core whose component
+    // spans both blobs (it bridges them)
+    val loose = Clustering.dbscan(df(pts), minPts = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(loose(30L) === (("noise", -1L)))
+    assert(loose(20L)._1 === "core")
+    assert((0L to 3L).map(loose(_)._2).toSet === Set(0L))
+    assert(loose(10L)._2 === 0L, "bridge core must merge the components")
+  }
+
+  test("dbscan: roles all live on testdata; repartition-invariant; pairs injection matches") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val a = Clustering.dbscan(emb).orderBy("vec_id").collect().toSeq
+    val roles = a.map(_.getString(2)).toSet
+    assert(roles === Set("core", "border", "noise"),
+      s"fixture parameters must keep every role live, got $roles")
+    val b = Clustering.dbscan(emb.repartition(7)).orderBy("vec_id").collect().toSeq
+    assert(a === b)
+    // evidence-graph contract: an externally supplied pair frame (the
+    // LSH path's shape) routes through identically
+    val pairs = graft.operators.Dedup.embeddingNearDup(emb, threshold = 0.35)
+    val c = Clustering.dbscan(emb, pairs = Some(pairs))
+      .orderBy("vec_id").collect().toSeq
+    assert(a === c)
+  }
 }
