@@ -115,6 +115,117 @@ object SqSearch {
       .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
   }
 
+  /** IVF + residual SQ8 top-k (the FAISS `IndexIVFScalarQuantizer`
+    * layout, `by_residual=true`): [[IvfSearch]]'s deterministic coarse
+    * quantizer prunes each query to its `nProbe` nearest cells, and
+    * within cells vectors are stored as QT_8bit codes of their RESIDUAL
+    * `x − centroid(cell(x))` — residuals concentrate around the origin,
+    * so the per-dimension min/max range is tighter than the raw
+    * corpus's and each of the 255 steps resolves finer detail (the same
+    * argument as [[PqSearch.ivfPqResidualTopK]], scalar edition).
+    * Completes the FAISS compression ladder: brute → LSH → IVF → PQ →
+    * IVF-PQ → residual IVF-PQ → SQ8 → IVF-SQ8.
+    *
+    * Determinism: the coarse fit is the shared bounded hash-sample
+    * Lloyd with round-6 centroids; the residual is plain IEEE
+    * subtraction; residual stats are EXACT per-dim min/max over the
+    * full corpus (one narrow pass, the SQ rule); encode is half-up;
+    * the ADC fold runs ascending-dim per (query-residual, code) pair
+    * with one `floor(d²·1e6 + 0.5)` per pair.
+    *
+    * Scale shape on top of [[sq8TopK]]'s: the corpus pass additionally
+    * assigns the coarse cell (nClusters distances per row), and the
+    * probe map keys scoring by cell — per-query ADC work touches
+    * nProbe/nClusters of the codes; with codes persisted partitioned
+    * by cell the scan itself prunes. Queries, centroids and stats are
+    * all broadcast; no joins, no corpus shuffle; bounded top-k ranks.
+    */
+  def ivfSqTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      nClusters: Int = 16,
+      nProbe: Int = 4,
+      lloydIter: Int = 3,
+      topK: Int = 10,
+      fitSampleMod: Long = 1,
+      fitMaxRows: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, s"invalid topK=$topK")
+    require(nProbe > 0 && nProbe <= nClusters,
+      s"invalid nProbe=$nProbe for nClusters=$nClusters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = PqSearch.project(embeddings, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sample = IvfSearch.collectFitSample(e, fitSampleMod, fitMaxRows)
+    val centroids = IvfSearch.fitCentroidsOnSample(sample, nClusters, lloydIter)
+    val bcCs = spark.sparkContext.broadcast(centroids)
+    // residual per-dim min/max over the FULL corpus — exact stats, one
+    // narrow pass with map-side partial min/max (the fitSqModel rule)
+    val stats = e.flatMap { case (_, v) =>
+        val cs = bcCs.value
+        val r = PqSearch.residual(v, cs(IvfSearch.nearestCell(v, cs)))
+        r.iterator.zipWithIndex.map { case (x, j) => (j, x) }
+      }
+      .toDF("j", "x").groupBy("j")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mns = stats.map(_._2)
+    val mxs = stats.map(_._3)
+    // bounded query panel: per probed cell, the query's RESIDUAL
+    // against that cell's centroid (FAISS residual-ADC convention)
+    val qRows = e.filter(col("id").isin(queryIds: _*)).collect()
+      .sortBy(_._1)
+    val probe: Map[Int, Array[(Long, Array[Double])]] = qRows
+      .flatMap { case (qid, qv) =>
+        IvfSearch.probeCellsOf(qv, centroids, nProbe)
+          .map(c => (c, (qid, PqSearch.residual(qv, centroids(c)))))
+      }
+      .groupBy(_._1).map { case (c, g) => c -> g.map(_._2).sortBy(_._1) }
+    val bcProbe = spark.sparkContext.broadcast(probe)
+    val bcMn = spark.sparkContext.broadcast(mns)
+    val bcMx = spark.sparkContext.broadcast(mxs)
+    val scored = e.mapPartitions { it =>
+      val cs = bcCs.value
+      val pr = bcProbe.value
+      val mn = bcMn.value
+      val mx = bcMx.value
+      it.flatMap { case (vid, v) =>
+        val cell = IvfSearch.nearestCell(v, cs)
+        pr.get(cell) match {
+          case None => Iterator.empty
+          case Some(qs) =>
+            val r = PqSearch.residual(v, cs(cell))
+            val codes = new Array[Int](r.length)
+            var j = 0
+            while (j < r.length) {
+              codes(j) =
+                if (mx(j) > mn(j))
+                  math.floor((r(j) - mn(j)) / (mx(j) - mn(j)) * 255.0 + 0.5).toInt
+                else 0
+              j += 1
+            }
+            qs.iterator.filter(_._1 != vid).map { case (qid, qr) =>
+              var s = 0.0
+              var k = 0
+              while (k < qr.length) {
+                val dec = mn(k) + codes(k) * (mx(k) - mn(k)) / 255.0
+                val d = qr(k) - dec
+                s += d * d
+                k += 1
+              }
+              (qid, vid, math.floor(s * 1e6 + 0.5).toLong)
+            }
+        }
+      }
+    }.toDF("qid", "vec_id", "adist_micro")
+    e.unpersist(blocking = false)
+    TopK.byGroupAsc(scored, "qid", "adist_micro", "vec_id", topK)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adist_micro"))
+  }
+
   /** A trained QT_8bit quantizer: per-dimension corpus min/max (FAISS
     * `ScalarQuantizer::trained` for QT_8bit is exactly these 2·dim
     * floats). Fit once at release ([[fitSqModel]]), persisted with the

@@ -1109,6 +1109,91 @@ object DataPipeline {
       .orderBy("qid")
   }
 
+  /** ann_ivfsq: IVF + residual SQ8
+    * ([[graft.operators.SqSearch.ivfSqTopK]], the FAISS
+    * `IndexIVFScalarQuantizer` `by_residual=true` layout — the last
+    * rung of the compression ladder). The mirror splices the PROVEN
+    * coarse chain ([[ivfAsgCtes]], shared verbatim with
+    * ann_ivf/ann_ivfpq), residualizes corpus and (query, probed-cell)
+    * pairs against the round-6 centroids, fits EXACT per-dim min/max
+    * on the corpus residuals (the sq8 stats aggregate, residual
+    * edition), half-up-encodes, and folds the ascending-dim decode
+    * per pair.
+    */
+  private val AnnIvfSqSql: String = {
+    val NProbe = 4; val Dim = 64; val Iter = 3
+    def d2(v: String, c: String) =
+      s"round(list_sum(list_transform(range($Dim), j -> ($v[j+1] - $c[j+1]) * ($v[j+1] - $c[j+1]))), 6)"
+    def dec(rv: String, cd: String) =
+      s"($rv[j+1] - (mns[j+1] + $cd[j+1] * (mxs[j+1] - mns[j+1]) / 255.0))"
+    s"""WITH ${ivfAsgCtes("embeddings", matAsg = false)},
+       |cc AS MATERIALIZED (SELECT cell, c FROM c$Iter),
+       |cres AS MATERIALIZED (SELECT a.vec_id, a.cell,
+       |        list_transform(range($Dim), j -> a.v[j+1] - c.c[j+1]) AS rv
+       |      FROM asg a JOIN cc c ON c.cell = a.cell),
+       |st AS MATERIALIZED (
+       |  SELECT j, min(rv[j+1]) AS mn, max(rv[j+1]) AS mx
+       |  FROM cres CROSS JOIN (SELECT unnest(range($Dim)) AS j) dims
+       |  GROUP BY j),
+       |stl AS MATERIALIZED (
+       |  SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, cell, list_transform(range($Dim), j ->
+       |    CASE WHEN mxs[j+1] > mns[j+1]
+       |         THEN CAST(floor((rv[j+1] - mns[j+1])
+       |                         / (mxs[j+1] - mns[j+1]) * 255.0 + 0.5) AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END) AS cd
+       |  FROM cres, stl),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |pc AS (SELECT qid, cell FROM (
+       |  SELECT q.qid, c.cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${d2("q.qv", "c.c")}, c.cell) AS rn
+       |  FROM q CROSS JOIN cc c) WHERE rn <= $NProbe),
+       |qres AS (SELECT pc.qid, pc.cell,
+       |        list_transform(range($Dim), j -> q.qv[j+1] - c.c[j+1]) AS rv
+       |      FROM pc JOIN q ON q.qid = pc.qid JOIN cc c ON c.cell = pc.cell),
+       |sc AS (SELECT qr.qid, a.vec_id,
+       |        CAST(round(list_sum(list_transform(range($Dim), j ->
+       |          ${dec("qr.rv", "a.cd")} * ${dec("qr.rv", "a.cd")}
+       |        )) * 1000000) AS BIGINT) AS adist_micro
+       |       FROM enc a JOIN qres qr ON qr.cell = a.cell, stl
+       |       WHERE a.vec_id <> qr.qid),
+       |r AS (SELECT qid, vec_id, adist_micro,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_micro, vec_id)
+       |            AS INTEGER) AS rnk
+       |      FROM sc)
+       |SELECT qid, rnk, vec_id, adist_micro FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  val ann_ivfsq = QueryDef.sqlChecked("ann_ivfsq", AnnIvfSqSql) { (s, d) =>
+    graft.operators.SqSearch.ivfSqTopK(Tables.embeddings(s, d),
+        queryIds = AnnQueryIds)
+      .orderBy("qid", "rnk")
+  }
+
+  /** emb8: recall@10 of the IVF-SQ8 index against the exact L2 panel —
+    * the acceptance audit pricing the coarse pruning + residual
+    * quantization stack (the emb5 pattern, scalar edition).
+    */
+  val emb8_ivfsq_recall = QueryDef.sqlChecked(
+    "emb8_ivfsq_recall",
+    s"""WITH b AS (SELECT qid, vec_id FROM ($AnnBruteL2Sql)),
+       |i AS (SELECT qid, vec_id, 1 AS hit FROM ($AnnIvfSqSql)),
+       |h AS (SELECT b.qid, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hit
+       |      FROM b LEFT JOIN i ON i.qid = b.qid AND i.vec_id = b.vec_id
+       |      GROUP BY b.qid)
+       |SELECT qid, n_hit, round(n_hit / 10.0, 4) AS recall_at_10
+       |FROM h ORDER BY qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecall(
+      Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
+      graft.operators.SqSearch.ivfSqTopK(emb, queryIds = AnnQueryIds),
+      k = 10)
+      .orderBy("qid")
+  }
+
   /** emb6: hard-negative mining ([[Similarity.hardNegatives]]) — per
     * query, the top-10 nearest candidates OUTSIDE the positive band
     * (dist_micro < 1,400,000 counts as a positive/near-dup and must
@@ -4905,7 +4990,7 @@ object DataPipeline {
     ann_ivfpq_topk, ann_pq_incremental, ann_pq_residual, ann_label_noise,
     emb2_ann_recall, emb3_matryoshka_audit, emb4_pq_recall,
     emb5_pq_residual_recall, emb6_hard_negatives,
-    ann_sq8, ann_sq8_incremental, emb7_sq_recall,
+    ann_sq8, ann_sq8_incremental, emb7_sq_recall, ann_ivfsq, emb8_ivfsq_recall,
     txt_quality, txt_tokens, txt_fingerprint, txt_langid, txt_tfidf,
     ir1_bm25_topk, ir2_rrf_fusion, ir3_bm25_incremental, ir4_query_likelihood,
     txt_repetition, txt_vocab, txt_bigrams, txt_redact, txt_normalize,

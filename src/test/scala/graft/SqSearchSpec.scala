@@ -59,6 +59,40 @@ class SqSearchSpec extends SparkSpec {
     assert(rec.forall(_.getDouble(2) >= 0.9), rec.mkString(", "))
   }
 
+  test("ivfSqTopK: results lie in probed cells; recall floor; repartition-invariant") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val a = SqSearch.ivfSqTopK(emb, ids).orderBy("qid", "rnk").collect().toSeq
+    val b = SqSearch.ivfSqTopK(emb.repartition(7), ids)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(a === b && a.size === 50)
+    // pruning contract: every returned vector's coarse cell must be one
+    // of its query's nProbe probed cells — recomputed independently here
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val proj = graft.operators.Dedup.spread(emb.select(
+        col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v")))
+      .as[(Long, Array[Double])]
+    val sample = graft.operators.IvfSearch.collectFitSample(proj, 1, 4096)
+    val cs = graft.operators.IvfSearch.fitCentroidsOnSample(sample, 16, 3)
+    a.foreach { r =>
+      val qid = r.getLong(0); val vid = r.getLong(2)
+      val probed = graft.operators.IvfSearch.probeCellsOf(vecs(qid), cs, 4).toSet
+      assert(probed.contains(graft.operators.IvfSearch.nearestCell(vecs(vid), cs)),
+        s"vec $vid returned for query $qid outside its probed cells")
+    }
+    // residual SQ leaves quantization error far below inter-point
+    // distances, so IVF-SQ recall is bounded by the COARSE pruning
+    // (ann_ivf's regime) — a stats/encode regression collapses it
+    val rec = Similarity.annRecall(
+      Similarity.bruteForceTopKL2(emb, ids), SqSearch.ivfSqTopK(emb, ids), k = 10)
+      .collect()
+    assert(rec.forall(_.getDouble(2) >= 0.5), rec.mkString(", "))
+  }
+
   test("probeSqCodes: probe of the released index equals the spliced in-query chain; fast == fallback") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val released = emb.filter(col("vec_id") < 400)
