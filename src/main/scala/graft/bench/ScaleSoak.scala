@@ -302,6 +302,44 @@ object ScaleSoak {
             node(col("doc_id") * 13 + 5).as("dst")))
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         graft.operators.GraphRank.labelPropagation(e, 3, smallGraphMaxEdges = 0)
+      },
+      "gr5_triangles" -> { t =>
+        // same scaling edge fixture — node count grows with the corpus,
+        // mean degree stays ~constant, so triangles scale linearly and
+        // the degree-ordered wedge join must too
+        val n = scales.toMap.apply(t)
+        val k = math.max(n / 100L, 20L)
+        val d = docs(t)
+        def node(c: org.apache.spark.sql.Column) =
+          concat(lit("d"), pmod(c, lit(k)).cast("string"))
+        val e = d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 7 + 3).as("dst"))
+          .union(d.select(node(col("doc_id") * 131).as("src"),
+            node(col("doc_id") * 13 + 5).as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphRank.triangleStats(e)
+      },
+      "ir4_query_likelihood" ->
+        (t => graft.operators.TextAnalysis.qlTopK(docs(t))),
+      "cl4_dbscan_lsh" -> { t =>
+        // the SCALE path: pair evidence from the banded sign-LSH join
+        // (the operator's documented injection contract) — the brute
+        // pair stage is the oracle baseline only, O(n²) by design
+        val e = emb(t)
+        graft.operators.Clustering.dbscan(e, simThreshold = 0.35,
+          pairs = Some(graft.operators.Similarity.lshNearDupPairs(
+            e, threshold = 0.35)))
+      },
+      "ann_ivfsq" -> { t =>
+        graft.operators.SqSearch.ivfSqTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      },
+      "mm_phash_pairs" -> { t =>
+        // real PNG encode+decode per doc id at every scale: the decode/
+        // pool/DCT pass is the data term, banding bounds the join
+        implicit val s = spark
+        graft.operators.Multimodal.phashPairs(
+          graft.operators.Multimodal.syntheticPatternImages(
+            docs(t).select(col("doc_id"))))
       })
 
     def timeIt(f: => Long): (Double, Long) = {
