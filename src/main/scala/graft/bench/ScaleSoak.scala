@@ -321,14 +321,24 @@ object ScaleSoak {
       },
       "ir4_query_likelihood" ->
         (t => graft.operators.TextAnalysis.qlTopK(docs(t))),
-      "cl4_dbscan_lsh" -> { t =>
-        // the SCALE path: pair evidence from the banded sign-LSH join
-        // (the operator's documented injection contract) — the brute
-        // pair stage is the oracle baseline only, O(n²) by design
-        val e = emb(t)
-        graft.operators.Clustering.dbscan(e, simThreshold = 0.35,
-          pairs = Some(graft.operators.Similarity.lshNearDupPairs(
-            e, threshold = 0.35)))
+      "cl4_dbscan" -> { t =>
+        // soak the OPERATOR's machinery (degree agg, core filter,
+        // size-gated CC, border assignment) on a planted pair graph
+        // that scales linearly by construction: chains of ±1/±2 links
+        // inside 100-id blocks, every 7th id left edgeless (noise).
+        // Pair GENERATION is a separate operator with its own soak
+        // rows (the banded-join family); the synthetic embeddings'
+        // structured sign patterns overload 8-bit LSH buckets and
+        // would measure the fixture, not the engine.
+        import spark.implicits._
+        val m = (2 * scales.toMap.apply(t)) / 5
+        val pairs = spark.range(m).as[Long].flatMap { id =>
+          Seq(id + 1, id + 2)
+            .filter(b => b < m && b / 100 == id / 100 &&
+              id % 7 != 0 && b % 7 != 0)
+            .map(b => (id, b))
+        }.toDF("va", "vb")
+        graft.operators.Clustering.dbscan(emb(t), pairs = Some(pairs))
       },
       "ann_ivfsq" -> { t =>
         graft.operators.SqSearch.ivfSqTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
