@@ -628,6 +628,34 @@ object Decontamination {
     * gaps-and-islands merge. Output: (doc_id, span_start, span_end,
     * n_tokens), 1-based inclusive token positions.
     */
+  /** FUZZY decontamination: train documents that are NEAR-duplicates
+    * (MinHash-verified Jaccard ≥ 0.5) of any eval document — the
+    * lexical layer between [[overlapWith]]'s exact 13-gram rule (which
+    * light paraphrase or shuffled sentence order evades) and
+    * [[semanticContaminated]]'s embedding similarity (which carries no
+    * lexical evidence a reviewer can point at). GPT-3's appendix-C
+    * decontamination used exactly this family (13-gram overlap backed
+    * by fuzzy dedup of eval lookalikes).
+    *
+    * Pure composition of the shared incremental near-dup machinery
+    * with the EVAL side as the frozen band index
+    * ([[Dedup.minhashBands]] + [[Dedup.incrementalNearDup]]): eval
+    * suites are MB-scale so the index is tiny, and the TB-scale train
+    * side pays ONE signature pass + the banded equi-join probe — the
+    * dd15 steady-state contract, decontamination edition. Output:
+    * (eval_id, train_id, jaccard), one row per contaminated pair.
+    */
+  def fuzzyContaminated(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Dedup.incrementalNearDup(train, evalDocs,
+        corpusBands = Dedup.minhashBands(evalDocs, idCol, textCol),
+        idCol = idCol, textCol = textCol)
+      .select(col("da").as("eval_id"), col("db").as("train_id"),
+        col("jaccard"))
+
   def exactSubstringLeaks(
       train: DataFrame,
       evalDocs: DataFrame,

@@ -171,12 +171,14 @@ object DataPipeline {
     Dedup.minhashCalibration(Tables.documents(s, d)).orderBy("bin")
   }
 
-  /** dd15 mirror: the dd2 chain with the candidate stage split — corpus
-    * (< 400) buckets capped at index-build time over corpus members
-    * only, batch (>= 400) bands uncapped, candidates = corpus × batch
-    * bucket collisions; the exact-Jaccard verify is unchanged.
+  /** dd15/dc9 mirror builder: the dd2 chain with the candidate stage
+    * split on arbitrary predicates — index-side buckets capped at
+    * build time over index members only, probe-side bands uncapped,
+    * candidates = index × probe bucket collisions; the exact-Jaccard
+    * verify is unchanged.
     */
-  private val IncrementalMinhashSql: String = {
+  private def incrementalMinhashSqlFor(
+      corpusPred: String => String, batchPred: String): String = {
     val params = graft.functions.TextHashing.minhashParams(64)
     val paramRows = params.zipWithIndex
       .map { case ((a, b), k) => s"($k, ${a}, ${b})" }.mkString(",\n   ")
@@ -198,11 +200,11 @@ object DataPipeline {
        |            + (s1.sg % 4294967296)) % 4294967296 AS band_hash
        |         FROM sig s0 JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.k = s0.k + 1
        |         WHERE s0.k % 2 = 0),
-       |keep AS (SELECT band, band_hash FROM band WHERE doc_id < 400
+       |keep AS (SELECT band, band_hash FROM band WHERE ${corpusPred("doc_id")}
        |         GROUP BY band, band_hash HAVING count(*) <= 1000),
        |bkc AS (SELECT b.doc_id, b.band, b.band_hash FROM band b
-       |        JOIN keep USING (band, band_hash) WHERE b.doc_id < 400),
-       |bkb AS (SELECT doc_id, band, band_hash FROM band WHERE doc_id >= 400),
+       |        JOIN keep USING (band, band_hash) WHERE ${corpusPred("b.doc_id")}),
+       |bkb AS (SELECT doc_id, band, band_hash FROM band WHERE $batchPred),
        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |         FROM bkc x JOIN bkb y USING (band, band_hash)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -215,6 +217,9 @@ object DataPipeline {
        |WHERE 2*i >= (sa.n + sb.n - i)
        |ORDER BY da, db""".stripMargin
   }
+
+  private val IncrementalMinhashSql: String =
+    incrementalMinhashSqlFor(c => s"$c < 400", "doc_id >= 400")
 
   /** dd15: incremental near-dup of a batch (doc_id >= 400) against the
     * released corpus's persisted band index — the near-dup half of the
@@ -3352,6 +3357,28 @@ object DataPipeline {
       .orderBy("canary_id")
   }
 
+  /** dc9: fuzzy (near-duplicate) decontamination
+    * ([[Decontamination.fuzzyContaminated]]) — train docs that are
+    * MinHash-verified near-duplicates (J ≥ 0.5) of any eval doc, the
+    * lexical-overlap layer between dc2's exact 13-gram rule and dc4's
+    * embedding similarity. Same eval split as the rest of the dc
+    * family; the mirror is the SHARED incremental-MinHash chain with
+    * the split swapped to (eval = index, train = probe).
+    */
+  val dc9_fuzzy_decontam = QueryDef.sqlChecked(
+    "dc9_fuzzy_decontam", {
+      val inner = incrementalMinhashSqlFor(
+        c => s"$c % 100 < 3", "doc_id % 100 >= 3")
+      s"""SELECT da AS eval_id, db AS train_id, jaccard FROM ($inner)
+         |ORDER BY eval_id, train_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Decontamination.fuzzyContaminated(
+        train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3),
+        evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
+      .orderBy("eval_id", "train_id")
+  }
+
   /** dc8 planted leak: a 20-unique-token run appended to eval docs with
     * id % 100 == 1 AND to train docs with id % 9 == 4 (both engines
     * plant identically, the dd12b pattern) — the run's 13-grams enter
@@ -4997,6 +5024,7 @@ object DataPipeline {
     txt_c4_filter, txt_gopher,
     dc1_decontaminate, dc2_overlap_with, dc3_eval_leak_report,
     dc5_combined_verdict, dc6_mink_prob, dc7_canary_scan, dc8_exact_substring,
+    dc9_fuzzy_decontam,
     sp1_hash_split, sp2_quota_sample, sp3_weighted_downsample,
     sp4_stratified_sample, sp5_domain_mixture, sp6_temperature_sample,
     sp7_sample_n, sp10_epoch_upsample, sp11_mixture_audit,

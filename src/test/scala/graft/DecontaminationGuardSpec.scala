@@ -319,4 +319,31 @@ class BoundedSetAggSpec extends SparkSpec {
       .orderBy("span_start").as[(Long, Long, Long, Long)].collect()
     assert(out === Array((1L, 1L, 3L, 3L), (1L, 3L, 5L, 3L)))
   }
+
+  test("fuzzyContaminated catches the near-paraphrase the exact 13-gram rule misses") {
+    // a 30-token eval doc and a train doc differing in two scattered
+    // tokens (positions 8 and 20 -> intact runs of 7, 11, 10 tokens,
+    // all under dc8's k=13): the exact-substring rule sees nothing,
+    // but trigram-shingle Jaccard stays well over 0.5 — the layering
+    // argument for carrying BOTH rules
+    val evalText = (1 to 30).map(i => s"ev$i").mkString(" ")
+    val trainNear = (1 to 30)
+      .map(i => if (i == 8 || i == 20) s"sub$i" else s"ev$i").mkString(" ")
+    val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, trainNear),
+      (11L, "completely different text with no overlap at all in sight"))
+      .toDF("doc_id", "text")
+    val fuzzy = Decontamination.fuzzyContaminated(train, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fuzzy.map(p => (p._1, p._2)).toSeq === Seq((900L, 10L)),
+      s"near-paraphrase must be flagged, clean doc must not: ${fuzzy.toSeq}")
+    assert(fuzzy.head._3 >= 0.5 && fuzzy.head._3 < 1.0)
+    // dc8's exact-substring rule misses it entirely: the longest
+    // intact run is 11 tokens < k=13
+    val exact = Decontamination.exactSubstringLeaks(train, evalDocs)
+      .collect()
+    assert(exact.isEmpty,
+      s"exact-substring rule unexpectedly caught the paraphrase: ${exact.toSeq}")
+  }
 }
