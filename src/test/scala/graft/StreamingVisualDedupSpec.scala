@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaRow, Multimodal}
+import graft.streaming.StreamingVisualDedup
+
+/** The streaming visual-dedup surface: per micro-batch the incoming
+  * images decode/signature once and probe the release's persisted
+  * perceptual-hash band index; the union over batches equals the batch
+  * incremental probe on the same inputs (the StreamingDedup parity
+  * convention).
+  */
+class StreamingVisualDedupSpec extends SparkSpec {
+
+  test("streaming phash probe matches the batch incremental operator across batches") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val corpus = Multimodal.syntheticPatternImages(docs.filter(col("doc_id") < 400))
+    val batchRows = Multimodal.syntheticPatternImages(
+      docs.filter(col("doc_id") >= 400)).collect().sortBy(_.doc_id)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("svd-idx").toString
+    graft.operators.TrainingPipeline.writePhashIndex(corpus, dir)
+    val index = graft.operators.TrainingPipeline.loadPhashIndex(spark, dir)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val body = StreamingVisualDedup.foreachBatchPhashProbe(index) { (pairs, _) =>
+      got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      ()
+    }
+    val input = MemoryStream[MediaRow](spark, numPartitions = 1)
+    val q = input.toDS().writeStream.outputMode("append")
+      .foreachBatch(body).start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = Multimodal.phashIncrementalPairs(
+        Multimodal.syntheticPatternImages(docs.filter(col("doc_id") >= 400)), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet === batch.toSet && batch.nonEmpty,
+      "streamed pair union must equal the batch incremental probe")
+  }
+
+  test("probe bodies fail fast on a wrong-family index") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id")).limit(50)
+    val dIdx = Multimodal.dhashIndex(Multimodal.syntheticPatternImages(docs))
+    val e = intercept[IllegalArgumentException] {
+      StreamingVisualDedup.foreachBatchPhashProbe(dIdx) { (_, _) => () }
+    }
+    assert(e.getMessage.contains("phash_index"))
+    val pIdx = Multimodal.phashIndex(Multimodal.syntheticPatternImages(docs))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingVisualDedup.foreachBatchDhashProbe(pIdx) { (_, _) => () }
+    }
+    assert(e2.getMessage.contains("dhash_index"))
+  }
+}
