@@ -2170,11 +2170,17 @@ object TextAnalysis {
         + least(nw, lit(100)).cast("double") / 100 * 0.5)
     val perDoc = documents.select(
       col("source"), col("lang"), nw.cast("long").as("nw"), score.as("score"))
+    // mean over EXACT deka-micro integers, one double division at the
+    // end (the micro-average rule): avg() over doubles is partial-
+    // aggregation-order-dependent and flipped a 4-dp rounding boundary
+    // vs the single-threaded oracle fold at sf0.1 (round-16 find) —
+    // score is round4 per doc, so score·1e4 round-trips exactly
     val agg = perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("nw")).as("n_tokens"),
       countDistinct(col("lang")).as("n_langs"),
-      round(avg(col("score")), 4).as("mean_quality"),
+      round(sum(round(col("score") * 10000).cast("long")) /
+        (count(lit(1)) * 10000.0), 4).as("mean_quality"),
       sum(when(col("nw") < 25, 1L).otherwise(0L)).as("n_short"))
     val vocab = documents.select(col("source"), explode(words).as("w"))
       .distinct()

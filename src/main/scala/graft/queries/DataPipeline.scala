@@ -3796,7 +3796,8 @@ object DataPipeline {
        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(nw) AS BIGINT) AS n_tokens,
        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-       |  round(avg(score), 4) AS mean_quality,
+       |  round(CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT)
+       |    / (count(*) * 10000.0), 4) AS mean_quality,
        |  CAST(sum(CASE WHEN nw < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
        | FROM m GROUP BY source),
        |vc AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM
