@@ -349,7 +349,17 @@ object GraphRank {
     * edges, a 3-way explode + count. No windows, no driver state, no
     * all-pairs anywhere.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame): DataFrame =
+    triangleStatsManaged(edges)._1
+
+  /** [[triangleStats]] with the caller-managed cache-release thunk
+    * (the bm25TopKManaged convention): the canonical edge frame
+    * persists for its two consumers (orientation build + the triangle
+    * semi-join) and the returned result is LAZY, so loops invoke the
+    * thunk after the final action instead of leaking one cached frame
+    * per call for the session lifetime.
+    */
+  def triangleStatsManaged(edges: DataFrame): (DataFrame, () => Unit) = {
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = e0.select(col("src").as("a"), col("dst").as("b"))
@@ -375,13 +385,14 @@ object GraphRank {
         canon("b") === greatest(col("x"), col("y")), "left_semi")
     val tn = tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
-    deg.join(tn, Seq("node"), "left")
+    val out = deg.join(tn, Seq("node"), "left")
       .select(col("node"), col("deg").as("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("lcc_micro",
         when(col("degree") >= 2,
           expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
           .otherwise(lit(0L)).cast("long"))
+    (out, () => { canon.unpersist(false); () })
   }
 
   /** Deterministic document→domain link edges for the `documents`

@@ -462,11 +462,13 @@ object DataPipeline {
     * the 64 hyperplane sign bits (same fixed-seed constants), the byte
     * banding, the bucket cap, the banded candidate join, and the exact
     * cosine verification — scale-true like the other LSH mirrors.
-    * NOTE: this mirror pins the operator DEFAULTS (dim=64,
-    * threshold=0.45, maxBucket=1000); calling lshNearDupPairs with
-    * other arguments needs a regenerated mirror.
+    * NOTE: the CTE chain pins the operator defaults dim=64 and
+    * maxBucket=1000 (the sim threshold is each consumer's WHERE);
+    * calling lshNearDupPairs with other banding arguments needs a
+    * regenerated mirror. The chain (ending in `sc(va, vb, s)`) is
+    * shared with the cl4_dbscan_lsh mirror, so the two cannot drift.
     */
-  private val EmbeddingLshSql: String = {
+  private val EmbeddingLshCtes: String = {
     val planes = Similarity.hyperplanes(dim = 64, nBits = 64)
     def planeArr(p: Seq[Double]) =
       p.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")
@@ -476,7 +478,7 @@ object DataPipeline {
         s"(CASE WHEN list_inner_product(v, ${planeArr(planes(8 * b + t))}) >= 0 THEN $w ELSE 0 END)"
       }.mkString("(", "\n    + ", ")")
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bytes AS (SELECT vec_id, unnest(range(8)) AS band,
        |           unnest([${byteExprs.mkString(",\n  ")}]) AS byte_val
        |          FROM e),
@@ -486,9 +488,12 @@ object DataPipeline {
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |         FROM bk a JOIN bk b USING (band, byte_val) WHERE a.vec_id < b.vec_id),
        |sc AS (SELECT c.va, c.vb, list_cosine_similarity(x.v, y.v) AS s
-       |       FROM cand c JOIN e x ON x.vec_id = c.va JOIN e y ON y.vec_id = c.vb)
-       |SELECT va, vb, round(s, 4) AS sim FROM sc WHERE s > 0.45 ORDER BY va, vb""".stripMargin
+       |       FROM cand c JOIN e x ON x.vec_id = c.va JOIN e y ON y.vec_id = c.vb)""".stripMargin
   }
+
+  private val EmbeddingLshSql: String =
+    s"""WITH $EmbeddingLshCtes
+       |SELECT va, vb, round(s, 4) AS sim FROM sc WHERE s > 0.45 ORDER BY va, vb""".stripMargin
 
   val dd5b_embedding_lsh = QueryDef.sqlChecked("dd5b_embedding_lsh", EmbeddingLshSql) { (s, d) =>
     Similarity.lshNearDupPairs(Tables.embeddings(s, d)).orderBy("va", "vb")
@@ -4475,12 +4480,15 @@ object DataPipeline {
     * cores coalesce to their own id), min-label border assignment,
     * and cluster −1 noise.
     */
-  private val Cl4Sql: String =
-    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings),
-       |p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
-       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-       |  WHERE list_cosine_similarity(a.v, b.v) > 0.35),
+  /** The DBSCAN mirror tail (degree rule, recursive core CC, border,
+    * noise) over whatever pair-CTE prelude is spliced in: `pairCtes`
+    * must define `e(vec_id, v)` and the SYMMETRIC neighbor CTE
+    * `p(va, vb)`. Shared by cl4_dbscan (brute prelude) and
+    * cl4_dbscan_lsh (the dd5b banded prelude), so the two variants'
+    * DBSCAN semantics cannot drift.
+    */
+  private def cl4SqlWith(pairCtes: String): String =
+    s"""WITH RECURSIVE $pairCtes,
        |nc AS MATERIALIZED (SELECT va AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
        |  FROM p GROUP BY 1),
        |core AS MATERIALIZED (SELECT vec_id FROM nc WHERE n_neighbors >= 3),
@@ -4510,8 +4518,41 @@ object DataPipeline {
        |LEFT JOIN border b USING (vec_id)
        |ORDER BY e.vec_id""".stripMargin
 
+  private val Cl4Sql: String = cl4SqlWith(
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) > 0.35)""".stripMargin)
+
   val cl4_dbscan = QueryDef.sqlChecked("cl4_dbscan", Cl4Sql) { (s, d) =>
     Clustering.dbscan(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
+  /** cl4b: DBSCAN over the PRODUCTION evidence graph — the banded
+    * sign-LSH pair generation ([[Similarity.lshNearDupPairs]] at the
+    * dbscan sim threshold) injected through [[Clustering.dbscan]]'s
+    * `pairs` contract, replacing cl4's brute O(n²) oracle baseline
+    * with the shape that actually ships at corpus scale: pair cost is
+    * the banded bucket join, everything downstream is sized by the
+    * near-dup graph. The mirror splices the dd5b LSH CTE chain (same
+    * fixed-seed hyperplanes, byte banding, bucket cap, exact cosine
+    * verify) into the SAME DBSCAN tail, symmetrized exactly like the
+    * engine's unionByName — both engines see the identical (possibly
+    * sub-recall) pair graph, so the oracle pins the production path,
+    * not just the baseline.
+    */
+  private val Cl4LshSql: String = cl4SqlWith(
+    s"""$EmbeddingLshCtes,
+       |lp AS (SELECT va, vb FROM sc WHERE s > 0.35),
+       |p AS MATERIALIZED (SELECT va, vb FROM lp
+       |  UNION ALL SELECT vb AS va, va AS vb FROM lp)""".stripMargin)
+
+  val cl4_dbscan_lsh = QueryDef.sqlChecked("cl4_dbscan_lsh", Cl4LshSql) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Clustering.dbscan(emb,
+        pairs = Some(Similarity.lshNearDupPairs(emb, threshold = 0.35)))
+      .orderBy("vec_id")
   }
 
   /** ds1: DSIR importance resampling (Xie et al. 2023, deterministic
@@ -5048,7 +5089,8 @@ object DataPipeline {
     sp8b_bpe_budget,
     pk1b_bpe_pack,
     tr1_train_weights, tr2_train_and_score,
-    cl1_kmeans, cl2_balanced_sample, cl3_silhouette, cl4_dbscan, ds1_dsir, dc4_semantic,
+    cl1_kmeans, cl2_balanced_sample, cl3_silhouette, cl4_dbscan,
+    cl4_dbscan_lsh, ds1_dsir, dc4_semantic,
     pipe1_training_pipeline, pipe3_curation_report,
     mm_features, mm_frames, mm_resize, mm_decode, mm_audio, mm_dhash_pairs,
     mm_dhash_incremental, mm_phash_pairs, mm_phash_incremental,

@@ -554,6 +554,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out("f") === ((1L, 0L, 0L)))
   }
 
+  test("triangleStatsManaged: release thunk unpersists the canonical edge cache") {
+    // pristine cache state: CacheManager dedups identical plans, so a
+    // canon frame leaked by an earlier (unmanaged) call in this suite
+    // would absorb this call's persist and mask the release
+    spark.catalog.clearCache()
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    def cachedRdds(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds()
+    val (df, release) = GraphRank.triangleStatsManaged(edges)
+    // collect(), not count(): Catalyst ELIMINATES the left join to the
+    // (key-distinct) triangle side under count(), and with it the only
+    // consumers of canon — the cache would never materialize
+    assert(df.collect().map(_.getAs[Long]("triangles")).sum === 3L)
+    assert(cachedRdds() > before,
+      "triangleStats should have persisted its canonical edge frame")
+    release()
+    assert(cachedRdds() === before,
+      "release() must unpersist canon — looped callers leak otherwise")
+  }
+
   test("triangleStats: orientation form equals brute-force triples on a dense graph") {
     // deterministic pseudo-random graph dense enough for shared hubs:
     // the apex-orientation count must equal the naive all-triples scan
