@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   *     so true-pair counts scale linearly, as they do in a real corpus.
   *
   * Usage: `runMain graft.bench.ScaleSoak [outPath]` (default
-  * SCALE.json). Not part of the driver contract; evidence for the
-  * would-it-survive-100TB audit.
+  * SCALE.json). `SPARK_GRAFT_SCALE_ONLY=dd15_...,pipe2_...` restricts
+  * to a subset (focused re-reads of a flagged row — the bench's
+  * BENCH_ONLY convention; a filtered run should NOT overwrite the
+  * committed SCALE.json), `SPARK_GRAFT_SCALE_RUNS=3` raises the
+  * per-scale min-of (default 2). Not part of the driver contract;
+  * evidence for the would-it-survive-100TB audit.
   */
 object ScaleSoak {
 
@@ -359,12 +363,17 @@ object ScaleSoak {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
-    val results = queries.map { case (name, q) =>
-      // JIT warmup on the small scale, then min of 2 at each scale
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
+    val results = queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, q) =>
+      // JIT warmup on the small scale, then min of nRuns at each scale
       q("x1").count(): Unit
       val bySc = scales.map { case (tag, _) =>
-        val a = timeIt(q(tag).count()); val b = timeIt(q(tag).count())
-        tag -> (if (a._1 <= b._1) a else b)
+        tag -> (1 to nRuns).map(_ => timeIt(q(tag).count())).minBy(_._1)
       }
       val (t1, r1) = bySc.head._2
       val line = bySc.map { case (tag, (t, r)) =>
