@@ -347,6 +347,15 @@ object ScaleSoak {
       "ann_ivfsq" -> { t =>
         graft.operators.SqSearch.ivfSqTopK(emb(t), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       },
+      "dd5c_embedding_lsh16" -> { t =>
+        // the wide-band pair-generation shape at scale: 16-bit bands
+        // (65536 buckets each) stay sparse at 200k random vectors,
+        // where the byte default saturates its 256 buckets and the
+        // per-bucket pair fan-out goes quadratic — the r16 forensic
+        // that kept 8-bit pair generation OUT of this soak
+        graft.operators.Similarity.lshNearDupPairs(
+          emb(t), nBits = 128, bandBits = 16)
+      },
       "mm_phash_pairs" -> { t =>
         // real PNG encode+decode per doc id at every scale: the decode/
         // pool/DCT pass is the data term, banding bounds the join

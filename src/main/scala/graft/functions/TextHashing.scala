@@ -207,12 +207,29 @@ object TextHashing {
   /** Pack bit array into 8 byte-valued bands (pigeonhole recall for
     * Hamming distance <= 7).
     */
-  def byteBands(bits: Array[Int]): Array[Int] =
-    Array.tabulate(8) { b =>
-      var v = 0; var i = b * 8
-      while (i < (b + 1) * 8) { v = v * 2 + bits(i); i += 1 }
+  def byteBands(bits: Array[Int]): Array[Int] = bands(bits, 8)
+
+  /** Pack a bit array into `bits.length / bandBits` integer-valued
+    * bands — the generalized [[byteBands]]. The band width is the LSH
+    * scale knob: buckets per band = 2^bandBits, so 8-bit bands top out
+    * at 256 buckets (saturating around ~10^5 random vectors — every
+    * bucket fills toward the cap and candidate fan-out goes quadratic)
+    * while 16-bit bands give 65536 and push the same saturation two
+    * orders of magnitude out. Recall at similarity s follows
+    * 1 − (1 − p^bandBits)^nBands with p = 1 − arccos(s)/π, so a wider
+    * band NEEDS a wider signature to keep nBands up (the dd5c shape:
+    * 128 bits × 16-bit bands ≈ the 64×8 curve shifted toward
+    * higher-sim pairs, with 256× the buckets).
+    */
+  def bands(bits: Array[Int], bandBits: Int): Array[Int] = {
+    require(bandBits >= 1 && bandBits <= 30 && bits.length % bandBits == 0,
+      s"bad banding: ${bits.length} bits into $bandBits-bit bands")
+    Array.tabulate(bits.length / bandBits) { b =>
+      var v = 0; var i = b * bandBits
+      while (i < (b + 1) * bandBits) { v = v * 2 + bits(i); i += 1 }
       v
     }
+  }
 
   def hamming(a: Array[Int], b: Array[Int]): Int = {
     var d = 0; var i = 0

@@ -188,13 +188,17 @@ object Similarity {
     (for { i <- 0 until nBits; j <- i + 1 until nBits } yield (1 << i) | (1 << j))
 
   /** Sub-quadratic embedding near-duplicate PAIRS (the scale path whose
-    * oracle baseline is [[Dedup.embeddingNearDup]]'s brute force): a
-    * 64-bit random-hyperplane signature per vector, byte-banded like
-    * SimHash (8 bands of 8 bits), bucket-size-capped candidate pairs
-    * generated per bucket (one groupBy shuffle, narrow pair fan-out),
-    * then exact cosine verification of candidates only. Recall at
-    * sim s is 1-(1-p^8)^8 with p = 1 - arccos(s)/pi (e.g. ~0.94 at
-    * s = 0.9); every candidate is verified, so precision is exact.
+    * oracle baseline is [[Dedup.embeddingNearDup]]'s brute force): an
+    * `nBits` random-hyperplane signature per vector, banded like
+    * SimHash (`nBits/bandBits` bands of `bandBits` bits; default 8×8,
+    * the dd5b shape — dd5c pins the 128×16 wide shape whose 65536
+    * buckets/band survive corpus sizes that saturate byte bands),
+    * bucket-size-capped candidate pairs generated per bucket (one
+    * groupBy shuffle, narrow pair fan-out), then exact cosine
+    * verification of candidates only. Recall at sim s is
+    * 1-(1-p^bandBits)^nBands with p = 1 - arccos(s)/pi (e.g. ~0.94 at
+    * s = 0.9 for 8×8); every candidate is verified, so precision is
+    * exact.
     *
     * The signature loop runs as a typed map with native folds (64 dots
     * of 64 dims/row; interpreted HOFs would be ~100x slower), ascending
@@ -215,29 +219,42 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      nBits: Int = 64,
+      bandBits: Int = 8): DataFrame = {
+    // the scale knob (see TextHashing.bands): buckets per band =
+    // 2^bandBits. The 64×8 default saturates its 256 buckets around
+    // ~10^5 random vectors (every bucket fills toward the cap and the
+    // per-bucket pair fan-out goes quadratic — the r16 soak forensic);
+    // the 128×16 wide shape (dd5c) keeps nBands=8 with 65536 buckets
+    // per band, pushing saturation out by 256× at a recall curve
+    // shifted toward higher-sim pairs.
+    require(nBits >= bandBits && nBits % bandBits == 0,
+      s"bad banding: $nBits bits into $bandBits-bit bands")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val planes: Array[Array[Double]] =
-      hyperplanes(dim, nBits = 64).map(_.toArray).toArray
+      hyperplanes(dim, nBits).map(_.toArray).toArray
     val e = Dedup.spread(embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v")))
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ps = planes
     val d = dim
+    val nb = nBits
+    val bb = bandBits
     val sigs = e.map { case (id, v) =>
       require(v.length == d,
         s"lshNearDupPairs: vector for id=$id has ${v.length} dims, hyperplanes have $d")
-      val bits = new Array[Int](64)
+      val bits = new Array[Int](nb)
       var i = 0
-      while (i < 64) {
+      while (i < nb) {
         var s = 0.0; var j = 0
         while (j < v.length) { s += v(j) * ps(i)(j); j += 1 }
         bits(i) = if (s >= 0) 1 else 0
         i += 1
       }
-      (id, graft.functions.TextHashing.byteBands(bits))
+      (id, graft.functions.TextHashing.bands(bits, bb))
     }.toDF("id", "bytes")
     // Candidate generation is ONE shuffle: group the banded rows by
     // bucket, collect the member ids, and emit each bucket's pairs with

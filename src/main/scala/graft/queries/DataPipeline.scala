@@ -468,19 +468,26 @@ object DataPipeline {
     * regenerated mirror. The chain (ending in `sc(va, vb, s)`) is
     * shared with the cl4_dbscan_lsh mirror, so the two cannot drift.
     */
-  private val EmbeddingLshCtes: String = {
-    val planes = Similarity.hyperplanes(dim = 64, nBits = 64)
+  /** The sign-LSH candidate CTE chain (bytes/keep/bk/cand/sc over a
+    * supplied `e(vec_id, v)` CTE), generated from the SAME fixed-seed
+    * hyperplanes the engine uses, for any (nBits, bandBits) banding —
+    * dd5b pins the 64×8 default, dd5c the 128×16 wide shape.
+    */
+  private def embeddingLshCtes(
+      nBits: Int, bandBits: Int, eCte: String): String = {
+    val planes = Similarity.hyperplanes(dim = 64, nBits = nBits)
+    val nBands = nBits / bandBits
     def planeArr(p: Seq[Double]) =
       p.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")
-    val byteExprs = (0 until 8).map { b =>
-      (0 until 8).map { t =>
-        val w = 1 << (7 - t)
-        s"(CASE WHEN list_inner_product(v, ${planeArr(planes(8 * b + t))}) >= 0 THEN $w ELSE 0 END)"
+    val bandExprs = (0 until nBands).map { b =>
+      (0 until bandBits).map { t =>
+        val w = 1L << (bandBits - 1 - t)
+        s"(CASE WHEN list_inner_product(v, ${planeArr(planes(bandBits * b + t))}) >= 0 THEN $w ELSE 0 END)"
       }.mkString("(", "\n    + ", ")")
     }
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |bytes AS (SELECT vec_id, unnest(range(8)) AS band,
-       |           unnest([${byteExprs.mkString(",\n  ")}]) AS byte_val
+    s"""$eCte,
+       |bytes AS (SELECT vec_id, unnest(range($nBands)) AS band,
+       |           unnest([${bandExprs.mkString(",\n  ")}]) AS byte_val
        |          FROM e),
        |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
        |         HAVING count(*) <= 1000),
@@ -491,12 +498,52 @@ object DataPipeline {
        |       FROM cand c JOIN e x ON x.vec_id = c.va JOIN e y ON y.vec_id = c.vb)""".stripMargin
   }
 
+  private val PlainEmbeddingCte: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  private val EmbeddingLshCtes: String =
+    embeddingLshCtes(64, 8, PlainEmbeddingCte)
+
   private val EmbeddingLshSql: String =
     s"""WITH $EmbeddingLshCtes
        |SELECT va, vb, round(s, 4) AS sim FROM sc WHERE s > 0.45 ORDER BY va, vb""".stripMargin
 
   val dd5b_embedding_lsh = QueryDef.sqlChecked("dd5b_embedding_lsh", EmbeddingLshSql) { (s, d) =>
     Similarity.lshNearDupPairs(Tables.embeddings(s, d)).orderBy("va", "vb")
+  }
+
+  /** dd5c: the WIDE-BAND sign-LSH shape — 128 hyperplane bits in 8
+    * bands of 16 (65536 buckets per band vs the byte default's 256),
+    * the knob that keeps bucket occupancy sparse at corpus sizes where
+    * 8-bit bands saturate and the per-bucket pair fan-out goes
+    * quadratic (the r16 soak forensic; soaked sub-linear at 200k
+    * vectors as dd5c_embedding_lsh16). The 16-bit recall curve sits on
+    * high-sim pairs only (p^16 per band), so the fixture plants 40
+    * near-identical copies in-query — each base vector scaled ×1.001,
+    * cosine exactly 1.0, signature bit-identical by sign invariance —
+    * keeping candidate generation, the cap, and verification all live
+    * at every SF; both engines derive the plant from the same
+    * arithmetic.
+    */
+  private val WideLshSql: String =
+    s"""WITH ${embeddingLshCtes(128, 16,
+         """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |      UNION ALL
+           |      SELECT vec_id + 10000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+           |      FROM embeddings WHERE vec_id < 40)""".stripMargin)}
+       |SELECT va, vb, round(s, 4) AS sim FROM sc WHERE s > 0.45 ORDER BY va, vb""".stripMargin
+
+  val dd5c_embedding_lsh_wide = QueryDef.sqlChecked(
+    "dd5c_embedding_lsh_wide", WideLshSql) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val planted = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        expr("transform(embedding, x -> x * 1.001d)").as("embedding"))
+    Similarity.lshNearDupPairs(emb.unionByName(planted),
+        nBits = 128, bandBits = 16)
+      .orderBy("va", "vb")
   }
 
   // -------------------------------------------------- similarity search
@@ -5050,7 +5097,8 @@ object DataPipeline {
 
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
-    dd5_embedding_neardup, dd5b_embedding_lsh, dd6_winnow_fragments,
+    dd5_embedding_neardup, dd5b_embedding_lsh, dd5c_embedding_lsh_wide,
+    dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,
     dd8_dup_clusters, dd9_paragraph_dedup, dd10_semantic_dedup,
     dd15_incremental_neardup, dd16_containment, dd17_template_spam,

@@ -73,6 +73,44 @@ class SimilaritySpec extends SparkSpec {
     assert(found.contains((1L, 2L)))
   }
 
+  test("wide-band LSH (128x16): sound vs brute, scaled copy found, banding checked") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // a x1.001-scaled copy has cosine exactly 1 and a BIT-IDENTICAL
+    // signature (sign(v.h) is scale-invariant), so every band matches
+    // and recall of the planted pair is certain, not probabilistic
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        expr("transform(embedding, x -> x * 1.001d)").as("embedding"))
+    val wide = Similarity.lshNearDupPairs(base.unionByName(planted),
+        nBits = 128, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(wide.contains((i, i + 10000L)), s"planted copy of $i missing")
+    }
+    // precision is exact: every non-planted pair must be a true brute pair
+    val brutePairs = graft.operators.Dedup.embeddingNearDup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.filter(p => p._1 < 10000 && p._2 < 10000)
+      .subsetOf(brutePairs))
+    // bad banding rejected
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(base, nBits = 100, bandBits = 16)
+    }
+  }
+
+  test("bands: hand-computed packing at 8 and 16 bits") {
+    val bits = Array(1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+    assert(graft.functions.TextHashing.bands(bits, 8).toSeq === Seq(0xB2, 0x01))
+    assert(graft.functions.TextHashing.bands(bits, 16).toSeq === Seq(0xB201))
+    assert(graft.functions.TextHashing.byteBands(bits).toSeq === Seq(0xB2, 0x01))
+    intercept[IllegalArgumentException] {
+      graft.functions.TextHashing.bands(bits, 5)
+    }
+  }
+
   test("LSH top-k achieves useful recall against brute force") {
     val bf = neighborSet(Similarity.bruteForceTopK(emb, qids))
     val lsh = neighborSet(Similarity.lshTopK(emb, qids))
