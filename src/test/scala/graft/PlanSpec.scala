@@ -359,6 +359,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cl4b: dbscan over LSH pairs plans no cartesian and no window") {
+    spark.catalog.clearCache()
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = graft.operators.Clustering.dbscan(emb,
+        pairs = Some(graft.operators.Similarity.lshNearDupPairs(
+          emb, threshold = 0.35)))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the production evidence-graph path: pair generation is the banded
+    // bucket join (grouped flatMap, never an all-pairs product) and
+    // everything downstream of pairs is keyed aggs/joins + size-gated
+    // CC — no per-key rank window anywhere
+    assert(!p.contains("CartesianProduct"),
+      s"dbscan/LSH must never plan an all-pairs product:\n$p")
+    assert(!p.contains("Window"),
+      s"dbscan must be keyed aggregates, not windows:\n$p")
+  }
+
   test("ir2: rrf fusion is dual bounded top-k aggregates, not rank windows") {
     val corpus = graft.sources.Tables.documents(spark, sf)
     val p = graft.operators.TextAnalysis.rrfFusionTopK(corpus)
