@@ -500,6 +500,20 @@ object Dedup {
     * join has guaranteed recall and there is no n^2 stage; the
     * bucket-size cap guards against mass-duplicate signature clusters
     * making one bucket quadratic (same guard as minhashLsh's bands).
+    *
+    * Scale note (the dd5c band-width knob, Hamming edition): byte
+    * bands give 256 buckets each, which saturate around ~10^5 rows of
+    * near-uniform signatures — the cap then DROPS hot buckets, i.e.
+    * recall degrades silently rather than the join exploding. Widening
+    * to 16-bit bands (4 bands of a 64-bit signature, 65536 buckets
+    * each — [[graft.functions.TextHashing.bands]]) defers saturation
+    * 256×, but by the same pigeonhole the guarantee tightens to
+    * Hamming <= 3; past that, the right move is a wider signature
+    * (128-bit pHash variants), not narrower guarantees. The sign-LSH
+    * family already exposes the knob ([[Similarity.lshNearDupPairs]]
+    * nBits/bandBits, oracle-pinned by dd5c); the perceptual hashes pin
+    * 8×8 because their 64-bit signatures and Hamming-7 contract are
+    * part of the published algorithms the mirrors replay.
     */
   private[operators] def bandedHammingJoin(
       sigs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
