@@ -904,10 +904,21 @@ object Multimodal {
   def frameSample(
       documents: DataFrame,
       frameBytes: Int = 256,
+      targetFrames: Int = 8)(implicit spark: SparkSession): Dataset[FrameSample] =
+    frameSampleMedia(asMediaTable(documents), frameBytes, targetFrames)
+
+  /** [[frameSample]] over an already-wrapped media table — the form a
+    * streaming micro-batch of [[MediaRow]]s uses directly
+    * ([[asMediaTable]] unconditionally encodes a `text` column, so
+    * re-wrapping a media-shaped frame would fail analysis).
+    */
+  def frameSampleMedia(
+      media: Dataset[MediaRow],
+      frameBytes: Int = 256,
       targetFrames: Int = 8)(implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     val fb = frameBytes; val tf = targetFrames
-    asMediaTable(documents).flatMap { r =>
+    media.flatMap { r =>
       val n = r.media.length
       val nF = (n + fb - 1) / fb
       val stride = math.max(1, (nF + tf - 1) / tf)

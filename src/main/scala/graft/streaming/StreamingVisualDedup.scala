@@ -3,10 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import graft.operators.{MediaRow, Multimodal}
 
-/** Continuous visual dedup: the streaming form of the incremental
-  * image near-dup probes — every micro-batch of newly ingested images
-  * decodes and signatures ONLY its own payloads and probes the
-  * release's persisted perceptual-hash band index
+/** Continuous perceptual-media dedup: the streaming form of the
+  * incremental image/video/audio near-dup probes — every micro-batch
+  * of newly ingested media decodes and signatures ONLY its own
+  * payloads and probes the release's persisted perceptual index
   * ([[graft.operators.TrainingPipeline.writeDhashIndex]] /
   * [[graft.operators.TrainingPipeline.writePhashIndex]]), emitting
   * (da = released image, db = batch image, hamming) rows for the sink
@@ -33,6 +33,10 @@ object StreamingVisualDedup {
       index: DataFrame,
       maxHamming: Int = 7)(
       sink: (DataFrame, Long) => Unit): (Dataset[MediaRow], Long) => Unit = {
+    // strict kind check first (the StreamingAnnProbe rule): the lenient
+    // param check passes silently when the signature column is absent
+    graft.operators.Dedup.requireIndexKind(index, "sig", "phash_index",
+      "foreachBatchPhashProbe")
     graft.operators.Dedup.checkIndexMeta(index, "sig", "phash_index", Map.empty)
     (batch: Dataset[MediaRow], batchId: Long) => {
       implicit val spark = batch.sparkSession
@@ -47,10 +51,56 @@ object StreamingVisualDedup {
       index: DataFrame,
       maxHamming: Int = 7)(
       sink: (DataFrame, Long) => Unit): (Dataset[MediaRow], Long) => Unit = {
+    graft.operators.Dedup.requireIndexKind(index, "sig", "dhash_index",
+      "foreachBatchDhashProbe")
     graft.operators.Dedup.checkIndexMeta(index, "sig", "dhash_index", Map.empty)
     (batch: Dataset[MediaRow], batchId: Long) => {
       implicit val spark = batch.sparkSession
       sink(Multimodal.dhashIncrementalPairs(batch, index, maxHamming), batchId)
+    }
+  }
+
+  /** foreachBatch body probing the video frame-signature index — the
+    * same contract over `video_frame_index` artifacts
+    * ([[graft.operators.TrainingPipeline.writeVideoFrameIndex]]): each
+    * micro-batch of arriving videos frame-samples and digests ONLY its
+    * own payloads ([[Multimodal.frameSample]] with the supplied
+    * sampling geometry) and joins the index on the signature; released
+    * frame bytes are never re-digested.
+    */
+  def foreachBatchVideoProbe(
+      index: DataFrame,
+      frameBytes: Int = 256,
+      targetFrames: Int = 8,
+      threshold: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit): (Dataset[MediaRow], Long) => Unit = {
+    graft.operators.Dedup.requireIndexKind(index, "s", "video_frame_index",
+      "foreachBatchVideoProbe")
+    (batch: Dataset[MediaRow], batchId: Long) => {
+      implicit val spark = batch.sparkSession
+      sink(Multimodal.videoIncrementalPairs(
+        Multimodal.frameSampleMedia(batch, frameBytes, targetFrames).toDF(),
+        index, threshold = threshold), batchId)
+    }
+  }
+
+  /** foreachBatch body probing the audio envelope band index — the
+    * same contract over `audio_envelope_index` artifacts
+    * ([[graft.operators.TrainingPipeline.writeAudioEnvelopeIndex]]):
+    * each micro-batch decodes only its own clips (decode is ~70% of
+    * the pair query's cost) and probes the banded Hamming join.
+    */
+  def foreachBatchAudioProbe(
+      index: DataFrame,
+      maxHamming: Int = 7)(
+      sink: (DataFrame, Long) => Unit): (Dataset[MediaRow], Long) => Unit = {
+    graft.operators.Dedup.requireIndexKind(index, "sig",
+      "audio_envelope_index", "foreachBatchAudioProbe")
+    graft.operators.Dedup.checkIndexMeta(index, "sig",
+      "audio_envelope_index", Map.empty)
+    (batch: Dataset[MediaRow], batchId: Long) => {
+      implicit val spark = batch.sparkSession
+      sink(Multimodal.audioIncrementalPairs(batch, index, maxHamming), batchId)
     }
   }
 }

@@ -49,6 +49,73 @@ class StreamingVisualDedupSpec extends SparkSpec {
       "streamed pair union must equal the batch incremental probe")
   }
 
+  test("streaming video probe matches the batch incremental operator across batches") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val vids = Multimodal.asMediaTable(
+      Multimodal.syntheticVideoDocs(docs.select("doc_id")))
+    def frames(d: org.apache.spark.sql.Dataset[MediaRow]) =
+      Multimodal.frameSampleMedia(d, frameBytes = 16, targetFrames = 64).toDF()
+    val corpus = vids.filter(col("doc_id") < 400)
+    val index = Multimodal.videoFrameIndex(frames(corpus))
+    val batchRows = vids.filter(col("doc_id") >= 400).collect().sortBy(_.doc_id)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val body = StreamingVisualDedup.foreachBatchVideoProbe(
+        index, frameBytes = 16, targetFrames = 64) { (pairs, _) =>
+      got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      ()
+    }
+    val input = MemoryStream[MediaRow](spark, numPartitions = 1)
+    val q = input.toDS().writeStream.outputMode("append")
+      .foreachBatch(body).start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = Multimodal.videoIncrementalPairs(
+        frames(vids.filter(col("doc_id") >= 400)), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet === batch.toSet && batch.nonEmpty,
+      "streamed video pair union must equal the batch incremental probe")
+  }
+
+  test("streaming audio probe matches the batch incremental operator across batches") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val clips = Multimodal.syntheticPatternAudio(docs.select("doc_id"))
+    val index = Multimodal.audioEnvelopeIndex(clips.filter(col("doc_id") < 400))
+    val batchRows = clips.filter(col("doc_id") >= 400).collect().sortBy(_.doc_id)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val body = StreamingVisualDedup.foreachBatchAudioProbe(index) { (pairs, _) =>
+      got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      ()
+    }
+    val input = MemoryStream[MediaRow](spark, numPartitions = 1)
+    val q = input.toDS().writeStream.outputMode("append")
+      .foreachBatch(body).start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = Multimodal.audioIncrementalPairs(
+        clips.filter(col("doc_id") >= 400), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet === batch.toSet && batch.nonEmpty,
+      "streamed audio pair union must equal the batch incremental probe")
+  }
+
   test("probe bodies fail fast on a wrong-family index") {
     implicit val s = spark
     import s.implicits._
