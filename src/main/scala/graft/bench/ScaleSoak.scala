@@ -143,7 +143,18 @@ object ScaleSoak {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0) else "SCALE.json"
+    // a SCALE_ONLY-filtered run writes PARTIAL rows (and a subset
+    // worst_ratio); without an explicit outPath it must not clobber the
+    // committed full artifact — redirect to SCALE_partial.json instead
+    // of relying on the docstring (the r17 advice item)
+    val filtered = sys.env.get("SPARK_GRAFT_SCALE_ONLY").exists(_.trim.nonEmpty)
+    val out =
+      if (args.nonEmpty) args(0)
+      else if (filtered) {
+        println("[scale] SPARK_GRAFT_SCALE_ONLY set and no outPath given" +
+          " — writing SCALE_partial.json to protect the committed SCALE.json")
+        "SCALE_partial.json"
+      } else "SCALE.json"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -204,8 +204,15 @@ object TextHashing {
     votes.map(v => if (v > 0) 1 else 0)
   }
 
-  /** Pack bit array into 8 byte-valued bands (pigeonhole recall for
-    * Hamming distance <= 7).
+  /** Pack bit array into `bits.length / 8` byte-valued bands
+    * (pigeonhole recall for Hamming distance <= bands-1).
+    *
+    * CONTRACT CHANGE (round 17): this bands the WHOLE array and
+    * requires `bits.length % 8 == 0`. The pre-r17 form silently read
+    * exactly the first 64 bits of any-length input with no validation;
+    * a caller relying on that truncation now throws (length not a
+    * multiple of 8) or gets extra bands (length > 64). All in-repo
+    * callers pass 64-bit signatures, where the two behaviors coincide.
     */
   def byteBands(bits: Array[Int]): Array[Int] = bands(bits, 8)
 

@@ -682,14 +682,28 @@ object Multimodal {
   /** The persistable frame-signature index of a released video set —
     * [[cappedFrameSets]] with the cap frozen over index videos; probe
     * with [[videoIncrementalPairs]].
+    *
+    * `frameBytes`/`targetFrames` record the SAMPLING GEOMETRY the
+    * supplied `frames` were produced with ([[frameSample]]'s params):
+    * a probe whose batch is sampled with a different geometry digests
+    * different byte windows and silently matches ZERO index signatures
+    * — the quiet-recall-collapse failure the stamp discipline exists
+    * for. The index build can't derive the geometry from the frames
+    * (they're already sampled), so the caller that sampled them states
+    * it here and [[graft.streaming.StreamingVisualDedup.foreachBatchVideoProbe]]
+    * fails fast on mismatch at setup.
     */
   def videoFrameIndex(
       frames: DataFrame,
       idCol: String = "doc_id",
       sigCol: String = "frame_md5",
-      maxDocFreq: Int = 1000): DataFrame =
+      maxDocFreq: Int = 1000,
+      frameBytes: Int = 256,
+      targetFrames: Int = 8): DataFrame =
     Dedup.stampIndexMeta(cappedFrameSets(frames, idCol, sigCol, maxDocFreq),
-      "s", "video_frame_index", Map("maxDocFreq" -> maxDocFreq.toLong))
+      "s", "video_frame_index", Map("maxDocFreq" -> maxDocFreq.toLong,
+        "frameBytes" -> frameBytes.toLong,
+        "targetFrames" -> targetFrames.toLong))
 
   /** Incremental video near-dup: which released videos does this batch
     * share >= `threshold` frame-Jaccard with — released frame bytes

@@ -523,13 +523,18 @@ object DataPipeline {
     * cosine exactly 1.0, signature bit-identical by sign invariance —
     * keeping candidate generation, the cap, and verification all live
     * at every SF; both engines derive the plant from the same
-    * arithmetic.
+    * arithmetic. The plant ids offset by max(vec_id)+1 DERIVED FROM
+    * THE DATA in both engines — a fixed +10000 collided with real ids
+    * on the sf1.0 replica fixture (vec_ids to 19999), and duplicated
+    * ids let the bucket flatMap emit self-pairs the mirror's
+    * `a.vec_id < b.vec_id` excludes.
     */
   private val WideLshSql: String =
     s"""WITH ${embeddingLshCtes(128, 16,
          """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            |      UNION ALL
-           |      SELECT vec_id + 10000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+           |      SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+           |             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
            |      FROM embeddings WHERE vec_id < 40)""".stripMargin)}
        |SELECT va, vb, round(s, 4) AS sim FROM sc WHERE s > 0.45 ORDER BY va, vb""".stripMargin
 
@@ -538,8 +543,12 @@ object DataPipeline {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
+    // collision-proof plant offset: one bounded scalar collect (the
+    // fixture-collect discipline) — ids land strictly above every
+    // organic id at any SF
+    val plantOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val planted = emb.filter(col("vec_id") < 40)
-      .select((col("vec_id") + 10000).as("vec_id"),
+      .select((col("vec_id") + lit(plantOff)).as("vec_id"),
         expr("transform(embedding, x -> x * 1.001d)").as("embedding"))
     Similarity.lshNearDupPairs(emb.unionByName(planted),
         nBits = 128, bandBits = 16)
@@ -1297,9 +1306,12 @@ object DataPipeline {
     * 100000).
     */
   private val Dd10Sql: String = {
+    // plant offset derived from the data (the dd5c collision rule):
+    // fixed +10000 would alias real ids on fixtures above sf0.1
     val rel = """(SELECT vec_id, embedding FROM embeddings
                  | UNION ALL
-                 | SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+                 | SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+                 |        embedding FROM embeddings
                  | WHERE vec_id < 40)""".stripMargin
     s"""WITH ${ivfAsgCtes(rel, matAsg = true)},
        |ax AS (SELECT vec_id, v, cell, xor(m2, m2 >> 13) AS hs FROM (
@@ -1320,8 +1332,14 @@ object DataPipeline {
 
   val dd10_semantic_dedup = QueryDef.sqlChecked("dd10_semantic_dedup", Dd10Sql) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // data-derived plant offset (the dd5c collision rule) — a bounded
+    // scalar collect, not a crossJoin: the 1-row broadcast stitch
+    // planned a BroadcastNestedLoopJoin that dd10's pair-work gate
+    // rightly forbids
+    val plantOff =
+      emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1L
     val aug = emb.unionByName(emb.filter(col("vec_id") < 40)
-      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+      .select((col("vec_id") + lit(plantOff)).as("vec_id"), col("embedding")))
     graft.operators.IvfSearch.semanticDedup(aug).orderBy("vec_id")
   }
 

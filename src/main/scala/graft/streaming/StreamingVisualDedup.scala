@@ -76,6 +76,13 @@ object StreamingVisualDedup {
       sink: (DataFrame, Long) => Unit): (Dataset[MediaRow], Long) => Unit = {
     graft.operators.Dedup.requireIndexKind(index, "s", "video_frame_index",
       "foreachBatchVideoProbe")
+    // sampling-geometry check (the SQ/PQ dim-check discipline): a probe
+    // sampling different byte windows than the index build matches zero
+    // signatures SILENTLY per batch — fail at setup instead. Lenient on
+    // pre-geometry-stamp artifacts (checkIndexMeta skips absent keys).
+    graft.operators.Dedup.checkIndexMeta(index, "s", "video_frame_index",
+      Map("frameBytes" -> frameBytes.toLong,
+        "targetFrames" -> targetFrames.toLong))
     (batch: Dataset[MediaRow], batchId: Long) => {
       implicit val spark = batch.sparkSession
       sink(Multimodal.videoIncrementalPairs(

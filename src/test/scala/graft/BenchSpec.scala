@@ -48,11 +48,14 @@ class BenchSpec extends AnyFunSuite {
       "dd4_simhash" -> Bench.Floor(1.54, Some(1.01))))
   }
 
-  test("floorFlag: retry informs the decision, never the reported numbers") {
+  test("floorFlag: a >2x-floor reported min is flagged even when the retry clears") {
     val floor = Some(1.0)
-    // first-pass min over 2x, retry clears it -> transient, no flag
-    assert(!Bench.floorFlag(2.5, retry = Some(1.2), floor))
-    // retry also over -> the flag sticks
+    // the r17 mm_audio_pairs blind spot: first-pass min 2.03x floor,
+    // retry cleared, entry escaped both flag sources while its reported
+    // number stayed over 2x floor. The retry is never folded into the
+    // reported min, so it can't clear the flag either (r17 verdict #5).
+    assert(Bench.floorFlag(2.5, retry = Some(1.2), floor))
+    // retry also over -> the flag sticks (unchanged)
     assert(Bench.floorFlag(2.5, retry = Some(2.3), floor))
     // under floor never flags, retry or not
     assert(!Bench.floorFlag(1.5, retry = None, floor))

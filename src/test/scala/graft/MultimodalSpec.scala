@@ -249,7 +249,8 @@ class MultimodalSpec extends SparkSpec {
     val corpusFrames = frames(docs.filter(col("doc_id") < 400))
     val batchFrames = frames(docs.filter(col("doc_id") >= 400))
     val inc = graft.operators.Multimodal.videoIncrementalPairs(
-        batchFrames, graft.operators.Multimodal.videoFrameIndex(corpusFrames))
+        batchFrames, graft.operators.Multimodal.videoFrameIndex(corpusFrames,
+          frameBytes = 16, targetFrames = 64))
       .orderBy("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val full = graft.operators.Multimodal.videoFramePairs(frames(docs))
@@ -269,13 +270,15 @@ class MultimodalSpec extends SparkSpec {
     val corpusFrames = frames(docs.filter(col("doc_id") < 400))
     val batchFrames = frames(docs.filter(col("doc_id") >= 400))
     val dir = java.nio.file.Files.createTempDirectory("media-idx").toString
-    graft.operators.TrainingPipeline.writeVideoFrameIndex(corpusFrames, dir)
+    graft.operators.TrainingPipeline.writeVideoFrameIndex(corpusFrames, dir,
+      frameBytes = 16, targetFrames = 64)
     val viaLoaded = graft.operators.Multimodal.videoIncrementalPairs(
         batchFrames, graft.operators.TrainingPipeline.loadVideoFrameIndex(spark, dir))
       .orderBy("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val inline = graft.operators.Multimodal.videoIncrementalPairs(
-        batchFrames, graft.operators.Multimodal.videoFrameIndex(corpusFrames))
+        batchFrames, graft.operators.Multimodal.videoFrameIndex(corpusFrames,
+          frameBytes = 16, targetFrames = 64))
       .orderBy("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(viaLoaded === inline && inline.nonEmpty)

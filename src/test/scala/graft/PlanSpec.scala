@@ -1041,7 +1041,8 @@ class PlanSpec extends SparkSpec {
         frameBytes = 16, targetFrames = 64).toDF()
     val dir = java.nio.file.Files.createTempDirectory("video-gate").toString
     graft.operators.TrainingPipeline.writeVideoFrameIndex(
-      frames(docs.filter(col("doc_id") < 400)), dir)
+      frames(docs.filter(col("doc_id") < 400)), dir,
+      frameBytes = 16, targetFrames = 64)
     val p = graft.operators.Multimodal.videoIncrementalPairs(
         frames(docs.filter(col("doc_id") >= 400)),
         graft.operators.TrainingPipeline.loadVideoFrameIndex(spark, dir))

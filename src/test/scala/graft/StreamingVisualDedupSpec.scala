@@ -58,7 +58,10 @@ class StreamingVisualDedupSpec extends SparkSpec {
     def frames(d: org.apache.spark.sql.Dataset[MediaRow]) =
       Multimodal.frameSampleMedia(d, frameBytes = 16, targetFrames = 64).toDF()
     val corpus = vids.filter(col("doc_id") < 400)
-    val index = Multimodal.videoFrameIndex(frames(corpus))
+    // the index records the geometry its frames were sampled with — a
+    // probe with different geometry must fail at setup (case below)
+    val index = Multimodal.videoFrameIndex(frames(corpus),
+      frameBytes = 16, targetFrames = 64)
     val batchRows = vids.filter(col("doc_id") >= 400).collect().sortBy(_.doc_id)
     val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
 
@@ -83,6 +86,25 @@ class StreamingVisualDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSet === batch.toSet && batch.nonEmpty,
       "streamed video pair union must equal the batch incremental probe")
+  }
+
+  test("video probe with mismatched sampling geometry fails at setup, not per batch") {
+    implicit val s = spark
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val vids = Multimodal.asMediaTable(
+      Multimodal.syntheticVideoDocs(docs.select("doc_id").limit(20)))
+    val index = Multimodal.videoFrameIndex(
+      Multimodal.frameSampleMedia(vids, frameBytes = 16, targetFrames = 64).toDF(),
+      frameBytes = 16, targetFrames = 64)
+    // a probe sampling different byte windows would digest different
+    // signatures and match ZERO index rows silently per batch — the
+    // geometry stamp turns that into a setup-time failure
+    val e = intercept[IllegalArgumentException] {
+      StreamingVisualDedup.foreachBatchVideoProbe(
+        index, frameBytes = 256, targetFrames = 8) { (_, _) => () }
+    }
+    assert(e.getMessage.contains("frameBytes") ||
+      e.getMessage.contains("targetFrames"))
   }
 
   test("streaming audio probe matches the batch incremental operator across batches") {
