@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSoak {
 
-  /** splitmix64 finalizer — deterministic, seedless doc content. */
-  private def mix(x0: Long): Long = {
+  /** splitmix64 finalizer — deterministic, seedless doc content
+    * (shared with [[SkewSoak]]'s Zipf fixture).
+    */
+  private[bench] def mix(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL

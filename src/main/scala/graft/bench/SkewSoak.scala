@@ -1,0 +1,267 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-stress soak: the hot-key CAPS of the banded-join family under
+  * a PLANTED Zipf(0.99) key distribution at x1/x10/x100 soak scale —
+  * the one scale behavior a 100-TB corpus will definitely exercise
+  * that neither the organic bench data (caps never fire, pinned by
+  * CappedFixtureSpec's engagement fixtures at sf0.1) nor the
+  * structure-preserving SCALE soaks (linear planted dup rate, no hot
+  * keys) ever measured.
+  *
+  * Fixture: every document draws a TEMPLATE by the Zipf(0.99)
+  * inverse-CDF (the YCSB mass shape, continuous approximation
+  * r = (1 + u·(K^0.01 − 1))^100 over K = n/5 templates); same-template
+  * documents are byte-identical. Identical text is the worst-case
+  * hot key for every capped join at once: identical shingle sets →
+  * identical minhash signatures → one (band, band_hash) bucket per
+  * band holding the whole template; identical 4-gram sets → one
+  * doc-frequency key; identical simhash → one byte-band bucket;
+  * identical frame signatures → one video signature key. The head
+  * template holds ~n/H(K) ≈ 13% of the corpus — 65k documents in one
+  * bucket at x100, 2.1e9 candidate pairs if any cap fails to bound it.
+  *
+  * What each row PROVES (hard `require`s — the artifact only writes
+  * when every bound holds):
+  *   - ENGAGEMENT: over-cap templates exist at every scale (the head
+  *     template exceeds the cap from x1 up), and for the band indexes
+  *     that are publicly inspectable (dd2's minhash bands, the video
+  *     frame index) the pre-cap hottest bucket is measured and the
+  *     POST-CAP hottest bucket is ≤ cap — so per-bucket candidate
+  *     fan-out is ≤ cap² by construction.
+  *   - BOUND (behavioral, all four families): pairs touching any
+  *     over-cap template are EXACTLY ZERO — an over-cap identical
+  *     template floods every bucket it appears in past the cap, so
+  *     the cap must drop all of them; one surviving bucket would leak
+  *     ~C(65k, 2) pairs and the wall/row counts would explode.
+  *   - RECALL UNDER SKEW: sub-cap duplicate templates (2 ≤ m ≤ cap)
+  *     still pair exactly — planted-pair count Σ C(m,2) matches the
+  *     output exactly for the Jaccard families (identical docs verify
+  *     at J = 1.0) and is a lower bound for simhash (organic 64-bit
+  *     near-collisions may legitimately add pairs).
+  *   - WALL: sub-linear x1 → x10 → x100 (recorded as ratio_x100, read
+  *     against the 100x data factor like SCALE.json).
+  *
+  * Usage: `runMain graft.bench.SkewSoak [outPath]` (default
+  * SCALE_SKEW.json; artifact committed like SCALE.json).
+  * `SPARK_GRAFT_SCALE_RUNS` raises the per-scale min-of (default 2).
+  * Not part of the driver contract; evidence for the
+  * would-it-survive-100TB audit (r17 verdict ask #3).
+  */
+object SkewSoak {
+  import ScaleSoak.mix
+
+  /** Zipf(0.99) template rank in [1, k] from a uniform hash of the doc
+    * id — inverse of the continuous CDF F(r) = (r^(1-s) − 1)/(k^(1-s) − 1)
+    * with s = 0.99 (the standard power-law inversion; YCSB's
+    * scrambled-zipfian uses the same mass shape with rejection).
+    */
+  private[graft] def zipfRank(id: Long, k: Long): Long = {
+    val u = Math.floorMod(mix(id * 1000003L + 7L), 1000000L) / 1000000.0
+    val e = 0.01 // 1 - s
+    val r = math.pow(1.0 + u * (math.pow(k.toDouble, e) - 1.0), 1.0 / e)
+    math.max(1L, math.min(k, r.toLong))
+  }
+
+  /** Template body: ~50 hash tokens drawn per TEMPLATE (not per doc),
+    * so same-template documents are byte-identical — the worst-case
+    * hot key (see object doc). Vocabulary 50k keeps cross-template
+    * 3/4-gram collisions negligible, so the planted-pair oracle is
+    * exact for the Jaccard families.
+    */
+  private def templateText(t: Long): String = {
+    val len = 40 + Math.floorMod(mix(t * 31L), 20L).toInt
+    val sb = new StringBuilder
+    var j = 0
+    while (j < len) {
+      if (j > 0) sb.append(' ')
+      sb.append('w').append(Math.floorMod(mix(t * 7919L + j * 131L), 50000L))
+      j += 1
+    }
+    sb.toString
+  }
+
+  private[graft] def synthSkewDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val k = math.max(n / 5L, 100L)
+    spark.range(n).as[Long]
+      .map { id =>
+        val t = zipfRank(id, k)
+        (id, t, templateText(t))
+      }
+      .toDF("doc_id", "template", "text")
+  }
+
+  /** Per-video frame-signature table for the video row: 8 signatures
+    * per document, derived from the TEMPLATE — same-template videos
+    * share all 8 frames (J = 1), and the head template's signatures
+    * carry its full document frequency.
+    */
+  private def synthSkewFrames(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(7))).as("j"),
+        col("template"))
+      .select(col("doc_id"),
+        concat(lit("f"), col("template"), lit("_"), col("j")).as("frame_md5"))
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "SCALE_SKEW.json"
+    val cap = 50
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val scales = Seq("x1" -> 5000L, "x10" -> 50000L, "x100" -> 500000L)
+    scales.foreach { case (tag, n) =>
+      synthSkewDocs(spark, n).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/$tag/docs.parquet")
+    }
+    def docs(tag: String) = spark.read.parquet(s"$base/$tag/docs.parquet")
+
+    // fixture facts per scale, from the materialized parquet: the
+    // over-cap ("hot") template set and the exact planted-pair count
+    // over sub-cap duplicate templates
+    case class Facts(hotTemplates: Long, headSize: Long, expectedPairs: Long)
+    val facts = scales.map { case (tag, _) =>
+      val byT = docs(tag).groupBy("template").agg(count(lit(1)).as("m"))
+      val r = byT.agg(
+        sum(when(col("m") > cap, 1L).otherwise(0L)).as("hot"),
+        max(col("m")).as("head"),
+        sum(when(col("m") <= cap, expr("(m * (m - 1)) div 2"))
+          .otherwise(0L)).as("exp")).head()
+      val f = Facts(r.getLong(0), r.getLong(1), r.getLong(2))
+      require(f.hotTemplates >= 1 && f.headSize > cap,
+        s"skew fixture must ENGAGE the cap at $tag: head=${f.headSize} cap=$cap")
+      tag -> f
+    }.toMap
+    facts.foreach { case (t, f) =>
+      println(s"[skew] $t hot_templates=${f.hotTemplates} " +
+        s"head=${f.headSize} expected_pairs=${f.expectedPairs}")
+    }
+
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
+    def timeIt(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // exact == for the Jaccard families (J = 1 planted dups, organic
+    // cross-template J >= 0.5 impossible at this vocab); >= for simhash
+    // (64-bit near-collisions may legitimately pair cross-template)
+    val ops: Seq[(String, Boolean, String => DataFrame)] = Seq(
+      ("skew_dd2_minhash_lsh", true,
+        t => graft.operators.Dedup.minhashLsh(docs(t), maxBucket = cap)),
+      ("skew_dd3_ngram_jaccard", true,
+        t => graft.operators.Dedup.ngramJaccard(docs(t), maxDocFreq = cap)),
+      ("skew_dd4_simhash", false,
+        t => graft.operators.Dedup.simhashPairs(docs(t), maxBucket = cap)),
+      ("skew_video_frames", true,
+        t => graft.operators.Multimodal.videoFramePairs(
+          synthSkewFrames(docs(t)), maxDocFreq = cap)))
+
+    val results = ops.map { case (name, exact, q) =>
+      q("x1").count(): Unit // JIT warmup on the small scale
+      val bySc = scales.map { case (tag, _) =>
+        val best = (1 to nRuns).map(_ => timeIt(q(tag).count())).minBy(_._1)
+        // BOUND: zero pairs may touch an over-cap template (da and db
+        // join back to the fixture's template column); RECALL: sub-cap
+        // planted dups all surface
+        val tpl = docs(tag).select(col("doc_id"), col("template"))
+        val hotT = docs(tag).groupBy("template")
+          .agg(count(lit(1)).as("m")).filter(col("m") > cap)
+          .select("template")
+        // persisted so the two bound counts don't re-run the operator
+        val pairs = q(tag)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hotPairs = pairs
+          .join(tpl.withColumnRenamed("doc_id", "da"), "da")
+          .join(hotT, Seq("template"), "left_semi")
+          .count() +
+          pairs
+            .join(tpl.withColumnRenamed("doc_id", "db"), "db")
+            .join(hotT, Seq("template"), "left_semi")
+            .count()
+        pairs.unpersist(false)
+        require(hotPairs == 0L,
+          s"$name $tag: $hotPairs pairs touch an over-cap template — " +
+            "a hot bucket leaked through the cap")
+        val f = facts(tag)
+        if (exact)
+          require(best._2 == f.expectedPairs,
+            s"$name $tag: ${best._2} pairs != planted ${f.expectedPairs}")
+        else
+          require(best._2 >= f.expectedPairs,
+            s"$name $tag: ${best._2} pairs < planted ${f.expectedPairs}")
+        tag -> best
+      }
+      val (t1, _) = bySc.head._2
+      val line = bySc.map { case (tag, (t, r)) =>
+        f"$tag=${t}%.2fs ($r rows, ${t / t1}%.1fx)"
+      }.mkString("  ")
+      println(f"[skew] $name%-24s $line")
+      (name, bySc)
+    }
+
+    // the publicly inspectable band indexes: pre-cap hottest bucket vs
+    // post-cap hottest bucket at x100 — the <= cap (hence <= cap^2
+    // candidate fan-out) bound, measured not argued
+    val d100 = docs("x100")
+    val preMinhash = graft.operators.Dedup
+      .minhashBands(d100, maxBucket = Int.MaxValue)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    val postMinhash = graft.operators.Dedup
+      .minhashBands(d100, maxBucket = cap)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    require(preMinhash > cap && postMinhash <= cap,
+      s"minhash band cap bound violated: pre=$preMinhash post=$postMinhash cap=$cap")
+    val postVideo = graft.operators.Multimodal
+      .videoFrameIndex(synthSkewFrames(d100), maxDocFreq = cap)
+      .groupBy("s").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    require(postVideo <= cap,
+      s"video doc-freq cap bound violated: post=$postVideo cap=$cap")
+    println(s"[skew] x100 buckets: minhash pre=$preMinhash post=$postMinhash " +
+      s"video post=$postVideo cap=$cap")
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val items = results.map { case (name, bySc) =>
+      val t1 = bySc.head._2._1
+      val fields = bySc.map { case (tag, (t, r)) =>
+        s""""t_${tag}_sec":${num(t)},"rows_$tag":$r,"ratio_$tag":${num(t / t1)}"""
+      }.mkString(",")
+      s"""  "$name": {$fields}"""
+    }
+    val worst100 = results.map { case (_, bySc) =>
+      bySc.last._2._1 / bySc.head._2._1 }.max
+    val fx = scales.map { case (tag, _) =>
+      val f = facts(tag)
+      s""""hot_templates_$tag":${f.hotTemplates},"head_$tag":${f.headSize},""" +
+        s""""expected_pairs_$tag":${f.expectedPairs}"""
+    }.mkString(",")
+    val body = s"""{"docs_x1":5000,"docs_x10":50000,"docs_x100":500000,""" +
+      s""""cap":$cap,"zipf_s":0.99,$fx,""" +
+      s""""precap_max_bucket_x100":$preMinhash,""" +
+      s""""postcap_max_bucket_x100":$postMinhash,""" +
+      s""""postcap_video_docfreq_x100":$postVideo,""" +
+      s""""hot_pairs_all":0,""" +
+      s""""worst_ratio_x100":${num(worst100)},"queries":{\n""" +
+      items.mkString(",\n") + "\n}}\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[skew] worst x100 ratio ${num(worst100)} -> $out")
+    spark.stop()
+  }
+}

@@ -212,6 +212,19 @@ object Similarity {
     * extreme corpus scale MEMORY_AND_DISK spills the projection to
     * local disk; that is still one materialization instead of three
     * full passes.
+    *
+    * BANDING DEFAULT POLICY: the 64×8 default is sized for corpora up
+    * to ~10^5 vectors — beyond that its 256 buckets/band saturate
+    * (every bucket fills toward `maxBucket`, candidates go quadratic,
+    * then the cap starts DROPPING whole buckets and recall collapses
+    * quietly). For larger corpora pass `nBits = 128, bandBits = 16`
+    * (the dd5c shape: same 8 bands, 65536 buckets each, recall curve
+    * concentrated on high-sim pairs — soaked sub-linear at 2×10^5
+    * where the default could not finish). Saturation is OBSERVABLE:
+    * after any action, `result.queryExecution.observedMetrics
+    * ("graft.lsh.bucket_occupancy")` carries (n_buckets, n_dropped,
+    * n_near_cap); treat a nonzero n_dropped or a rising n_near_cap on
+    * organic data as the switch-to-wide-bands signal.
     */
   def lshNearDupPairs(
       embeddings: DataFrame,
@@ -260,14 +273,36 @@ object Similarity {
     // bucket, collect the member ids, and emit each bucket's pairs with
     // a narrow flatMap — the classic LSH bucket-pair shape. The cap is
     // the same keep rule as [[Dedup.capDocFreq]] (buckets with more than
-    // `maxBucket` members drop entirely), enforced on the collected
-    // list, which also bounds both the collect_list memory and the
+    // `maxBucket` members drop entirely), enforced through the
+    // size-bounded collector ([[graft.functions.BoundedDocsAgg]], the
+    // keyedSetJaccard pattern — r18: the plain collect_list buffered a
+    // SATURATED bucket in full before the size filter could drop it;
+    // the bounded agg stops at cap+1, so a 10M-member bucket costs one
+    // cap-sized buffer), which bounds both the buffer memory and the
     // pair fan-out (<= cap^2/2 per bucket) at any corpus size. This
     // replaces the banded self-join, whose bucket-keyed exchange Spark
     // planned TWICE (no exchange reuse once one side broadcast).
+    //
+    // SATURATION OBSERVABILITY (the dd5c banding policy): after any
+    // action on the returned frame, `queryExecution.observedMetrics
+    // ("graft.lsh.bucket_occupancy")` reports (n_buckets, n_dropped,
+    // n_near_cap — buckets at >= 90% of cap). A rising n_near_cap /
+    // n_dropped is the signal to widen the banding BEFORE recall
+    // collapses: the 64×8 default saturates its 256 buckets/band
+    // around ~10^5 random vectors; switch to nBits=128, bandBits=16
+    // (the dd5c shape, 65536 buckets/band) for corpora beyond that.
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(maxBucket + 1))
     val cand = sigs
       .select(col("id"), posexplode(col("bytes"))).toDF("id", "band", "byte_val")
-      .groupBy("band", "byte_val").agg(collect_list(col("id")).as("ids"))
+      .groupBy("band", "byte_val").agg(collectCapped(col("id")).as("ids"))
+      .observe("graft.lsh.bucket_occupancy",
+        count(lit(1)).as("n_buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(size(col("ids")) <= maxBucket &&
+            size(col("ids")).cast("long") * 10L >= lit(maxBucket.toLong * 9L),
+            1L).otherwise(0L))
+          .as("n_near_cap"))
       .filter(size(col("ids")) <= maxBucket && size(col("ids")) > 1)
       .select(col("ids"))
       .as[Seq[Long]]

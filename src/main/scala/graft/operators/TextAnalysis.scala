@@ -715,16 +715,30 @@ object TextAnalysis {
       idCol: String,
       k: Int): DataFrame = TopK.byGroupDesc(scores, g, scoreCol, idCol, k)
 
-  /** Shared retrieval chain for [[bm25TopK]] and [[rrfFusionTopK]]: the
-    * persisted tf frame, vocabulary df, corpus stats, the broadcast
-    * query fixture, and per-(query, term, doc) hit rows carrying BOTH
-    * the BM25 micro-credit and the tf-idf quarti-credit (`round(tf ·
+  /** Shared retrieval chain for [[bm25TopK]], [[qlTopK]] and
+    * [[rrfFusionTopK]]: the persisted tf frame, vocabulary df, the
+    * collected corpus stats, the broadcast query fixture, and
+    * per-(query, term, doc) hit rows carrying BOTH the BM25
+    * micro-credit and the tf-idf quarti-credit (`round(tf ·
     * ln(N/df) · 1e4)` — the q4 scale keeps Σm² inside a long at corpus
     * document lengths; consumers that don't read `m_q4` get it pruned
     * by Catalyst at zero cost).
+    *
+    * Corpus stats (`n`, `avgdl`, `sdl` = Σtf = the collection token
+    * total) are SCALA VALUES, not a stats frame: the r17 forensic put
+    * the family's 1.0-1.4× window swing on per-run driver-job count,
+    * and the old singleton-stats frame cost two aggregation jobs plus
+    * two broadcast exchanges PER QUERY RUN. Three bounded scalars
+    * collected once (off the already-persisted tf + a metadata-only
+    * documents count) and inlined as literals — the probeBm25 pattern,
+    * where stats ride the index stamp — buy the same plan with zero
+    * stats subtree. The fixture rows additionally carry `cf` (per-term
+    * Σtf) so [[qlTopK]]'s collection frequencies ride the SAME fixture
+    * collect instead of a second semi-join + aggregate pass.
     */
   private case class Bm25Chain(tf: DataFrame, df: DataFrame,
-      stats: DataFrame, qterms: DataFrame, hits: DataFrame, dl: DataFrame)
+      n: Long, avgdl: Double, sdl: Long,
+      qterms: DataFrame, hits: DataFrame, dl: DataFrame)
 
   private def bm25Chain(
       documents: DataFrame,
@@ -739,14 +753,20 @@ object TextAnalysis {
     import spark.implicits._
     val tok = Dedup.spread(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    // persisted: three consumers (df, dl, score join) share no exchange
+    // persisted: the consumers (df fixture collect, dl, score join,
+    // rrf's norm join) share no exchange
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df carries cf (collection frequency) so the fixture collect below
+    // hands qlTopK its cf values for free — one extra map-side sum over
+    // an aggregation this frame runs anyway
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"),
+      sum("tf").cast("long").as("cf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
     val nTerms = nQueries * termsPerQuery
     // TakeOrderedAndProject + a fixture-bounded driver collect — never a
-    // global-sort exchange or an unpartitioned rank window (the q12 rule)
+    // global-sort exchange or an unpartitioned rank window (the q12 rule).
+    // This job also materializes the tf cache for everything below.
     val ranked = df.orderBy(col("df").desc, col("term"))
       .limit(rankLo - 1 + nTerms).collect()
     require(ranked.length == rankLo - 1 + nTerms,
@@ -755,25 +775,34 @@ object TextAnalysis {
       .drop(rankLo - 1)
       .map { case (r, i) =>
         ((i + 1 - rankLo).toLong / termsPerQuery,
-          r.getAs[String]("term"), r.getAs[Long]("df"))
-      }.toSeq.toDF("qid", "term", "df")
-    val stats = documents.agg(count(lit(1)).cast("long").as("n"))
-      .crossJoin(broadcast(dl.agg(sum("dl").cast("long").as("sdl"),
-        count(lit(1)).cast("long").as("nd"))))
-      .select(col("n"), (col("sdl").cast("double") / col("nd")).as("avgdl"))
+          r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("cf"))
+      }.toSeq.toDF("qid", "term", "df", "cf")
+    // bounded stats collect — ONE driver job: the dl-stats branch (off
+    // the cached tf) and the doc-count branch union into a single 2-row
+    // collect; identical IEEE arithmetic to the old in-plan double
+    // division (sdl.toDouble / nd)
+    val st = dl.agg(sum("dl").cast("long").as("a"),
+        count(lit(1)).cast("long").as("b"))
+      .unionByName(documents.agg(count(lit(1)).cast("long").as("a"))
+        .select(col("a"), lit(-1L).as("b")))
+      .collect()
+    val sdl = st(0).getLong(0)
+    val nd = st(0).getLong(1)
+    val n = st(1).getLong(0)
+    require(nd > 0, "bm25Chain: corpus has no tokenized documents")
+    val avgdl = sdl.toDouble / nd
     // one micro-rounded integer per (query, term, doc) BEFORE the sum
-    val hits = tf.join(broadcast(qterms), "term")
+    val hits = tf.join(broadcast(qterms.select("qid", "term", "df")), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
         floor(
-          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
             * (col("tf") * lit(k1 + 1.0))
-            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
             * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"),
-        floor(col("tf") * log(col("n") / col("df")) * lit(10000.0) + lit(0.5))
+        floor(col("tf") * log(lit(n) / col("df")) * lit(10000.0) + lit(0.5))
           .cast("long").as("m_q4"))
-    Bm25Chain(tf, df, stats, qterms, hits, dl)
+    Bm25Chain(tf, df, n, avgdl, sdl, qterms, hits, dl)
   }
 
   /** Dirichlet-smoothed QUERY-LIKELIHOOD retrieval (Ponte & Croft 1998
@@ -800,10 +829,11 @@ object TextAnalysis {
     * half-away-from-zero rounding would diverge from half-up there.
     *
     * Scale shape: [[bm25Chain]]'s persisted tf + fixture machinery; cf
-    * is one agg over the broadcast-semi-bounded fixture postings
-    * (Q·T rows out), |C| a 1-row agg, scoring one broadcast join over
-    * the same postings, and the ranking rides the bounded partial
-    * top-k aggregate — no windows, no new corpus-sized exchanges.
+    * rides the fixture rows (per-term Σtf collected by the chain's
+    * single fixture job) and |C| is the chain's sdl scalar, scoring is
+    * one broadcast join over the postings, and the ranking rides the
+    * bounded partial top-k aggregate — no windows, no new corpus-sized
+    * exchanges, zero stats jobs beyond the chain's own.
     */
   def qlTopK(
       documents: DataFrame,
@@ -826,18 +856,16 @@ object TextAnalysis {
       termsPerQuery: Int = 4): (DataFrame, () => Unit) = {
     require(topK > 0 && mu > 0, s"invalid qlTopK params topK=$topK mu=$mu")
     val c = bm25Chain(documents, 1.2, 0.75, rankLo, nQueries, termsPerQuery)
-    val qt = c.qterms.select(col("qid"), col("term"))
-    // collection frequency of the FIXTURE terms only: semi-bound first,
-    // then one agg — Q·T output rows, never a vocabulary-sized frame
-    val cf = c.tf
-      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy("term").agg(sum("tf").cast("long").as("cf"))
-    val ctot = c.tf.agg(sum("tf").cast("long").as("ctot"))
+    // collection frequencies ride the fixture rows (cf = per-term Σtf,
+    // collected by the chain's single fixture job) and |C| is the
+    // chain's sdl scalar (Σ over docs of dl ≡ Σ tf — the same total) —
+    // the old semi-join + cf aggregate + ctot aggregate + two broadcast
+    // exchanges were three extra driver jobs per run for values the
+    // chain already had
     val hits = c.tf
-      .join(broadcast(qt.join(cf, "term")), "term")
-      .crossJoin(broadcast(ctot))
+      .join(broadcast(c.qterms.select("qid", "term", "cf")), "term")
       .select(col("qid"), col("doc_id"),
-        floor(log(lit(1.0) + col("tf") * col("ctot") / (lit(mu) * col("cf")))
+        floor(log(lit(1.0) + col("tf") * lit(c.sdl) / (lit(mu) * col("cf")))
           * lit(1000000.0) + lit(0.5)).cast("long").as("m_micro"))
     val scores = hits.groupBy("qid", "doc_id")
       .agg(sum("m_micro").cast("long").as("m_sum"))
@@ -900,9 +928,9 @@ object TextAnalysis {
       termsPerQuery, rankCutoff)._1
 
   /** [[rrfFusionTopK]] with the [[bm25TopKManaged]] cache-release
-    * convention — the thunk unpersists the chain's tf frame and the
-    * query-count-sized dual top-R frame after the caller's final
-    * action.
+    * convention — the thunk unpersists the chain's tf frame after the
+    * caller's final action (the dual top-R frame no longer persists:
+    * the typed fusion pass is its single consumer).
     */
   def rrfFusionTopKManaged(
       documents: DataFrame,
@@ -916,15 +944,16 @@ object TextAnalysis {
       rankCutoff: Int = 100): (DataFrame, () => Unit) = {
     require(k0 > 0 && topK > 0 && rankCutoff >= topK,
       s"invalid rrf params ($k0, $topK, $rankCutoff)")
+    val spark = documents.sparkSession
+    import spark.implicits._
     val c = bm25Chain(documents, k1, b, rankLo, nQueries, termsPerQuery)
     val scores = c.hits.groupBy("qid", "doc_id")
       .agg(sum("s_micro").cast("long").as("bm25_micro"),
         sum("m_q4").cast("long").as("dot_q4"))
     // full-vocabulary tf-idf norm per document (the txt_tfidf join shape)
     val norms = c.tf.join(c.df, "term")
-      .crossJoin(broadcast(c.stats.select("n")))
       .select(col("doc_id"),
-        floor(col("tf") * log(col("n") / col("df")) * lit(10000.0) + lit(0.5))
+        floor(col("tf") * log(lit(c.n) / col("df")) * lit(10000.0) + lit(0.5))
           .cast("long").as("m"))
       .groupBy("doc_id")
       .agg(sum((col("m") * col("m")).cast("decimal(38,0)")).as("n2"))
@@ -936,37 +965,45 @@ object TextAnalysis {
     // frame: each map partition reduces to ≤ rankCutoff entries per
     // (partition, qid, list) before the single qid exchange
     val topR = udaf(new graft.functions.TopKScoredAgg(rankCutoff))
-    // persisted: query-count-sized (nQueries rows × 2 bounded arrays);
-    // consumed by both list unrolls and the rank-column join-back
     val both = cs.groupBy("qid")
       .agg(topR(col("bm25_micro"), col("doc_id")).as("t1"),
         topR(col("cos_micro"), col("doc_id")).as("t2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def unroll(arr: String, role: Int): DataFrame =
-      both.select(col("qid"), lit(role).as("role"), posexplode(col(arr)))
-        .select(col("qid"), col("role"),
-          (col("pos") + 1).cast("long").as("r"), col("col.id").as("doc_id"))
-    // role-tagged union + ONE (qid, doc)-keyed agg replaces a full
-    // outer join of the two lists; each (qid, doc, role) is unique so
-    // max(when) just reads the role's rank
-    val fused = unroll("t1", 0).unionByName(unroll("t2", 1))
-      .groupBy("qid", "doc_id")
-      .agg(coalesce(max(when(col("role") === 0, col("r"))), lit(0L))
-             .cast("int").as("bm25_rnk"),
-        coalesce(max(when(col("role") === 1, col("r"))), lit(0L))
-          .cast("int").as("cos_rnk"),
-        sum(expr(s"1000000 div (${k0.toLong} + r)")).cast("long")
-          .as("rrf_micro"))
-    val ranked = TopK.byGroupDesc(
-        fused.select("qid", "rrf_micro", "doc_id"),
-        "qid", "rrf_micro", "doc_id", topK)
-      .select("qid", "rnk", "doc_id")
-    // join-back recovers the per-list rank columns; fused is bounded
-    // by construction (≤ 2·rankCutoff rows per query) → broadcast
-    val out = ranked.join(broadcast(fused), Seq("qid", "doc_id"))
-      .select(col("qid"), col("rnk"), col("doc_id"), col("rrf_micro"),
-        col("bm25_rnk"), col("cos_rnk"))
-    (out, () => { c.tf.unpersist(false); both.unpersist(false); () })
+    // Fusion of two ALREADY-BOUNDED per-query lists is row-local work:
+    // each row holds both top-R arrays (best-first — rank = position+1,
+    // the aggregator's (score desc, id asc) order), so the RRF credit
+    // sum, the per-list rank columns, and the final top-k all fold in
+    // one typed pass over O(rankCutoff) entries. The pre-r18 form
+    // unrolled both arrays, re-aggregated by (qid, doc), ranked through
+    // a second bounded agg and broadcast-joined the rank columns back —
+    // five more exchanges/jobs per run to recompute what each row
+    // already contained. Scale shape: one row per query, O(R log R)
+    // per row, parallel over queries — correct at a 4-query fixture and
+    // at a million-query batch alike. Pure integer arithmetic, same
+    // total order as the mirror's rank windows (credit desc, id asc).
+    val kk0 = k0
+    val tk = topK
+    val out = both
+      .select(col("qid").cast("long").as("qid"), col("t1"), col("t2"))
+      .as[(Long, Array[graft.functions.ScoredId], Array[graft.functions.ScoredId])]
+      .flatMap { case (qid, t1, t2) =>
+        val r1 = t1.iterator.zipWithIndex
+          .map { case (e, i) => e.id -> (i + 1) }.toMap
+        val r2 = t2.iterator.zipWithIndex
+          .map { case (e, i) => e.id -> (i + 1) }.toMap
+        val fused = (r1.keySet ++ r2.keySet).toArray.map { id =>
+          val a = r1.getOrElse(id, 0)
+          val bb = r2.getOrElse(id, 0)
+          // Σ_present 1e6 div (k0 + r): integer division, absent -> 0
+          val credit = (if (a > 0) 1000000L / (kk0 + a) else 0L) +
+            (if (bb > 0) 1000000L / (kk0 + bb) else 0L)
+          (id, a, bb, credit)
+        }
+        fused.sortBy { case (id, _, _, cr) => (-cr, id) }.iterator
+          .take(tk).zipWithIndex
+          .map { case ((id, a, bb, cr), i) => (qid, i + 1, id, cr, a, bb) }
+      }
+      .toDF("qid", "rnk", "doc_id", "rrf_micro", "bm25_rnk", "cos_rnk")
+    (out, () => { c.tf.unpersist(false); () })
   }
 
   /** BM25 postings index for a RELEASED corpus — the retrieval analog
@@ -997,15 +1034,23 @@ object TextAnalysis {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
-    // three bounded scalars collected once at build time
-    val n = documents.agg(count(lit(1)).cast("long")).head().getLong(0)
-    val st = dl.agg(sum("dl").cast("long"), count(lit(1)).cast("long")).head()
+    // three bounded scalars collected once at build time — in ONE
+    // driver job: the doc-count branch and the dl-stats branch union
+    // into a single 2-row collect (they share the cached tf's shuffle
+    // where they can; separate head() calls each paid job scheduling)
+    val st = dl.agg(sum("dl").cast("long").as("a"),
+        count(lit(1)).cast("long").as("b"))
+      .unionByName(documents.agg(count(lit(1)).cast("long").as("a"))
+        .select(col("a"), lit(-1L).as("b")))
+      .collect()
+    val (sdl, nd) = (st(0).getLong(0), st(0).getLong(1))
+    val n = st(1).getLong(0)
     val idx = Dedup.stampIndexMeta(
       tf.join(df, "term").join(dl, "doc_id")
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
           col("df"), col("dl")),
       "tf", "bm25_postings",
-      Map("n" -> n, "sdl" -> st.getLong(0), "nd" -> st.getLong(1)))
+      Map("n" -> n, "sdl" -> sdl, "nd" -> nd))
     (idx, () => { tf.unpersist(false); () })
   }
 

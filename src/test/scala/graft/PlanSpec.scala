@@ -387,8 +387,21 @@ class PlanSpec extends SparkSpec {
     // sorted per qid; the cutoff form must plan zero Window nodes
     assert(!p.contains("Window"),
       s"rrf fusion must rank via bounded top-k aggregates, not rank windows:\n$p")
-    assert(p.contains("posexplode"),
-      s"rank recovery must be the bounded-array posexplode:\n$p")
+    // r18: rank recovery moved INSIDE the single typed fusion pass over
+    // the dual top-R rows (one row per query, O(rankCutoff) entries) —
+    // the plan must carry exactly ONE typed stage and zero Generates
+    // (an unroll/re-aggregate/join-back tail would reappear as
+    // Generate + extra exchanges; a second typed stage would mean
+    // corpus-sized rows entered object space)
+    val typedStages = "\\(\\d+\\) DeserializeToObject".r.findAllIn(p).size
+    assert(typedStages == 1,
+      s"fusion must be the single typed pass over dual top-R rows, " +
+        s"found $typedStages DeserializeToObject:\n$p")
+    // the corpus tokenize explode (re-printed under cached subtrees) is
+    // the only Generate family allowed; a posexplode would mean the
+    // unroll/re-aggregate/join-back tail came back
+    assert(!p.contains("posexplode"),
+      s"no unroll posexplode may survive — ranks come from array positions:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -101,6 +101,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH bucket-occupancy metrics observable; saturated buckets bounded and dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // 30 bit-identical copies of vector 0 (scale invariance) saturate
+    // every band bucket the original occupies past maxBucket=20
+    val clones = base.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(1, 31).toDF("k"))
+      .select((col("k") + 20000L).as("vec_id"),
+        expr("transform(embedding, x -> x * 1.001d)").as("embedding"))
+    val pairs = Similarity.lshNearDupPairs(base.unionByName(clones),
+      maxBucket = 20)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the saturated clone block must be dropped entirely (cap bound) —
+    // clone-clone and 0-clone pairs all ride over-cap buckets
+    assert(!got.exists(p => p._1 >= 20000L || p._2 >= 20000L),
+      "over-cap clone bucket leaked pairs through the cap")
+    // occupancy metrics ride the executed plan (the dd5c banding-policy
+    // observability): every band the clones occupy reports dropped
+    val m = pairs.queryExecution.observedMetrics("graft.lsh.bucket_occupancy")
+    val (nBuckets, nDropped, nNearCap) =
+      (m.getLong(0), m.getLong(1), m.getLong(2))
+    assert(nBuckets > 0L)
+    // the 8 clone buckets (one per band) are dropped for certain;
+    // structured organic sign patterns may add collateral drops
+    assert(nDropped >= 8L,
+      s"clone saturation must drop all 8 clone band buckets, got $nDropped")
+    assert(nNearCap >= 0L)
+  }
+
   test("bands: hand-computed packing at 8 and 16 bits") {
     val bits = Array(1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1)
     assert(graft.functions.TextHashing.bands(bits, 8).toSeq === Seq(0xB2, 0x01))
