@@ -155,21 +155,29 @@ object SkewSoak {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
-    // exact == for the Jaccard families (J = 1 planted dups, organic
-    // cross-template J >= 0.5 impossible at this vocab); >= for simhash
-    // (64-bit near-collisions may legitimately pair cross-template)
-    val ops: Seq[(String, Boolean, String => DataFrame)] = Seq(
-      ("skew_dd2_minhash_lsh", true,
+    // RECALL MODE per family. "exact": the key space is large (2^32
+    // minhash band hashes, full n-gram / frame-signature strings), so a
+    // sub-cap template owns its buckets and planted recall must be
+    // EXACTLY Σ C(m,2) at every scale. "saturating": simhashPairs bands
+    // a 64-bit signature into 8-bit bands — 256 buckets per band TOTAL,
+    // so mean occupancy is n/256 regardless of templates, and beyond
+    // n ≈ 256·cap the cap (correctly) drops most buckets: the engine
+    // stays bounded while RECALL COLLAPSES — the saturation failure
+    // mode the dd5c wide-band knob exists for, here measured, not
+    // asserted away (recall_* fields in the artifact; exactness is
+    // asserted only at x1, which is below saturation by construction).
+    val ops: Seq[(String, String, String => DataFrame)] = Seq(
+      ("skew_dd2_minhash_lsh", "exact",
         t => graft.operators.Dedup.minhashLsh(docs(t), maxBucket = cap)),
-      ("skew_dd3_ngram_jaccard", true,
+      ("skew_dd3_ngram_jaccard", "exact",
         t => graft.operators.Dedup.ngramJaccard(docs(t), maxDocFreq = cap)),
-      ("skew_dd4_simhash", false,
+      ("skew_dd4_simhash", "saturating",
         t => graft.operators.Dedup.simhashPairs(docs(t), maxBucket = cap)),
-      ("skew_video_frames", true,
+      ("skew_video_frames", "exact",
         t => graft.operators.Multimodal.videoFramePairs(
           synthSkewFrames(docs(t)), maxDocFreq = cap)))
 
-    val results = ops.map { case (name, exact, q) =>
+    val results = ops.map { case (name, mode, q) =>
       q("x1").count(): Unit // JIT warmup on the small scale
       val bySc = scales.map { case (tag, _) =>
         val best = (1 to nRuns).map(_ => timeIt(q(tag).count())).minBy(_._1)
@@ -196,20 +204,25 @@ object SkewSoak {
           s"$name $tag: $hotPairs pairs touch an over-cap template — " +
             "a hot bucket leaked through the cap")
         val f = facts(tag)
-        if (exact)
+        if (mode == "exact")
           require(best._2 == f.expectedPairs,
             s"$name $tag: ${best._2} pairs != planted ${f.expectedPairs}")
-        else
+        else if (tag == "x1")
+          // below band saturation (5000/256 ≈ 20 mean occupancy < cap)
+          // the planted dups must all surface; organic 64-bit
+          // near-collisions may add pairs on top
           require(best._2 >= f.expectedPairs,
-            s"$name $tag: ${best._2} pairs < planted ${f.expectedPairs}")
+            s"$name $tag: ${best._2} pairs < planted ${f.expectedPairs} " +
+              "below saturation")
         tag -> best
       }
       val (t1, _) = bySc.head._2
       val line = bySc.map { case (tag, (t, r)) =>
-        f"$tag=${t}%.2fs ($r rows, ${t / t1}%.1fx)"
+        val rec = r.toDouble / facts(tag).expectedPairs
+        f"$tag=${t}%.2fs ($r rows, recall ${rec}%.2f, ${t / t1}%.1fx)"
       }.mkString("  ")
-      println(f"[skew] $name%-24s $line")
-      (name, bySc)
+      println(f"[skew] $name%-24s ($mode) $line")
+      (name, mode, bySc)
     }
 
     // the publicly inspectable band indexes: pre-cap hottest bucket vs
@@ -237,14 +250,16 @@ object SkewSoak {
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val items = results.map { case (name, bySc) =>
+    val items = results.map { case (name, mode, bySc) =>
       val t1 = bySc.head._2._1
       val fields = bySc.map { case (tag, (t, r)) =>
-        s""""t_${tag}_sec":${num(t)},"rows_$tag":$r,"ratio_$tag":${num(t / t1)}"""
+        s""""t_${tag}_sec":${num(t)},"rows_$tag":$r,""" +
+          s""""recall_$tag":${num(r.toDouble / facts(tag).expectedPairs)},""" +
+          s""""ratio_$tag":${num(t / t1)}"""
       }.mkString(",")
-      s"""  "$name": {$fields}"""
+      s"""  "$name": {"mode":"$mode",$fields}"""
     }
-    val worst100 = results.map { case (_, bySc) =>
+    val worst100 = results.map { case (_, _, bySc) =>
       bySc.last._2._1 / bySc.head._2._1 }.max
     val fx = scales.map { case (tag, _) =>
       val f = facts(tag)
