@@ -99,25 +99,27 @@ def main():
     # with the DuckDB loop, per the BENCH_NOTES contention rule)
     print("[sf1] Spark side: Bench over %d queries, min-of-%d ..."
           % (len(QUERIES), args.runs), flush=True)
+    # stdout carries only the COMPACT headline (12 slowest queries);
+    # the full per-query map goes to the artifact path — point it at a
+    # temp file so the committed bench_out.json is never touched
+    bench_out = tempfile.mktemp(prefix="sf1-bench", suffix=".json")
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=args.sf1,
                SPARK_GRAFT_BENCH_ONLY=",".join(QUERIES),
                SPARK_GRAFT_BENCH_RUNS=str(args.runs),
-               SPARK_GRAFT_BENCH_PAIR="0")
+               SPARK_GRAFT_BENCH_PAIR="0",
+               SPARK_GRAFT_BENCH_OUT=bench_out)
     r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        cwd=REPO, env=env, capture_output=True, text=True)
-    m = None
-    for line in r.stdout.splitlines():
-        line = re.sub(r"^\[info\] ", "", line)
-        if line.startswith('{"metric"'):
-            m = json.loads(line)
-    if m is None:
+    try:
+        m = json.load(open(bench_out))
+    except Exception:
         sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
-        sys.exit("Bench produced no JSON line")
+        sys.exit("Bench produced no artifact at %s" % bench_out)
     spark_q = m["queries"]
-    # Bench writes bench_out.json as a side effect; a focused probe run
-    # must not shadow the committed full-window artifact
-    subprocess.run(["git", "checkout", "--", "bench_out.json"], cwd=REPO)
+    missing = [q for q in QUERIES if q not in spark_q]
+    if missing:
+        sys.exit("Bench artifact lacks queries: %s" % missing)
 
     # 3. oracle SQL dump (fast Verify at sf0.001, subset of one query)
     with tempfile.TemporaryDirectory(prefix="sf1-oracle") as od:
