@@ -102,7 +102,8 @@ def main():
     # stdout carries only the COMPACT headline (12 slowest queries);
     # the full per-query map goes to the artifact path — point it at a
     # temp file so the committed bench_out.json is never touched
-    bench_out = tempfile.mktemp(prefix="sf1-bench", suffix=".json")
+    bench_fd, bench_out = tempfile.mkstemp(prefix="sf1-bench", suffix=".json")
+    os.close(bench_fd)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=args.sf1,
                SPARK_GRAFT_BENCH_ONLY=",".join(QUERIES),
@@ -116,6 +117,11 @@ def main():
     except Exception:
         sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
         sys.exit("Bench produced no artifact at %s" % bench_out)
+    finally:
+        try:
+            os.unlink(bench_out)
+        except OSError:
+            pass
     spark_q = m["queries"]
     missing = [q for q in QUERIES if q not in spark_q]
     if missing:

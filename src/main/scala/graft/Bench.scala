@@ -169,12 +169,11 @@ object Bench {
     * sources). Since the retry is not folded into the reported value,
     * it cannot clear the flag either: it documents transience
     * (`retry_runs`, `retry_adjusted_total`), the flag marks the number
-    * consumers actually read. `retry` stays in the signature because
-    * the decision is "retried AND still >2x floor" — and the reported
-    * min of a retried query is by construction still >2x floor.
+    * consumers actually read — so the retry plays no part in this
+    * decision and is not a parameter.
     */
   private[graft] def floorFlag(
-      tMin: Double, retry: Option[Double], floor: Option[Double]): Boolean =
+      tMin: Double, floor: Option[Double]): Boolean =
     overFloor(tMin, floor)
 
   /** Refloor drift tripwire: a newly recorded floor that is >1.5x the
@@ -370,11 +369,13 @@ object Bench {
     val memFloor = (results.map(_.mprobe) ++ Seq(memBefore, memAfter)).min
     // self-flag, three evidence sources: adjacent CPU-probe or
     // adjacent bandwidth-probe (any SF), or floor-history (gate SF
-    // only, retry-confirmed)
+    // only; r18 semantics — the flag sticks on any reported min >2x
+    // the committed floor, a clearing retry documents transience but
+    // never exonerates)
     val flagged = results.collect {
       case r
         if r.probe > 2.5 * probeFloor || r.mprobe > 2.5 * memFloor ||
-          (atGateSf && floorFlag(r.tMin, r.retry, floors.get(r.name).map(_.floor))) => r.name
+          (atGateSf && floorFlag(r.tMin, floors.get(r.name).map(_.floor))) => r.name
     }
     val retried = results.collect { case r if r.retry.isDefined => r.name }
     val floorMissing =

@@ -240,7 +240,8 @@ object SkewSoak {
     require(preMinhash > cap && postMinhash <= cap,
       s"minhash band cap bound violated: pre=$preMinhash post=$postMinhash cap=$cap")
     val postVideo = graft.operators.Multimodal
-      .videoFrameIndex(synthSkewFrames(d100), maxDocFreq = cap)
+      .videoFrameIndex(synthSkewFrames(d100), frameBytes = 256,
+        targetFrames = 8, maxDocFreq = cap)
       .groupBy("s").agg(count(lit(1)).as("c"))
       .agg(max("c")).head().getLong(0)
     require(postVideo <= cap,

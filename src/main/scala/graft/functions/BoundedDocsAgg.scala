@@ -26,6 +26,19 @@ final case class BoundedDocsBuf(n: Long, docs: List[Long])
   * Registered via `functions.udaf` (the [[TypeStatsAgg]] pattern) so it
   * participates in hash aggregation with map-side partial merge.
   */
+object BoundedDocsAgg {
+  /** Buffer bound for a group cap of `cap`: cap + 1 (one extra element
+    * marks "truncated"), clamped so the cap-disable idiom
+    * `cap = Int.MaxValue` (SkewSoak, fixture pre-cap measurements)
+    * stays a valid uncapped collector instead of overflowing to a
+    * negative maxKeep and tripping the constructor require.
+    */
+  def keepFor(cap: Int): Int = {
+    require(cap > 0, s"invalid cap=$cap")
+    if (cap == Int.MaxValue) Int.MaxValue else cap + 1
+  }
+}
+
 final class BoundedDocsAgg(maxKeep: Int)
     extends Aggregator[Long, BoundedDocsBuf, Array[Long]] {
   require(maxKeep > 0, s"invalid maxKeep=$maxKeep")

@@ -359,7 +359,7 @@ object Dedup {
     */
   private[operators] def keyedSetJaccard(
       keyed: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
-    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(maxDocFreq + 1))
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(graft.functions.BoundedDocsAgg.keepFor(maxDocFreq)))
     val groups = keyed.groupBy("s")
       .agg(collectCapped(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxDocFreq)
@@ -429,7 +429,7 @@ object Dedup {
     */
   private[operators] def keyedContainment(
       keyed: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
-    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(maxDocFreq + 1))
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(graft.functions.BoundedDocsAgg.keepFor(maxDocFreq)))
     val groups = keyed.groupBy("s")
       .agg(collectCapped(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxDocFreq)

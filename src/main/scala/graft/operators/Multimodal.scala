@@ -692,14 +692,21 @@ object Multimodal {
     * (they're already sampled), so the caller that sampled them states
     * it here and [[graft.streaming.StreamingVisualDedup.foreachBatchVideoProbe]]
     * fails fast on mismatch at setup.
+    *
+    * `frameBytes`/`targetFrames` deliberately have NO defaults (r19,
+    * the ADVICE fix): an index built from frames sampled at non-default
+    * geometry but stamped with a default would either reject a
+    * correctly-configured probe or green-light a default-geometry probe
+    * that silently matches zero signatures — the exact failure the
+    * stamp exists to prevent. State the geometry you sampled with.
     */
   def videoFrameIndex(
       frames: DataFrame,
+      frameBytes: Int,
+      targetFrames: Int,
       idCol: String = "doc_id",
       sigCol: String = "frame_md5",
-      maxDocFreq: Int = 1000,
-      frameBytes: Int = 256,
-      targetFrames: Int = 8): DataFrame =
+      maxDocFreq: Int = 1000): DataFrame =
     Dedup.stampIndexMeta(cappedFrameSets(frames, idCol, sigCol, maxDocFreq),
       "s", "video_frame_index", Map("maxDocFreq" -> maxDocFreq.toLong,
         "frameBytes" -> frameBytes.toLong,

@@ -291,7 +291,7 @@ object Similarity {
     // collapses: the 64×8 default saturates its 256 buckets/band
     // around ~10^5 random vectors; switch to nBits=128, bandBits=16
     // (the dd5c shape, 65536 buckets/band) for corpora beyond that.
-    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(maxBucket + 1))
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(graft.functions.BoundedDocsAgg.keepFor(maxBucket)))
     val cand = sigs
       .select(col("id"), posexplode(col("bytes"))).toDF("id", "band", "byte_val")
       .groupBy("band", "byte_val").agg(collectCapped(col("id")).as("ids"))

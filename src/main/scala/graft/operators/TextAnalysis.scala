@@ -786,9 +786,15 @@ object TextAnalysis {
       .unionByName(documents.agg(count(lit(1)).cast("long").as("a"))
         .select(col("a"), lit(-1L).as("b")))
       .collect()
-    val sdl = st(0).getLong(0)
-    val nd = st(0).getLong(1)
-    val n = st(1).getLong(0)
+    // marker-based row selection (b == -1 is the doc-count row) — same
+    // rationale as bm25Postings: never rely on Union preserving child
+    // row order for a scalar that feeds every score
+    val dlRow = st.find(_.getLong(1) != -1L).getOrElse(
+      sys.error("bm25Chain: dl-stats row missing from stats collect"))
+    val sdl = dlRow.getLong(0)
+    val nd = dlRow.getLong(1)
+    val n = st.find(_.getLong(1) == -1L).getOrElse(
+      sys.error("bm25Chain: doc-count row missing from stats collect")).getLong(0)
     require(nd > 0, "bm25Chain: corpus has no tokenized documents")
     val avgdl = sdl.toDouble / nd
     // one micro-rounded integer per (query, term, doc) BEFORE the sum
@@ -1038,13 +1044,21 @@ object TextAnalysis {
     // driver job: the doc-count branch and the dl-stats branch union
     // into a single 2-row collect (they share the cached tf's shuffle
     // where they can; separate head() calls each paid job scheduling)
+    // rows selected by the -1 marker, not by position: Union preserving
+    // child order is an implementation detail, and a silent swap here
+    // would stamp wrong n/sdl/nd into the persisted index metadata that
+    // every probeBm25 scoring pass reads
     val st = dl.agg(sum("dl").cast("long").as("a"),
         count(lit(1)).cast("long").as("b"))
       .unionByName(documents.agg(count(lit(1)).cast("long").as("a"))
         .select(col("a"), lit(-1L).as("b")))
       .collect()
-    val (sdl, nd) = (st(0).getLong(0), st(0).getLong(1))
-    val n = st(1).getLong(0)
+    val dlRow = st.find(_.getLong(1) != -1L).getOrElse(
+      sys.error("bm25Postings: dl-stats row missing from stats collect"))
+    val nRow = st.find(_.getLong(1) == -1L).getOrElse(
+      sys.error("bm25Postings: doc-count row missing from stats collect"))
+    val (sdl, nd) = (dlRow.getLong(0), dlRow.getLong(1))
+    val n = nRow.getLong(0)
     val idx = Dedup.stampIndexMeta(
       tf.join(df, "term").join(dl, "doc_id")
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),

@@ -958,13 +958,13 @@ object TrainingPipeline {
   def writeVideoFrameIndex(
       releasedFrames: DataFrame,
       releasePath: String,
-      maxDocFreq: Int = 1000,
-      frameBytes: Int = 256,
-      targetFrames: Int = 8): Unit = {
+      frameBytes: Int,
+      targetFrames: Int,
+      maxDocFreq: Int = 1000): Unit = {
     val dir = java.nio.file.Paths.get(releasePath, ModelsSubdir)
     java.nio.file.Files.createDirectories(dir)
-    Multimodal.videoFrameIndex(releasedFrames, maxDocFreq = maxDocFreq,
-        frameBytes = frameBytes, targetFrames = targetFrames)
+    Multimodal.videoFrameIndex(releasedFrames, frameBytes = frameBytes,
+        targetFrames = targetFrames, maxDocFreq = maxDocFreq)
       .orderBy("doc_id", "s")
       .write.mode("overwrite").parquet(dir.resolve("video_frame_index").toString)
   }

@@ -54,13 +54,13 @@ class BenchSpec extends AnyFunSuite {
     // retry cleared, entry escaped both flag sources while its reported
     // number stayed over 2x floor. The retry is never folded into the
     // reported min, so it can't clear the flag either (r17 verdict #5).
-    assert(Bench.floorFlag(2.5, retry = Some(1.2), floor))
-    // retry also over -> the flag sticks (unchanged)
-    assert(Bench.floorFlag(2.5, retry = Some(2.3), floor))
-    // under floor never flags, retry or not
-    assert(!Bench.floorFlag(1.5, retry = None, floor))
+    // (r19: the retry is no longer even a parameter — the decision
+    // reads only the reported min vs the committed floor)
+    assert(Bench.floorFlag(2.5, floor))
+    // under floor never flags
+    assert(!Bench.floorFlag(1.5, floor))
     // no committed floor: never flaggable
-    assert(!Bench.floorFlag(9.9, retry = Some(9.9), None))
+    assert(!Bench.floorFlag(9.9, None))
   }
 
   test("floorDrift fires when a committed floor is >1.5x its predecessor") {

@@ -86,7 +86,8 @@ class SkewStressSpec extends SparkSpec {
       .select(col("doc_id"),
         concat(lit("f"), col("template"), lit("_"), col("j")).as("frame_md5"))
     val post = graft.operators.Multimodal
-      .videoFrameIndex(frames, maxDocFreq = Cap)
+      .videoFrameIndex(frames, frameBytes = 256, targetFrames = 8,
+        maxDocFreq = Cap) // synthetic signatures; geometry stated, unused
       .groupBy("s").agg(count(lit(1)).as("c"))
       .agg(max("c")).head().getLong(0)
     assert(post <= Cap, s"post-cap doc-freq $post must be <= cap $Cap")
