@@ -173,6 +173,14 @@ object SkewSoak {
         t => graft.operators.Dedup.ngramJaccard(docs(t), maxDocFreq = cap)),
       ("skew_dd4_simhash", "saturating",
         t => graft.operators.Dedup.simhashPairs(docs(t), maxBucket = cap)),
+      // the r19 wide-signature knob (verdict #1): 256-bit signature,
+      // 32-bit bands — 4.3e9 buckets/band, so sub-cap template buckets
+      // stay uncontaminated at ×100 and recall is EXACT where the
+      // 64-bit row above measures 1.00/0.08/0.00. Same cap, same
+      // Hamming <= 7 pigeonhole (8 bands).
+      ("skew_dd4b_simhash_wide", "exact",
+        t => graft.operators.Dedup.simhashPairs(docs(t), maxBucket = cap,
+          nBits = 256)),
       ("skew_video_frames", "exact",
         t => graft.operators.Multimodal.videoFramePairs(
           synthSkewFrames(docs(t)), maxDocFreq = cap)))

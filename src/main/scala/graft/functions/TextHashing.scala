@@ -187,17 +187,43 @@ object TextHashing {
     * instead of one murmur64 so the signature is SQL-mirrorable; see
     * [[poly32]]).
     */
-  def simhashBits(toks: Array[String]): Array[Int] = {
-    val votes = new Array[Int](64)
+  def simhashBits(toks: Array[String]): Array[Int] = simhashBitsN(toks, 64)
+
+  /** The poly32 seeds backing each 32-bit word of a generalized
+    * SimHash signature: words 0..1 are the original 64-bit signature's
+    * (17, 31), so [[simhashBitsN]] at 64 bits IS [[simhashBits]];
+    * wider signatures extend with further small primes. Public because
+    * the SQL mirror generator replays the same seed list.
+    */
+  val simhashSeeds: Array[Int] = Array(17, 31, 37, 41, 43, 47, 53, 59)
+
+  /** `nBits`-bit SimHash as a bit array (nBits a multiple of 32, up to
+    * 256): word w votes on poly32(token, simhashSeeds(w)) bits. The
+    * WIDTH is the saturation knob for the banded Hamming join
+    * ([[graft.operators.Dedup.simhashPairs]] `nBits`): keeping 8 bands
+    * (pigeonhole recall for Hamming <= 7) while widening the signature
+    * widens each band — 64 bits = 8-bit bands (256 buckets, saturating
+    * around 256·cap docs), 128 bits = 16-bit bands (65536 buckets),
+    * 256 bits = 32-bit bands (4.3e9 buckets) — the dd5c
+    * wider-signature discipline applied to the text family.
+    */
+  def simhashBitsN(toks: Array[String], nBits: Int): Array[Int] = {
+    require(nBits >= 32 && nBits % 32 == 0 && nBits / 32 <= simhashSeeds.length,
+      s"simhashBitsN: nBits=$nBits must be a multiple of 32 up to ${32 * simhashSeeds.length}")
+    val words = nBits / 32
+    val votes = new Array[Int](nBits)
     var i = 0
     while (i < toks.length) {
-      val ha = poly32(toks(i), 17)
-      val hb = poly32(toks(i), 31)
-      var j = 0
-      while (j < 32) {
-        if (((ha >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        if (((hb >>> j) & 1L) == 1L) votes(32 + j) += 1 else votes(32 + j) -= 1
-        j += 1
+      var w = 0
+      while (w < words) {
+        val h = poly32(toks(i), simhashSeeds(w))
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1L) == 1L) votes(w * 32 + j) += 1
+          else votes(w * 32 + j) -= 1
+          j += 1
+        }
+        w += 1
       }
       i += 1
     }
@@ -233,6 +259,21 @@ object TextHashing {
       s"bad banding: ${bits.length} bits into $bandBits-bit bands")
     Array.tabulate(bits.length / bandBits) { b =>
       var v = 0; var i = b * bandBits
+      while (i < (b + 1) * bandBits) { v = v * 2 + bits(i); i += 1 }
+      v
+    }
+  }
+
+  /** [[bands]] widened to Long band values (bandBits up to 62) — the
+    * band width past 30 bits needs a 64-bit carrier. Same MSB-first
+    * packing; for bandBits <= 30 the values equal [[bands]]'s, so
+    * switching a caller between the two never re-buckets anything.
+    */
+  def bandsLong(bits: Array[Int], bandBits: Int): Array[Long] = {
+    require(bandBits >= 1 && bandBits <= 62 && bits.length % bandBits == 0,
+      s"bad banding: ${bits.length} bits into $bandBits-bit bands")
+    Array.tabulate(bits.length / bandBits) { b =>
+      var v = 0L; var i = b * bandBits
       while (i < (b + 1) * bandBits) { v = v * 2 + bits(i); i += 1 }
       v
     }

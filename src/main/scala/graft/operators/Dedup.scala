@@ -315,9 +315,23 @@ object Dedup {
     * hot set is tiny by construction (keys in > cap docs), so the
     * anti-join broadcasts.
     */
-  private[operators] def capDocFreq(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val hot = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select(keyCols.map(col): _*)
+  private[operators] def capDocFreq(
+      keyed: DataFrame, keyCols: Seq[String], cap: Int,
+      occupancyMetric: Option[String] = None): DataFrame = {
+    val counts = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
+    // occupancy observability (the lshNearDupPairs r18 discipline):
+    // the observe rides the hot-key aggregation the anti-join builds
+    // anyway — zero extra jobs. n_dropped > 0 / rising n_near_cap is
+    // the switch-to-wider-bands (or wider-signature) signal a caller
+    // reads BEFORE recall collapses silently.
+    val observed = occupancyMetric.fold(counts)(name =>
+      counts.observe(name,
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("df") <= cap &&
+            col("df") * 10L >= lit(cap.toLong * 9L), 1L).otherwise(0L))
+          .as("n_near_cap")))
+    val hot = observed.filter(col("df") > cap).select(keyCols.map(col): _*)
     keyed.join(broadcast(hot), keyCols, "left_anti")
   }
 
@@ -465,32 +479,104 @@ object Dedup {
     * joining on (byteIdx, byteValue) has guaranteed recall for
     * maxHamming <= 7 — no n^2 stage at any scale.
     */
+  /** Observe-metric name carried by every banded Hamming join's
+    * hot-key aggregation (n_buckets / n_dropped / n_near_cap — read it
+    * off `result.queryExecution.observedMetrics` after any action).
+    */
+  val HammingOccupancyMetric = "graft.hamming.bucket_occupancy"
+
   def simhashPairs(
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 7,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      nBits: Int = 64): DataFrame = {
     require(maxHamming <= 7, "banding guarantees recall only for maxHamming <= 7")
+    require(nBits == 64 || nBits == 128 || nBits == 256,
+      s"simhashPairs: nBits=$nBits not in {64, 128, 256}")
     val spark = documents.sparkSession
     import spark.implicits._
-    // signature packed into ONE long: candidate rows are (long, long) and
-    // the Hamming check is the codegen'd bit_count(xor) — no arrays ever
-    // cross the band-join shuffle (which can be hot when the corpus
-    // vocabulary clusters signatures). persist: feeds the cap's hot-key
-    // aggregation and the anti-join's keyed side.
+    if (nBits == 64) {
+      // signature packed into ONE long: candidate rows are (long, long) and
+      // the Hamming check is the codegen'd bit_count(xor) — no arrays ever
+      // cross the band-join shuffle (which can be hot when the corpus
+      // vocabulary clusters signatures). persist: feeds the cap's hot-key
+      // aggregation and the anti-join's keyed side.
+      val sigs = spread(documents.select(col(idCol).cast("long"), col(textCol)))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bits = TextHashing.simhashBits(TextHashing.tokens(text))
+          var sig = 0L
+          var i = 0
+          while (i < 64) { sig = (sig << 1) | bits(i); i += 1 }
+          (id, sig, TextHashing.byteBands(bits))
+        }
+        .toDF("doc_id", "sig", "bytes")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      bandedHammingJoin(sigs, maxHamming, maxBucket)
+    } else simhashPairsWide(documents, idCol, textCol, maxHamming, maxBucket, nBits)
+  }
+
+  /** The WIDE-SIGNATURE simhash path (r19 — the fix for the skew
+    * soak's measured saturation mode): nBits ∈ {128, 256}, still 8
+    * bands (bandBits = nBits/8), so the Hamming <= 7 pigeonhole
+    * guarantee is UNCHANGED while buckets per band grow 256× per step
+    * — 65536 at 128 bits, 4.3e9 at 256. The 64-bit default's 256
+    * buckets/band saturate around 256·cap documents, at which point
+    * the cap correctly drops most buckets and recall collapses
+    * silently (SCALE_SKEW.json `skew_dd4_simhash`: 1.00/0.08/0.00 at
+    * ×1/×10/×100 with wall flat); the wide signature keeps a sub-cap
+    * duplicate group's buckets sparse at any web-corpus size. Hamming
+    * is measured over the FULL nBits-bit signature (so a fixed
+    * `maxHamming` is a relatively tighter similarity bar at 128/256
+    * bits than at 64 — near-dup thresholds tuned on the 64-bit scale
+    * transfer as maxHamming × nBits/64).
+    *
+    * Signature = nBits/64 packed longs; the Hamming check stays
+    * codegen'd (element_at + bit_count(xor) summed per word — never a
+    * HOF). Occupancy rides the cap's hot-key aggregation
+    * ([[HammingOccupancyMetric]]).
+    */
+  private def simhashPairsWide(
+      documents: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucket: Int, nBits: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val nb = nBits
+    val words = nBits / 64
     val sigs = spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val bits = TextHashing.simhashBits(TextHashing.tokens(text))
-        var sig = 0L
-        var i = 0
-        while (i < 64) { sig = (sig << 1) | bits(i); i += 1 }
-        (id, sig, TextHashing.byteBands(bits))
+        val bits = TextHashing.simhashBitsN(TextHashing.tokens(text), nb)
+        val ws = new Array[Long](nb / 64)
+        var w = 0
+        while (w < ws.length) {
+          var sig = 0L; var i = w * 64
+          while (i < (w + 1) * 64) { sig = (sig << 1) | bits(i); i += 1 }
+          ws(w) = sig; w += 1
+        }
+        (id, ws, TextHashing.bandsLong(bits, nb / 8))
       }
-      .toDF("doc_id", "sig", "bytes")
+      .toDF("doc_id", "sigs", "bytes")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    bandedHammingJoin(sigs, maxHamming, maxBucket)
+    val banded = capDocFreq(
+      sigs.select(col("doc_id"), col("sigs"), posexplode(col("bytes")))
+        .toDF("doc_id", "sigs", "band", "band_val"),
+      Seq("band", "band_val"), maxBucket, Some(HammingOccupancyMetric))
+    val ham = (1 to words)
+      .map(i => bit_count(element_at(col("l.sigs"), i)
+        .bitwiseXOR(element_at(col("r.sigs"), i))))
+      .reduce(_ + _)
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** The banded Hamming pair join shared by [[simhashPairs]] (text) and
@@ -508,12 +594,18 @@ object Dedup {
     * to 16-bit bands (4 bands of a 64-bit signature, 65536 buckets
     * each — [[graft.functions.TextHashing.bands]]) defers saturation
     * 256×, but by the same pigeonhole the guarantee tightens to
-    * Hamming <= 3; past that, the right move is a wider signature
-    * (128-bit pHash variants), not narrower guarantees. The sign-LSH
-    * family already exposes the knob ([[Similarity.lshNearDupPairs]]
-    * nBits/bandBits, oracle-pinned by dd5c); the perceptual hashes pin
-    * 8×8 because their 64-bit signatures and Hamming-7 contract are
-    * part of the published algorithms the mirrors replay.
+    * Hamming <= 3; past that, the right move is a wider SIGNATURE —
+    * which the text family now has: [[simhashPairs]] `nBits = 128/256`
+    * keeps 8 bands (guarantee unchanged at Hamming <= 7) over 65536 /
+    * 4.3e9 buckets per band (oracle-pinned by dd4b, soak-proven exact
+    * under planted Zipf skew at ×100). The sign-LSH family exposes the
+    * same pair of knobs ([[Similarity.lshNearDupPairs]] nBits/bandBits,
+    * oracle-pinned by dd5c); the perceptual hashes pin 8×8 because
+    * their 64-bit signatures and Hamming-7 contract are part of the
+    * published algorithms the mirrors replay.
+    *
+    * Saturation is OBSERVABLE on every path through this join:
+    * [[HammingOccupancyMetric]] rides the cap's hot-key aggregation.
     */
   private[operators] def bandedHammingJoin(
       sigs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
@@ -521,7 +613,7 @@ object Dedup {
     val banded = capDocFreq(
       sigs.select(col("doc_id"), col("sig"), posexplode(col("bytes")))
         .toDF("doc_id", "sig", "band", "byte_val"),
-      Seq("band", "byte_val"), maxBucket)
+      Seq("band", "byte_val"), maxBucket, Some(HammingOccupancyMetric))
     // alias after the join -> one banded exchange feeds both sides
     banded.as("l")
       .join(banded.as("r"),

@@ -267,7 +267,11 @@ object Similarity {
         bits(i) = if (s >= 0) 1 else 0
         i += 1
       }
-      (id, graft.functions.TextHashing.bands(bits, bb))
+      // bandsLong (r19): same values as bands() for bandBits <= 30 —
+      // no re-bucketing — but carries band widths up to 62 bits, so
+      // skew soaks / extreme corpora can run e.g. 128×32 (4.3e9
+      // buckets/band) where even 16-bit bands would contaminate
+      (id, graft.functions.TextHashing.bandsLong(bits, bb))
     }.toDF("id", "bytes")
     // Candidate generation is ONE shuffle: group the banded rows by
     // bucket, collect the member ids, and emit each bucket's pairs with

@@ -366,47 +366,89 @@ object DataPipeline {
       stage(s"${out}_m2", out, c => s"xor($c, $c >> 13)")).mkString(",\n")
   }
 
-  /** Full SimHash mirror: the oracle recomputes the two 32-bit token
-    * hashes, the per-bit votes, both signature halves, AND the engine's
-    * byte-band bucketing with the bucket-size cap — so it reproduces the
+  /** Full SimHash mirror, PARAMETERIZED over the r19 wide-signature
+    * knob: the oracle recomputes every 32-bit token hash word (seeds =
+    * `TextHashing.simhashSeeds` prefix), the per-bit votes, all
+    * signature words, AND the engine's band bucketing (bandBits =
+    * nBits/8, 8 bands) with the bucket-size cap — so it reproduces the
     * banded join's exact pair set at ANY scale (a brute-force oracle
     * would diverge the moment the cap drops an oversized bucket).
+    * `seeds.length * 32` = nBits; dd4 = (17, 31) @ 8-bit bands, dd4b =
+    * (17, 31, 37, 41) @ 16-bit bands.
     */
-  private val SimhashSql =
+  private def simhashSql(seeds: Seq[Int], maxHamming: Int, maxBucket: Int): String = {
+    val w = seeds.length
+    val nBits = 32 * w
+    val bandBits = nBits / 8
+    val sw = (0 until w).map(i => s"s$i")
+    val vw = (0 until w).map(i => s"v$i")
+    val hw = (0 until w).map(i => s"h$i")
+    val hashes = seeds.zipWithIndex
+      .map { case (seed, i) => s"${polySql("w", seed)} AS h$i" }.mkString(", ")
+    val votes = vw.zip(hw)
+      .map { case (v, h) =>
+        s"sum(CASE WHEN (($h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS $v" }
+      .mkString(",\n         ")
+    val sigCols = sw.zip(vw)
+      .map { case (s, v) =>
+        s"CAST(sum(CASE WHEN $v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS $s" }
+      .mkString(",\n        ")
+    val sigCoalesce = sw.map(s => s"coalesce(s.$s, 0) AS $s").mkString(", ")
+    val flatBit = sw.zipWithIndex.map { case (s, i) =>
+      val hi = 32 * (i + 1)
+      if (i == w - 1) s"($s >> (i - ${32 * i})) & 1"
+      else s"WHEN i < $hi THEN ($s >> (i - ${32 * i})) & 1"
+    } match {
+      case cases => s"CASE ${cases.init.mkString(" ")} ELSE ${cases.last} END"
+    }
+    val hamSum = sw.map(s => s"bit_count(xor(a.$s, b.$s))").mkString(" + ")
     s"""WITH wl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
        |            FROM documents),
        |tok AS (SELECT doc_id, unnest(ws) AS w FROM wl),
-       |h0 AS (SELECT doc_id, ${polySql("w", 17)} AS ha, ${polySql("w", 31)} AS hb FROM tok),
-       |${mixCtes("h0", "h", keep = Seq("doc_id"), cols = Seq("ha", "hb"))},
+       |h0 AS (SELECT doc_id, $hashes FROM tok),
+       |${mixCtes("h0", "h", keep = Seq("doc_id"), cols = hw)},
        |bits AS (SELECT doc_id, j,
-       |         sum(CASE WHEN ((ha >> j) & 1) = 1 THEN 1 ELSE -1 END) AS va,
-       |         sum(CASE WHEN ((hb >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vb
+       |         $votes
        |         FROM h, range(32) r(j) GROUP BY doc_id, j),
        |sigagg AS (SELECT doc_id,
-       |        CAST(sum(CASE WHEN va > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sa,
-       |        CAST(sum(CASE WHEN vb > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sb
+       |        $sigCols
        |       FROM bits GROUP BY doc_id),
-       |sig AS (SELECT d.doc_id, coalesce(s.sa, 0) AS sa, coalesce(s.sb, 0) AS sb
+       |sig AS (SELECT d.doc_id, $sigCoalesce
        |        FROM documents d LEFT JOIN sigagg s ON s.doc_id = d.doc_id),
        |flat AS (SELECT doc_id, i,
-       |          CASE WHEN i < 32 THEN (sa >> i) & 1 ELSE (sb >> (i - 32)) & 1 END AS bit
-       |         FROM sig, range(64) r(i)),
-       |bytes AS (SELECT doc_id, i // 8 AS band,
-       |           CAST(sum(bit << (7 - (i % 8))) AS BIGINT) AS byte_val
-       |          FROM flat GROUP BY doc_id, i // 8),
+       |          $flatBit AS bit
+       |         FROM sig, range($nBits) r(i)),
+       |bytes AS (SELECT doc_id, i // $bandBits AS band,
+       |           CAST(sum(bit << (${bandBits - 1} - (i % $bandBits))) AS BIGINT) AS byte_val
+       |          FROM flat GROUP BY doc_id, i // $bandBits),
        |keep AS (SELECT band, byte_val FROM bytes GROUP BY band, byte_val
-       |         HAVING count(*) <= 1000),
+       |         HAVING count(*) <= $maxBucket),
        |bk AS (SELECT b.doc_id, b.band, b.byte_val FROM bytes b JOIN keep USING (band, byte_val)),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |         FROM bk a JOIN bk b USING (band, byte_val) WHERE a.doc_id < b.doc_id)
        |SELECT da, db,
-       | CAST(bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS INTEGER) AS hamming
+       | CAST($hamSum AS INTEGER) AS hamming
        |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
-       |WHERE bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) <= 7
+       |WHERE $hamSum <= $maxHamming
        |ORDER BY da, db""".stripMargin
+  }
 
-  val dd4_simhash = QueryDef.sqlChecked("dd4_simhash", SimhashSql) { (s, d) =>
+  val dd4_simhash = QueryDef.sqlChecked("dd4_simhash",
+    simhashSql(Seq(17, 31), maxHamming = 7, maxBucket = 1000)) { (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d)).orderBy("da", "db")
+  }
+
+  /** The wide-signature knob's oracle row (r19, verdict #1): 128-bit
+    * signature, 16-bit bands — same 8 bands / Hamming <= 7 pigeonhole,
+    * 65536 buckets per band where the 64-bit default's 256 saturate
+    * around 256·cap documents (SCALE_SKEW's measured silent-recall
+    * collapse). Identical documents pair at hamming 0 in either width;
+    * organic 64-bit near-collisions thin out at 128 bits because the
+    * same maxHamming is a relatively tighter bar.
+    */
+  val dd4b_simhash_wide = QueryDef.sqlChecked("dd4b_simhash_wide",
+    simhashSql(Seq(17, 31, 37, 41), maxHamming = 7, maxBucket = 1000)) { (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), nBits = 128).orderBy("da", "db")
   }
 
   /** Winnowing mirror (k=4, w=4): 4-gram hashes = poly63 of the joined
@@ -5115,6 +5157,7 @@ object DataPipeline {
 
   val all: Seq[QueryDef] = Seq(
     dd1_exact_dedup, dd2_minhash_lsh, dd3_ngram_jaccard, dd4_simhash,
+    dd4b_simhash_wide,
     dd5_embedding_neardup, dd5b_embedding_lsh, dd5c_embedding_lsh_wide,
     dd6_winnow_fragments,
     dd2_capped_minhash, dd3_capped_jaccard, dd7_bloom_dedup,

@@ -177,6 +177,85 @@ class DedupSpec extends SparkSpec {
     assert(!found.contains((1L, 3L)))
   }
 
+  test("wide simhash (nBits=128/256): exact dups pair at hamming 0, disjoint docs excluded") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    for (nb <- Seq(128, 256)) {
+      val rows = Dedup.simhashPairs(df, nBits = nb).collect()
+      val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found.contains((1L, 2L)), s"nBits=$nb missed the exact dup")
+      assert(!found.exists(p => p._1 == 3L || p._2 == 3L),
+        s"nBits=$nb paired a disjoint doc")
+      assert(rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+        .get.getInt(2) == 0, s"nBits=$nb exact dup must be hamming 0")
+    }
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(df, nBits = 96) }
+  }
+
+  test("wide simhash: over-cap template bounded + occupancy metrics observed") {
+    import spark.implicits._
+    // one 30-copy template (over cap 20) + one 5-copy template (sub-cap)
+    // + distinct fillers; identical text = identical signature = the
+    // worst-case hot bucket in every band at once
+    val hotText = (1 to 50).map(i => s"h$i").mkString(" ")
+    val subText = (1 to 50).map(i => s"s${i * 7}").mkString(" ")
+    val docs =
+      (1 to 30).map(i => (100L + i, hotText)) ++
+        (1 to 5).map(i => (200L + i, subText)) ++
+        (1 to 40).map(i => (300L + i, (1 to 50).map(j => s"f${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val res = Dedup.simhashPairs(df, maxBucket = 20, nBits = 128)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // BOUND: the 30-copy template floods all 8 of its band buckets past
+    // the cap — zero pairs may touch it
+    assert(!got.exists(p => (p._1 > 100 && p._1 <= 130) || (p._2 > 100 && p._2 <= 130)),
+      "over-cap template leaked pairs through the cap")
+    // RECALL: the sub-cap template pairs completely (C(5,2) = 10)
+    val subPairs = got.filter(p => p._1 > 200 && p._1 <= 205)
+    assert(subPairs.size == 10, s"sub-cap template recall: ${subPairs.size} != 10")
+    // occupancy metrics ride the hot-key aggregation (one execution —
+    // a double-counted self-join side would double n_buckets)
+    val m = res.queryExecution.observedMetrics(Dedup.HammingOccupancyMetric)
+    val (nBuckets, nDropped) = (m.getLong(0), m.getLong(1))
+    assert(nDropped >= 8L, s"hot template must drop its 8 band buckets, got $nDropped")
+    // <= one bucket per (doc, band): a doubled metric (self-join side
+    // re-executing the observe subtree) would break this ceiling
+    assert(nBuckets > 0L && nBuckets <= 8L * docs.size)
+  }
+
+  test("bandsLong: hand-computed packing; equals bands() below 31 bits") {
+    val bits = Array(1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+    assert(graft.functions.TextHashing.bandsLong(bits, 8).toSeq === Seq(0xB2L, 0x01L))
+    assert(graft.functions.TextHashing.bandsLong(bits, 16).toSeq === Seq(0xB201L))
+    val bits32 = Array.tabulate(64)(i => (i * 7 + 3) % 2)
+    assert(graft.functions.TextHashing.bands(bits32, 16).map(_.toLong).toSeq ===
+      graft.functions.TextHashing.bandsLong(bits32, 16).toSeq)
+    // 32-bit bands pack into non-negative longs (the Int form would overflow)
+    val high = Array.tabulate(64)(_ => 1)
+    assert(graft.functions.TextHashing.bandsLong(high, 32).toSeq ===
+      Seq(0xFFFFFFFFL, 0xFFFFFFFFL))
+    intercept[IllegalArgumentException] {
+      graft.functions.TextHashing.bandsLong(high, 63)
+    }
+  }
+
+  test("simhashBitsN: 64-bit form equals simhashBits; width changes only add words") {
+    val toks = "alpha beta gamma delta epsilon".split(" ")
+    val b64 = graft.functions.TextHashing.simhashBits(toks)
+    val n64 = graft.functions.TextHashing.simhashBitsN(toks, 64)
+    assert(b64.toSeq === n64.toSeq)
+    val n128 = graft.functions.TextHashing.simhashBitsN(toks, 128)
+    // the first 64 bits of the wide signature ARE the 64-bit signature
+    // (same seeds back the shared words)
+    assert(n128.take(64).toSeq === b64.toSeq)
+    assert(n128.length == 128)
+    intercept[IllegalArgumentException] {
+      graft.functions.TextHashing.simhashBitsN(toks, 48)
+    }
+  }
+
   test("winnowing finds a planted shared fragment, skips disjoint docs") {
     import spark.implicits._
     val fragment = (1 to 12).map(i => s"frag$i").mkString(" ")

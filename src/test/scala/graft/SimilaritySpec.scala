@@ -130,6 +130,11 @@ class SimilaritySpec extends SparkSpec {
     assert(nDropped >= 8L,
       s"clone saturation must drop all 8 clone band buckets, got $nDropped")
     assert(nNearCap >= 0L)
+    // cap-disable idiom stays valid (r19 keepFor clamp): Int.MaxValue
+    // used to overflow BoundedDocsAgg's cap+1 into a negative maxKeep
+    val uncapped = Similarity.lshNearDupPairs(base.unionByName(clones),
+      maxBucket = Int.MaxValue)
+    assert(uncapped.count() >= pairs.count())
   }
 
   test("bands: hand-computed packing at 8 and 16 bits") {

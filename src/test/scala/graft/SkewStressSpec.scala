@@ -80,6 +80,23 @@ class SkewStressSpec extends SparkSpec {
     pairs.unpersist(false)
   }
 
+  test("dd4b wide simhash (nBits=256): hot pairs zero, sub-cap dups EXACT, occupancy observed") {
+    // the r19 wide-signature knob: 32-bit bands (4.3e9 buckets/band)
+    // keep every sub-cap template's buckets uncontaminated, so recall
+    // is exact — the property the 64-bit byte bands lose to saturation
+    // past ~256·cap docs (the soak's measured mode="saturating")
+    val pairs = graft.operators.Dedup
+      .simhashPairs(docs, maxBucket = Cap, nBits = 256)
+      .persist()
+    assert(pairs.count() === expectedPairs)
+    assert(hotPairCount(pairs) === 0L)
+    val m = pairs.queryExecution
+      .observedMetrics(graft.operators.Dedup.HammingOccupancyMetric)
+    assert(m.getLong(0) > 0L, "occupancy metrics must ride the cap aggregation")
+    assert(m.getLong(1) >= 8L, "the head template must drop its 8 band buckets")
+    pairs.unpersist(false)
+  }
+
   test("video frame index: post-cap doc-freq bounded, hot pairs zero, dups exact") {
     val frames = docs.select(col("doc_id"),
         explode(sequence(lit(0), lit(7))).as("j"), col("template"))
