@@ -392,13 +392,18 @@ object ScaleSoak {
     val results = queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, q) =>
-      // JIT warmup on the small scale, then min of nRuns at each scale
+      // JIT warmup on the small scale, then min of nRuns at each scale.
+      // r19 (verdict #5): ALL runs are kept and land in the artifact as
+      // per-scale run arrays — a high-variance row (dd15's recorded
+      // 4.3x–16.4x window spread at x100) is readable from the artifact
+      // itself instead of living only in BENCH_NOTES prose.
       q("x1").count(): Unit
       val bySc = scales.map { case (tag, _) =>
-        tag -> (1 to nRuns).map(_ => timeIt(q(tag).count())).minBy(_._1)
+        val runs = (1 to nRuns).map(_ => timeIt(q(tag).count()))
+        (tag, runs.minBy(_._1), runs.map(_._1))
       }
-      val (t1, r1) = bySc.head._2
-      val line = bySc.map { case (tag, (t, r)) =>
+      val (t1, _) = bySc.head._2
+      val line = bySc.map { case (tag, (t, r), _) =>
         f"$tag=${t}%.2fs ($r rows, ${t / t1}%.1fx)"
       }.mkString("  ")
       println(f"[scale] $name%-26s $line")
@@ -407,10 +412,18 @@ object ScaleSoak {
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val items = results.map { case (name, bySc) =>
       val t1 = bySc.head._2._1
-      val fields = bySc.map { case (tag, (t, r)) =>
-        s""""t_${tag}_sec":${num(t)},"rows_$tag":$r,"ratio_$tag":${num(t / t1)}"""
+      val fields = bySc.map { case (tag, (t, r), runs) =>
+        s""""t_${tag}_sec":${num(t)},"rows_$tag":$r,""" +
+          s""""ratio_$tag":${num(t / t1)},""" +
+          s""""runs_$tag":[${runs.map(num).mkString(",")}],""" +
+          s""""med_${tag}_sec":${num(med(runs))}"""
       }.mkString(",")
       s"""  "$name": {$fields}"""
     }
@@ -418,6 +431,7 @@ object ScaleSoak {
     val worst100 = results.map { case (_, bySc) =>
       bySc.last._2._1 / bySc.head._2._1 }.max
     val body = s"""{"docs_x1":5000,"docs_x10":50000,"docs_x100":500000,""" +
+      s""""n_runs":$nRuns,""" +
       s""""worst_ratio_x100":${num(worst100)},"queries":{\n""" +
       items.mkString(",\n") + "\n}}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -291,11 +291,32 @@ object Clustering {
       minPts: Int = 3,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[DataFrame] = None,
+      smallGraphMaxPairs: Int = 100000): DataFrame = {
     require(minPts >= 1, s"invalid minPts=$minPts")
-    val pr = pairs.getOrElse(
+    // persisted BEFORE the gate probe so the probe's partial
+    // materialization is never thrown away on the distributed path
+    // (pair generation — the banded join — is the query's real cost)
+    val pr0 = pairs.getOrElse(
       Dedup.embeddingNearDup(embeddings, idCol, vecCol, simThreshold))
       .select(col("va").cast("long").as("va"), col("vb").cast("long").as("vb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // r19 strategy split (the dd8/gr1 size-gate discipline, r18
+    // verdict #3): the Cl4Probe forensic showed the distributed tail
+    // scheduling 19 driver jobs / ~2.2 s over a 698-PAIR materialized
+    // graph — pure constants. A pair graph within the gate collects
+    // once and the whole core/border/noise/CC tail is driver-side
+    // arithmetic + ONE broadcast map over the corpus frame (zero
+    // exchanges); above the gate, the keyed-agg tail below is
+    // unchanged. The gate probe is limit(cap + 1) — one job, and the
+    // rows it returns ARE the graph when it fits.
+    val head = pr0.limit(smallGraphMaxPairs + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (head.length <= smallGraphMaxPairs) {
+      pr0.unpersist(false)
+      return dbscanSmallGraph(embeddings, head, minPts, idCol)
+    }
+    val pr = pr0
     // symmetrized neighbor lists feed THREE consumers (degree count,
     // core-core filter, border assignment) that share no exchange
     val sym = pr.unionByName(pr.select(col("vb").as("va"), col("va").as("vb")))
@@ -333,6 +354,92 @@ object Clustering {
           .when(col("bcl").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("ccl"), col("bcl"), lit(-1L)).cast("long").as("cluster"))
+  }
+
+  /** The driver-side DBSCAN tail for pair graphs within
+    * `smallGraphMaxPairs` — semantics IDENTICAL to the distributed
+    * keyed-agg tail (spec-pinned fast == loop, the
+    * [[Dedup.duplicateClusters]] / [[GraphRank.pageRankFixedPoint]]
+    * parity discipline):
+    *   - n_neighbors = symmetrized pair-row count per id;
+    *   - core ⇔ n_neighbors ≥ minPts;
+    *   - cluster label = MIN id of the core's core-connected component
+    *     (union-find with path halving = the hash-min loop's fixed
+    *     point), isolated cores label themselves;
+    *   - border = non-core, label = min cluster among core neighbors;
+    *   - everything else noise (−1).
+    * The verdict map is graph-vertex-sized (≤ 2·pairs), broadcast into
+    * ONE narrow typed pass over the corpus frame — zero exchanges
+    * downstream of pair generation.
+    */
+  private def dbscanSmallGraph(
+      embeddings: DataFrame,
+      prRows: Array[(Long, Long)],
+      minPts: Int,
+      idCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    prRows.foreach { case (a, b) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1L)
+      deg.update(b, deg.getOrElse(b, 0L) + 1L)
+    }
+    val isCore = new scala.collection.mutable.HashSet[Long]()
+    deg.foreach { case (id, n) => if (n >= minPts) isCore += id }
+    // union-find over core-core edges, path halving (Dedup.unionFind's
+    // convention); component label = min member id
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent.getOrElse(r, r)
+        parent.update(r, parent.getOrElse(p, p))
+        r = parent.getOrElse(r, r)
+      }
+      r
+    }
+    prRows.foreach { case (a, b) =>
+      if (isCore.contains(a) && isCore.contains(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+      }
+    }
+    // core labels: min id per component (roots are minimal because
+    // unions always point the larger root at the smaller)
+    val coreCluster = new scala.collection.mutable.HashMap[Long, Long]()
+    isCore.foreach(id => coreCluster.update(id, find(id)))
+    // border: min cluster among CORE neighbors
+    val borderCluster = new scala.collection.mutable.HashMap[Long, Long]()
+    def offer(x: Long, coreNb: Long): Unit =
+      if (!isCore.contains(x) && isCore.contains(coreNb)) {
+        val c = coreCluster(coreNb)
+        borderCluster.update(x, math.min(borderCluster.getOrElse(x, c), c))
+      }
+    prRows.foreach { case (a, b) => offer(a, b); offer(b, a) }
+    // verdict map: id -> (n_neighbors, role, cluster)
+    val verdicts = new java.util.HashMap[Long, (Long, String, Long)]()
+    deg.foreach { case (id, n) =>
+      val v =
+        if (isCore.contains(id)) (n, "core", coreCluster(id))
+        else borderCluster.get(id) match {
+          case Some(c) => (n, "border", c)
+          case None => (n, "noise", -1L)
+        }
+      verdicts.put(id, v)
+    }
+    val bc = spark.sparkContext.broadcast(verdicts)
+    embeddings.select(col(idCol).cast("long").as("vec_id")).as[Long]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { id =>
+          val v = m.get(id)
+          if (v == null) (id, 0L, "noise", -1L)
+          else (id, v._1, v._2, v._3)
+        }
+      }
+      .toDF("vec_id", "n_neighbors", "role", "cluster")
   }
 
   /** Round-6 squared-L2 argmin over the candidate centroids: the fold

@@ -252,10 +252,11 @@ object TextAnalysis {
     * [[maxMatchTokenize]]: (doc, n_words, n_uni_tokens, md5 of the full
     * token stream).
     *
-    * Scale shape: two narrow typed passes with per-partition word memos
-    * (the bpeTokenize Zipf argument) and ONE vocab-bounded exchange —
-    * the bootstrap count agg, ≤ |pieces| + |alphabet| rows, collected
-    * and broadcast (the driver never holds more than the vocab). Costs
+    * Scale shape (r19): ONE corpus pass builds the (word, freq) dict
+    * (token-keyed exchange); bootstrap counts are Σ freq(w)·segs(w)
+    * over the dict — driver-side within [[SmallDictMaxWords]], a
+    * narrow dict pass above it — then one final narrow corpus pass
+    * re-segments under the broadcast costs. Costs
     * cross engines as `floor(x·1e6 + 0.5)` micro-longs (x ≥ 0), the
     * exact mirror of DuckDB's half-away-from-zero `round()`.
     */
@@ -263,33 +264,17 @@ object TextAnalysis {
       documents: DataFrame,
       merges: Seq[(String, String)],
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      smallDictMaxWords: Int = SmallDictMaxWords): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val pieces = merges.map { case (a, b) => a + b }.toSet
-    val mmMaxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
     val base = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-    // pass 1: occurrence-weighted bootstrap counts (vocab-sized agg)
-    val counts = base.mapPartitions { it =>
-        val memo = new java.util.HashMap[String, Array[String]]()
-        val cnt = new scala.collection.mutable.HashMap[String, Long]()
-        it.foreach { case (_, text) =>
-          graft.functions.TextHashing.tokens(text).foreach { w =>
-            var segs = memo.get(w)
-            if (segs == null) {
-              segs = graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen)
-              memo.put(w, segs)
-            }
-            segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
-          }
-        }
-        cnt.iterator
-      }
-      .toDF("piece", "c")
-      .groupBy("piece").agg(sum("c").as("cnt"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    // pass 1: occurrence-weighted bootstrap counts — rounds = 0 of the
+    // shared EM loop (freq-dict form, r19: counts are Σ freq(w)·segs(w),
+    // identical to the old direct corpus count)
+    val (counts, _) = unigramEmCounts(base, pieces, rounds = 0, smallDictMaxWords)
     val costs = unigramMicroCosts(counts)
     val vocabMaxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
     val bcCosts = spark.sparkContext.broadcast(costs)
@@ -345,19 +330,22 @@ object TextAnalysis {
     * previous segmentation. Output shape matches [[unigramTokenize]]:
     * (doc, n_words, n_em1_tokens, md5 of the full re-segmented stream).
     *
-    * Scale shape: FOUR narrow typed passes (bootstrap counts, E-step-1
-    * counts, the final re-segmentation — each with per-partition word
-    * memos) and TWO vocab-bounded count exchanges; the driver only ever
-    * holds the piece vocabulary. Costs cross engines as micro-longs
+    * Scale shape (r19): ONE corpus pass (the word-freq dict) + one
+    * final re-segmentation pass; the bootstrap and E-step-1 recounts
+    * run over the DICT, not the corpus — driver-side within
+    * [[SmallDictMaxWords]] (O(1) jobs in rounds), distributed dict
+    * passes above it. Costs cross engines as micro-longs
     * (`floor(x·1e6 + 0.5)`, x ≥ 0).
     */
   def unigramTokenizeEm1(
       documents: DataFrame,
       merges: Seq[(String, String)],
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      smallDictMaxWords: Int = SmallDictMaxWords): DataFrame =
     unigramTokenizeEm(documents, merges, rounds = 1, idCol, textCol,
-      nTokCol = "n_em1_tokens", md5Col = "em1_md5")
+      nTokCol = "n_em1_tokens", md5Col = "em1_md5",
+      smallDictMaxWords = smallDictMaxWords)
 
   /** Unigram-LM EM run TO CONVERGENCE (capped at `rounds` iterations) —
     * the full SentencePiece training loop on top of
@@ -372,10 +360,12 @@ object TextAnalysis {
     * matches [[unigramTokenize]]: (doc, n_words, nTokCol, md5Col of
     * the final re-segmented stream).
     *
-    * Scale shape: `2 + roundsRun` narrow typed corpus passes, each
-    * with per-partition word memos, and one vocab-bounded count
-    * exchange per round; the driver only ever holds the piece
-    * vocabulary, and the loop state (counts map) is vocab-sized.
+    * Scale shape (r19): TWO corpus passes total regardless of rounds
+    * — the word-freq dict build and the final re-segmentation; every
+    * EM recount runs over the dict (driver-side within
+    * [[SmallDictMaxWords]], so the whole loop is O(1) jobs in rounds;
+    * distributed dict passes + one vocab-bounded exchange per round
+    * above the gate). Loop state stays vocab-sized either way.
     */
   def unigramTokenizeEm(
       documents: DataFrame,
@@ -384,14 +374,15 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
       nTokCol: String = "n_em_tokens",
-      md5Col: String = "em_md5"): DataFrame = {
+      md5Col: String = "em_md5",
+      smallDictMaxWords: Int = SmallDictMaxWords): DataFrame = {
     require(rounds >= 1, s"invalid rounds=$rounds")
     val spark = documents.sparkSession
     import spark.implicits._
     val pieces = merges.map { case (a, b) => a + b }.toSet
     val base = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-    val (_, countsF) = unigramEmCounts(base, pieces, rounds)
+    val (_, countsF) = unigramEmCounts(base, pieces, rounds, smallDictMaxWords)
     val costsF = unigramMicroCosts(countsF)
     val maxLenF = if (countsF.isEmpty) 1 else countsF.map(_._1.length).max
     val bcF = spark.sparkContext.broadcast(costsF)
@@ -439,14 +430,15 @@ object TextAnalysis {
       merges: Seq[(String, String)],
       rounds: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      smallDictMaxWords: Int = SmallDictMaxWords): DataFrame = {
     require(rounds >= 1, s"invalid rounds=$rounds")
     val spark = documents.sparkSession
     import spark.implicits._
     val pieces = merges.map { case (a, b) => a + b }.toSet
     val base = Dedup.spread(documents.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-    val (counts0, countsF) = unigramEmCounts(base, pieces, rounds)
+    val (counts0, countsF) = unigramEmCounts(base, pieces, rounds, smallDictMaxWords)
     val totF = countsF.map(_._2).sum
     val fin = countsF.toMap
     counts0.toSeq.sortBy(_._1)
@@ -461,62 +453,124 @@ object TextAnalysis {
       .toDF("piece", "boot_cnt", "final_cnt", "cost_micro", "kept")
   }
 
-  /** The EM count loop shared by [[unigramTokenizeEm]] and
-    * [[unigramVocabPrune]]: bootstrap (MaxMatch) piece counts, then up
-    * to `rounds` occurrence-weighted Viterbi recounts, early-stopped at
-    * the first exact count fixed point (see [[unigramTokenizeEm]] for
-    * why that is mirror-equivalent to a fixed unroll). Returns
-    * (bootstrap counts, final counts); both are vocab-sized.
+  /** Size gate for the EM training loop's driver fast path: a
+    * word-frequency dict within the gate collects once and the whole
+    * EM loop runs driver-side in O(1) jobs (the dd8/gr1 strategy
+    * discipline); above it, every round stays a distributed pass over
+    * the persisted dict. 200k (word, freq) pairs ≈ a few MB of driver
+    * heap — the same order as the piece-vocab broadcasts the loop
+    * already holds.
+    */
+  private[operators] val SmallDictMaxWords = 200000
+
+  /** The EM count loop shared by [[unigramTokenize]] (rounds = 0:
+    * bootstrap only), [[unigramTokenizeEm]] and [[unigramVocabPrune]]:
+    * bootstrap (MaxMatch) piece counts, then up to `rounds`
+    * occurrence-weighted Viterbi recounts, early-stopped at the first
+    * exact count fixed point (see [[unigramTokenizeEm]] for why that
+    * is mirror-equivalent to a fixed unroll). Returns (bootstrap
+    * counts, final counts); both are vocab-sized.
+    *
+    * r19 restructure (the SentencePiece formulation proper, Kudo 2018
+    * trains on the word-frequency table): ONE corpus pass builds the
+    * (word, freq) dict — occurrence-weighted piece counts are then
+    * Σ_w freq(w)·segs(w), identical totals — so EM rounds never touch
+    * the corpus again. Within [[SmallDictMaxWords]] the dict collects
+    * once and every round is driver-side arithmetic (O(1) jobs in
+    * rounds — the previous shape paid one corpus pass + one
+    * vocab exchange + one collect PER ROUND); above the gate each
+    * round is a narrow pass over the persisted dict (corpus-scale
+    * path: the dict is orders of magnitude under the corpus).
     */
   private def unigramEmCounts(
       base: org.apache.spark.sql.Dataset[(Long, String)],
       pieces: Set[String],
-      rounds: Int): (Array[(String, Long)], Array[(String, Long)]) = {
+      rounds: Int,
+      smallDictMaxWords: Int = SmallDictMaxWords)
+    : (Array[(String, Long)], Array[(String, Long)]) = {
     val spark = base.sparkSession
     import spark.implicits._
     val mmMaxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
-    // one occurrence-weighted counting pass under a per-partition
-    // memoized segmenter (the bpeTokenize Zipf argument)
-    def countWith(mkSeg: () => String => Array[String]): Array[(String, Long)] =
-      base.mapPartitions { it =>
-          val seg = mkSeg()
-          val memo = new java.util.HashMap[String, Array[String]]()
-          val cnt = new scala.collection.mutable.HashMap[String, Long]()
-          it.foreach { case (_, text) =>
-            graft.functions.TextHashing.tokens(text).foreach { w =>
-              var segs = memo.get(w)
-              if (segs == null) { segs = seg(w); memo.put(w, segs) }
-              segs.foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + 1L))
-            }
-          }
-          cnt.iterator
+    // the ONE corpus pass: per-partition pre-aggregated word counts
+    // into a token-keyed exchange — the bpeTrain shape
+    val wordFreq = base.mapPartitions { it =>
+        val cnt = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { case (_, text) =>
+          graft.functions.TextHashing.tokens(text)
+            .foreach(w => cnt.update(w, cnt.getOrElse(w, 0L) + 1L))
         }
-        .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    val counts0 = countWith(() =>
-      w => graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen))
-    var counts = counts0
-    var r = 0
-    var converged = false
-    while (r < rounds && !converged) {
-      val costs = unigramMicroCosts(counts)
-      val maxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
-      // in-loop broadcasts are destroyed once their counting job has
-      // collected (the lloydCentroids discipline) — only the FINAL
-      // costs broadcast outlives the call, held by the returned plan
-      val bc = spark.sparkContext.broadcast(costs)
-      val next =
-        try {
-          countWith { () =>
-            val cs = bc.value
-            w => graft.functions.Bpe.viterbiSegment(w, cs, maxLen)
-          }
-        } finally bc.destroy()
-      converged = next.toMap == counts.toMap
-      counts = next
-      r += 1
+        cnt.iterator
+      }
+      .toDF("w", "c").groupBy("w").agg(sum("c").as("freq"))
+      .as[(String, Long)]
+    // gate probe: limit(cap + 1) — a full result within the cap IS the
+    // dict (one job; the distributed path discards the probe rows)
+    val head = wordFreq.limit(smallDictMaxWords + 1).collect()
+    if (head.length <= smallDictMaxWords) {
+      // driver fast path: the whole EM loop is in-memory arithmetic
+      def countWith(seg: String => Array[String]): Array[(String, Long)] = {
+        val cnt = new scala.collection.mutable.HashMap[String, Long]()
+        head.foreach { case (w, f) =>
+          seg(w).foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + f))
+        }
+        cnt.toArray
+      }
+      val counts0 = countWith(
+        w => graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen))
+      var counts = counts0
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val costs = unigramMicroCosts(counts)
+        val maxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
+        val next = countWith(
+          w => graft.functions.Bpe.viterbiSegment(w, costs, maxLen))
+        converged = next.toMap == counts.toMap
+        counts = next
+        r += 1
+      }
+      (counts0, counts)
+    } else {
+      // distributed loop: each round is a narrow pass over the
+      // persisted dict (never the corpus) + a vocab-bounded exchange
+      val dict = wordFreq.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        def countWith(mkSeg: () => String => Array[String]): Array[(String, Long)] =
+          dict.mapPartitions { it =>
+              val seg = mkSeg()
+              val cnt = new scala.collection.mutable.HashMap[String, Long]()
+              it.foreach { case (w, f) =>
+                seg(w).foreach(t => cnt.update(t, cnt.getOrElse(t, 0L) + f))
+              }
+              cnt.iterator
+            }
+            .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+        val counts0 = countWith(() =>
+          w => graft.functions.Bpe.maxMatchSegment(w, pieces, mmMaxLen))
+        var counts = counts0
+        var r = 0
+        var converged = false
+        while (r < rounds && !converged) {
+          val costs = unigramMicroCosts(counts)
+          val maxLen = if (counts.isEmpty) 1 else counts.map(_._1.length).max
+          // in-loop broadcasts are destroyed once their counting job
+          // has collected (the lloydCentroids discipline)
+          val bc = spark.sparkContext.broadcast(costs)
+          val next =
+            try {
+              countWith { () =>
+                val cs = bc.value
+                w => graft.functions.Bpe.viterbiSegment(w, cs, maxLen)
+              }
+            } finally bc.destroy()
+          converged = next.toMap == counts.toMap
+          counts = next
+          r += 1
+        }
+        (counts0, counts)
+      } finally dict.unpersist(false)
     }
-    (counts0, counts)
   }
 
   /** [[bpeTokenize]] plus the memo-effectiveness counters the scale
@@ -1643,18 +1697,21 @@ object TextAnalysis {
     val tok = base.select(explode(tokens(col(textCol))).as("w"))
       .select(xxhash64(col("w")).as("ha"))
     val c1 = tok.groupBy("ha").agg(count(lit(1)).as("c1"))
-    c1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = c1.count()
+    // gate probe = limit(gate + 1) in ONE job whose rows ARE the
+    // history table when the vocab fits (r19: the previous
+    // persist -> count -> collect chain paid two driver jobs for the
+    // same information)
+    val head = c1.limit(math.min(maxBroadcastVocab, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
     val lpRows =
-      if (vocab <= maxBroadcastVocab) {
-        // history fold: c1 is vocab-sized — localize it once (eager:
-        // persist -> count -> collect -> unpersist, nothing cached
-        // outlives the call) and broadcast it INTO the c2 table, so the
-        // scored frame joins once on (pa, pb) and never exchanges on
-        // the raw history token. V is the exact driver-side count.
-        val hist = c1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        c1.unpersist(blocking = false)
-        val c1Local = hist.toDF("ha", "c1")
+      if (head.length <= maxBroadcastVocab) {
+        // history fold: c1 is vocab-sized — broadcast it INTO the c2
+        // table, so the scored frame joins once on (pa, pb) and never
+        // exchanges on the raw history token. V is the exact
+        // driver-side count.
+        val vocab = head.length.toLong
+        val c1Local = head.toSeq.toDF("ha", "c1")
         val c2x = c2.join(broadcast(c1Local), Seq("ha"))
         dt.join(c2x, Seq("ha", "hb"))
           .select(col("doc_id"), col("k"),
@@ -1662,8 +1719,9 @@ object TextAnalysis {
               .as("lp"))
       } else {
         // vocab over the broadcast gate (non-linguistic key spaces):
-        // two keyed joins, AQE skew-join on the Zipf head. c1 stays
-        // persisted — the lazy plan reads it for both the join and V.
+        // two keyed joins, AQE skew-join on the Zipf head; c1 persists
+        // here for its two consumers (the join and V)
+        c1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vv = c1.agg(count(lit(1)).as("v"))
         dt.join(c2, Seq("ha", "hb"))
           .join(c1, Seq("ha"))
@@ -1771,22 +1829,26 @@ object TextAnalysis {
     val stats = c2.select(col("ha").as("h"), lit(0).as("role"), col("c2"))
       .unionByName(c2.select(col("hb").as("h"), lit(1).as("role"), col("c2")))
       .groupBy("h", "role").agg(sum("c2").as("cs"), count(lit(1)).as("n1"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab2 = stats.count()
-    val smallVocab = vocab2 <= 2 * maxBroadcastVocab
+    // gate probe = limit(gate + 1) in ONE job whose rows ARE both
+    // estimator tables when the vocab fits (r19: previously a
+    // persist -> count -> collect chain, two jobs for the same rows)
+    val statsGate = 2L * maxBroadcastVocab
+    val statsHead = stats
+      .limit(math.min(statsGate, Int.MaxValue - 1L).toInt + 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val smallVocab = statsHead.length <= statsGate
+    lazy val statsP =
+      stats.persist(StorageLevel.MEMORY_AND_DISK)
     val (hist, cont, ntot: Column) =
       if (smallVocab) {
-        val rows = stats.collect().map(r =>
-          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        stats.unpersist(blocking = false)
-        val h = rows.filter(_._2 == 0).map(r => (r._1, r._3, r._4))
-        val c = rows.filter(_._2 == 1).map(r => (r._1, r._4))
+        val h = statsHead.filter(_._2 == 0).map(r => (r._1, r._3, r._4))
+        val c = statsHead.filter(_._2 == 1).map(r => (r._1, r._4))
         (h.toSeq.toDF("ha", "ca", "n1a"), c.toSeq.toDF("hb", "n1b"),
           lit(h.map(_._3).sum))
       } else {
-        (stats.filter(col("role") === 0)
+        (statsP.filter(col("role") === 0)
            .select(col("h").as("ha"), col("cs").as("ca"), col("n1").as("n1a")),
-         stats.filter(col("role") === 1)
+         statsP.filter(col("role") === 1)
            .select(col("h").as("hb"), col("n1").as("n1b")),
          col("n1tot"))
       }
@@ -1818,7 +1880,9 @@ object TextAnalysis {
         coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         coalesce(col("bits"), lit(0.0)).as("bits_per_token"))
     (out, () => {
-      dt.unpersist(false); c2.unpersist(false); stats.unpersist(false); ()
+      dt.unpersist(false); c2.unpersist(false)
+      if (!smallVocab) statsP.unpersist(false)
+      ()
     })
   }
 

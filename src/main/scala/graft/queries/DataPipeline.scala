@@ -3976,6 +3976,11 @@ object DataPipeline {
     ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
 
+  /** The bench merge table, exposed for [[graft.bench.PplProbe]]'s
+    * forensics so probe timings segment the exact tok5/tok6 shapes.
+    */
+  private[graft] def bpeMergesForProbe: Seq[(String, String)] = BpeMerges
+
   /** DuckDB fragment segmenting one word under [[BpeMerges]] by string
     * rewriting: symbols are wrapped in U+0001 on BOTH sides
     * (`\x01a\x01\x01b\x01...`), and each merge is one `replace()` of

@@ -311,6 +311,40 @@ class BpeSpec extends SparkSpec {
     assert(em3(1).getString(3) === md5("c c b a c c b a"))
   }
 
+  test("unigram EM: driver dict fast path == distributed dict loop (r19 parity pin)") {
+    import spark.implicits._
+    // the dd8/gr1 strategy-split discipline on the EM recount loop:
+    // smallDictMaxWords = 0 forces the distributed dict passes; the
+    // default collects the word-freq dict once and runs every round
+    // driver-side. Results must be identical across tok4/tok5/tok6/tok7
+    // on the 3-way re-segmentation fixture above, and on testdata docs.
+    val merges = Seq(("a", "a"), ("b", "a"), ("c", "a"))
+    val df = Seq(
+      (1L, "bccb"),
+      (2L, "ccba ccba"),
+      (3L, Seq.fill(6)("acbb").mkString(" ")),
+      (4L, "aaca aaca")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("doc_id").collect().toSeq
+    assert(rows(TextAnalysis.unigramTokenize(df, merges)) ===
+      rows(TextAnalysis.unigramTokenize(df, merges, smallDictMaxWords = 0)))
+    assert(rows(TextAnalysis.unigramTokenizeEm1(df, merges)) ===
+      rows(TextAnalysis.unigramTokenizeEm1(df, merges, smallDictMaxWords = 0)))
+    assert(rows(TextAnalysis.unigramTokenizeEm(df, merges, rounds = 3)) ===
+      rows(TextAnalysis.unigramTokenizeEm(df, merges, rounds = 3,
+        smallDictMaxWords = 0)))
+    val pf = TextAnalysis.unigramVocabPrune(df, merges, rounds = 3)
+      .orderBy("piece").collect().toSeq
+    val pl = TextAnalysis.unigramVocabPrune(df, merges, rounds = 3,
+      smallDictMaxWords = 0).orderBy("piece").collect().toSeq
+    assert(pf === pl)
+    // organic corpus slice: the gate probe + driver loop must agree
+    // with the distributed loop on real text too
+    val docs = graft.sources.Tables.documents(spark, sf).limit(80)
+    val merges2 = TextAnalysis.bpeTrain(docs, numMerges = 30)
+    assert(rows(TextAnalysis.unigramTokenizeEm1(docs, merges2)) ===
+      rows(TextAnalysis.unigramTokenizeEm1(docs, merges2, smallDictMaxWords = 0)))
+  }
+
   test("unigramVocabPrune: all three bootstrap merges fall out of the converged LM") {
     import spark.implicits._
     val merges = Seq(("a", "a"), ("b", "a"), ("c", "a"))

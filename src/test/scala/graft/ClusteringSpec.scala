@@ -184,4 +184,29 @@ class ClusteringSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(a === c)
   }
+
+  test("dbscan: size-gated driver fast path == distributed tail (r19 parity pin)") {
+    // the dd8/gr1 fast==loop discipline applied to the DBSCAN tail:
+    // smallGraphMaxPairs = 0 forces the distributed keyed-agg path;
+    // the default gate collects the (tiny) pair graph and runs the
+    // verdict tail driver-side. Identical verdicts required on the
+    // organic fixture (every role live) AND on the LSH evidence-graph
+    // path, at both minPts settings.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val fast = Clustering.dbscan(emb).orderBy("vec_id").collect().toSeq
+    val loop = Clustering.dbscan(emb, smallGraphMaxPairs = 0)
+      .orderBy("vec_id").collect().toSeq
+    assert(fast === loop)
+    assert(fast.map(_.getString(2)).toSet === Set("core", "border", "noise"))
+    val lsh = graft.operators.Similarity.lshNearDupPairs(emb, threshold = 0.35)
+    val fastL = Clustering.dbscan(emb, pairs = Some(lsh))
+      .orderBy("vec_id").collect().toSeq
+    val loopL = Clustering.dbscan(emb, pairs = Some(lsh), smallGraphMaxPairs = 0)
+      .orderBy("vec_id").collect().toSeq
+    assert(fastL === loopL)
+    val fast1 = Clustering.dbscan(emb, minPts = 1).orderBy("vec_id").collect().toSeq
+    val loop1 = Clustering.dbscan(emb, minPts = 1, smallGraphMaxPairs = 0)
+      .orderBy("vec_id").collect().toSeq
+    assert(fast1 === loop1)
+  }
 }
