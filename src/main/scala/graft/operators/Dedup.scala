@@ -125,7 +125,7 @@ object Dedup {
         signatures(documents, idCol, textCol, numHashes, bands)
           .select(col("doc_id"), posexplode(col("band_hashes")))
           .toDF("doc_id", "band", "band_hash"),
-        Seq("band", "band_hash"), maxBucket),
+        Seq("band", "band_hash"), maxBucket, Some(MinhashOccupancyMetric)),
       "band_hash", "minhash_bands",
       Map("numHashes" -> numHashes.toLong, "bands" -> bands.toLong,
         "maxBucket" -> maxBucket.toLong))
@@ -275,7 +275,7 @@ object Dedup {
     val banded = capDocFreq(
       sigs.select(col("doc_id"), posexplode(col("band_hashes")))
         .toDF("doc_id", "band", "band_hash"),
-      Seq("band", "band_hash"), maxBucket)
+      Seq("band", "band_hash"), maxBucket, Some(MinhashOccupancyMetric))
     // alias AFTER the join so both sides canonicalize to the SAME
     // exchange and Spark's ReuseExchange computes the signature stage
     // once (pre-exchange aliases would make the subtrees distinct)
@@ -484,6 +484,14 @@ object Dedup {
     * off `result.queryExecution.observedMetrics` after any action).
     */
   val HammingOccupancyMetric = "graft.hamming.bucket_occupancy"
+
+  /** The MinHash band family's occupancy metric ([[minhashLsh]] and the
+    * [[minhashBands]] index builder) — same triple as
+    * [[HammingOccupancyMetric]]; with 2^32 band-hash buckets the
+    * n_dropped signal here means "mass-duplicate blocks are being
+    * capped", not banding saturation.
+    */
+  val MinhashOccupancyMetric = "graft.minhash.bucket_occupancy"
 
   def simhashPairs(
       documents: DataFrame,

@@ -59,6 +59,12 @@ class SkewStressSpec extends SparkSpec {
       .persist()
     assert(pairs.count() === expectedPairs)
     assert(hotPairCount(pairs) === 0L)
+    // r19: the minhash band family reports occupancy too — the head
+    // template floods its 32 band buckets past the cap
+    val m = pairs.queryExecution
+      .observedMetrics(graft.operators.Dedup.MinhashOccupancyMetric)
+    assert(m.getLong(0) > 0L && m.getLong(1) >= 32L,
+      s"head template must drop its 32 band buckets, got ${m.getLong(1)}")
     pairs.unpersist(false)
   }
 
