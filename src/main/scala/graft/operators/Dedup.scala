@@ -461,15 +461,22 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
     val thr = lit(math.round(threshold * 10000))
-    val dir1 = joined
-      .filter(col("inter") * lit(10000L) >= thr * col("na"))
-      .select(col("da").as("contained"), col("db").as("container"),
-        round(col("inter").cast("double") / col("na"), 4).as("containment"))
-    val dir2 = joined
-      .filter(col("inter") * lit(10000L) >= thr * col("nb"))
-      .select(col("db").as("contained"), col("da").as("container"),
-        round(col("inter").cast("double") / col("nb"), 4).as("containment"))
-    dir1.unionByName(dir2)
+    // both orientations emitted from ONE pass over the joined pair
+    // frame: the earlier dir1.unionByName(dir2) form re-evaluated the
+    // whole explode^2 + inter-aggregate + size-join subtree per
+    // direction (no exchange reuse fired across the union branches —
+    // the round-19 dd16 plan carried 23 Exchanges / 0 ReusedExchange).
+    // Same rows, row order irrelevant (union order was arbitrary).
+    joined
+      .select(explode(array(
+        struct(col("da").as("contained"), col("db").as("container"),
+          col("inter"), col("na").as("n")),
+        struct(col("db").as("contained"), col("da").as("container"),
+          col("inter"), col("nb").as("n")))).as("e"))
+      .filter(col("e.inter") * lit(10000L) >= thr * col("e.n"))
+      .select(col("e.contained").as("contained"),
+        col("e.container").as("container"),
+        round(col("e.inter").cast("double") / col("e.n"), 4).as("containment"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.

@@ -1292,12 +1292,25 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    // literal-prefilter short-circuit: EmailPattern can only match text
+    // containing '@' and UrlPattern text containing "http", so rows
+    // without the literal skip the Java-regex pass entirely (a regex
+    // scan is ~100x a contains scan; most corpus rows contain neither).
+    // Exact: a skipped pass can never have matched, and the email
+    // replacement ("<EMAIL>") cannot introduce or remove "http" when
+    // the original text had none.
+    val hasAt = t.contains("@")
+    val hasHttp = t.contains("http")
+    val emailRedacted =
+      when(hasAt, regexp_replace(t, EmailPattern, "<EMAIL>")).otherwise(t)
     documents.select(
       col(idCol),
-      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
-      size(regexp_extract_all(t, lit(UrlPattern), lit(0))).as("n_urls"),
-      md5(regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
-        UrlPattern, "<URL>")).as("redacted_md5"))
+      when(hasAt, size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+        .otherwise(lit(0)).as("n_emails"),
+      when(hasHttp, size(regexp_extract_all(t, lit(UrlPattern), lit(0))))
+        .otherwise(lit(0)).as("n_urls"),
+      md5(when(hasHttp, regexp_replace(emailRedacted, UrlPattern, "<URL>"))
+        .otherwise(emailRedacted)).as("redacted_md5"))
   }
 
   /** Within-document repetition (a standard LLM-corpus quality signal:

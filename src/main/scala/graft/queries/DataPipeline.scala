@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Clustering, Decontamination, Dedup, Dsir, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.queries.QueryDef.BoundedSortOps
 
 /** Training-data pipeline surface: dedup, similarity search, text
   * analysis, multimodal plumbing (north-star extensions from SURVEY.md
@@ -168,7 +169,7 @@ object DataPipeline {
     */
   val dd18_minhash_calibration = QueryDef.sqlChecked(
     "dd18_minhash_calibration", MinhashCalibrationSql) { (s, d) =>
-    Dedup.minhashCalibration(Tables.documents(s, d)).orderBy("bin")
+    Dedup.minhashCalibration(Tables.documents(s, d)).orderSmall("bin")
   }
 
   /** dd15/dc9 mirror builder: the dd2 chain with the candidate stage
@@ -610,7 +611,7 @@ object DataPipeline {
 
   val ann_brute_topk = QueryDef.sqlChecked("ann_brute_topk", AnnBruteSql) {
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** ann_label_noise: k-NN neighborhood label-agreement over the first
@@ -643,7 +644,7 @@ object DataPipeline {
       |ORDER BY qid""".stripMargin) { (s, d) =>
     Similarity.labelNoiseScreen(Tables.embeddings(s, d),
         queryIds = (0L until 50L).toSeq)
-      .orderBy("qid")
+      .orderSmall("qid")
   }
 
   /** Full LSH mirror, generated from the SAME fixed-seed hyperplanes and
@@ -675,7 +676,7 @@ object DataPipeline {
 
   val ann_lsh_topk = QueryDef.sqlChecked("ann_lsh_topk", AnnLshSql) { (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** Full IVF mirror: DuckDB re-runs the ENTIRE deterministic quantizer —
@@ -749,7 +750,7 @@ object DataPipeline {
   val ann_ivf_topk = QueryDef.sqlChecked("ann_ivf_topk", AnnIvfSql) { (s, d) =>
     graft.operators.IvfSearch.ivfTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** ANN QA: recall@10 of the IVF index against the exact brute-force
@@ -772,7 +773,7 @@ object DataPipeline {
       Similarity.bruteForceTopK(emb, queryIds = AnnQueryIds),
       graft.operators.IvfSearch.ivfTopK(emb, queryIds = AnnQueryIds),
       k = 10)
-      .orderBy("qid")
+      .orderSmall("qid")
   }
 
   /** ann_pq: product-quantization ADC top-k ([[graft.operators.PqSearch.pqTopK]],
@@ -831,7 +832,7 @@ object DataPipeline {
   val ann_pq_topk = QueryDef.sqlChecked("ann_pq_topk", AnnPqSql) { (s, d) =>
     graft.operators.PqSearch.pqTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** ann_ivfpq: the composed FAISS-style IVF-PQ index
@@ -908,7 +909,7 @@ object DataPipeline {
   val ann_ivfpq_topk = QueryDef.sqlChecked("ann_ivfpq_topk", AnnIvfPqSql) { (s, d) =>
     graft.operators.PqSearch.ivfPqTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** ann_pq_residual: residual IVF-PQ
@@ -1003,7 +1004,7 @@ object DataPipeline {
     "ann_pq_residual", AnnPqResidualSql) { (s, d) =>
     graft.operators.PqSearch.ivfPqResidualTopK(Tables.embeddings(s, d),
       queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** ann_pq_incremental: the IVF-PQ steady state — the first 4/5 of the
@@ -1031,7 +1032,7 @@ object DataPipeline {
     val model = graft.operators.PqSearch.fitPqModel(released)
     graft.operators.PqSearch.probePqCodes(
         batch, model, graft.operators.PqSearch.encodePq(released, model))
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** ann_brute_l2: exact squared-L2 top-k — the metric-matched baseline
@@ -1057,7 +1058,7 @@ object DataPipeline {
 
   val ann_brute_l2 = QueryDef.sqlChecked("ann_brute_l2", AnnBruteL2Sql) { (s, d) =>
     Similarity.bruteForceTopKL2(Tables.embeddings(s, d), queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** emb4: recall@10 of the PQ index against the exact L2 panel — the
@@ -1080,7 +1081,7 @@ object DataPipeline {
       Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
       graft.operators.PqSearch.pqTopK(emb, queryIds = AnnQueryIds),
       k = 10)
-      .orderBy("qid")
+      .orderSmall("qid")
   }
 
   /** emb5: recall@10 of the residual IVF-PQ index against the exact
@@ -1104,7 +1105,7 @@ object DataPipeline {
       Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
       graft.operators.PqSearch.ivfPqResidualTopK(emb, queryIds = AnnQueryIds),
       k = 10)
-      .orderBy("qid")
+      .orderSmall("qid")
   }
 
   /** ann_sq8: scalar-quantization top-k ([[graft.operators.SqSearch]],
@@ -1157,7 +1158,7 @@ object DataPipeline {
   val ann_sq8 = QueryDef.sqlChecked("ann_sq8", AnnSq8Sql) { (s, d) =>
     graft.operators.SqSearch.sq8TopK(Tables.embeddings(s, d),
         queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** ann_sq8_incremental: the SQ8 steady state — the first 4/5 of the
@@ -1192,7 +1193,7 @@ object DataPipeline {
     val model = graft.operators.SqSearch.fitSqModel(released)
     graft.operators.SqSearch.probeSqCodes(
         batch, model, graft.operators.SqSearch.encodeSq(released, model))
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** emb7: recall@10 of the SQ8 index against the exact L2 panel — the
@@ -1214,7 +1215,7 @@ object DataPipeline {
       Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
       graft.operators.SqSearch.sq8TopK(emb, queryIds = AnnQueryIds),
       k = 10)
-      .orderBy("qid")
+      .orderSmall("qid")
   }
 
   /** ann_ivfsq: IVF + residual SQ8
@@ -1278,7 +1279,7 @@ object DataPipeline {
   val ann_ivfsq = QueryDef.sqlChecked("ann_ivfsq", AnnIvfSqSql) { (s, d) =>
     graft.operators.SqSearch.ivfSqTopK(Tables.embeddings(s, d),
         queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** emb8: recall@10 of the IVF-SQ8 index against the exact L2 panel —
@@ -1299,7 +1300,7 @@ object DataPipeline {
       Similarity.bruteForceTopKL2(emb, queryIds = AnnQueryIds),
       graft.operators.SqSearch.ivfSqTopK(emb, queryIds = AnnQueryIds),
       k = 10)
-      .orderBy("qid")
+      .orderSmall("qid")
   }
 
   /** emb6: hard-negative mining ([[Similarity.hardNegatives]]) — per
@@ -1331,7 +1332,7 @@ object DataPipeline {
       |WHERE rnk <= 10 AND dist_micro >= 1400000
       |ORDER BY r.qid, rnk""".stripMargin) { (s, d) =>
     Similarity.hardNegatives(Tables.embeddings(s, d), queryIds = AnnQueryIds)
-      .orderBy("qid", "rnk")
+      .orderSmall("qid", "rnk")
   }
 
   /** Semantic-dedup fixture: 40 exact copies of organic vectors are
@@ -1505,7 +1506,7 @@ object DataPipeline {
       |  FROM scores)
       |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, bm25_micro
       |FROM topk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    TextAnalysis.bm25TopK(Tables.documents(s, d)).orderBy("qid", "rnk")
+    TextAnalysis.bm25TopK(Tables.documents(s, d)).orderSmall("qid", "rnk")
   }
 
   /** ir2: rank-cutoff reciprocal-rank fusion
@@ -1571,7 +1572,7 @@ object DataPipeline {
       |  FROM fused)
       |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, rrf_micro, bm25_rnk, cos_rnk
       |FROM topk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    TextAnalysis.rrfFusionTopK(Tables.documents(s, d)).orderBy("qid", "rnk")
+    TextAnalysis.rrfFusionTopK(Tables.documents(s, d)).orderSmall("qid", "rnk")
   }
 
   /** ir3: incremental BM25 probe ([[TextAnalysis.bm25Postings]] +
@@ -1620,7 +1621,7 @@ object DataPipeline {
     val queries = ranked.iterator.zipWithIndex.drop(1)
       .map { case (r, i) => ((i - 1).toLong / 4, r.getAs[String]("term")) }
       .toSeq.toDF("qid", "term")
-    TextAnalysis.probeBm25(postings, queries).orderBy("qid", "rnk")
+    TextAnalysis.probeBm25(postings, queries).orderSmall("qid", "rnk")
   }
 
   /** ir4: Dirichlet query-likelihood retrieval
@@ -1662,7 +1663,7 @@ object DataPipeline {
       |  FROM scores)
       |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, ql_micro
       |FROM topk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    TextAnalysis.qlTopK(Tables.documents(s, d)).orderBy("qid", "rnk")
+    TextAnalysis.qlTopK(Tables.documents(s, d)).orderSmall("qid", "rnk")
   }
 
   val txt_vocab = QueryDef.sqlChecked(
@@ -1822,7 +1823,7 @@ object DataPipeline {
     Decontamination.evalLeakReport(
       train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3),
       evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
-      .orderBy("eval_id")
+      .orderSmall("eval_id")
   }
 
   /** PII redaction over documents with deterministic in-query pattern
@@ -1926,7 +1927,7 @@ object DataPipeline {
        |            AS INTEGER) AS rk
        |      FROM mx)
        |SELECT doc_id, lang, rk FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) {
-    (s, d) => Sampling.quotaPerKey(Tables.documents(s, d)).orderBy("lang", "rk")
+    (s, d) => Sampling.quotaPerKey(Tables.documents(s, d)).orderSmall("lang", "rk")
   }
 
   /** sp10: epoch-weighted mixture materialization — src0 at 2.3
@@ -1986,7 +1987,7 @@ object DataPipeline {
        |FROM per, tot ORDER BY source""".stripMargin) { (s, d) =>
     Sampling.mixtureAudit(Tables.documents(s, d),
         milliEpochs = Seq("src0" -> 2300L, "src1" -> 500L, "src2" -> 0L))
-      .orderBy("source")
+      .orderSmall("source")
   }
 
   val pk1_pack_sequences = QueryDef.sqlChecked(
@@ -3466,7 +3467,7 @@ object DataPipeline {
           concat(col("text"), lit(" CANARY-b2e994")).as("text")))
     Decontamination.canaryScan(planted,
         Seq((1L, "CANARY-a7f3c1"), (2L, "CANARY-b2e994"), (3L, "CANARY-0clean")))
-      .orderBy("canary_id")
+      .orderSmall("canary_id")
   }
 
   /** dc9: fuzzy (near-duplicate) decontamination
@@ -3895,7 +3896,7 @@ object DataPipeline {
        |FROM ph JOIN d2 USING (doc_id)
        |GROUP BY ph.phase ORDER BY ph.phase""".stripMargin) { (s, d) =>
     graft.operators.TrainingPipeline.screenAndPhase(Tables.documents(s, d))
-      .orderBy("phase")
+      .orderSmall("phase")
   }
 
   val rl2_corpus_card = QueryDef.sqlChecked(
@@ -3916,7 +3917,7 @@ object DataPipeline {
        |  (SELECT DISTINCT source, unnest(ws) AS w FROM wl) GROUP BY source)
        |SELECT ag.source, n_docs, n_tokens, vocab, n_langs, mean_quality, n_short
        |FROM ag JOIN vc USING (source) ORDER BY ag.source""".stripMargin) { (s, d) =>
-    TextAnalysis.corpusCard(Tables.documents(s, d)).orderBy("source")
+    TextAnalysis.corpusCard(Tables.documents(s, d)).orderSmall("source")
   }
 
   /** rl3: per-language length-distribution percentiles — the datasheet
@@ -3937,7 +3938,7 @@ object DataPipeline {
       | round(quantile_cont(nw, 0.5), 4) AS p50,
       | round(quantile_cont(nw, 0.9), 4) AS p90
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-    TextAnalysis.lengthQuantiles(Tables.documents(s, d)).orderBy("lang")
+    TextAnalysis.lengthQuantiles(Tables.documents(s, d)).orderSmall("lang")
   }
 
   val sp9_curriculum = QueryDef.sqlChecked(
@@ -4051,7 +4052,7 @@ object DataPipeline {
        |      ELSE 0.0 END AS fertility
        |FROM ag ORDER BY lang""".stripMargin) { (s, d) =>
     TextAnalysis.tokenizerFertility(Tables.documents(s, d), BpeMerges)
-      .orderBy("lang")
+      .orderSmall("lang")
   }
 
   /** tok3: leftmost-longest MaxMatch tokenization over the piece vocab
@@ -4298,7 +4299,7 @@ object DataPipeline {
 
   val tok7_vocab_prune = QueryDef.sqlChecked("tok7_vocab_prune", Tok7Sql) { (s, d) =>
     TextAnalysis.unigramVocabPrune(Tables.documents(s, d), BpeMerges, rounds = 3)
-      .orderBy("piece")
+      .orderSmall("piece")
   }
 
   /** sp8b: the token-budget pass denominated in REAL (BPE) tokens —
@@ -4458,7 +4459,7 @@ object DataPipeline {
     // one-shot Gram pass on this corpus shape)
     TextAnalysis.trainQualityWeightsBatched(trainLabeled(s, d), iters = 2)
       .filter(col("weight") =!= 0.0)
-      .orderBy("bucket")
+      .orderSmall("bucket")
   }
 
   /** tr2: train -> swap-in -> score, end to end: the weights from tr1
@@ -4579,7 +4580,7 @@ object DataPipeline {
        |FROM sm GROUP BY cid ORDER BY cluster""".stripMargin
 
   val cl3_silhouette = QueryDef.sqlChecked("cl3_silhouette", Cl3Sql) { (s, d) =>
-    Clustering.silhouetteAudit(Tables.embeddings(s, d)).orderBy("cluster")
+    Clustering.silhouetteAudit(Tables.embeddings(s, d)).orderSmall("cluster")
   }
 
   /** cl4: DBSCAN over the embedding cosine graph
@@ -4698,7 +4699,7 @@ object DataPipeline {
 
   val ds1_dsir = QueryDef.sqlChecked("ds1_dsir", Ds1Sql) { (s, d) =>
     Dsir.importanceResample(Tables.documents(s, d), isTarget = col("lang") === "en")
-      .orderBy("doc_id")
+      .orderSmall("doc_id")
   }
 
   /** dc4: semantic decontamination — 40 organic vectors are re-keyed
@@ -5085,7 +5086,7 @@ object DataPipeline {
   val pipe3_curation_report = QueryDef.sqlChecked(
     "pipe3_curation_report", Pipe3Sql) { (s, d) =>
     graft.operators.TrainingPipeline.curationReport(Tables.documents(s, d))
-      .orderBy("source")
+      .orderSmall("source")
   }
 
   /** Matryoshka prefix-mass audit at k=16; the 0.25 threshold sits at
@@ -5103,7 +5104,7 @@ object DataPipeline {
       | min(mass) AS min_mass, max(mass) AS max_mass
       |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
     Similarity.matryoshkaAudit(Tables.embeddings(s, d), k = 16, minMass = 0.25)
-      .orderBy("label")
+      .orderSmall("label")
   }
 
   /** CCNet head/middle/tail perplexity buckets per language — the

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.operators.{EventAnalytics, GraphRank}
 import graft.sources.Tables
+import graft.queries.QueryDef.BoundedSortOps
 
 /** Event-analytics and graph-centrality queries (SURVEY.md §2.b
   * extension rows): the batch twins of the reference's per-key stateful
@@ -79,7 +80,7 @@ object Events {
       |FROM g GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
     EventAnalytics.retentionCohorts(Tables.events(s, d))
-      .orderBy("cohort_week", "week_offset")
+      .orderSmall("cohort_week", "week_offset")
   }
 
   /** Native tumbling-window grouping in batch (the streaming S7
@@ -93,7 +94,7 @@ object Events {
       |FROM events GROUP BY day_start_us, event_type
       |ORDER BY day_start_us, event_type""".stripMargin) { (s, d) =>
     EventAnalytics.dailyRates(Tables.events(s, d))
-      .orderBy("day_start_us", "event_type")
+      .orderSmall("day_start_us", "event_type")
   }
 
   /** RFM quintile scoring against exact interpolated thresholds. */
@@ -182,7 +183,7 @@ object Events {
     val edges = GraphRank.documentLinkEdges(Tables.documents(s, d))
     GraphRank.pageRankFixedPoint(edges, Gr1Iters)
       .select(col("node"), col("rank").as("rank_units"))
-      .orderBy("node")
+      .orderSmall("node")
   }
 
   /** Authority-weighted sampling: ranks → integer keep thresholds →
@@ -211,7 +212,7 @@ object Events {
   val gr2_authority_sample = QueryDef.sqlChecked("gr2_authority_sample", Gr2Sql) {
     (s, d) =>
       GraphRank.authoritySample(Tables.documents(s, d), Gr1Iters)
-        .orderBy("doc_id")
+        .orderSmall("doc_id")
   }
 
   /** First-order user-journey Markov matrix
@@ -234,7 +235,7 @@ object Events {
       | CAST((n * 1000000) // total_from AS BIGINT) AS p_micro
       |FROM t ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
     EventAnalytics.transitionMatrix(Tables.events(s, d))
-      .orderBy("from_type", "to_type")
+      .orderSmall("from_type", "to_type")
   }
 
   /** ev8: multi-touch conversion attribution
@@ -276,7 +277,7 @@ object Events {
       |SELECT * FROM (SELECT * FROM attributed UNION ALL SELECT * FROM non)
       |ORDER BY channel""".stripMargin) { (s, d) =>
     EventAnalytics.attribution(Tables.events(s, d))
-      .orderBy("channel")
+      .orderSmall("channel")
   }
 
   /** ev9: inter-event regularity bot screen
@@ -339,7 +340,7 @@ object Events {
       |  CAST(ends - churned AS BIGINT) AS censored,
       |  (churned * 10000) // at_risk AS hazard_bp
       |FROM ar ORDER BY period""".stripMargin) { (s, d) =>
-    EventAnalytics.survivalCurve(Tables.events(s, d)).orderBy("period")
+    EventAnalytics.survivalCurve(Tables.events(s, d)).orderSmall("period")
   }
 
   private val Gr3Iters = 3
@@ -384,7 +385,7 @@ object Events {
   val gr3_hits = QueryDef.sqlChecked("gr3_hits", Gr3Sql) { (s, d) =>
     GraphRank.hitsFixedPoint(
         GraphRank.documentLinkEdges(Tables.documents(s, d)), Gr3Iters)
-      .orderBy("node")
+      .orderSmall("node")
   }
 
   private val Gr4Rounds = 3
@@ -433,7 +434,7 @@ object Events {
   val gr4_label_prop = QueryDef.sqlChecked("gr4_label_prop", Gr4Sql) { (s, d) =>
     GraphRank.labelPropagation(
         GraphRank.documentLinkEdges(Tables.documents(s, d)), Gr4Rounds)
-      .orderBy("node")
+      .orderSmall("node")
   }
 
   /** gr5 mirror: the degree-ordered-orientation triangle count
@@ -481,7 +482,7 @@ object Events {
   val gr5_triangles = QueryDef.sqlChecked("gr5_triangles", Gr5Sql) { (s, d) =>
     GraphRank.triangleStats(
         GraphRank.documentLinkEdges(Tables.documents(s, d)))
-      .orderBy("node")
+      .orderSmall("node")
   }
 
   val all: Seq[QueryDef] =

@@ -32,4 +32,22 @@ object QueryDef {
     QueryDef(name, fn, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Deterministic total order for a CONSTANT-BOUNDED result (top-k /
+    * fixture / fixed-report rows) without a range exchange: coalesce to
+    * one partition (narrow — no shuffle) and sort within it. Produces
+    * the identical row order as `orderBy` at two fewer driver jobs
+    * (orderBy = a range-partitioning exchange plus its sampling pass —
+    * guide §2.4's "orderBy used only to make output deterministic").
+    *
+    * ONLY for outputs bounded independent of corpus size: a
+    * corpus-sized result must keep the scale-correct global sort, so
+    * per-document / per-pair outputs stay on `orderBy`.
+    */
+  implicit final class BoundedSortOps(private val df: DataFrame) extends AnyVal {
+    def orderSmall(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
+    def orderSmall(c: String, cs: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(c, cs: _*)
+  }
 }

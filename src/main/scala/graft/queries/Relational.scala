@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.AsOfJoin
 import graft.functions.TypeStatsAgg
+import graft.queries.QueryDef.BoundedSortOps
 
 /** The declared Layer-B relational surface (SURVEY.md §2.b, FIXTURES.md B.1).
   *
@@ -48,7 +49,7 @@ object Relational {
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .orderSmall("l_returnflag", "l_linestatus")
   }
 
   // ---------------------------------------------------------------- Q2
@@ -103,7 +104,7 @@ object Relational {
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n"))
-      .orderBy("p_brand", "p_type")
+      .orderSmall("p_brand", "p_type")
   }
 
   // ---------------------------------------------------------------- Q4
@@ -123,7 +124,7 @@ object Relational {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(countDistinct("o_orderkey").as("n_orders"), count(lit(1)).as("n_lines"))
-      .orderBy("o_orderpriority")
+      .orderSmall("o_orderpriority")
   }
 
   // ---------------------------------------------------------------- Q5
@@ -164,7 +165,7 @@ object Relational {
         coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
         coalesce(col("n_cust"), lit(0L)).as("n_cust"),
         coalesce(col("n_supp"), lit(0L)).as("n_supp"))
-      .orderBy("nationkey")
+      .orderSmall("nationkey")
   }
 
   // ---------------------------------------------------------------- Q6
@@ -204,7 +205,7 @@ object Relational {
           && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL '90' DAY"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_in_window"))
-      .orderBy("o_orderpriority")
+      .orderSmall("o_orderpriority")
   }
 
   // ---------------------------------------------------------------- Q7b
@@ -221,7 +222,7 @@ object Relational {
         col("n_regionkey") =!= col("r_regionkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_other_regions"))
-      .orderBy("n_name")
+      .orderSmall("n_name")
   }
 
   // ---------------------------------------------------------------- Q8
@@ -286,7 +287,7 @@ object Relational {
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
-      .orderBy("o_orderstatus")
+      .orderSmall("o_orderstatus")
   }
 
   // HLL sketch distinct. DuckDB's sketch differs, so the raw HLL value
@@ -307,7 +308,7 @@ object Relational {
       .select(col("o_orderstatus"), col("n_cust"),
         when(abs(col("approx_cust") - col("n_cust")) <= col("n_cust") * 0.15, 1)
           .otherwise(0).cast("int").as("hll_ok"))
-      .orderBy("o_orderstatus")
+      .orderSmall("o_orderstatus")
   }
 
   // ---------------------------------------------------------------- Q11
@@ -338,7 +339,7 @@ object Relational {
         coalesce(col("n_name"), lit("ALL")).as("n_name"),
         coalesce(col("yr"), lit(-1)).as("yr"),
         col("gid"), col("revenue"), col("n"))
-      .orderBy("gid", "n_name", "yr")
+      .orderSmall("gid", "n_name", "yr")
   }
 
   // ---------------------------------------------------------------- Q11b
@@ -361,7 +362,7 @@ object Relational {
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
         col("gid"), col("sum_qty"), col("n"))
-      .orderBy("gid", "l_returnflag", "l_linestatus")
+      .orderSmall("gid", "l_returnflag", "l_linestatus")
   }
 
   // ---------------------------------------------------------------- Q12
@@ -389,7 +390,7 @@ object Relational {
     rev.withColumn("rnk", dense_rank().over(w).cast("int"))
       .filter(col("rnk") <= 3)
       .select("n_name", "rnk", "c_custkey", "revenue")
-      .orderBy("n_name", "rnk")
+      .orderSmall("n_name", "rnk")
   }
 
   // ---------------------------------------------------------------- Q13
@@ -511,7 +512,7 @@ object Relational {
         round(avg("delay"), 4).as("avg_delay_days"),
         max("delay").cast("int").as("max_delay"),
         round(avg("mdiff"), 4).as("avg_month_lag"))
-      .orderBy("month")
+      .orderSmall("month")
   }
 
   // ---------------------------------------------------------------- Q18
@@ -590,7 +591,7 @@ object Relational {
         sum("k").cast("long").as("sum_k"),
         round(avg("k"), 4).as("avg_k"),
         max("k").cast("int").as("max_k"))
-      .orderBy("event_type")
+      .orderSmall("event_type")
   }
 
   // ---------------------------------------------------------------- Q20
