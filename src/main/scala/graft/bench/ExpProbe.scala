@@ -18,6 +18,7 @@ object ExpProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    implicit val sp: SparkSession = spark
     val jobs = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
@@ -33,34 +34,30 @@ object ExpProbe {
       Thread.sleep(120)
       (dt, jobs.get())
     }
-    // interleaved A/B: alternate variants so JIT/window drift hits both
-    def ab(label: String, mkA: () => DataFrame, mkB: () => DataFrame, n: Int = 4): Unit = {
-      val as = collection.mutable.Buffer[(Double, Int)]()
-      val bs = collection.mutable.Buffer[(Double, Int)]()
-      (1 to n).foreach { _ => as += run1(mkA); bs += run1(mkB) }
-      val (ta, ja) = (as.map(_._1).min, as.map(_._2).max)
-      val (tb, jb) = (bs.map(_._1).min, bs.map(_._2).max)
-      println(f"[exp] $label%-28s A(orderBy) ${ta}%6.3f s/${ja}%3d jobs   B(orderSmall) ${tb}%6.3f s/${jb}%3d jobs   delta ${tb - ta}%+6.3f")
+    def bestOf(label: String, mk: () => DataFrame, n: Int = 3): Unit = {
+      val ts = (1 to n).map(_ => run1(mk))
+      println(f"[exp] $label%-36s min ${ts.map(_._1).min}%6.3f s  jobs ${ts.map(_._2).max}%3d  runs ${ts.map(t => f"${t._1}%.2f").mkString("[", ",", "]")}")
     }
 
-    import graft.operators.{GraphRank, Similarity}
+    import graft.operators.Multimodal
     import graft.sources.Tables
-    import graft.queries.QueryDef.BoundedSortOps
-    def gr5base(s: SparkSession) = GraphRank.triangleStats(
-      GraphRank.documentLinkEdges(Tables.documents(s, sfDir)))
-    ab("gr5_triangles",
-      () => gr5base(spark).orderBy("node"),
-      () => gr5base(spark).orderSmall("node"))
-    def emb2base(s: SparkSession) = {
-      val emb = Tables.embeddings(s, sfDir)
-      Similarity.annRecall(
-        Similarity.bruteForceTopK(emb, queryIds = graft.queries.DataPipeline.AnnQueryIds),
-        graft.operators.IvfSearch.ivfTopK(emb, queryIds = graft.queries.DataPipeline.AnnQueryIds),
-        k = 10)
+    def docs(k: Int): DataFrame = {
+      val d = Tables.documents(spark, sfDir)
+      if (k <= 1) d else d.repartition(k)
     }
-    ab("emb2_ann_recall",
-      () => emb2base(spark).orderBy("qid"),
-      () => emb2base(spark).orderSmall("qid"))
+    Seq(1, 4, 8).foreach { k =>
+      bestOf(s"mm_audio decode par=$k", () =>
+        Multimodal.decodeAudio(Multimodal.syntheticAudio(docs(k))).toDF().orderBy("doc_id"))
+    }
+    Seq(1, 4, 8).foreach { k =>
+      bestOf(s"mm_audio_pairs par=$k", () =>
+        Multimodal.audioEnvelopePairs(
+          Multimodal.syntheticPatternAudio(docs(k))).orderBy("da", "db"))
+    }
+    Seq(1, 4, 8).foreach { k =>
+      bestOf(s"mm_dhash_pairs par=$k", () =>
+        Multimodal.dhashPairs(Multimodal.syntheticPatternImages(docs(k))).orderBy("da", "db"))
+    }
     spark.stop()
   }
 }

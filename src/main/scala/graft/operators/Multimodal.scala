@@ -112,9 +112,27 @@ object Multimodal {
     * executor-side; with real data this table is
     * `spark.read.format("binaryFile")` over an image corpus.
     */
+  /** Spread an image-id frame to a SMALL bounded parallelism before the
+    * ImageIO encode/decode mapPartitions. Measured (round 19): the
+    * javax.imageio registry serializes enough of ImageIO.read/write
+    * that 32 concurrent decode tasks in one JVM run SLOWER than one
+    * (1.15 -> 1.69 s on mm_dhash_pairs), while 4-8 tasks win
+    * (1.18 -> 0.78 s); past 8 there is no further gain. The cap is a
+    * per-JVM codec-registry property, not a cluster-size tune — each
+    * executor JVM on a real cluster gets the same ceiling, and the cap
+    * only ever RAISES the partition count of a tiny-id frame (a real
+    * binaryFile scan with many splits passes through untouched).
+    * Audio stays on its source partitioning: javax.sound contends so
+    * hard that even 4 concurrent tasks lose to one (1.31 -> 2.43 s).
+    */
+  private def spreadImages(ids: DataFrame): DataFrame = {
+    val par = math.min(8, ids.sparkSession.sparkContext.defaultParallelism)
+    if (ids.queryExecution.toRdd.getNumPartitions < par) ids.repartition(par) else ids
+  }
+
   def syntheticImages(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+    spreadImages(documents.select(col("doc_id").cast("long"))).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       ids.map { id =>
         val w = (4 + id % 5).toInt
@@ -267,7 +285,7 @@ object Multimodal {
       poolMod: Long = 23L,
       poolEvery: Long = 7L)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+    spreadImages(documents.select(col("doc_id").cast("long"))).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
         val k = if (id % poolEvery == 0) (id / poolEvery) % poolMod else poolMod + id
