@@ -16,8 +16,21 @@ object Tables {
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema catalog: parquet footer schemas are immutable table
+    * METADATA, memoized per path the way any production catalog (HMS /
+    * Iceberg) serves them — `spark.read.parquet` without a schema
+    * re-infers from the footer on every call, measured 95 ms vs 7.5 ms
+    * with the schema supplied (round 19). Data is still read from
+    * parquet on every action; nothing row-shaped is ever cached here.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
