@@ -714,25 +714,35 @@ object Relational {
       |FROM orders
       |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import s.implicits._
     val par = s.sparkContext.defaultParallelism
+    // persisted: counts and the final join both read the ranked frame —
+    // un-persisted, the range exchange + partition-local rank window
+    // re-ran once per consumer (the r19 plan scanned orders 4x)
     val ranked = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
       .repartitionByRange(par, col("o_totalprice"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lr", row_number().over(
         Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")))
-    val counts = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-    val total = counts.agg(sum("cnt").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition counts are PAR-bounded: one collect, then the
+    // cumulative offsets ship back as a broadcast local relation and
+    // the total as a literal (stats-as-literals — replaces a triangle
+    // self-join + two aggregate subtrees over recomputed ranked)
+    val cnts = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(row => (row.getInt(0), row.getLong(1))).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    val offRows = cnts.scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, c)) =>
+      (pid, acc + c, acc)
+    }.drop(1).map { case (pid, _, off) => (pid, off) }
+    val offsets = offRows.toSeq.toDF("pid", "off")
     val buckets = 4
     val r = col("lr") + col("off")
-    val q = floor(col("n") / buckets) // per-bucket floor size
-    val rem = col("n") % buckets      // first `rem` buckets get q+1 rows
+    val q = lit(n / buckets)  // per-bucket floor size
+    val rem = lit(n % buckets) // first `rem` buckets get q+1 rows
     ranked
       .join(broadcast(offsets), "pid")
-      .crossJoin(broadcast(total))
+      .withColumn("n", lit(n))
       .select(
         col("o_orderkey"),
         when(r <= rem * (q + 1), floor((r - 1) / (q + 1)) + 1)

@@ -733,11 +733,14 @@ class PlanSpec extends SparkSpec {
   /** Logical-plan windows: the physical WindowExec hides behind
     * AdaptiveSparkPlanExec/QueryStageExec boundaries (TreeNode.collect
     * does not traverse them, so a physical collect is silently EMPTY
-    * under AQE and `forall` passes vacuously); the optimized logical
-    * plan has no such wrapping.
+    * under AQE and `forall` passes vacuously). The ANALYZED plan is the
+    * right level twice over: no AQE wrapping, and persisted mid-query
+    * frames are still their full subtrees (the optimized plan swaps a
+    * cache hit for an InMemoryRelation LEAF, hiding the window the
+    * author wrote — the r19 q12b persist exposed this).
     */
   private def logicalWindows(q: String) =
-    SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
+    SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
 
