@@ -116,7 +116,9 @@ object Dsir {
           math.log((nt + alpha) / (tt + alpha * d)) -
             math.log((nq + alpha) / (tq + alpha * d))))
     }.toSeq
-    val lamDf = spark.sparkContext.parallelize(lam).toDF("bucket", "lambda")
+    // local Seq -> LocalRelation: plan-only, broadcast straight off the
+    // driver (parallelize built an RDD whose scan cost one job per action)
+    val lamDf = lam.toDF("bucket", "lambda")
     // round6-then-round4: the k*lambda TERMS are identical doubles in
     // every engine (lambda is round6, k integer) but the SUM's fold
     // order is not — the 6-dp pre-round absorbs that ulp drift before

@@ -2060,9 +2060,9 @@ object TextAnalysis {
         w = Array.tabulate(d)(b => round6(w(b) - lr * round6(gArr(b) / nDocs)))
         it += 1
       }
-      spark.sparkContext.parallelize(
-          w.zipWithIndex.collect { case (v, b) if v != 0.0 => (b.toLong, v) }.toSeq)
-        .toDF("bucket", "weight")
+      // LocalRelation, not parallelize: plan-only weights table
+      w.zipWithIndex.collect { case (v, b) if v != 0.0 => (b.toLong, v) }
+        .toSeq.toDF("bucket", "weight")
     } finally { inc.unpersist(); () }
   }
 
@@ -2158,9 +2158,9 @@ object TextAnalysis {
       }
       it += 1
     }
-    spark.sparkContext.parallelize(
-        w.zipWithIndex.collect { case (v, b) if v != 0.0 => (b.toLong, v) }.toSeq)
-      .toDF("bucket", "weight")
+    // LocalRelation, not parallelize: plan-only weights table
+    w.zipWithIndex.collect { case (v, b) if v != 0.0 => (b.toLong, v) }
+      .toSeq.toDF("bucket", "weight")
   }
 
   /** Character-level statistics screen — the cheap "is this text or
