@@ -5,50 +5,34 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only scratch A/B probe for optimization experiments. */
 object ExpProbe {
   def main(args: Array[String]): Unit = {
-    def mkSession(aqe: Boolean, parts: Int): SparkSession = {
-      val b = SparkSession.builder()
-        .appName(s"exp-aqe$aqe-p$parts").master("local[32]")
-        .config("spark.sql.shuffle.partitions", parts.toString)
-        .config("spark.sql.adaptive.enabled", aqe.toString)
-        .config("spark.ui.enabled", "false")
-      b.getOrCreate()
-    }
-    var spark = mkSession(aqe = true, 32)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val pf = sys.env.getOrElse("EXP_PF", "true") // parallelismFirst
+    val spark = SparkSession.builder()
+      .appName("exp-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", pf)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def bench(label: String)(f: => Unit): Unit = {
-      (1 to 3).foreach(_ => f) // warm
-      val t0 = System.nanoTime()
-      (1 to 20).foreach(_ => f)
-      println(f"[exp] $label: ${(System.nanoTime() - t0) / 1e9 / 20 * 1000}%.1f ms/op")
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val names = Seq("ir1_bm25_topk", "dd16_containment", "txt_tfidf", "dc6_mink_prob",
+      "q1_agg", "dd2_minhash_lsh", "cl1_kmeans", "txt_ppl4_kn", "pipe3_curation_report",
+      "tok4_unigram", "dd3_ngram_jaccard", "ev1_sessionize")
+    var tot = 0.0
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      val ts = (1 to 4).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      tot += ts.min
+      println(f"[exp] pf=$pf $n%-26s min ${ts.min}%6.3f  runs ${ts.map(t => f"$t%.2f").mkString("[", ",", "]")}")
     }
-    bench("AQE on  p32 groupBy job") {
-      spark.range(1000).selectExpr("id % 7 as k").groupBy("k").count()
-        .write.format("noop").mode("overwrite").save()
-    }
-    bench("AQE on  p32 2-shuffle job") {
-      spark.range(1000).selectExpr("id % 7 as k").groupBy("k").count()
-        .selectExpr("count % 3 as j", "count").groupBy("j").count()
-        .write.format("noop").mode("overwrite").save()
-    }
-    spark.stop()
-    spark = mkSession(aqe = false, 32)
-    spark.sparkContext.setLogLevel("ERROR")
-    bench("AQE off p32 groupBy job") {
-      spark.range(1000).selectExpr("id % 7 as k").groupBy("k").count()
-        .write.format("noop").mode("overwrite").save()
-    }
-    bench("AQE off p32 2-shuffle job") {
-      spark.range(1000).selectExpr("id % 7 as k").groupBy("k").count()
-        .selectExpr("count % 3 as j", "count").groupBy("j").count()
-        .write.format("noop").mode("overwrite").save()
-    }
-    spark.stop()
-    spark = mkSession(aqe = true, 8)
-    spark.sparkContext.setLogLevel("ERROR")
-    bench("AQE on  p8  groupBy job") {
-      spark.range(1000).selectExpr("id % 7 as k").groupBy("k").count()
-        .write.format("noop").mode("overwrite").save()
-    }
+    println(f"[exp] pf=$pf TOTAL(min) $tot%.2f s")
     spark.stop()
   }
 }
