@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the bench's stdout line; sbt's default
+// LoggedOutput prefixes every forked-run line with "[info] ", which
+// broke that parse in every round through r19. StdoutOutput passes the
+// child's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

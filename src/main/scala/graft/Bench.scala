@@ -514,6 +514,25 @@ object Bench {
         s""""floor_total":${r3(floorTotal)},""" +
         s""""detail":"$outPath","sf":"$sfDir"}"""
     println(headline)
+    // r20 driver-contract restoration (r19 verdict #2): the machine
+    // line with the COMPLETE per-query map, printed as the very last
+    // stdout line (after spark.stop(), so no shutdown logging can land
+    // beyond it) and with no sbt [info] prefix (run/outputStrategy :=
+    // StdoutOutput in build.sbt — the prefix broke json-parsing of
+    // every bench line back through r14). Same timings, same
+    // methodology, same fields as the headline; only the queries map is
+    // complete instead of top-12. The full forensic artifact (medians,
+    // raw runs, probes, paired oracle) still goes to the out file.
+    val machineLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":${jmap(results.map(r => r.name -> r3(r.tMin)))},""" +
+        s""""n_queries":${results.length},""" +
+        headlinePaired +
+        s""""retry_adjusted_total":${r3(retryAdjTotal)},""" +
+        s""""contended_excluded_total":${r3(cleanTotal)},""" +
+        s""""contended_excluded_n":${flagged.length},""" +
+        s""""floor_total":${r3(floorTotal)},""" +
+        s""""detail":"$outPath","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -552,5 +571,7 @@ object Bench {
         (if (only.nonEmpty) " (merged over existing: focused subset)" else ""))
     }
     spark.stop()
+    println(machineLine)
+    System.out.flush()
   }
 }

@@ -126,8 +126,22 @@ object Multimodal {
     * hard that even 4 concurrent tasks lose to one (1.31 -> 2.43 s).
     */
   private def spreadImages(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val par = math.min(8, ids.sparkSession.sparkContext.defaultParallelism)
-    if (ids.queryExecution.toRdd.getNumPartitions < par) ids.repartition(par) else ids
+    // Partition-count probe via toRdd is only safe on a plan that can
+    // never contain an exchange: under AQE, toRdd on a shuffling plan
+    // materializes query stages (runs jobs) at plan-construction time
+    // (ADVICE r19). Every current caller passes a narrow id scan; if a
+    // shuffled frame ever arrives, skip the probe and spread
+    // unconditionally — one par-bounded exchange, no eager execution.
+    val mayShuffle = ids.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Sort | _: Window | _: Distinct => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+    if (mayShuffle) ids.repartition(par)
+    else if (ids.queryExecution.toRdd.getNumPartitions < par) ids.repartition(par)
+    else ids
   }
 
   def syntheticImages(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {

@@ -1817,13 +1817,18 @@ object DataPipeline {
        |FROM hit JOIN sz USING (eval_id) ORDER BY eval_id""".stripMargin
   }
 
+  // Final sort is the global orderBy: the report is one row per eval
+  // doc — eval here is a 3% slice of the corpus, so the output grows
+  // with corpus size and must not funnel through a single-task
+  // coalesce(1) sort (ADVICE r19; orderSmall is for outputs bounded
+  // independent of corpus size only).
   val dc3_eval_leak_report = QueryDef.sqlChecked(
     "dc3_eval_leak_report", LeakReportSql) { (s, d) =>
     val docs = Tables.documents(s, d)
     Decontamination.evalLeakReport(
       train = docs.filter(pmod(col("doc_id"), lit(100)) >= 3),
       evalDocs = docs.filter(pmod(col("doc_id"), lit(100)) < 3))
-      .orderSmall("eval_id")
+      .orderBy("eval_id")
   }
 
   /** PII redaction over documents with deterministic in-query pattern
@@ -4697,6 +4702,10 @@ object DataPipeline {
        |top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 200)
        |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin
 
+  // orderSmall is legal here (unlike gr2/dc3): importanceResample ends
+  // in a TakeOrderedAndProject bounded at topN=200 rows independent of
+  // corpus size (PlanSpec pins the TakeOrdered), so the coalesce(1)
+  // sorts ≤200 rows behind that bound.
   val ds1_dsir = QueryDef.sqlChecked("ds1_dsir", Ds1Sql) { (s, d) =>
     Dsir.importanceResample(Tables.documents(s, d), isTarget = col("lang") === "en")
       .orderSmall("doc_id")

@@ -208,11 +208,18 @@ object Events {
 
   /** PageRank authority share → per-source keep threshold → mix32
     * per-doc decision ([[GraphRank.authoritySample]]).
+    *
+    * Final sort stays the global `orderBy`: the output is a SAMPLE OF
+    * DOCUMENTS (≈ |D|/#sources rows — corpus-proportional), and the
+    * sampling decision is a narrow filter over the documents scan, so
+    * an `orderSmall` here puts Coalesce(1) directly over the scan and
+    * serializes the whole corpus pass into one task (the r19 verdict's
+    * scale regression; PlanSpec's coalesce-over-scan sweep pins it).
     */
   val gr2_authority_sample = QueryDef.sqlChecked("gr2_authority_sample", Gr2Sql) {
     (s, d) =>
       GraphRank.authoritySample(Tables.documents(s, d), Gr1Iters)
-        .orderSmall("doc_id")
+        .orderBy("doc_id")
   }
 
   /** First-order user-journey Markov matrix

@@ -22,13 +22,26 @@ object Tables {
     * re-infers from the footer on every call, measured 95 ms vs 7.5 ms
     * with the schema supplied (round 19). Data is still read from
     * parquet on every action; nothing row-shaped is ever cached here.
+    *
+    * The memo key carries the file's (mtime, length) fingerprint
+    * (ADVICE r19): a path regenerated with a different schema in the
+    * same JVM (fixture rebuild, testdata refresh) re-infers instead of
+    * silently serving the stale StructType. The stat is a local
+    * filesystem call, microseconds against the 95 ms it replaces; a
+    * multi-file parquet DIRECTORY fingerprints as the directory's own
+    * (mtime, length), which any rewrite bumps.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val key = try {
+      val p = java.nio.file.Paths.get(path)
+      (path, java.nio.file.Files.getLastModifiedTime(p).toMillis,
+        java.nio.file.Files.size(p))
+    } catch { case _: Exception => (path, -1L, -1L) }
+    val sch = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }
 

@@ -1292,4 +1292,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
     assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
   }
+
+  /** Round-20 guard-rail (the r19 gr2 regression): no declared query may
+    * plan a Coalesce(1) whose subtree reaches a file scan through a
+    * narrow chain — that serializes the ENTIRE corpus scan (and every
+    * narrow operator on it, including the streamed side of broadcast
+    * joins) into ONE task at scale. Legal shapes keep a bound between
+    * the scan and the coalesce: a shuffle exchange (the coalesce then
+    * collapses only the post-shuffle frame, which orderSmall's contract
+    * says is bounded), or a limit/TakeOrdered (row-bounded by
+    * construction). BroadcastExchange bounds its OWN branch (broadcast
+    * relations are capped), so the build side is safe; the streamed
+    * side keeps descending. Swept over every declared query with AQE
+    * off so exchanges are visible in the plain physical plan.
+    */
+  test("sweep: no query plans Coalesce(1) reaching a file scan without a bound") {
+    import org.apache.spark.sql.execution._
+    spark.catalog.clearCache()
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def narrowScan(p: SparkPlan): Boolean = p match {
+        case _: exchange.ShuffleExchangeExec => false
+        case _: exchange.BroadcastExchangeExec => false
+        case _: TakeOrderedAndProjectExec => false
+        case _: GlobalLimitExec => false
+        case _: CollectLimitExec => false
+        case _: FileSourceScanExec => true
+        case _: datasources.v2.BatchScanExec => true // any v2 file scan
+        case other => other.children.exists(narrowScan)
+      }
+      val offenders = SparkEntry.allQueries.flatMap { q =>
+        val plan = q.fn(spark, sf).queryExecution.executedPlan
+        val bad = plan.collect {
+          case c: CoalesceExec if c.numPartitions == 1 && narrowScan(c.child) => c
+        }
+        if (bad.nonEmpty) Some(q.name) else None
+      }
+      assert(offenders.isEmpty,
+        s"Coalesce(1) reaches a file scan narrowly in: ${offenders.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
