@@ -111,8 +111,30 @@ object PqSearch {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // init: the k smallest ids' subvectors, per subspace (k rows to the
-    // driver — never the corpus); the same collect yields the dimension
-    val seeds = e.orderBy("vec_id").limit(k).collect().map(_._2)
+    // driver — never the corpus); the same collect yields the dimension.
+    // ONE fixture job replaces the r19 pair (TakeOrdered seeds job +
+    // qRows filter-collect job): each partition emits its k smallest-id
+    // rows (a superset of the global k smallest) plus its queryId
+    // matches — partitions × (k + |queryIds|) rows to the driver, no
+    // exchange. The union-limit merge was rejected in r19 on plan
+    // grounds (limit(orderBy) inside a union loses TakeOrderedAndProject
+    // and plans a global sort); this partition-local form keeps both
+    // originals' bounded-rows-to-driver property with zero plan cost.
+    val qSet = queryIds.toSet
+    val kk = k
+    val fixture = e.mapPartitions { it =>
+      val heap = new scala.collection.mutable.PriorityQueue[(Long, Array[Double])]()(
+        Ordering.by(_._1))
+      val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      it.foreach { r =>
+        if (qSet.contains(r._1)) qs += r
+        heap.enqueue(r)
+        if (heap.size > kk) { heap.dequeue(); () }
+      }
+      (heap.iterator ++ qs.iterator).toMap.iterator // dedupe by id
+    }.collect()
+    val fixtureRows = fixture.toSeq.distinctBy(_._1)
+    val seeds = fixtureRows.sortBy(_._1).take(kk).map(_._2).toArray
     val dim = seeds.head.length
     require(dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
     val subDim = dim / m
@@ -158,9 +180,9 @@ object PqSearch {
     }
 
     // query fixture vectors (bounded by |queryIds|) -> per-query ADC
-    // distance tables: micro-long d(q_sub, codebook[sub][code])
-    val qRows = e.filter(col("vec_id").isin(queryIds: _*)).collect()
-      .sortBy(_._1)
+    // distance tables: micro-long d(q_sub, codebook[sub][code]);
+    // already on the driver from the merged fixture job above
+    val qRows = fixtureRows.filter(r => qSet.contains(r._1)).sortBy(_._1).toArray
     val finalBooks = books
     val tables: Array[(Long, Array[Array[Long]])] = qRows.map { case (qid, qv) =>
       val t = Array.tabulate(m) { sub =>

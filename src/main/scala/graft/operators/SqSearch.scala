@@ -62,21 +62,58 @@ object SqSearch {
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // train: per-dimension min/max — map-side partials collapse the
-    // exchange to partitions × dim rows; 2×dim doubles to the driver
-    val stats = e.flatMap { case (_, v) =>
-        v.iterator.zipWithIndex.map { case (x, j) => (j, x) }
+    // train: per-dimension min/max, merged on the driver from
+    // partition-local partials — min/max partial merge is exactly what
+    // the former groupBy(j) exchange computed, but dimension-bounded
+    // stats need no exchange at all: each partition ships 2×dim doubles
+    // plus its query-fixture matches, so ONE job replaces the r19 pair
+    // (stats agg job + qRows filter-collect job) and the stats exchange
+    // disappears (guide §2.3/§2.4: aggregate before you shuffle, taken
+    // to the degenerate case where nothing needs to shuffle).
+    val qSet = queryIds.toSet
+    val partials = e.mapPartitions { it =>
+      var mn: Array[Double] = null
+      var mx: Array[Double] = null
+      val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      it.foreach { case (id, v) =>
+        if (qSet.contains(id)) qs += ((id, v))
+        if (mn == null) { mn = v.clone(); mx = v.clone() }
+        else {
+          if (v.length > mn.length) { // ragged guard: grow, new dims seed from v
+            val oldLen = mn.length
+            mn = java.util.Arrays.copyOf(mn, v.length)
+            mx = java.util.Arrays.copyOf(mx, v.length)
+            var j = oldLen
+            while (j < v.length) { mn(j) = v(j); mx(j) = v(j); j += 1 }
+          }
+          var j = 0
+          while (j < v.length) {
+            if (v(j) < mn(j)) mn(j) = v(j)
+            if (v(j) > mx(j)) mx(j) = v(j)
+            j += 1
+          }
+        }
       }
-      .toDF("j", "x").groupBy("j")
-      .agg(min("x").as("mn"), max("x").as("mx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val mns = stats.map(_._2)
-    val mxs = stats.map(_._3)
+      if (mn == null && qs.isEmpty) Iterator.empty
+      else Iterator((mn, mx, qs.toArray))
+    }.collect()
+    require(partials.exists(_._1 != null), "sq8TopK: corpus has no vectors")
+    val dim = partials.iterator.filter(_._1 != null).map(_._1.length).max
+    val mns = Array.fill(dim)(Double.MaxValue)
+    val mxs = Array.fill(dim)(Double.MinValue)
+    partials.foreach { case (mn, mx, _) =>
+      if (mn != null) {
+        var j = 0
+        while (j < mn.length) {
+          if (mn(j) < mns(j)) mns(j) = mn(j)
+          if (mx(j) > mxs(j)) mxs(j) = mx(j)
+          j += 1
+        }
+      }
+    }
 
     // query fixture vectors (bounded by |queryIds|, the ANN convention)
-    val qRows = e.filter(col("vec_id").isin(queryIds: _*)).collect()
-      .sortBy(_._1)
+    val qRows = partials.flatMap(_._3).distinctBy(_._1).sortBy(_._1)
     val bcQ = spark.sparkContext.broadcast(qRows)
     val bcMn = spark.sparkContext.broadcast(mns)
     val bcMx = spark.sparkContext.broadcast(mxs)
@@ -161,23 +198,57 @@ object SqSearch {
     val sample = IvfSearch.collectFitSample(e, fitSampleMod, fitMaxRows)
     val centroids = IvfSearch.fitCentroidsOnSample(sample, nClusters, lloydIter)
     val bcCs = spark.sparkContext.broadcast(centroids)
-    // residual per-dim min/max over the FULL corpus — exact stats, one
-    // narrow pass with map-side partial min/max (the fitSqModel rule)
-    val stats = e.flatMap { case (_, v) =>
-        val cs = bcCs.value
+    // residual per-dim min/max over the FULL corpus, merged on the
+    // driver from partition-local partials — the sq8TopK merge: ONE
+    // job replaces the r19 pair (residual-stats agg + qRows filter
+    // collect) and the stats exchange disappears; each partition ships
+    // 2×dim doubles plus its query-fixture matches.
+    val qSet = queryIds.toSet
+    val partials = e.mapPartitions { it =>
+      val cs = bcCs.value
+      var mn: Array[Double] = null
+      var mx: Array[Double] = null
+      val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      it.foreach { case (id, v) =>
+        if (qSet.contains(id)) qs += ((id, v))
         val r = PqSearch.residual(v, cs(IvfSearch.nearestCell(v, cs)))
-        r.iterator.zipWithIndex.map { case (x, j) => (j, x) }
+        if (mn == null) { mn = r.clone(); mx = r.clone() }
+        else {
+          if (r.length > mn.length) { // ragged guard: grow, new dims seed from r
+            val oldLen = mn.length
+            mn = java.util.Arrays.copyOf(mn, r.length)
+            mx = java.util.Arrays.copyOf(mx, r.length)
+            var j = oldLen
+            while (j < r.length) { mn(j) = r(j); mx(j) = r(j); j += 1 }
+          }
+          var j = 0
+          while (j < r.length) {
+            if (r(j) < mn(j)) mn(j) = r(j)
+            if (r(j) > mx(j)) mx(j) = r(j)
+            j += 1
+          }
+        }
       }
-      .toDF("j", "x").groupBy("j")
-      .agg(min("x").as("mn"), max("x").as("mx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val mns = stats.map(_._2)
-    val mxs = stats.map(_._3)
+      if (mn == null && qs.isEmpty) Iterator.empty
+      else Iterator((mn, mx, qs.toArray))
+    }.collect()
+    require(partials.exists(_._1 != null), "ivfSqTopK: corpus has no vectors")
+    val dim = partials.iterator.filter(_._1 != null).map(_._1.length).max
+    val mns = Array.fill(dim)(Double.MaxValue)
+    val mxs = Array.fill(dim)(Double.MinValue)
+    partials.foreach { case (mn, mx, _) =>
+      if (mn != null) {
+        var j = 0
+        while (j < mn.length) {
+          if (mn(j) < mns(j)) mns(j) = mn(j)
+          if (mx(j) > mxs(j)) mxs(j) = mx(j)
+          j += 1
+        }
+      }
+    }
     // bounded query panel: per probed cell, the query's RESIDUAL
     // against that cell's centroid (FAISS residual-ADC convention)
-    val qRows = e.filter(col("id").isin(queryIds: _*)).collect()
-      .sortBy(_._1)
+    val qRows = partials.flatMap(_._3).distinctBy(_._1).sortBy(_._1)
     val probe: Map[Int, Array[(Long, Array[Double])]] = qRows
       .flatMap { case (qid, qv) =>
         IvfSearch.probeCellsOf(qv, centroids, nProbe)
@@ -269,10 +340,13 @@ object SqSearch {
     } finally in.close()
   }
 
-  /** Train the quantizer: ONE narrow pass — the (dim, x) explode
-    * collapses map-side to partitions × dim partial min/max rows and
-    * only 2×dim doubles reach the driver. No sampling, no iteration:
-    * exact stats, replayable by a single SQL aggregate.
+  /** Train the quantizer: ONE narrow pass with partition-local partial
+    * min/max merged on the driver — 2×dim doubles per partition, no
+    * exchange at all (r20: the former (dim, x) explode + groupBy(j)
+    * form paid a stats-exchange stage job for the same selection-only
+    * arithmetic; min/max partial merge is order-free so the results
+    * are bit-identical). No sampling, no iteration: exact stats,
+    * replayable by a single SQL aggregate.
     */
   def fitSqModel(
       corpus: DataFrame,
@@ -280,15 +354,43 @@ object SqSearch {
       vecCol: String = "embedding"): SqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val stats = PqSearch.project(corpus, idCol, vecCol)
-      .flatMap { case (_, v) =>
-        v.iterator.zipWithIndex.map { case (x, j) => (j, x) }
+    val partials = PqSearch.project(corpus, idCol, vecCol)
+      .mapPartitions { it =>
+        var mn: Array[Double] = null
+        var mx: Array[Double] = null
+        it.foreach { case (_, v) =>
+          if (mn == null) { mn = v.clone(); mx = v.clone() }
+          else {
+            if (v.length > mn.length) { // ragged guard: grow, new dims seed from v
+              val oldLen = mn.length
+              mn = java.util.Arrays.copyOf(mn, v.length)
+              mx = java.util.Arrays.copyOf(mx, v.length)
+              var j = oldLen
+              while (j < v.length) { mn(j) = v(j); mx(j) = v(j); j += 1 }
+            }
+            var j = 0
+            while (j < v.length) {
+              if (v(j) < mn(j)) mn(j) = v(j)
+              if (v(j) > mx(j)) mx(j) = v(j)
+              j += 1
+            }
+          }
+        }
+        if (mn == null) Iterator.empty else Iterator((mn, mx))
+      }.collect()
+    require(partials.nonEmpty, "fitSqModel: corpus has no vectors")
+    val dim = partials.iterator.map(_._1.length).max
+    val mns = Array.fill(dim)(Double.MaxValue)
+    val mxs = Array.fill(dim)(Double.MinValue)
+    partials.foreach { case (mn, mx) =>
+      var j = 0
+      while (j < mn.length) {
+        if (mn(j) < mns(j)) mns(j) = mn(j)
+        if (mx(j) > mxs(j)) mxs(j) = mx(j)
+        j += 1
       }
-      .toDF("j", "x").groupBy("j")
-      .agg(min("x").as("mn"), max("x").as("mx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    SqModel(stats.map(_._2), stats.map(_._3))
+    }
+    SqModel(mns, mxs)
   }
 
   /** Encode a corpus against a fitted quantizer: ONE narrow pass
