@@ -686,8 +686,16 @@ object Decontamination {
     // rule): the broadcast set and the semi-join probe move 8 bytes
     // per gram instead of ~100-byte 13-token strings; a cross-corpus
     // collision would add a false hit at ~|eval grams|·|train grams|
-    // / 2⁶⁴ — the accepted signature-family bound
-    val eg = grams(evalDocs).select(xxhash64(col("s")).as("h")).distinct()
+    // / 2⁶⁴ — the accepted signature-family bound.
+    // No .distinct() on the build side (r20): a LeftSemi hit is
+    // membership, and the broadcast hash relation dedupes its keys at
+    // build time anyway — the explicit distinct planned a full exchange
+    // + two aggregates over the eval grams for rows the join treats
+    // identically. The train side stays exchange-free up to the
+    // hits-only (leak-sized) window shuffle: the broadcast semi-join IS
+    // the guide-§3.2 prefilter, with zero false positives, so a Bloom
+    // in front of it would only add an eval pass.
+    val eg = grams(evalDocs).select(xxhash64(col("s")).as("h"))
     val hits = grams(train)
       .select(col("doc_id"), col("i"), xxhash64(col("s")).as("h"))
       .join(broadcast(eg), Seq("h"), "left_semi")

@@ -229,8 +229,11 @@ object Dedup {
         col("c.band") === col("b.band") &&
           col("c.band_hash") === col("b.band_hash"))
       .select(col("c.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    // no .distinct() on the semi-join build side (r20): LeftSemi is
+    // membership and the hash relation dedupes keys at build time — the
+    // explicit distinct planned an extra candidate-keyed exchange
     val candCorpus = released.join(
-      cand.select(col("da").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      cand.select(col("da").as(idCol)), Seq(idCol), "left_semi")
     val csh = signatures(candCorpus, idCol, textCol, numHashes, bands)
       .select(col("doc_id").as("da"), col("sh").as("sha"))
     val bsh = bsig.select(col("doc_id").as("db"), col("sh").as("shb"))
