@@ -275,19 +275,37 @@ object Dedup {
     // of the other 31 bands, so recall degrades only for docs that are
     // near-dup along EVERY band with >cap companions — exactly the
     // boilerplate mass-dup case where exact dedup (dd1) is the right tool.
-    val banded = capDocFreq(
-      sigs.select(col("doc_id"), posexplode(col("band_hashes")))
-        .toDF("doc_id", "band", "band_hash"),
-      Seq("band", "band_hash"), maxBucket, Some(MinhashOccupancyMetric))
-    // alias AFTER the join so both sides canonicalize to the SAME
-    // exchange and Spark's ReuseExchange computes the signature stage
-    // once (pre-exchange aliases would make the subtrees distinct)
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
+    //
+    // r20: candidates come from ONE (band, band_hash) exchange — the
+    // keyedSetJaccard/lshNearDupPairs grouped form. The old shape paid
+    // the capDocFreq count aggregation + broadcast anti-join AND a
+    // banded self-join whose two sides relied on ReuseExchange (which
+    // AQE does not reliably fire across join branches — the r19 dd16
+    // forensic); here the size-bounded collect ([[graft.functions
+    // .BoundedDocsAgg]], buffers capped at cap+1 ids) IS the cap, the
+    // occupancy observe rides the same aggregation, and each surviving
+    // bucket emits its intra-bucket pairs with a double explode —
+    // per-bucket fan-out identically cap²-bounded, no second shuffle.
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(
+      graft.functions.BoundedDocsAgg.keepFor(maxBucket)))
+    val candidates = sigs
+      .select(col("doc_id"), posexplode(col("band_hashes")))
+      .toDF("doc_id", "band", "band_hash")
+      .groupBy("band", "band_hash")
+      .agg(collectCapped(col("doc_id")).as("ids"))
+      .observe(MinhashOccupancyMetric,
+        count(lit(1)).as("n_buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(size(col("ids")) <= maxBucket &&
+            size(col("ids")).cast("long") * 10L >= lit(maxBucket.toLong * 9L),
+            1L).otherwise(0L))
+          .as("n_near_cap"))
+      .filter(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
+      .select(col("ids"), explode(col("ids")).as("da"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
 
     val sa = sigs.select(col("doc_id").as("da"), col("sh").as("sha"))
     val sb = sigs.select(col("doc_id").as("db"), col("sh").as("shb"))
@@ -1381,16 +1399,21 @@ object Dedup {
       }
       .toDF("doc_id", "sh", "sig", "band_hashes")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = capDocFreq(
-      sigs.select(col("doc_id"), posexplode(col("band_hashes")))
-        .toDF("doc_id", "band", "band_hash"),
-      Seq("band", "band_hash"), maxBucket)
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
+    // one (band, band_hash) exchange, size-bounded collect, intra-bucket
+    // pair explode — the minhashLsh r20 candidate form (no capDocFreq
+    // anti-join, no banded self-join)
+    val collectCapped = udaf(new graft.functions.BoundedDocsAgg(
+      graft.functions.BoundedDocsAgg.keepFor(maxBucket)))
+    val candidates = sigs
+      .select(col("doc_id"), posexplode(col("band_hashes")))
+      .toDF("doc_id", "band", "band_hash")
+      .groupBy("band", "band_hash")
+      .agg(collectCapped(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
+      .select(col("ids"), explode(col("ids")).as("da"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
     val sa = sigs.select(col("doc_id").as("da"), col("sh").as("sha"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("db"), col("sh").as("shb"), col("sig").as("sigb"))
     val pair = candidates.join(sa, "da").join(sb, "db")

@@ -124,14 +124,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dd2: band join is an equi-join keyed on the band hash") {
-    // strategy may legitimately flip between shuffle and broadcast with
-    // input size (AQE does this at runtime); what must hold at ANY size
-    // is the equi-join on (band, band_hash) — never a theta/cross join
+  test("dd2: candidates ride ONE band-keyed aggregation, not a banded self-join") {
+    // r20 shape: the (band, band_hash) frame groups once under the
+    // size-bounded collect and each surviving bucket explodes its own
+    // pairs — so the band hash must appear in EXACTLY ONE exchange (the
+    // old self-join form planned the banded subtree per side whenever
+    // exchange reuse failed to fire, the r19 dd16 forensic). The verify
+    // joins on (da/db) stay keyed equi-joins — never theta/cross.
     val p = plan("dd2_minhash_lsh")
     assert(p.contains("band_hash"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
+    val bandEx = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(band") && l.contains("band_hash"))
+    assert(bandEx <= 1, s"banded subtree exchanged $bandEx times:\n$p")
   }
 
   test("dc1: eval shingle set broadcasts (map-side hit join), no cartesian") {
