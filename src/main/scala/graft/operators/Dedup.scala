@@ -869,13 +869,20 @@ object Dedup {
       .unionByName(pairsC.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the count materializes the persisted edge frame — the work the
-    // loop's init aggregation would spend anyway — so routing costs one
-    // cheap cache-read action, never a second pair computation
-    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+    // ONE take(cap+1) job both decides the route AND delivers the
+    // fast path's edge list (the probePqCodes gate discipline, r20):
+    // a result at or under the cap is provably the complete edge set,
+    // so the former count-then-collect pair of driver jobs collapses
+    // to one. The take materializes the persisted edge frame — the
+    // work the loop's init aggregation would spend anyway.
+    val gateOn = smallGraphMaxEdges > 0 && smallGraphMaxEdges < Int.MaxValue.toLong
+    val gateEdges: Array[(Long, Long)] =
+      if (gateOn) edges.as[(Long, Long)].take(smallGraphMaxEdges.toInt + 1)
+      else Array.empty
+    if (gateOn && gateEdges.length <= smallGraphMaxEdges) {
       // one direction carries the full graph (src <= dst keeps
       // defensive self-loop nodes); the symmetric twin adds nothing
-      val ePairs = edges.filter(col("src") <= col("dst")).as[(Long, Long)].collect()
+      val ePairs = gateEdges.filter { case (a, b) => a <= b }
       edges.unpersist()
       pairsC.unpersist()
       val parent = new java.util.HashMap[Long, java.lang.Long]()

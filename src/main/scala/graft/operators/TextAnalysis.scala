@@ -756,7 +756,7 @@ object TextAnalysis {
     val scores = c.hits.groupBy("qid", "doc_id")
       .agg(sum("s_micro").cast("long").as("bm25_micro"))
     (topKByGroup(scores, "qid", "bm25_micro", "doc_id", topK),
-      () => { c.tf.unpersist(false); () })
+      () => { c.tf.unpersist(false); c.dl.unpersist(false); () })
   }
 
   /** Per-group bounded top-k — see [[graft.operators.TopK.byGroupDesc]]
@@ -816,7 +816,13 @@ object TextAnalysis {
     // an aggregation this frame runs anyway
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"),
       sum("tf").cast("long").as("cf"))
+    // dl persists (r20): it has TWO consumers that share no exchange —
+    // the stats collect below and the score join — so without the cache
+    // the doc-keyed aggregation over the tf cache ran twice per query.
+    // The stats job materializes it; the managed cleanup thunk releases
+    // it together with tf.
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nTerms = nQueries * termsPerQuery
     // TakeOrderedAndProject + a fixture-bounded driver collect — never a
     // global-sort exchange or an unpartitioned rank window (the q12 rule).
@@ -935,7 +941,7 @@ object TextAnalysis {
           * lit(termsPerQuery.toDouble) * lit(1000000.0) + lit(0.5)).cast("long"))
           .as("ql_micro"))
     (topKByGroup(scores, "qid", "ql_micro", "doc_id", topK),
-      () => { c.tf.unpersist(false); () })
+      () => { c.tf.unpersist(false); c.dl.unpersist(false); () })
   }
 
   /** Reciprocal-rank fusion of TWO lexical rankings over the same
@@ -1063,7 +1069,7 @@ object TextAnalysis {
           .map { case ((id, a, bb, cr), i) => (qid, i + 1, id, cr, a, bb) }
       }
       .toDF("qid", "rnk", "doc_id", "rrf_micro", "bm25_rnk", "cos_rnk")
-    (out, () => { c.tf.unpersist(false); () })
+    (out, () => { c.tf.unpersist(false); c.dl.unpersist(false); () })
   }
 
   /** BM25 postings index for a RELEASED corpus — the retrieval analog
